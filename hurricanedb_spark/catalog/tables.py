@@ -1,0 +1,72 @@
+"""Table registration over the driver's parquet star schema.
+
+The reference models a table as Schema + TableConfig over immutable columnar
+segments (SURVEY.md §1.1). In Spark a table is a DataFrame over a
+(partitioned) parquet/Delta path registered as a view; Spark handles segment
+splitting, vectorized scans, row-group pruning and predicate pushdown —
+the per-column index machinery of the reference
+(pinot-segment-local/.../creator/impl/fwd/, ColumnIndexType.java:25-34)
+is a storage concern Parquet already covers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any scale factor; at 100 TB
+# the facts (lineitem/orders/events/documents) grow but these stay bounded,
+# so joins against them must never shuffle the fact side.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table, normalizing nanosecond-timestamp columns.
+
+    The events table stores TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong the reader returns epoch-nanos
+    longs, converted here to microsecond timestamps (Spark's native
+    resolution — sub-microsecond components are truncated, matching the
+    oracle's CAST(ts AS TIMESTAMP))."""
+    from pyspark.sql import functions as F, types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        for field in df.schema.fields:
+            if field.name == "ts" and isinstance(field.dataType, T.LongType):
+                # integer div: double division would lose precision on
+                # epoch-nanos (~1.7e18 > 2^53)
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table in `sf_dir` as a DataFrame keyed by name."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (idempotent) and return the map."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,169 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-conscious:
+
+  exact        — hash-groupBy on a normalized fingerprint: one shuffle on
+                 the hash, combiner-side partial aggregation.
+  minhash-LSH  — shingle -> K minhashes -> B bands -> bucket self-join:
+                 candidate generation never compares all pairs; the only
+                 shuffle is on (band, bucket-hash), and verification runs
+                 per-candidate-pair. This is the 100 TB-safe path: cost is
+                 O(docs * K + candidates), not O(docs^2).
+  simhash      — 32-bit sign-of-weighted-bits signature; near-dups have
+                 small Hamming distance; bucket by 4x8-bit blocks (any pair
+                 within distance 3 shares >= one exact block).
+  ngram-jaccard— exact verification metric (also standalone for small sets).
+  embedding    — cosine near-dup over the embeddings table (see
+                 similarity.py for the ANN machinery).
+
+Hashing: the scale path uses Spark's native xxhash64 (JVM, codegen).
+For oracle-comparable results there is a portable md5-derived 32-bit hash
+(`portable_hash32`) computable identically in DuckDB SQL — slower, used
+only in correctness queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Knuth-style multiplicative constants for the K minhash permutations
+# (h_i(x) = (a_i * x + b_i) mod P). P is a Mersenne prime 2^31-1.
+MINHASH_P = 2147483647
+
+
+def perm_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs — fixed constants, no RNG at runtime."""
+    return [((2654435761 * (i + 1)) % MINHASH_P or 1, (40503 * (i + 7)) % MINHASH_P) for i in range(k)]
+
+
+def portable_hash32(col: Column) -> Column:
+    """32-bit hash = first 8 hex chars of md5, parsed digit-by-digit.
+    Bit-identical in DuckDB (see oracle_hash32_sql) — used by the
+    oracle-checked dedup queries. Scale path: xxhash64 instead."""
+    hx = F.substring(F.md5(col), 1, 8)
+    val = F.lit(0).cast("long")
+    for j in range(8):
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring(hx, j + 1, 1)) - 1
+        val = val + digit.cast("long") * F.lit(16 ** (7 - j)).cast("long")
+    return val
+
+
+def oracle_hash32_sql(expr: str) -> str:
+    """DuckDB SQL mirroring portable_hash32 exactly."""
+    terms = [
+        f"(instr('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, k: int = 8, portable: bool = True) -> Column:
+    """Array of K minhash values over the shingle set.
+
+    portable=True -> md5-derived base hash (oracle-comparable);
+    portable=False -> xxhash64 (fast JVM path for production scale).
+    """
+    base = portable_hash32 if portable else lambda c: F.abs(F.xxhash64(c)) % MINHASH_P
+    hashed = F.transform(shingles, base)
+    sigs = []
+    for a, b in perm_params(k):
+        sigs.append(
+            F.array_min(
+                F.transform(
+                    hashed, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+                )
+            )
+        )
+    return F.array(*sigs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signature and self-join on (band, band-slice) buckets.
+    Returns candidate (id_a < id_b) pairs, distinct."""
+    banded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays, in double."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def simhash32(text: Column, portable: bool = True) -> Column:
+    """32-bit SimHash over word tokens: bit b of the signature is the sign
+    of sum over tokens of (+1 if bit b of hash(token) else -1)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    base = portable_hash32 if portable else lambda c: F.abs(F.xxhash64(c)) % (2**32)
+    hashed = F.transform(toks, base)
+    sig = F.lit(0).cast("long")
+    for b in range(32):
+        bit_sum = F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.floor(h / (2**b)) % 2 == 1, 1).otherwise(-1),
+        )
+        sig = sig + F.when(bit_sum > 0, F.lit(2**b).cast("long")).otherwise(0)
+    return sig
+
+
+def exact_dedup(df: DataFrame, id_col: str, fingerprint_col: Column) -> DataFrame:
+    """Exact dedup: keep the smallest id per fingerprint; emit survivors with
+    duplicate counts. One shuffle on the fingerprint hash."""
+    return (
+        df.select(F.col(id_col), fingerprint_col.alias("__fp"))
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("__fp")
+    )

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas functions over
+mapInPandas.
+
+The container has no image/audio codecs, so the decode kernels are
+deterministic fakes / NotImplementedError stubs — but everything Spark-side
+is real and tested (tests/test_multimodal.py): schemas, batch iteration,
+partition sizing, UDF signatures. Swapping `_fake_decode_image` for
+PIL/torchvision is a one-function change; the distributed plumbing is the
+part that has to be right at 100 TB (binary payloads make partitions heavy:
+size `spark.sql.files.maxPartitionBytes` down so a partition of decoded
+frames fits in executor memory).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),  # image/audio/video
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, media_type string, n_bytes int, feature array<float>"
+
+
+def _fake_decode_image(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: 8 'features' derived from
+    byte statistics. Replace with PIL/librosa/ffmpeg in production.
+    (A true decoder would raise NotImplementedError here when the codec
+    library is missing.)"""
+    if payload is None or len(payload) == 0:
+        return [0.0] * 8
+    n = len(payload)
+    return [
+        float(n),
+        float(payload[0]),
+        float(payload[-1]),
+        float(sum(payload[:64]) % 997),
+        float(min(payload)),
+        float(max(payload)),
+        float(payload[n // 2]),
+        float(n % 251),
+    ]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas streams batches — payloads never materialize on the driver
+    and each task holds only one Arrow batch of binaries at a time."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: 0 if b is None else len(b)
+                    ),
+                    "feature": pdf["payload"].map(_fake_decode_image),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """'Frame sampling' shape: explode each video payload into per-frame
+    rows (here: one row per N-byte block boundary — the real kernel would
+    emit decoded frames). Shows the 1->N mapInPandas explode pattern whose
+    output is larger than its input — the case where per-batch streaming
+    matters most."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_no": [], "frame_offset": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = 0 if payload is None else len(payload)
+                for i, off in enumerate(range(0, n, every_n_bytes)):
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(i)
+                    rows["frame_offset"].append(off)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema="media_id long, frame_no int, frame_offset int")
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a deterministic media table from the documents table (text
+    bytes as payload) so the plumbing is testable without codec libs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        (F.col("doc_id") % 640).cast("int").alias("width"),
+        (F.col("doc_id") % 480).cast("int").alias("height"),
+    )

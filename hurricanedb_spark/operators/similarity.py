@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring what a 100 TB training-data pipeline needs:
+
+  brute-force top-k — exact baseline: queries (small) are broadcast against
+      the corpus; per-row dot products run JVM-side via zip_with/aggregate
+      higher-order functions (no Python). Cost O(|corpus| * |queries| * d),
+      embarrassingly parallel, zero shuffle until the final per-query top-k
+      (TakeOrdered over k*|queries| rows).
+
+  LSH-bucketed ANN — scale path: random-hyperplane (sign) sketches computed
+      from deterministic pseudo-planes (hash-derived, no RNG state), bucket
+      join on sketch prefix, exact re-rank inside buckets. Recall tested
+      against the brute-force baseline in tests/test_similarity.py.
+
+Exact variant for oracle comparison: elements are quantized to 1e-6 via
+floor(double(x) * 1e6) — an IEEE-exact multiply+floor that both Spark and
+DuckDB compute bit-identically — then dot products run in int64 (exact,
+order-independent). Decimal casts of raw floats are NOT portable: Spark
+converts float->decimal through the shortest decimal repr while DuckDB
+rounds the binary expansion, so the 12th digit can differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+QSCALE = 1_000_000  # quantization: 1e-6 resolution, products fit int64
+
+
+def _quant(x: Column) -> Column:
+    return F.floor(x.cast("double") * QSCALE).cast("long")
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Order-independent exact dot product over 1e-6-quantized elements.
+    Returns the scaled integer dot (divide by QSCALE^2 for the real value)."""
+    prods = F.zip_with(a, b, lambda x, y: _quant(x) * _quant(y))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, p: acc + p)
+
+
+def norm_exact(a: Column) -> Column:
+    return F.sqrt(dot_exact(a, a).cast("double"))
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    """Cosine of the quantized vectors, in double — bit-identical across
+    engines given identical float inputs (scale factors cancel)."""
+    return dot_exact(a, b).cast("double") / (norm_exact(a) * norm_exact(b))
+
+
+def dot_fast(a: Column, b: Column) -> Column:
+    """Production path: double fold, JVM codegen, no decimal overhead."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+
+
+def cosine_fast(a: Column, b: Column) -> Column:
+    return dot_fast(a, b) / (F.sqrt(dot_fast(a, a)) * F.sqrt(dot_fast(b, b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exact: bool = False,
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector (self-matches excluded).
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, deterministic
+    tiebreak on neighbor_id.
+    """
+    from pyspark.sql import Window as W
+
+    cos = cosine_exact if exact else cosine_fast
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- LSH-bucketed ANN (scale path) ------------------------------------------
+
+
+def _planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes — fixed seed, generated at
+    plan-build time and embedded as literals (identical on every executor
+    and every run; no RNG state at execution time)."""
+    import random
+
+    rng = random.Random(9176)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def sign_sketch(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """n-bit random-hyperplane sketch as a long: bit p = sign of <vec, r_p>.
+    Each dot is a JVM-side zip_with/aggregate fold over the literal plane."""
+    sketch = F.lit(0).cast("long")
+    for p, plane in enumerate(_planes(dim, n_planes)):
+        plane_arr = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, plane_arr, lambda x, r: x.cast("double") * r),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        sketch = sketch + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(0)
+    return sketch
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN: candidates share the full sketch bucket OR differ in one plane
+    (probing multiplies recall); exact cosine re-rank inside candidates.
+    The bucket join shuffles only (sketch -> ids), never all pairs."""
+    from pyspark.sql import Window as W
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        sign_sketch(F.col(vec_col), dim, n_planes).alias("__sketch"),
+    )
+    # probe buckets: exact sketch + one-bit flips
+    probes = F.array(
+        F.col("__qsketch"),
+        *[
+            F.col("__qsketch").bitwiseXOR(F.lit(2**p).cast("long"))
+            for p in range(n_planes)
+        ],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        sign_sketch(F.col(vec_col), dim, n_planes).alias("__qsketch"),
+    ).select("query_id", "__qvec", F.explode(probes).alias("__sketch"))
+    scored = (
+        c.join(F.broadcast(q), "__sketch")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_fast(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

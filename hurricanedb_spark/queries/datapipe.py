@@ -1,0 +1,385 @@
+"""Training-data-pipeline queries: text analysis, dedup family, similarity
+search, multimodal plumbing — first-class operators alongside the SURVEY §2
+inventory, each oracle-checked where SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hurricanedb_spark.operators import dedup as dd
+from hurricanedb_spark.operators import similarity as sim
+from hurricanedb_spark.operators import text_analysis as ta
+from hurricanedb_spark.operators.multimodal import extract_features, synth_media_from_documents
+from hurricanedb_spark.catalog.tables import load_table
+from hurricanedb_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- text analysis -----------------------------------------------------------
+
+_TOKENS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_STOPWORDS_SQL = "['the','a','and','of','to','in','is','it','for','on']"
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len({_TOKENS_SQL})) AS total_tokens,
+           SUM(length(text)) AS total_chars,
+           SUM(len(list_filter({_TOKENS_SQL},
+                t -> list_contains({_STOPWORDS_SQL}, lower(t))))) AS total_stopwords,
+           SUM(len(list_distinct({_TOKENS_SQL}))) AS total_uniq_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Token counting + stopword stats per language tag (whitespace "
+    "tokenizer, empty tokens dropped) — text-quality pipeline base metrics.",
+    tags=("datapipe", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    toks = ta.tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in ta.STOPWORDS])
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+        ).alias("total_stopwords"),
+        F.sum(F.size(F.array_distinct(toks))).alias("total_uniq_tokens"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             {_TOKENS_SQL} AS toks,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tok,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS diversity,
+             CAST(n_punct AS DOUBLE) / greatest(length(text), 1) AS punct,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_len
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(n_tok BETWEEN 5 AND 10000 AS DOUBLE) * 0.25
+           + CAST(mean_len BETWEEN 2.0 AND 12.0 AS DOUBLE) * 0.25
+           + diversity * 0.25
+           + (1.0 - least(punct * 4, 1.0)) * 0.25 AS quality
+    FROM m
+    WHERE doc_id % 5 = 0
+    """,
+    doc="Composite document quality score (length band, lexical diversity, "
+    "punctuation ratio, mean token length) — operators/text_analysis.py.",
+    tags=("datapipe", "text", "quality"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    return doc.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", ta.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, t -> list_contains(['the','and','of','to','a'], lower(t)))) AS hits_en,
+        len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], lower(t)))) AS hits_de,
+        len(list_filter(toks, t -> list_contains(['le','la','les','et','est'], lower(t)))) AS hits_fr,
+        len(list_filter(toks, t -> list_contains(['el','la','los','y','es'], lower(t)))) AS hits_es
+      FROM t
+    )
+    SELECT doc_id, lang AS tagged_lang,
+           CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS guessed_lang
+    FROM s
+    WHERE doc_id % 7 = 0
+    """,
+    doc="Heuristic language ID by marker-word hits (deterministic tiebreak "
+    "de<en<es<fr by code order) — operators/text_analysis.py:lang_id.",
+    tags=("datapipe", "text", "langid"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    return doc.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.col("lang").alias("tagged_lang"),
+        ta.lang_id(F.col("text")).alias("guessed_lang"),
+    )
+
+
+@register(
+    "q_fingerprint_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(regexp_replace(lower(text), '[^\\w\\s]', '', 'g')),
+                                '\\s+', ' ', 'g')) AS __fp
+      FROM documents
+    )
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM fp GROUP BY __fp
+    """,
+    doc="Exact dedup on a normalized md5 fingerprint: keep min doc_id per "
+    "group (operators/dedup.py:exact_dedup + text_analysis.py:fingerprint).",
+    tags=("datapipe", "dedup"),
+)
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(doc, "doc_id", ta.fingerprint(F.col("text")))
+
+
+# --- MinHash LSH near-dup ----------------------------------------------------
+
+_SHINGLES_SQL = """
+  list_distinct(
+    list_transform(
+      range(0, greatest(len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '')) - 2, 0) + 1),
+      i -> array_to_string(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '')[i+1:i+2], ' ')
+    )
+  )
+"""
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB SQL computing the identical K=8 minhash signature, banded
+    2-rows x 4-bands, candidate pairs + exact bigram-jaccard >= 0.5."""
+    h = dd.oracle_hash32_sql("s")
+    perms = dd.perm_params(8)
+    sig_cols = ",\n        ".join(
+        f"list_min(list_transform(shingles, s -> ({h} * {a} + {b}) % {dd.MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, shingles,
+        {sig_cols}
+      FROM docs
+    ),
+    bands AS (
+      SELECT doc_id, shingles, 0 AS band, concat(mh0, ',', mh1) AS bucket FROM sigs
+      UNION ALL SELECT doc_id, shingles, 1, concat(mh2, ',', mh3) FROM sigs
+      UNION ALL SELECT doc_id, shingles, 2, concat(mh4, ',', mh5) FROM sigs
+      UNION ALL SELECT doc_id, shingles, 3, concat(mh6, ',', mh7) FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.shingles AS sh_a, r.shingles AS sh_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
+    FROM cand
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
+    """
+
+
+@register(
+    "q_minhash_lsh_dedup",
+    oracle=_minhash_oracle_sql(),
+    doc="MinHash+LSH near-duplicate pairs: word-bigram shingles -> K=8 "
+    "portable minhashes -> 4 bands x 2 rows -> bucket self-join -> exact "
+    "jaccard >= 0.5 verification (operators/dedup.py). Candidate "
+    "generation is O(docs*K + candidates), never all-pairs.",
+    tags=("datapipe", "dedup", "minhash"),
+)
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    with_sh = doc.select(
+        "doc_id", dd.word_shingles(F.col("text"), 2).alias("shingles")
+    )
+    with_sig = with_sh.withColumn(
+        "sig", dd.minhash_signature(F.col("shingles"), k=8, portable=True)
+    )
+    pairs = dd.lsh_candidate_pairs(with_sig, "doc_id", "sig", bands=4, rows_per_band=2)
+    sh_a = with_sh.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = with_sh.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", dd.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "q_simhash",
+    oracle=None,  # non-SQL-expressible compactly; verified by pytest instead
+    doc="32-bit SimHash signature per document + per-signature collision "
+    "counts (operators/dedup.py:simhash32). Rows-only driver check; "
+    "tests/test_dedup.py asserts near-dup pairs land at small Hamming "
+    "distance.",
+    tags=("datapipe", "dedup", "simhash"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id", dd.simhash32(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM documents
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(l.shingles, r.shingles))) AS jaccard
+    FROM docs l JOIN docs r ON l.source = r.source AND l.doc_id < r.doc_id
+    WHERE CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(l.shingles, r.shingles))) >= 0.3
+    """,
+    doc="Exact n-gram Jaccard similarity within source-blocked pairs "
+    "(blocking keeps the join off the all-pairs cliff; the LSH variant "
+    "removes even the block constraint at scale).",
+    tags=("datapipe", "dedup", "jaccard"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    sh = doc.select("doc_id", "source", dd.word_shingles(F.col("text"), 2).alias("sh"))
+    left = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("sh").alias("sh_a")
+    )
+    right = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        left.join(
+            right,
+            (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("jaccard", dd.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- similarity search -------------------------------------------------------
+
+
+@register(
+    "q_ann_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(qv[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(qv[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST(qv[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)))
+        AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-10 per query vector (operators/similarity.py"
+    ":brute_force_topk, exact decimal dot products so both engines agree "
+    "bit-for-bit). The LSH-bucketed ANN scale path is q_ann_lsh_topk.",
+    tags=("datapipe", "similarity"),
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(em, queries, k=10, exact=True)
+
+
+@register(
+    "q_ann_lsh_topk",
+    oracle=None,  # approximate by design; recall vs brute force in pytest
+    doc="LSH-bucketed ANN top-k (operators/similarity.py:ann_topk): "
+    "random-hyperplane sketch bucket join + exact re-rank; recall measured "
+    "against brute force in tests/test_similarity.py. Rows-only check.",
+    tags=("datapipe", "similarity", "ann"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    return sim.ann_topk(em, queries, dim=64, k=10, n_planes=8)
+
+
+@register(
+    "q_embedding_neardup",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        CAST(list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)))
+        AS cosine
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
+    """,
+    doc="Embedding-cosine near-duplicate pairs (subset blocked by id for "
+    "the oracle; the production path buckets by LSH sketch first).",
+    tags=("datapipe", "dedup", "similarity"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a = em.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", sim.cosine_exact(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= 0.95)
+    )
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+
+@register(
+    "q_multimodal_features",
+    oracle=None,  # pandas-UDF pipeline; deterministic fake decoder, rows-only
+    doc="Multimodal binary-column pipeline: documents -> synthetic media "
+    "table (binary payload + typed metadata) -> Arrow-batched mapInPandas "
+    "feature extraction (operators/multimodal.py). The decode kernel is a "
+    "deterministic stub; the Spark plumbing (schema, batching, UDF "
+    "signatures) is real and also covered by tests/test_multimodal.py.",
+    tags=("datapipe", "multimodal"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    media = synth_media_from_documents(doc)
+    return extract_features(media).orderBy("media_id")

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for OLAP workloads.
+
+Mirrors the reference's server-side execution defaults (per-segment
+parallelism = min(numSegments, 2*cores) — pinot-core CombineOperatorUtils.java:38-49)
+with Spark-native equivalents: AQE for runtime re-planning, partition
+coalescing, and a shuffle-partition count sized to the machine rather than
+Spark's legacy 200.
+
+At 100 TB scale the same settings hold: AQE coalesces post-shuffle
+partitions to `advisoryPartitionSizeInBytes`, skew-join splitting handles
+hot keys, and broadcast joins keep dimension tables off the shuffle path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hurricanedb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    Honors $SPARK_GRAFT_CPUS for local core count (driver contract).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # shuffle sizing: ~cores locally; on a real cluster AQE coalesces
+        # from this initial number down to advisory-sized partitions.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # oracle comparability: DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # the events table stores TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as long and convert in catalog.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("HURRICANE_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
