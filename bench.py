@@ -1,0 +1,63 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline query set (bench=True in the registry: the 7 pinot-druid
+queries, SSB representatives, TPC-H Q1, join/filter shapes) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Timing: per query, one warm-up run then median of 3 timed runs; the
+DataFrame is materialized via count() on a cached-free plan (results are
+small aggregates; collect would measure the same thing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hurricanedb_spark.queries import all_queries
+from hurricanedb_spark.session import get_spark
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("hurricanedb-bench")
+
+    reg = {n: q for n, q in all_queries().items() if q.bench}
+    timings: dict[str, float] = {}
+    for name, qd in sorted(reg.items()):
+        qd.fn(spark, sf_dir).count()  # warm-up: JIT, page cache, plan cache
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -130,6 +130,26 @@ def sign_sketch(vec: Column, dim: int, n_planes: int = 16) -> Column:
     return sketch
 
 
+def _table_sketches(vec: Column, dim: int, n_tables: int, bits: int) -> Column:
+    """Array of per-table bucket ids: table t uses its own `bits` planes.
+    Multi-table LSH: a pair is a candidate if it collides in ANY table —
+    recall compounds across tables while each table stays selective."""
+    planes = _planes(dim, n_tables * bits)
+    sketches = []
+    for t in range(n_tables):
+        sketch = F.lit(t * (2**bits)).cast("long")  # disjoint id space per table
+        for b in range(bits):
+            plane_arr = F.array(*[F.lit(v) for v in planes[t * bits + b]])
+            dot = F.aggregate(
+                F.zip_with(vec, plane_arr, lambda x, r: x.cast("double") * r),
+                F.lit(0.0),
+                lambda acc, term: acc + term,
+            )
+            sketch = sketch + F.when(dot > 0, F.lit(2**b).cast("long")).otherwise(0)
+        sketches.append(sketch)
+    return F.array(*sketches)
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -137,40 +157,41 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    bits: int = 4,
 ) -> DataFrame:
-    """ANN: candidates share the full sketch bucket OR differ in one plane
-    (probing multiplies recall); exact cosine re-rank inside candidates.
-    The bucket join shuffles only (sketch -> ids), never all pairs."""
+    """ANN via multi-table random-hyperplane LSH + exact cosine re-rank.
+
+    Cost model at scale: corpus emits n_tables rows per vector into a
+    bucket join keyed by (table|bucket) — shuffle volume O(N * n_tables),
+    never O(N^2); re-rank touches only colliding pairs. Queries are
+    broadcast (query batches are small relative to the corpus)."""
     from pyspark.sql import Window as W
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        sign_sketch(F.col(vec_col), dim, n_planes).alias("__sketch"),
-    )
-    # probe buckets: exact sketch + one-bit flips
-    probes = F.array(
-        F.col("__qsketch"),
-        *[
-            F.col("__qsketch").bitwiseXOR(F.lit(2**p).cast("long"))
-            for p in range(n_planes)
-        ],
+        F.explode(_table_sketches(F.col(vec_col), dim, n_tables, bits)).alias(
+            "__bucket"
+        ),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        sign_sketch(F.col(vec_col), dim, n_planes).alias("__qsketch"),
-    ).select("query_id", "__qvec", F.explode(probes).alias("__sketch"))
+        F.explode(_table_sketches(F.col(vec_col), dim, n_tables, bits)).alias(
+            "__bucket"
+        ),
+    )
     scored = (
-        c.join(F.broadcast(q), "__sketch")
+        c.join(F.broadcast(q), "__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .distinct()
         .select(
             "query_id",
             "neighbor_id",
             cosine_fast(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
         )
-        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

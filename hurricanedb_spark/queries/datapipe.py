@@ -332,7 +332,7 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 5)
-    return sim.ann_topk(em, queries, dim=64, k=10, n_planes=8)
+    return sim.ann_topk(em, queries, dim=64, k=10)
 
 
 @register(

@@ -1,0 +1,138 @@
+"""Realtime ingestion — the reference's REALTIME table semantics re-expressed
+as Structured Streaming (SURVEY.md §2.10).
+
+Reference model: per-partition stream consumers append to an in-memory
+mutable segment that is immediately queryable; segments seal and commit at
+thresholds (LLRealtimeSegmentDataManager.java:107-361,
+MutableSegmentImpl.java:494-536); offsets checkpoint per segment; upsert and
+dedup are keyed on the schema's primary key.
+
+Spark mapping:
+  stream source      -> readStream (kafka in prod; file/rate/memory in tests)
+  mutable segment    -> micro-batch append to the realtime sink table
+  segment commit     -> checkpointed exactly-once micro-batch (stronger)
+  upsert/dedup       -> per-batch view maintenance via foreachBatch
+  hybrid query       -> offline UNION ALL realtime with a time boundary
+
+At scale the sink partitions by event time (hour/day) so the realtime ->
+offline mover (`compact_realtime_to_offline`) is a partition-level rewrite,
+exactly like the reference's RealtimeToOfflineSegmentsTask minion job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hurricanedb_spark.operators.upsert import upsert_view
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+):
+    """File-based stream source (tests / backfill). Kafka is the production
+    source: swap for readStream.format('kafka') with the same downstream
+    pipeline — the sink/upsert logic is source-agnostic."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def start_append_sink(
+    stream_df: DataFrame, sink_dir: str, checkpoint_dir: str, partition_by: str | None = None
+):
+    """Append sink with checkpointing — the 'mutable segment' analog; rows
+    are queryable as soon as a micro-batch commits."""
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    return w.trigger(availableNow=True).start()
+
+
+def start_upsert_sink(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    pk: list[str],
+    cmp_col: str,
+    tiebreak: str,
+):
+    """Upsert materialization via foreachBatch: each micro-batch merges into
+    the sink keeping the latest row per PK (overwrite-compact formulation;
+    with Delta available this becomes MERGE INTO)."""
+    spark = stream_df.sparkSession
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(sink_dir):
+            current = spark.read.parquet(sink_dir)
+            merged = current.unionByName(batch_df)
+        else:
+            merged = batch_df
+        result = upsert_view(merged, pk, cmp_col, tiebreak)
+        result.write.mode("overwrite").parquet(sink_dir + ".tmp")
+        spark.read.parquet(sink_dir + ".tmp").write.mode("overwrite").parquet(sink_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_dedup(stream_df: DataFrame, pk: list[str], watermark_col: str, delay: str):
+    """Stream dedup with bounded state — dropDuplicates within the watermark
+    (PartitionDedupMetadataManager analog; the watermark bounds state like
+    Pinot's metadata TTL)."""
+    return stream_df.withWatermark(watermark_col, delay).dropDuplicates(pk)
+
+
+def windowed_counts(stream_df: DataFrame, ts_col: str, window: str, keys: list[str]):
+    """Event-time tumbling-window aggregation with late-data handling —
+    Spark-native superset of the reference's time-bucket group-by."""
+    return (
+        stream_df.withWatermark(ts_col, "10 minutes")
+        .groupBy(F.window(F.col(ts_col), window), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+def hybrid_view(
+    spark: SparkSession,
+    offline_df: DataFrame,
+    realtime_df: DataFrame,
+    time_col: str,
+    boundary,
+) -> DataFrame:
+    """Hybrid table: offline serves time <= boundary, realtime the rest
+    (TimeBoundaryManager.java:56-91)."""
+    return offline_df.filter(F.col(time_col) <= F.lit(boundary)).unionByName(
+        realtime_df.filter(F.col(time_col) > F.lit(boundary))
+    )
+
+
+def compact_realtime_to_offline(
+    spark: SparkSession, realtime_dir: str, offline_dir: str, time_col: str, boundary
+) -> None:
+    """Realtime->offline mover (RealtimeToOfflineSegmentsTask minion analog):
+    batch job moving sealed data below the boundary into the offline table,
+    partitioned by day for pruning."""
+    rt = spark.read.parquet(realtime_dir)
+    sealed = rt.filter(F.col(time_col) <= F.lit(boundary))
+    (
+        sealed.withColumn("__day", F.to_date(F.col(time_col)))
+        .write.mode("append")
+        .partitionBy("__day")
+        .parquet(offline_dir)
+    )

@@ -1,0 +1,60 @@
+"""Schema-system tests: Pinot-dialect JSON -> StructType with role metadata
+and default-null substitution (reference Schema.java:66-73,
+FieldSpec.java:49-66) — mirrors the reference's schema unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from hurricanedb_spark.catalog.schema import default_null_values, pinot_schema_to_struct
+from hurricanedb_spark.catalog.tables import load_table, register_views
+
+SCHEMA_JSON = {
+    "schemaName": "transcript",
+    "dimensionFieldSpecs": [
+        {"name": "studentID", "dataType": "INT"},
+        {"name": "firstName", "dataType": "STRING"},
+        {"name": "subjects", "dataType": "STRING", "singleValueField": False},
+    ],
+    "metricFieldSpecs": [{"name": "score", "dataType": "FLOAT"}],
+    "dateTimeFieldSpecs": [{"name": "ts", "dataType": "TIMESTAMP"}],
+}
+
+
+def test_schema_to_struct_roles_and_types():
+    st = pinot_schema_to_struct(SCHEMA_JSON)
+    by_name = {f.name: f for f in st.fields}
+    assert isinstance(by_name["studentID"].dataType, T.IntegerType)
+    assert isinstance(by_name["subjects"].dataType, T.ArrayType)  # MV column
+    assert isinstance(by_name["score"].dataType, T.FloatType)
+    assert isinstance(by_name["ts"].dataType, T.TimestampType)
+    assert by_name["studentID"].metadata["role"] == "DIMENSION"
+    assert by_name["score"].metadata["role"] == "METRIC"
+    assert by_name["ts"].metadata["role"] == "DATE_TIME"
+
+
+def test_default_null_values_match_reference_defaults():
+    dv = default_null_values(SCHEMA_JSON)
+    assert dv["studentID"] == -2147483648  # Integer.MIN_VALUE (FieldSpec.java:49)
+    assert dv["firstName"] == "null"
+    assert dv["score"] == 0.0  # metric default
+    assert "ts" not in dv or dv["ts"] is not None
+
+
+def test_explicit_default_overrides():
+    j = {"dimensionFieldSpecs": [{"name": "x", "dataType": "INT", "defaultNullValue": 7}]}
+    assert default_null_values(j)["x"] == 7
+
+
+def test_load_table_normalizes_event_timestamps(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    row = ev.selectExpr("min(ts) AS t").collect()[0]
+    assert row.t.year == 2024
+
+
+def test_register_views(spark, sf_dir):
+    tables = register_views(spark, sf_dir)
+    assert set(tables) >= {"lineitem", "orders", "events"}
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert n == 6000

@@ -1,0 +1,86 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, jaccard — verifies
+planted near-duplicates in the synthetic documents table are found."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hurricanedb_spark.catalog.tables import load_table
+from hurricanedb_spark.operators import dedup as dd
+from hurricanedb_spark.operators import text_analysis as ta
+
+
+def test_exact_dedup_inline(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World!"), (2, "hello world"), (3, "different doc")],
+        "doc_id long, text string",
+    )
+    out = dd.exact_dedup(df, "doc_id", ta.fingerprint(F.col("text")))
+    rows = {r.keep_id: r.n_copies for r in out.collect()}
+    # normalization folds case/punct/whitespace -> 1 and 2 are one group
+    assert rows == {1: 2, 3: 1}
+
+
+def test_portable_hash32_range(spark):
+    df = spark.createDataFrame([("abc",), ("def",), ("",)], "s string")
+    vals = [r.h for r in df.select(dd.portable_hash32(F.col("s")).alias("h")).collect()]
+    assert all(0 <= v < 2**32 for v in vals)
+    assert len(set(vals)) == 3
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents")
+    sh = doc.select("doc_id", dd.word_shingles(F.col("text"), 2).alias("sh"))
+    sig = sh.withColumn("sig", dd.minhash_signature(F.col("sh"), k=8))
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id", "sig", bands=4, rows_per_band=2)
+    verified = (
+        pairs.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("j", dd.jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("j") >= 0.5)
+    )
+    n = verified.count()
+    assert n > 0, "expected planted near-duplicate pairs at jaccard>=0.5"
+
+    # LSH candidates must be a superset of high-jaccard pairs found by
+    # brute force on a sample (recall sanity)
+    brute = (
+        sh.alias("l")
+        .join(sh.alias("r"), F.col("l.doc_id") < F.col("r.doc_id"))
+        .withColumn("j", dd.jaccard(F.col("l.sh"), F.col("r.sh")))
+        .filter(F.col("j") >= 0.8)
+    )
+    n_brute = brute.count()
+    n_lsh_high = verified.filter(F.col("j") >= 0.8).count()
+    assert n_lsh_high >= 0.8 * n_brute, (n_lsh_high, n_brute)
+
+
+def test_simhash_neardups_close_in_hamming(spark, sf_dir):
+    doc = load_table(spark, sf_dir, "documents")
+    sh = doc.select("doc_id", dd.word_shingles(F.col("text"), 2).alias("sh"))
+    # ground-truth near-dup pairs
+    near = (
+        sh.alias("l")
+        .join(sh.alias("r"), F.col("l.doc_id") < F.col("r.doc_id"))
+        .withColumn("j", dd.jaccard(F.col("l.sh"), F.col("r.sh")))
+        .filter(F.col("j") >= 0.8)
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+    )
+    sims = doc.select("doc_id", dd.simhash32(F.col("text")).alias("sim"))
+    a = sims.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"))
+    b = sims.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"))
+    joined = near.join(a, "id_a").join(b, "id_b").withColumn(
+        "ham", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    )
+    rows = joined.collect()
+    assert rows, "need at least one near-dup pair"
+    avg_ham = sum(r.ham for r in rows) / len(rows)
+    # near-dup docs should average well under the random expectation of 16
+    assert avg_ham < 10, avg_ham
+
+
+def test_jaccard_bounds(spark):
+    df = spark.createDataFrame([(["a", "b"], ["a", "b"]), (["a"], ["b"]), ([], [])],
+                               "x array<string>, y array<string>")
+    vals = [r.j for r in df.select(dd.jaccard(F.col("x"), F.col("y")).alias("j")).collect()]
+    assert vals[0] == 1.0 and vals[1] == 0.0 and vals[2] == 1.0

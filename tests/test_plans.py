@@ -1,0 +1,69 @@
+"""Physical-plan assertions — the 100 TB design contract.
+
+These lock in the plan shapes that matter at scale: dimension joins must
+broadcast (no fact-side shuffle), filters must push into the parquet scan,
+and aggregations must have a map-side partial phase before the exchange.
+A regression here is a silent 100x cost at scale even when results stay
+correct.
+"""
+
+from __future__ import annotations
+
+from hurricanedb_spark.queries import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    qd = all_queries()[name]
+    df = qd.fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_ssb_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ssb_q2_1")
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join should appear for pure dimension joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_lookup_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_lookup_join")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pd6_in_range_groupby")
+    assert "PushedFilters:" in plan
+    assert "l_returnflag" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pd1_filtered_sum")
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    # only the two needed columns are read, not all 11
+    assert "l_extendedprice" in read_schema and "l_returnflag" in read_schema
+    assert "l_partkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_partial_aggregation_before_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # partial + final HashAggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_selection_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_selection_orderby")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    qd = all_queries()["q_filter_conjunction"]
+    df = qd.fn(spark, sf_dir)
+    df.collect()  # materialize THIS plan so AQE finalizes it
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    # WholeStageCodegen stages appear in the finalized adaptive plan
+    assert "WholeStageCodegen" in executed or "*(" in executed

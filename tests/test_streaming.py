@@ -1,0 +1,142 @@
+"""Structured Streaming tests — live micro-batch execution of the realtime
+semantics (append ingestion, streaming dedup, windowed aggregation, upsert
+sink, hybrid view), driven synchronously via availableNow triggers."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from hurricanedb_spark.streaming import realtime as rt
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def tmp(request):
+    d = tempfile.mkdtemp(prefix="hstream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _rows(n0, n, uid=1, et="click"):
+    base = datetime.datetime(2024, 1, 1)
+    return [
+        (i, base + datetime.timedelta(minutes=i), uid, et, float(i))
+        for i in range(n0, n0 + n)
+    ]
+
+
+def test_append_ingestion_immediately_queryable(spark, tmp):
+    src, sink, ckpt = f"{tmp}/src", f"{tmp}/sink", f"{tmp}/ckpt"
+    _write_batch(spark, src, _rows(0, 5))
+    q = rt.start_append_sink(
+        rt.read_event_stream(spark, src, SCHEMA), sink, ckpt
+    )
+    q.awaitTermination(60)
+    assert spark.read.parquet(sink).count() == 5
+
+    # new data arrives -> restart availableNow picks up only the delta
+    _write_batch(spark, src, _rows(5, 3))
+    q2 = rt.start_append_sink(rt.read_event_stream(spark, src, SCHEMA), sink, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(sink).count() == 8  # exactly-once: no re-ingest
+
+
+def test_streaming_dedup(spark, tmp):
+    src, sink, ckpt = f"{tmp}/src", f"{tmp}/sink", f"{tmp}/ckpt"
+    rows = _rows(0, 4) + _rows(0, 4)  # duplicated event_ids
+    _write_batch(spark, src, rows)
+    stream = rt.read_event_stream(spark, src, SCHEMA)
+    deduped = rt.streaming_dedup(stream, ["event_id"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.read.parquet(sink).count() == 4
+
+
+def test_windowed_aggregation_with_watermark(spark, tmp):
+    src = f"{tmp}/src"
+    _write_batch(spark, src, _rows(0, 30))
+    stream = rt.read_event_stream(spark, src, SCHEMA)
+    agg = rt.windowed_counts(stream, "ts", "10 minutes", ["event_type"])
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM win_counts ORDER BY window").collect()
+    assert len(out) == 3  # 30 minutes / 10-minute tumbling windows
+    assert all(r.n == 10 for r in out)
+
+
+def test_upsert_sink_latest_wins(spark, tmp):
+    src, sink, ckpt = f"{tmp}/src", f"{tmp}/sink", f"{tmp}/ckpt"
+    base = datetime.datetime(2024, 1, 1)
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, base, 1, "v1", 1.0),
+            (2, base + datetime.timedelta(minutes=1), 1, "v2", 2.0),
+            (3, base, 2, "w1", 9.0),
+        ],
+    )
+    q = rt.start_upsert_sink(
+        rt.read_event_stream(spark, src, SCHEMA),
+        sink,
+        ckpt,
+        pk=["user_id"],
+        cmp_col="ts",
+        tiebreak="event_id",
+    )
+    q.awaitTermination(120)
+    out = {r.user_id: r for r in spark.read.parquet(sink).collect()}
+    assert len(out) == 2
+    assert out[1].event_type == "v2"  # latest ts wins
+    assert out[2].event_type == "w1"
+
+
+def test_hybrid_view_boundary(spark, tmp):
+    off, rt_dir = f"{tmp}/off", f"{tmp}/rt"
+    base = datetime.datetime(2024, 1, 1)
+    _write_batch(spark, off, _rows(0, 10))  # minutes 0-9
+    _write_batch(spark, rt_dir, _rows(5, 10))  # minutes 5-14 (overlap 5-9)
+    boundary = base + datetime.timedelta(minutes=7)
+    view = rt.hybrid_view(
+        spark,
+        spark.read.parquet(off),
+        spark.read.parquet(rt_dir),
+        "ts",
+        boundary,
+    )
+    rows = view.collect()
+    # offline serves <= minute 7 (8 rows: 0..7), realtime serves > 7 (7 rows: 8..14)
+    assert len(rows) == 15
+    assert len({r.event_id for r in rows}) == 15  # no duplicates across boundary
