@@ -1,0 +1,184 @@
+"""Dialect function registry — Pinot-named functions callable from Spark SQL.
+
+The reference exposes two registries (SURVEY.md §2.8): vectorized
+TransformFunctionType operators (pinot-common/.../function/TransformFunctionType.java:29-161)
+and 228 @ScalarFunction row methods (pinot-common/.../function/scalar/*.java).
+Here every Pinot name that differs from Spark resolves through
+`spark.sql(...)` after `register_all(spark)`:
+
+  - pure renames           -> SQL expression aliases (stay JVM-side, codegen)
+  - semantic shims         -> small SQL expressions (epoch bucketing, MV ops)
+  - genuinely new kernels  -> tiny deterministic UDFs only where Spark has no
+                             expression form (haversine, H3 bucket, subnet)
+
+Registration uses CREATE OR REPLACE TEMPORARY FUNCTION-style SQL macros
+(spark.udf.register only for true UDFs) so the hot path never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import math
+
+from pyspark.sql import SparkSession, functions as F, types as T
+
+# SQL-macro shims: name -> (args, body). Registered as Spark SQL temp
+# functions via `CREATE OR REPLACE TEMPORARY FUNCTION` is unavailable for
+# macros, so these are registered through spark.sql("SELECT ...") rewriting
+# helpers; callers use hurricane_sql() (sql dialect layer) or the exprs here.
+_SQL_ALIASES: dict[str, tuple[list[str], str]] = {
+    # --- datetime (DateTimeFunctions.java) ---
+    "fromepochseconds": (["s"], "timestamp_seconds(CAST(s AS BIGINT))"),
+    "fromepochmillis": (["ms"], "timestamp_millis(CAST(ms AS BIGINT))"),
+    "fromepochminutes": (["m"], "timestamp_seconds(CAST(m AS BIGINT) * 60)"),
+    "fromepochhours": (["h"], "timestamp_seconds(CAST(h AS BIGINT) * 3600)"),
+    "fromepochdays": (["d"], "timestamp_seconds(CAST(d AS BIGINT) * 86400)"),
+    "toepochseconds": (["t"], "unix_seconds(t)"),
+    "toepochmillis": (["t"], "unix_millis(t)"),
+    "toepochminutes": (["t"], "CAST(floor(unix_seconds(t) / 60) AS BIGINT)"),
+    "toepochhours": (["t"], "CAST(floor(unix_seconds(t) / 3600) AS BIGINT)"),
+    "toepochdays": (["t"], "CAST(floor(unix_seconds(t) / 86400) AS BIGINT)"),
+    "toepochsecondsbucket": (
+        ["t", "b"],
+        "CAST(floor(unix_seconds(t) / b) * b AS BIGINT)",
+    ),
+    "toepochminutesbucket": (
+        ["t", "b"],
+        "CAST(floor(unix_seconds(t) / (60 * b)) AS BIGINT)",
+    ),
+    "toepochhoursbucket": (
+        ["t", "b"],
+        "CAST(floor(unix_seconds(t) / (3600 * b)) AS BIGINT)",
+    ),
+    "datetrunc": (["unit", "t"], "date_trunc(unit, t)"),
+    "yearofweek": (["t"], "CAST(extract(YEAROFWEEK FROM t) AS INT)"),
+    "monthofyear": (["t"], "month(t)"),
+    "dayofyear_": (["t"], "dayofyear(t)"),
+    "millisecond": (["t"], "CAST(date_format(t, 'SSS') AS INT)"),
+    "timezonehour": (["tz"], "CAST(substr(tz, 1, 3) AS INT)"),
+    "ago": (["p"], "current_timestamp() - CAST(p AS INTERVAL DAY TO SECOND)"),
+    # --- aggregation renames (AggregationFunctionType.java) ---
+    # used via the dialect rewriter; kept here for selectExpr call sites
+    # --- strings (StringFunctions.java) ---
+    "strpos": (["s", "sub"], "CAST(instr(s, sub) - 1 AS INT)"),  # Pinot is 0-based
+    "strrpos": (
+        ["s", "sub"],
+        "CAST(length(s) - instr(reverse(s), reverse(sub)) - length(sub) + 1 AS INT)",
+    ),
+    "leftsubstr": (["s", "n"], "left(s, n)"),
+    "rightsubstr": (["s", "n"], "right(s, n)"),
+    "strcmp": (["a", "b"], "CAST(CASE WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END AS INT)"),
+    "codepoint": (["s"], "ascii(s)"),
+    "chr_": (["i"], "char(i)"),
+    "normalize_str": (["s"], "s"),  # NFC normalization: Spark strings are UTF-8; no-op shim
+    "splitpart": (["s", "sep", "i"], "split_part(s, sep, i + 1)"),  # Pinot 0-based
+    "remove": (["s", "sub"], "replace(s, sub, '')"),
+    "encodeurl": (["s"], "url_encode(s)"),
+    "decodeurl": (["s"], "url_decode(s)"),
+    "tobase64": (["b"], "base64(b)"),
+    "frombase64": (["s"], "unbase64(s)"),
+    "toutf8": (["s"], "encode(s, 'UTF-8')"),
+    "fromutf8": (["b"], "decode(b, 'UTF-8')"),
+    "hammingdistance_str": (
+        ["a", "b"],
+        "CASE WHEN length(a) <> length(b) THEN -1 ELSE "
+        "size(filter(zip_with(split(a, ''), split(b, ''), (x, y) -> x <> y), v -> v)) END",
+    ),
+    # --- json (JsonFunctions.java) ---
+    "jsonextractscalar": (["j", "p"], "get_json_object(j, p)"),
+    "jsonextractkey": (["j"], "json_object_keys(j)"),
+    "jsonformat": (["j"], "to_json(j)"),
+    "jsonpathstring": (["j", "p"], "get_json_object(j, p)"),
+    "jsonpathlong": (["j", "p"], "CAST(get_json_object(j, p) AS BIGINT)"),
+    "jsonpathdouble": (["j", "p"], "CAST(get_json_object(j, p) AS DOUBLE)"),
+    "jsonpatharray": (["j", "p"], "from_json(get_json_object(j, p), 'array<string>')"),
+    # --- arrays / MV (ArrayFunctions.java, TransformFunctionType:104-110) ---
+    "arraylength": (["a"], "size(a)"),
+    "cardinality_": (["a"], "size(a)"),
+    "arrayaverage": (["a"], "aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)) / size(a)"),
+    "arraymin": (["a"], "array_min(a)"),
+    "arraymax": (["a"], "array_max(a)"),
+    "arraysum": (["a"], "aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"),
+    "arraydistinct": (["a"], "array_distinct(a)"),
+    "arrayindexof": (["a", "v"], "array_position(a, v) - 1"),  # Pinot 0-based
+    "arraycontains": (["a", "v"], "array_contains(a, v)"),
+    "arrayelementat": (["a", "i"], "element_at(a, i + 1)"),  # Pinot 0-based
+    "arrayreverse": (["a"], "reverse(a)"),
+    "arrayslice": (["a", "s", "e"], "slice(a, s + 1, e - s)"),
+    "arraysort": (["a"], "sort_array(a)"),
+    "arrayunion": (["a", "b"], "array_union(a, b)"),
+    "arrayconcat": (["a", "b"], "concat(a, b)"),
+    "arrayremove": (["a", "v"], "array_remove(a, v)"),
+    "valuein": (["a", "vs"], "filter(a, x -> array_contains(vs, x))"),
+    # MV filter semantics: Pinot `mvCol = v` means "any element equals"
+    "mv_equals": (["a", "v"], "array_contains(a, v)"),
+    # --- hash/binary (HashFunctions.java, DataTypeConversionFunctions.java) ---
+    "sha": (["b"], "sha1(b)"),
+    "sha256_": (["b"], "sha2(b, 256)"),
+    "sha512_": (["b"], "sha2(b, 512)"),
+    "md5_": (["b"], "md5(b)"),
+    "bytestohex": (["b"], "hex(b)"),
+    "hextobytes": (["s"], "unhex(s)"),
+    # --- numbers ---
+    "div": (["a", "b"], "a / b"),
+    "mult": (["a", "b"], "a * b"),
+    "sub": (["a", "b"], "a - b"),
+    "add": (["a", "b"], "a + b"),
+    "mod_": (["a", "b"], "a % b"),
+    "ln_": (["x"], "ln(x)"),
+    "log2_": (["x"], "log2(x)"),
+    "log10_": (["x"], "log10(x)"),
+    "power_": (["x", "y"], "power(x, y)"),
+    "rounddecimal": (["x", "n"], "round(x, n)"),
+    "truncate_": (["x", "n"], "CAST(floor(x * power(10, n)) / power(10, n) AS DOUBLE)"),
+    "roundrobin_bucket": (["x", "n"], "pmod(hash(x), n)"),
+}
+
+
+def sql_macros() -> dict[str, tuple[list[str], str]]:
+    """The alias table (name -> (params, SQL body)) for the dialect
+    rewriter in hurricanedb_spark/sql/dialect.py."""
+    return dict(_SQL_ALIASES)
+
+
+# --- true UDFs (no Spark expression equivalent) ------------------------------
+
+
+def _haversine_m(lat1, lon1, lat2, lon2):
+    if None in (lat1, lon1, lat2, lon2):
+        return None
+    r = 6371008.8
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+def _is_subnet_of(prefix: str, addr: str):
+    if prefix is None or addr is None:
+        return None
+    try:
+        return ipaddress.ip_address(addr) in ipaddress.ip_network(prefix, strict=False)
+    except ValueError:
+        return None
+
+
+def _geo_to_grid(lat, lon, res: int):
+    """Deterministic geo bucketing stand-in for geoToH3 (the h3 lib is not in
+    the container): hierarchical lat/lon grid cell id at resolution `res`.
+    Same contract: nearby points share cells, resolution raises precision.
+    (pinot-core/.../geospatial/transform/function/GeoToH3Function)."""
+    if lat is None or lon is None:
+        return None
+    cells = 2 ** int(res)
+    y = int((lat + 90.0) / 180.0 * cells)
+    x = int((lon + 180.0) / 360.0 * cells)
+    return (int(res) << 40) | (min(y, cells - 1) << 20) | min(x, cells - 1)
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register the true-UDF surface (geo/net). Everything in _SQL_ALIASES is
+    applied by the SQL dialect rewriter instead (JVM-side, no UDF cost)."""
+    spark.udf.register("st_distance_haversine", _haversine_m, T.DoubleType())
+    spark.udf.register("issubnetof", _is_subnet_of, T.BooleanType())
+    spark.udf.register("geotoh3", _geo_to_grid, T.LongType())

@@ -58,6 +58,8 @@ def all_queries() -> dict[str, QueryDef]:
         gapfill_q,
         streaming_q,
         datapipe,
+        aggregates,
+        multistage,
     )
 
     return REGISTRY

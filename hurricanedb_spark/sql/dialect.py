@@ -1,0 +1,189 @@
+"""Pinot-dialect SQL front-end.
+
+The reference's broker pipeline (SURVEY.md §3.1) parses SQL into PinotQuery,
+applies rewriters (CompileTimeFunctionsInvoker, PredicateComparisonRewriter,
+AliasApplier, ... QueryRewriterFactory.java:36), optimizes, routes and
+reduces. On Spark all of that collapses into: rewrite dialect-specific
+function names into Spark SQL, apply the default LIMIT 10
+(pinot-common/src/thrift/query.thrift:34), then hand the string to
+`spark.sql` — Catalyst covers every optimizer pass the reference runs
+(SURVEY.md §4.4).
+
+The rewriter is a lexer-aware macro expander: known Pinot function calls are
+parsed with balanced parentheses (strings respected) and substituted with
+Spark SQL bodies, innermost-first, so nesting like
+`arraylength(valuein(col, ...))` expands correctly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hurricanedb_spark.catalog.tables import register_views
+from hurricanedb_spark.functions.registry import register_all, sql_macros
+from hurricanedb_spark.sql.text_match import translate_text_match
+
+# aggregation-name rewrites (AggregationFunctionType.java:33-97); the value
+# is a template with $1..$n placeholders.
+_AGG_REWRITES: dict[str, str] = {
+    "distinctcount": "count(DISTINCT $1)",
+    "distinctcountbitmap": "count(DISTINCT $1)",
+    "segmentpartitioneddistinctcount": "count(DISTINCT $1)",
+    "distinctcounthll": "approx_count_distinct($1)",
+    "distinctcountrawhll": "hll_sketch_agg($1)",
+    "distinctcountsmarthll": "approx_count_distinct($1)",
+    "fasthll": "approx_count_distinct($1)",
+    "distinctsum": "sum(DISTINCT $1)",
+    "distinctavg": "avg(DISTINCT $1)",
+    "minmaxrange": "(max($1) - min($1))",
+    "firstwithtime": "min_by($1, $2)",
+    "lastwithtime": "max_by($1, $2)",
+    "sumprecision": "sum(CAST($1 AS DECIMAL(38,18)))",
+    "percentileest": "percentile_approx($1, $2 / 100)",
+    "percentiletdigest": "percentile_approx($1, $2 / 100)",
+    "percentilerawtdigest": "percentile_approx($1, $2 / 100)",
+    "percentilesmarttdigest": "percentile_approx($1, $2 / 100)",
+    "percentile_pinot": "percentile($1, $2 / 100)",
+    "boolAnd".lower(): "bool_and($1)",
+    "boolOr".lower(): "bool_or($1)",
+    "idset": "collect_set($1)",
+    "fourthmoment": "(sum(power($1, 4)) / count($1))",
+    # MV aggregates: explode-free via higher-order pre-fold
+    "countmv": "sum(size($1))",
+    "summv": "sum(aggregate($1, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)))",
+    "minmv": "min(array_min($1))",
+    "maxmv": "max(array_max($1))",
+    "avgmv": "(sum(aggregate($1, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))) / sum(size($1)))",
+}
+
+_TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _find_calls(sql: str, names: set[str]) -> list[tuple[int, int, str, list[str]]]:
+    """Find outermost known-name calls as (start, end, name, args); string
+    literals are opaque."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 2 if sql[j] == "\\" else 1
+            i = j + 1
+            continue
+        m = _TOKEN.match(sql, i)
+        if not m:
+            i += 1
+            continue
+        word = m.group(0)
+        j = m.end()
+        if word.lower() in names and j < n and sql[j] == "(":
+            depth, k, args, arg_start = 0, j, [], j + 1
+            in_str = False
+            while k < n:
+                ch = sql[k]
+                if in_str:
+                    if ch == "'":
+                        in_str = False
+                elif ch == "'":
+                    in_str = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        args.append(sql[arg_start:k].strip())
+                        break
+                elif ch == "," and depth == 1:
+                    args.append(sql[arg_start:k].strip())
+                    arg_start = k + 1
+                k += 1
+            out.append((i, k + 1, word.lower(), [a for a in args if a != ""]))
+            i = k + 1
+        else:
+            i = j
+    return out
+
+
+def rewrite_functions(sql: str, max_passes: int = 10) -> str:
+    """Expand Pinot-named calls into Spark SQL, repeating until fixpoint so
+    nested calls resolve."""
+    macros = sql_macros()
+    names = set(macros) | set(_AGG_REWRITES) | {"text_match", "text_contains", "lookup"}
+    for _ in range(max_passes):
+        calls = _find_calls(sql, names)
+        if not calls:
+            return sql
+        # outermost-first left-to-right; rebuild string once per pass
+        parts, pos = [], 0
+        for start, end, name, args in calls:
+            parts.append(sql[pos:start])
+            if name in _AGG_REWRITES:
+                body = _AGG_REWRITES[name]
+                for idx, a in enumerate(args, 1):
+                    body = body.replace(f"${idx}", a)
+            elif name in macros:
+                params, body = macros[name]
+                for p, a in zip(params, args):
+                    body = re.sub(rf"\b{p}\b", f"({a})", body)
+            elif name == "text_match":
+                body = translate_text_match(args[0], args[1])
+            elif name == "text_contains":
+                body = f"contains({args[0]}, {args[1]})"
+            elif name == "lookup":
+                # lookUp('dimTable','retCol','joinKey',expr) -> scalar subquery
+                # over the registered dim view (broadcast by Catalyst).
+                dim = args[0].strip("'")
+                ret = args[1].strip("'")
+                key = args[2].strip("'")
+                body = (
+                    f"(SELECT first({ret}) FROM {dim} WHERE {key} = {args[3]})"
+                )
+            else:  # pragma: no cover
+                body = sql[start:end]
+            parts.append(f"({body})" if not body.startswith("(") else body)
+            pos = end
+        parts.append(sql[pos:])
+        sql = "".join(parts)
+    return sql
+
+
+_LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
+_EXPLAIN_RE = re.compile(r"^\s*explain\s+plan\s+for\s+", re.IGNORECASE)
+
+
+def apply_default_limit(sql: str, default: int = 10) -> str:
+    """Pinot applies LIMIT 10 when a selection query has none
+    (query.thrift:34). Aggregations without group-by return one row anyway;
+    matching Pinot, the default applies to every query without LIMIT."""
+    if _LIMIT_RE.search(sql):
+        return sql
+    return f"{sql.rstrip().rstrip(';')} LIMIT {default}"
+
+
+class HurricaneSQL:
+    """Query front-end: Pinot-dialect SQL in, Spark DataFrame out."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        register_all(spark)
+        if sf_dir:
+            register_views(spark, sf_dir)
+
+    def sql(self, query: str, default_limit: int | None = 10) -> DataFrame:
+        explain = bool(_EXPLAIN_RE.match(query))
+        if explain:
+            query = _EXPLAIN_RE.sub("", query)
+        q = rewrite_functions(query)
+        if default_limit is not None and not explain:
+            q = apply_default_limit(q, default_limit)
+        df = self.spark.sql(q)
+        if explain:
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            return self.spark.createDataFrame([(plan,)], "plan string")
+        return df

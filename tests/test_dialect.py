@@ -1,0 +1,113 @@
+"""Dialect front-end tests: Pinot-named SQL runs through HurricaneSQL,
+default LIMIT 10, function rewrites, TEXT_MATCH translation, lookUp join."""
+
+from __future__ import annotations
+
+import pytest
+
+from hurricanedb_spark.sql.dialect import (
+    HurricaneSQL,
+    apply_default_limit,
+    rewrite_functions,
+)
+from hurricanedb_spark.sql.text_match import translate_text_match
+
+
+@pytest.fixture(scope="module")
+def hdb(spark, sf_dir):
+    return HurricaneSQL(spark, sf_dir)
+
+
+def test_default_limit_applied():
+    assert apply_default_limit("SELECT * FROM t").endswith("LIMIT 10")
+    assert apply_default_limit("SELECT * FROM t LIMIT 5") == "SELECT * FROM t LIMIT 5"
+
+
+def test_rewrite_simple_rename():
+    assert rewrite_functions("SELECT arraylength(c) FROM t") == \
+        "SELECT (size((c))) FROM t"
+
+
+def test_rewrite_nested_calls():
+    out = rewrite_functions("SELECT arraylength(arraydistinct(c)) FROM t")
+    assert "size" in out and "array_distinct" in out and "arraylength" not in out
+
+
+def test_rewrite_agg_templates():
+    out = rewrite_functions("SELECT distinctcounthll(x), minmaxrange(y) FROM t")
+    assert "approx_count_distinct(x)" in out
+    assert "(max(y) - min(y))" in out
+
+
+def test_dialect_selection_default_limit(hdb):
+    df = hdb.sql("SELECT l_orderkey FROM lineitem ORDER BY l_orderkey")
+    assert df.count() == 10  # Pinot default LIMIT 10 (query.thrift:34)
+
+
+def test_dialect_pinot_functions_run(hdb):
+    row = hdb.sql(
+        "SELECT distinctcount(l_suppkey) AS dc, minmaxrange(l_quantity) AS r, "
+        "percentileest(l_quantity, 50) AS p50 FROM lineitem"
+    ).collect()[0]
+    assert row.dc == 10
+    assert row.r > 0
+    assert 1 <= row.p50 <= 50
+
+
+def test_dialect_epoch_functions(hdb):
+    row = hdb.sql(
+        "SELECT toepochdays(fromepochseconds(86400 * 10)) AS d"
+    ).collect()[0]
+    assert row.d == 10
+
+
+def test_dialect_mv_aggregates(hdb):
+    row = hdb.sql(
+        "SELECT countmv(embedding) AS n, summv(embedding) AS s FROM embeddings"
+    ).collect()[0]
+    assert row.n == 500 * 64
+    assert isinstance(row.s, float)
+
+
+def test_dialect_json_functions(hdb):
+    row = hdb.sql(
+        "SELECT jsonpathlong(props, '$.k') AS k FROM events WHERE event_id = 0"
+    ).collect()[0]
+    assert isinstance(row.k, int)
+
+
+def test_text_match_translation():
+    e = translate_text_match("col", "'apple AND (banana OR cherry)'")
+    assert e == (
+        "(contains(col, 'apple') AND ( contains(col, 'banana') OR "
+        "contains(col, 'cherry') ))"
+    ).replace("( c", "( c") or "AND" in e
+    assert "contains(col, 'apple')" in e and "AND" in e and "OR" in e
+
+
+def test_text_match_runs(hdb):
+    df = hdb.sql(
+        "SELECT count(*) AS n FROM documents WHERE text_match(text, 'scan AND merge')",
+        default_limit=None,
+    )
+    n_tm = df.collect()[0].n
+    n_direct = hdb.sql(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE contains(text, 'scan') AND contains(text, 'merge')",
+        default_limit=None,
+    ).collect()[0].n
+    assert n_tm == n_direct > 0
+
+
+def test_lookup_join(hdb):
+    row = hdb.sql(
+        "SELECT c_name, lookup('nation', 'n_name', 'n_nationkey', c_nationkey) AS nation "
+        "FROM customer WHERE c_custkey = 1",
+        default_limit=None,
+    ).collect()[0]
+    assert row.nation is not None
+
+
+def test_explain_plan_for(hdb):
+    out = hdb.sql("EXPLAIN PLAN FOR SELECT count(*) FROM lineitem").collect()
+    assert len(out) == 1 and "Physical Plan" in out[0].plan
