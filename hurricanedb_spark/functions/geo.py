@@ -1,0 +1,108 @@
+"""Minimal geospatial surface (TransformFunctionType.java:124-146,
+pinot-core/.../geospatial/transform/function/).
+
+The reference supports WKT/WKB constructors, point distance, containment
+relations and H3 bucketing over a custom geometry type. Without a geometry
+library in the container, the Spark-first design represents:
+
+  POINT      -> struct<lon double, lat double> built by st_point()
+  POLYGON    -> array<struct<lon,lat>> ring (closed) from restricted WKT
+
+and implements the measures used by the reference's filter operators
+(H3IndexFilterOperator distance queries, H3InclusionIndexFilterOperator
+ST_Within) as JVM-side expressions: haversine distance and ray-casting
+point-in-polygon via higher-order functions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+EARTH_RADIUS_M = 6371008.8
+
+
+def st_point(lon: Column, lat: Column) -> Column:
+    """ST_Point(lon, lat) -> struct geometry."""
+    return F.struct(lon.cast("double").alias("lon"), lat.cast("double").alias("lat"))
+
+
+def st_as_text(point: Column) -> Column:
+    """ST_AsText for points."""
+    return F.concat(
+        F.lit("POINT ("), point["lon"].cast("string"), F.lit(" "),
+        point["lat"].cast("string"), F.lit(")"),
+    )
+
+
+def st_point_from_text(wkt: Column) -> Column:
+    """ST_GeomFromText for 'POINT (lon lat)'."""
+    nums = F.regexp_extract(wkt, r"POINT\s*\(\s*([-\d.]+)\s+([-\d.]+)\s*\)", 0)
+    lon = F.regexp_extract(wkt, r"POINT\s*\(\s*([-\d.]+)\s+([-\d.]+)\s*\)", 1)
+    lat = F.regexp_extract(wkt, r"POINT\s*\(\s*([-\d.]+)\s+([-\d.]+)\s*\)", 2)
+    return F.when(
+        nums != "", F.struct(lon.cast("double").alias("lon"), lat.cast("double").alias("lat"))
+    )
+
+
+def st_distance(a: Column, b: Column) -> Column:
+    """ST_Distance on geographies: haversine great-circle distance in meters
+    (matches the reference's StDistanceFunction sphere model), built from
+    Spark trig expressions — codegen'd, no UDF."""
+    lat1, lat2 = F.radians(a["lat"]), F.radians(b["lat"])
+    dlat = F.radians(b["lat"] - a["lat"])
+    dlon = F.radians(b["lon"] - a["lon"])
+    h = F.pow(F.sin(dlat / 2), 2) + F.cos(lat1) * F.cos(lat2) * F.pow(
+        F.sin(dlon / 2), 2
+    )
+    return F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(h))
+
+
+def st_within_radius(point: Column, center: Column, radius_m) -> Column:
+    """The reference's H3 distance-filter shape:
+    ST_Distance(col, point) < r (H3IndexFilterOperator.java) — the H3 index
+    is an access-path optimization; semantics are just the predicate."""
+    return st_distance(point, center) < radius_m
+
+
+def st_contains_bbox(min_lon, min_lat, max_lon, max_lat, point: Column) -> Column:
+    """ST_Contains for a rectangular region over a point column."""
+    return (
+        (point["lon"] >= min_lon)
+        & (point["lon"] <= max_lon)
+        & (point["lat"] >= min_lat)
+        & (point["lat"] <= max_lat)
+    )
+
+
+def st_within_polygon(point: Column, ring: Column) -> Column:
+    """Ray-casting point-in-polygon over an array<struct<lon,lat>> ring,
+    expressed with aggregate() so it runs inside codegen. Counts crossings
+    of a horizontal ray; odd -> inside."""
+    n = F.size(ring)
+    idx = F.sequence(F.lit(0), n - 2)
+    px, py = point["lon"], point["lat"]
+
+    def crossing(i):
+        a = F.element_at(ring, i + 1)
+        b = F.element_at(ring, i + 2)
+        cond = ((a["lat"] > py) != (b["lat"] > py)) & (
+            px
+            < (b["lon"] - a["lon"]) * (py - a["lat"]) / (b["lat"] - a["lat"])
+            + a["lon"]
+        )
+        return F.when(cond, 1).otherwise(0)
+
+    crossings = F.aggregate(idx, F.lit(0), lambda acc, i: acc + crossing(i))
+    return crossings % 2 == 1
+
+
+def geo_grid_cell(point: Column, res: int) -> Column:
+    """geoToH3 analog: hierarchical lat/lon grid cell id (expression form of
+    functions/registry._geo_to_grid; same contract — neighbors share cells,
+    resolution raises precision)."""
+    cells = F.lit(2**res)
+    y = F.floor((point["lat"] + 90.0) / 180.0 * cells)
+    x = F.floor((point["lon"] + 180.0) / 360.0 * cells)
+    y = F.least(y, cells - 1).cast("long")
+    x = F.least(x, cells - 1).cast("long")
+    return (F.lit(res).cast("long") * F.lit(2**40) + y * F.lit(2**20) + x).cast("long")

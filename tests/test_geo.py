@@ -1,0 +1,87 @@
+"""Geo function tests: haversine distance, bbox/polygon containment, grid
+bucketing — validated against known geography."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hurricanedb_spark.functions import geo
+
+
+def _df(spark):
+    # (city, lon, lat)
+    return spark.createDataFrame(
+        [
+            ("paris", 2.3522, 48.8566),
+            ("london", -0.1276, 51.5072),
+            ("nyc", -74.0060, 40.7128),
+            ("sydney", 151.2093, -33.8688),
+        ],
+        "city string, lon double, lat double",
+    ).withColumn("pt", geo.st_point(F.col("lon"), F.col("lat")))
+
+
+def test_st_distance_known_values(spark):
+    df = _df(spark)
+    paris = df.filter(F.col("city") == "paris").select("pt").collect()[0].pt
+    center = geo.st_point(F.lit(paris.lon), F.lit(paris.lat))
+    out = {
+        r.city: r.d
+        for r in df.select("city", geo.st_distance(F.col("pt"), center).alias("d")).collect()
+    }
+    assert out["paris"] < 1
+    assert abs(out["london"] - 343_900) < 5_000  # Paris-London ~344 km
+    assert abs(out["nyc"] - 5_837_000) < 50_000  # Paris-NYC ~5837 km
+
+
+def test_st_within_radius_filter(spark):
+    df = _df(spark)
+    paris = geo.st_point(F.lit(2.3522), F.lit(48.8566))
+    near = df.filter(geo.st_within_radius(F.col("pt"), paris, 500_000))
+    assert {r.city for r in near.collect()} == {"paris", "london"}
+
+
+def test_bbox_contains(spark):
+    df = _df(spark)
+    # rough Europe box
+    eu = df.filter(geo.st_contains_bbox(-10.0, 35.0, 30.0, 60.0, F.col("pt")))
+    assert {r.city for r in eu.collect()} == {"paris", "london"}
+
+
+def test_polygon_containment(spark):
+    # triangle around the origin
+    ring = F.array(
+        geo.st_point(F.lit(-1.0), F.lit(-1.0)),
+        geo.st_point(F.lit(1.0), F.lit(-1.0)),
+        geo.st_point(F.lit(0.0), F.lit(1.5)),
+        geo.st_point(F.lit(-1.0), F.lit(-1.0)),
+    )
+    df = spark.createDataFrame(
+        [("in", 0.0, 0.0), ("out", 2.0, 0.0), ("out2", 0.0, -2.0)],
+        "name string, lon double, lat double",
+    ).withColumn("pt", geo.st_point(F.col("lon"), F.col("lat")))
+    inside = df.filter(geo.st_within_polygon(F.col("pt"), ring))
+    assert {r.name for r in inside.collect()} == {"in"}
+
+
+def test_grid_cell_locality(spark):
+    df = spark.createDataFrame(
+        [("a", 2.3522, 48.8566), ("b", 2.3530, 48.8570), ("c", -74.0, 40.7)],
+        "name string, lon double, lat double",
+    ).withColumn("pt", geo.st_point(F.col("lon"), F.col("lat")))
+    cells = {
+        r.name: r.cell
+        for r in df.select("name", geo.geo_grid_cell(F.col("pt"), 10).alias("cell")).collect()
+    }
+    assert cells["a"] == cells["b"]  # ~100m apart -> same res-10 cell
+    assert cells["a"] != cells["c"]
+
+
+def test_wkt_roundtrip(spark):
+    df = spark.createDataFrame([("POINT (2.35 48.85)",)], "wkt string")
+    pt = df.select(geo.st_point_from_text(F.col("wkt")).alias("p")).collect()[0].p
+    assert abs(pt.lon - 2.35) < 1e-9 and abs(pt.lat - 48.85) < 1e-9
+    back = df.select(
+        geo.st_as_text(geo.st_point_from_text(F.col("wkt"))).alias("t")
+    ).collect()[0].t
+    assert back == "POINT (2.35 48.85)"

@@ -1,0 +1,115 @@
+"""Ingestion pipeline tests: multi-format readers + the full transformer
+chain (filter/derive/flatten/unnest/cast/null-default/sanitize/
+time-validate) on inline data — mirrors the reference's
+recordtransformer tests."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hurricanedb_spark.operators.compaction import merge_rollup, purge, rewrite_atomic
+from hurricanedb_spark.sources.ingestion import IngestionPipeline, read_batch, write_segments
+
+
+@pytest.fixture()
+def tmp():
+    d = tempfile.mkdtemp(prefix="hingest-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_batch_formats(spark, tmp):
+    df = spark.range(10).withColumn("s", F.concat(F.lit("v"), F.col("id")))
+    for fmt in ["parquet", "csv", "json", "orc"]:
+        path = f"{tmp}/{fmt}"
+        df.write.format(fmt).option("header", "true").save(path)
+        back = read_batch(spark, path, fmt, schema=df.schema)
+        assert back.count() == 10, fmt
+
+    with pytest.raises(ValueError):
+        read_batch(spark, tmp, "xml")
+
+
+def test_transformer_chain(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, "  keep  ", {"a": 1, "b": "x"}, [10, 20], "2024-01-05"),
+            (2, "drop", {"a": 2, "b": "y"}, [30], "2024-01-06"),
+            (3, None, {"a": 3, "b": None}, [], "1970-01-01"),  # bad time
+        ],
+        "id int, name string, nested struct<a:int,b:string>, vals array<int>, ds string",
+    )
+    pipe = IngestionPipeline(
+        {
+            "filter": {"expr": "name = 'drop'"},
+            "complex_type": {"flatten": True, "unnest": ["vals"]},
+            "transforms": [{"column": "val2", "expr": "vals * 2"}],
+            "data_types": {"ds": "date"},
+            "null_defaults": {"name": "null", "vals": -1},
+            "sanitize": {"trim": True, "max_length": 4},
+            "time_validate": {"column": "ds", "min": "2024-01-01", "action": "drop"},
+        }
+    )
+    out = pipe.apply(raw)
+    rows = {r.id: r for r in out.collect()}
+    # row 2 filtered out; row 3 dropped by time validation
+    assert set(rows) == {1}
+    # unnest produced child rows for id=1 (two vals)
+    all_rows = out.collect()
+    assert len(all_rows) == 2
+    assert {r.vals for r in all_rows} == {10, 20}
+    assert {r.val2 for r in all_rows} == {20, 40}
+    # struct flattened to dotted columns
+    assert "nested.a" in out.columns and "nested.b" in out.columns
+    # sanitize trimmed + truncated to 4 chars
+    assert all_rows[0].name == "keep"
+
+
+def test_null_default_substitution(spark):
+    raw = spark.createDataFrame([(1, None), (2, "x")], "id int, s string")
+    out = IngestionPipeline({"null_defaults": {"s": "null"}}).apply(raw)
+    vals = {r.id: r.s for r in out.collect()}
+    assert vals[1] == "null"  # Pinot default-null substitution (FieldSpec.java:49-66)
+
+
+def test_write_segments_time_partitioned(spark, tmp):
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1)), (2, datetime.datetime(2024, 1, 2))],
+        "id int, ts timestamp",
+    )
+    write_segments(df, f"{tmp}/seg", time_col="ts")
+    import glob
+
+    days = glob.glob(f"{tmp}/seg/__day=*")
+    assert len(days) == 2  # one partition dir per day = segment analog
+
+
+def test_merge_rollup(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", datetime.datetime(2024, 1, 1, 10, 5), 1.0),
+            ("a", datetime.datetime(2024, 1, 1, 10, 55), 2.0),
+            ("a", datetime.datetime(2024, 1, 1, 11, 5), 4.0),
+            ("b", datetime.datetime(2024, 1, 1, 10, 30), 8.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = merge_rollup(df, ["k"], {"v": "SUM"}, time_col="ts", granularity="hour")
+    rows = {(r.k, r.ts.hour): r.v for r in out.collect()}
+    assert rows == {("a", 10): 3.0, ("a", 11): 4.0, ("b", 10): 8.0}
+
+
+def test_purge_and_atomic_rewrite(spark, tmp):
+    path = f"{tmp}/t"
+    spark.range(10).write.parquet(path)
+    df = spark.read.parquet(path)
+    purged = purge(df, F.col("id") % 2 == 0)
+    rewrite_atomic(spark, purged, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 5
+    assert all(r.id % 2 == 1 for r in back.collect())
