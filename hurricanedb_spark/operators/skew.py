@@ -1,0 +1,68 @@
+"""Skew-aware join utilities.
+
+At 100 TB, hot keys (a celebrity user_id, a default/null surrogate key)
+turn one shuffle partition into the job's critical path. Two remedies,
+complementary to AQE's runtime skew splitting
+(spark.sql.adaptive.skewJoin.enabled, on in session.py):
+
+  salted_join      — explicit N-way salt: the skewed (large) side gets a
+                     deterministic salt in [0, N); the other side is
+                     replicated N times. The shuffle key becomes
+                     (key, salt), splitting each hot key into N partitions.
+                     Use when skew is known and extreme (AQE splits
+                     partitions, but a single giant *key* can't be split
+                     without salting).
+
+  broadcast_topk_split — partial broadcast: split the small side into
+                     hot keys (broadcast, map-side join) and the long tail
+                     (shuffle join), then union. The hot keys never shuffle
+                     at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `large ⋈ small` on `key` with the large side salted N ways.
+
+    Deterministic: salt = pmod(xxhash64(key, <row disambiguator cols>), N)
+    — no RNG. The small side explodes into N copies (one per salt), so
+    result multiplicity is exactly that of the plain join."""
+    salt_src = [F.col(key)] + [F.col(c) for c in large.columns if c != key]
+    salted_large = large.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int")
+    )
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_large.join(replicated_small, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def broadcast_topk_split(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    hot_keys: int = 100,
+    how: str = "inner",
+) -> DataFrame:
+    """Split the join by key frequency: the `hot_keys` most frequent keys of
+    the large side join via broadcast (no shuffle of hot rows); the tail
+    joins normally. Requires a (cheap, combiner-side) frequency pass."""
+    freq = large.groupBy(key).count().orderBy(F.desc("count")).limit(hot_keys)
+    hot = freq.select(key)
+    large_hot = large.join(F.broadcast(hot), key, "left_semi")
+    large_tail = large.join(F.broadcast(hot), key, "left_anti")
+    small_hot = small.join(F.broadcast(hot), key, "left_semi")
+    small_tail = small.join(F.broadcast(hot), key, "left_anti")
+    joined_hot = large_hot.join(F.broadcast(small_hot), key, how)
+    joined_tail = large_tail.join(small_tail, key, how)
+    return joined_hot.unionByName(joined_tail)

@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QueryDef]:
         datapipe,
         aggregates,
         multistage,
+        geo_q,
     )
 
     return REGISTRY

@@ -159,8 +159,8 @@ def q_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(6,4))) AS DECIMAL(30,4)) AS DOUBLE) AS s1,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(6,4)) * CAST(l_quantity AS DECIMAL(6,4))) AS DECIMAL(30,4)) AS DOUBLE) AS s2,
-             CAST(CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(6,4)) * CAST(l_quantity AS DECIMAL(6,4)) AS DECIMAL(19,8)) * CAST(l_quantity AS DECIMAL(6,4)) AS DECIMAL(22,12))) AS DECIMAL(30,4)) AS DOUBLE) AS s3,
-             CAST(CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(6,4)) * CAST(l_quantity AS DECIMAL(6,4)) AS DECIMAL(19,8)) * CAST(CAST(l_quantity AS DECIMAL(6,4)) * CAST(l_quantity AS DECIMAL(6,4)) AS DECIMAL(19,8)) AS DECIMAL(38,16))) AS DECIMAL(30,4)) AS DOUBLE) AS s4
+             CAST(CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(6,4)) * CAST(l_quantity AS DECIMAL(6,4)) AS DECIMAL(19,8)) * CAST(l_quantity AS DECIMAL(6,4)) AS DECIMAL(22,12))) AS DECIMAL(30,0)) AS DOUBLE) AS s3,
+             CAST(CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(6,4)) * CAST(l_quantity AS DECIMAL(6,4)) AS DECIMAL(19,8)) * CAST(CAST(l_quantity AS DECIMAL(6,4)) * CAST(l_quantity AS DECIMAL(6,4)) AS DECIMAL(19,8)) AS DECIMAL(38,16))) AS DECIMAL(30,0)) AS DOUBLE) AS s4
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n, s1 / n AS mean,
@@ -184,7 +184,7 @@ def q_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q).cast("decimal(30,4)").cast("double").alias("s1"),
         F.sum(q * q).cast("decimal(30,4)").cast("double").alias("s2"),
         F.sum(((q * q).cast("decimal(19,8)") * q).cast("decimal(22,12)"))
-        .cast("decimal(30,4)")
+        .cast("decimal(30,0)")
         .cast("double")
         .alias("s3"),
         F.sum(
@@ -192,7 +192,7 @@ def q_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(38,16)"
             )
         )
-        .cast("decimal(30,4)")
+        .cast("decimal(30,0)")
         .cast("double")
         .alias("s4"),
     )

@@ -1,0 +1,83 @@
+"""Geospatial query coverage — the reference's H3-index filter shapes
+(H3IndexFilterOperator distance queries, H3InclusionIndexFilterOperator
+ST_Within) over deterministic synthetic coordinates derived from customer
+keys. Distance values involve libm trig (sin/cos differ by <1ulp across
+engines), so the oracle compares grid cells and counts, not raw meters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hurricanedb_spark.catalog.tables import load_table
+from hurricanedb_spark.functions import geo
+from hurricanedb_spark.queries import register
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic geography: lon/lat from customer key."""
+    cu = load_table(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") * 7 % 360 - 180).cast("double")
+    lat = (F.col("c_custkey") * 13 % 180 - 90).cast("double")
+    return cu.select(
+        "c_custkey",
+        "c_mktsegment",
+        lon.alias("lon"),
+        lat.alias("lat"),
+        geo.st_point(lon, lat).alias("pt"),
+    )
+
+
+@register(
+    "q_geo_grid_contains",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) AS lon,
+             CAST(c_custkey * 13 % 180 - 90 AS DOUBLE) AS lat
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE lon BETWEEN -10 AND 30 AND lat BETWEEN 35 AND 60) AS n_in_bbox,
+           COUNT(DISTINCT
+             CAST(6 * 1099511627776 +
+                  least(CAST(floor((lat + 90.0) / 180.0 * 64) AS BIGINT), 63) * 1048576 +
+                  least(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 63) AS BIGINT)
+           ) AS n_cells,
+           COUNT(*) AS n
+    FROM pts
+    GROUP BY c_mktsegment
+    """,
+    doc="Geo containment + grid bucketing (ST_Contains bbox semantics of "
+    "H3InclusionIndexFilterOperator; geoToH3 analog grid cells at res 6). "
+    "Distances use libm trig (not cross-engine bit-stable) so the oracle "
+    "checks the integer-deterministic surface; metric distance values are "
+    "validated against known geography in tests/test_geo.py.",
+    tags=("geo",),
+)
+def q_geo_grid_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    in_bbox = geo.st_contains_bbox(-10.0, 35.0, 30.0, 60.0, F.col("pt"))
+    return pts.groupBy("c_mktsegment").agg(
+        F.count(F.when(in_bbox, 1)).alias("n_in_bbox"),
+        F.countDistinct(geo.geo_grid_cell(F.col("pt"), 6)).alias("n_cells"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_geo_radius_join",
+    oracle=None,  # haversine uses libm trig; validated in tests/test_geo.py
+    doc="Distance-radius filter (H3IndexFilterOperator shape: "
+    "ST_Distance(col, point) < r): customers within 5000 km of a center "
+    "point, counted per segment. Rows-only check.",
+    tags=("geo",),
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    center = geo.st_point(F.lit(0.0), F.lit(45.0))
+    return (
+        pts.filter(geo.st_within_radius(F.col("pt"), center, 5_000_000.0))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )
