@@ -61,6 +61,7 @@ def all_queries() -> dict[str, QueryDef]:
         aggregates,
         multistage,
         geo_q,
+        mv_binary,
     )
 
     return REGISTRY

@@ -60,6 +60,69 @@ _AGG_REWRITES: dict[str, str] = {
 
 _TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
+# Pinot TimeUnit -> milliseconds (DateTimeFunctions.java epoch converters)
+_UNIT_MS = {
+    "MILLISECONDS": 1,
+    "SECONDS": 1000,
+    "MINUTES": 60_000,
+    "HOURS": 3_600_000,
+    "DAYS": 86_400_000,
+}
+
+
+def _strip_quotes(s: str) -> str:
+    s = s.strip()
+    return s[1:-1] if len(s) >= 2 and s[0] == "'" and s[-1] == "'" else s
+
+
+def _java_to_spark_fmt(pattern: str) -> str:
+    """Joda/Java patterns map ~1:1 onto Spark's DateTimeFormatter subset."""
+    return pattern
+
+
+def _time_convert(args: list[str]) -> str:
+    """timeConvert(value, fromUnit, toUnit) — integer unit conversion
+    (DateTimeFunctions.java:79-103 TimeUnit.toX semantics: truncation)."""
+    v, f, t = args[0], _strip_quotes(args[1]).upper(), _strip_quotes(args[2]).upper()
+    fm, tm = _UNIT_MS[f], _UNIT_MS[t]
+    return f"CAST((({v}) * {fm}) DIV {tm} AS BIGINT)"
+
+
+def _parse_format_spec(spec: str) -> tuple[int, str, str, str | None]:
+    """'size:timeUnit:timeFormat[:pattern]' (DateTimeFormatSpec colon form)."""
+    parts = _strip_quotes(spec).split(":", 3)
+    size = int(parts[0])
+    unit = parts[1].upper()
+    fmt = parts[2].upper()
+    pattern = parts[3] if len(parts) > 3 else None
+    return size, unit, fmt, pattern
+
+
+def _date_time_convert(args: list[str]) -> str:
+    """dateTimeConvert(value, inputFormat, outputFormat, granularity)
+    (DateTimeConversionTransformFunction / BaseDateTimeTransformer):
+    input -> epoch ms -> truncate to granularity -> output format."""
+    v = args[0]
+    isize, iunit, ifmt, ipat = _parse_format_spec(args[1])
+    osize, ounit, ofmt, opat = _parse_format_spec(args[2])
+    gparts = _strip_quotes(args[3]).split(":")
+    gran_ms = int(gparts[0]) * _UNIT_MS[gparts[1].upper()]
+
+    if ifmt == "EPOCH":
+        ms = f"(({v}) * {isize * _UNIT_MS[iunit]})"
+    elif ifmt == "TIMESTAMP":
+        ms = f"unix_millis({v})"
+    else:  # SIMPLE_DATE_FORMAT
+        ms = f"unix_millis(to_timestamp({v}, '{_java_to_spark_fmt(ipat)}'))"
+
+    bucket = f"((({ms}) DIV {gran_ms}) * {gran_ms})"
+
+    if ofmt == "EPOCH":
+        return f"CAST(({bucket}) DIV {osize * _UNIT_MS[ounit]} AS BIGINT)"
+    if ofmt == "TIMESTAMP":
+        return f"timestamp_millis({bucket})"
+    return f"date_format(timestamp_millis({bucket}), '{_java_to_spark_fmt(opat)}')"
+
 
 def _find_calls(sql: str, names: set[str]) -> list[tuple[int, int, str, list[str]]]:
     """Find outermost known-name calls as (start, end, name, args); string
@@ -112,7 +175,11 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
     """Expand Pinot-named calls into Spark SQL, repeating until fixpoint so
     nested calls resolve."""
     macros = sql_macros()
-    names = set(macros) | set(_AGG_REWRITES) | {"text_match", "text_contains", "lookup"}
+    names = (
+        set(macros)
+        | set(_AGG_REWRITES)
+        | {"text_match", "text_contains", "lookup", "timeconvert", "datetimeconvert"}
+    )
     for _ in range(max_passes):
         calls = _find_calls(sql, names)
         if not calls:
@@ -129,6 +196,10 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
                 params, body = macros[name]
                 for p, a in zip(params, args):
                     body = re.sub(rf"\b{p}\b", f"({a})", body)
+            elif name == "timeconvert":
+                body = _time_convert(args)
+            elif name == "datetimeconvert":
+                body = _date_time_convert(args)
             elif name == "text_match":
                 body = translate_text_match(args[0], args[1])
             elif name == "text_contains":
@@ -165,13 +236,41 @@ def apply_default_limit(sql: str, default: int = 10) -> str:
 
 
 class HurricaneSQL:
-    """Query front-end: Pinot-dialect SQL in, Spark DataFrame out."""
+    """Query front-end: Pinot-dialect SQL in, Spark DataFrame out.
 
-    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+    Null handling (SURVEY.md §1.2): the reference substitutes per-field
+    *default null values* at ingestion (FieldSpec.java:49-66) unless the
+    table stores null-value vectors AND the query sets
+    enableNullHandling=true. Here:
+
+      enable_null_handling=True  (default) -> native Spark NULL semantics
+      enable_null_handling=False + null_defaults={"table": {col: v}} ->
+          registered views have defaults substituted (na.fill), matching
+          Pinot's out-of-the-box behavior.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        enable_null_handling: bool = True,
+        null_defaults: dict[str, dict] | None = None,
+    ):
         self.spark = spark
         register_all(spark)
         if sf_dir:
-            register_views(spark, sf_dir)
+            tables = register_views(spark, sf_dir)
+            if not enable_null_handling:
+                for name, df in tables.items():
+                    fills = (null_defaults or {}).get(name)
+                    if fills:
+                        df.na.fill(fills).createOrReplaceTempView(name)
+
+    def register(self, name: str, df, null_defaults: dict | None = None) -> None:
+        """Register an extra table; optional Pinot-style default-null fill."""
+        (df.na.fill(null_defaults) if null_defaults else df).createOrReplaceTempView(
+            name
+        )
 
     def sql(self, query: str, default_limit: int | None = 10) -> DataFrame:
         explain = bool(_EXPLAIN_RE.match(query))

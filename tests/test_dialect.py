@@ -111,3 +111,63 @@ def test_lookup_join(hdb):
 def test_explain_plan_for(hdb):
     out = hdb.sql("EXPLAIN PLAN FOR SELECT count(*) FROM lineitem").collect()
     assert len(out) == 1 and "Physical Plan" in out[0].plan
+
+
+def test_timeconvert(hdb):
+    row = hdb.sql(
+        "SELECT timeconvert(86400000, 'MILLISECONDS', 'DAYS') AS d, "
+        "timeconvert(2, 'HOURS', 'MINUTES') AS m, "
+        "timeconvert(3599999, 'MILLISECONDS', 'SECONDS') AS s"
+    ).collect()[0]
+    assert row.d == 1 and row.m == 120 and row.s == 3599  # truncation
+
+
+def test_datetimeconvert_epoch_to_epoch(hdb):
+    # ms epoch -> 15-minute epoch buckets (classic Pinot shape)
+    row = hdb.sql(
+        "SELECT datetimeconvert(3600000, '1:MILLISECONDS:EPOCH', "
+        "'15:MINUTES:EPOCH', '15:MINUTES') AS b"
+    ).collect()[0]
+    assert row.b == 4  # 1h = 4 x 15min
+
+
+def test_datetimeconvert_timestamp_and_sdf(hdb):
+    row = hdb.sql(
+        "SELECT datetimeconvert(ts, '1:MILLISECONDS:TIMESTAMP', "
+        "'1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd', '1:DAYS') AS day "
+        "FROM events WHERE event_id = 0",
+        default_limit=None,
+    ).collect()[0]
+    assert row.day == "2024-01-01"
+
+
+def test_datetimeconvert_sdf_input(hdb):
+    row = hdb.sql(
+        "SELECT datetimeconvert('2024-03-05', '1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd', "
+        "'1:MILLISECONDS:EPOCH', '1:DAYS') AS ms"
+    ).collect()[0]
+    assert row.ms == 1709596800000
+
+
+def test_null_handling_dual_mode(spark):
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hdb2 = HurricaneSQL(spark)
+    df = spark.createDataFrame([(1, None), (2, "x"), (3, None)], "id int, s string")
+
+    # native NULLs (enableNullHandling=true analog)
+    hdb2.register("t_native", df)
+    n_null = hdb2.sql(
+        "SELECT count(*) AS n FROM t_native WHERE s IS NULL", default_limit=None
+    ).collect()[0].n
+    assert n_null == 2
+
+    # Pinot default mode: default-null substitution (FieldSpec 'null' string)
+    hdb2.register("t_default", df, null_defaults={"s": "null"})
+    row = hdb2.sql(
+        "SELECT count(*) AS n_null, "
+        "count(CASE WHEN s = 'null' THEN 1 END) AS n_default FROM t_default",
+        default_limit=None,
+    ).collect()[0]
+    assert row.n_null == 3  # count(s) sees no NULLs anymore -> count(*) = 3
+    assert row.n_default == 2
