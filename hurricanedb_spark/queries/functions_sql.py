@@ -325,3 +325,52 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("s_acctbal") > 0, 1).otherwise(0).alias("is_positive"),
         F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nationkey_nullif"),
     )
+
+
+@register(
+    "q_fn_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_discount), 9) AS sin_d,
+           round(cos(l_discount), 9) AS cos_d,
+           round(tan(l_discount), 9) AS tan_d,
+           round(atan(l_discount), 9) AS atan_d,
+           round(asin(l_discount), 9) AS asin_d,
+           round(degrees(l_discount), 9) AS deg_d,
+           round(radians(l_quantity), 9) AS rad_q,
+           round((exp(l_discount) - exp(-l_discount)) / 2, 9) AS sinh_d,
+           round((exp(l_discount) + exp(-l_discount)) / 2, 9) AS cosh_d,
+           round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 9) AS tanh_d,
+           round(atan2(l_discount, 1 + l_tax), 9) AS atan2_dt
+    FROM lineitem
+    WHERE l_orderkey % 200 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Trig family (TransformFunctionType.java:149-161, "
+    "scalar/TrigonometricFunctions.java): sin/cos/tan/atan/asin/degrees/"
+    "radians/sinh/cosh/tanh/atan2. libm agrees to <1ulp across engines; "
+    "9dp rounding makes the comparison stable.",
+    tags=("functions", "trig"),
+)
+def q_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_discount")
+    return (
+        li.filter(F.col("l_orderkey") % 200 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sin(d), 9).alias("sin_d"),
+            F.round(F.cos(d), 9).alias("cos_d"),
+            F.round(F.tan(d), 9).alias("tan_d"),
+            F.round(F.atan(d), 9).alias("atan_d"),
+            F.round(F.asin(d), 9).alias("asin_d"),
+            F.round(F.degrees(d), 9).alias("deg_d"),
+            F.round(F.radians("l_quantity"), 9).alias("rad_q"),
+            F.round(F.sinh(d), 9).alias("sinh_d"),
+            F.round(F.cosh(d), 9).alias("cosh_d"),
+            F.round(F.tanh(d), 9).alias("tanh_d"),
+            F.round(F.atan2(d, F.lit(1) + F.col("l_tax")), 9).alias("atan2_dt"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
