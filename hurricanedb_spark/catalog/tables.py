@@ -65,8 +65,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every table as a temp view (idempotent) and return the map."""
+    """Register every table as a temp view and return the map.
+
+    Cached per (session, sf_dir): re-registration re-reads 10 parquet
+    footers (~0.7s locally) and callers like the SQL query helpers invoke
+    this per query."""
+    cache = getattr(spark, "_hurricane_view_cache", None)
+    if cache and cache[0] == sf_dir:
+        return cache[1]
     tables = load_tables(spark, sf_dir)
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
+    spark._hurricane_view_cache = (sf_dir, tables)
     return tables
