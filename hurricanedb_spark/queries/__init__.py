@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QueryDef]:
         multistage,
         geo_q,
         mv_binary,
+        dialect_q,
     )
 
     return REGISTRY

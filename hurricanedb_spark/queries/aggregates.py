@@ -280,3 +280,24 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         - dc(F.when(st.isin("F", "O"), ck))
     ).alias("dc_intersect")
     return od.agg(dc_f, dc_o, dc_union, dc_intersect)
+
+
+@register(
+    "q_hll_raw_sketch",
+    oracle=None,  # binary sketches are engine-specific; estimate bounds in pytest
+    doc="distinctCountRawHLL (AggregationFunctionType.java:47): mergeable "
+    "binary HLL sketches via hll_sketch_agg + estimate extraction — the "
+    "raw-sketch form users persist and re-merge across segments.",
+    tags=("aggregation", "approx", "sketch"),
+)
+def q_hll_raw_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    # re-merge the per-group sketches (the segment->server->broker merge
+    # path of the reference) and estimate
+    return per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_distinct"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )

@@ -1,0 +1,88 @@
+"""Dialect-path queries — these run Pinot-dialect SQL through HurricaneSQL
+(rewriter + default limit + spark.sql), so the driver's correctness gate
+exercises the full front-end, not just the DataFrame API."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hurricanedb_spark.queries import register
+from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+
+def _hdb(spark: SparkSession, sf_dir: str) -> HurricaneSQL:
+    return HurricaneSQL(spark, sf_dir)
+
+
+@register(
+    "q_dialect_agg_rename",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS dc_supp,
+           MAX(l_extendedprice) - MIN(l_extendedprice) AS price_range,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS dsum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pinot aggregation names through the dialect rewriter: "
+    "distinctcount -> count(DISTINCT), minmaxrange -> max-min, "
+    "distinctsum -> sum(DISTINCT) (QueryRewriterFactory analog path).",
+    tags=("dialect", "aggregation"),
+)
+def q_dialect_agg_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hdb(spark, sf_dir).sql(
+        """
+        SELECT l_returnflag,
+               distinctcount(l_suppkey) AS dc_supp,
+               minmaxrange(l_extendedprice) AS price_range,
+               CAST(distinctsum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS dsum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+        default_limit=None,
+    )
+
+
+@register(
+    "q_dialect_datetime_bucket",
+    oracle="""
+    SELECT CAST((epoch_ms(CAST(ts AS TIMESTAMP)) // 900000) * 900000 // 60000 AS BIGINT) AS min15,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY 1
+    """,
+    doc="The classic Pinot realtime-dashboard shape through the dialect: "
+    "dateTimeConvert to 15-minute epoch buckets + jsonExtractScalar "
+    "(DateTimeConversionTransformFunction + JsonExtractScalar).",
+    tags=("dialect", "datetime", "json"),
+)
+def q_dialect_datetime_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hdb(spark, sf_dir).sql(
+        """
+        SELECT datetimeconvert(ts, '1:MILLISECONDS:TIMESTAMP',
+                               '1:MINUTES:EPOCH', '15:MINUTES') AS min15,
+               COUNT(*) AS n,
+               SUM(jsonpathlong(props, '$.k')) AS sum_k
+        FROM events
+        GROUP BY 1
+        """,
+        default_limit=None,
+    )
+
+
+@register(
+    "q_dialect_default_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+    doc="Default LIMIT 10 applied by the dialect when the query has none "
+    "(PinotQuery.limit default, query.thrift:34).",
+    tags=("dialect", "limit"),
+)
+def q_dialect_default_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hdb(spark, sf_dir).sql(
+        "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber"
+    )

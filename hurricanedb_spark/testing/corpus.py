@@ -90,7 +90,19 @@ def run_corpus_file(spark: SparkSession, path: str) -> list[CaseResult]:
                 for c in spec["schema"]
             ]
             schema = T.StructType(fields)
-            rows = [tuple(r) for r in spec["inputs"]]
+
+            def _coerce(val, dt):
+                # JSON can't carry timestamps natively; parse ISO strings
+                if val is not None and isinstance(dt, T.TimestampType):
+                    import datetime
+
+                    return datetime.datetime.fromisoformat(val)
+                return val
+
+            rows = [
+                tuple(_coerce(v, f.dataType) for v, f in zip(r, fields))
+                for r in spec["inputs"]
+            ]
             sdf = spark.createDataFrame(rows, schema)
             sdf.createOrReplaceTempView(view)
             ddl_cols = ", ".join(
