@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QueryDef]:
         geo_q,
         mv_binary,
         dialect_q,
+        streaming_live,
     )
 
     return REGISTRY
