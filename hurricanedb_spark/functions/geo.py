@@ -96,6 +96,27 @@ def st_within_polygon(point: Column, ring: Column) -> Column:
     return crossings % 2 == 1
 
 
+def st_union_agg(point: Column) -> Column:
+    """STUnion aggregate (AggregationFunctionType.java:73; reference impl
+    pinot-core/.../aggregation/function/StUnionAggregationFunction.java):
+    the union of point geographies is the deduplicated point set — a
+    MULTIPOINT. Returned as a deterministically sorted
+    array<struct<lon,lat>> so results are stable across partitionings
+    (collect_set is order-free; array_sort fixes the order)."""
+    return F.array_sort(F.collect_set(point))
+
+
+def st_union_as_text(geoms: Column) -> Column:
+    """ST_AsText over a point-set union: 'MULTIPOINT (x y, x y, ...)'."""
+    parts = F.transform(
+        geoms,
+        lambda p: F.concat(
+            p["lon"].cast("string"), F.lit(" "), p["lat"].cast("string")
+        ),
+    )
+    return F.concat(F.lit("MULTIPOINT ("), F.concat_ws(", ", parts), F.lit(")"))
+
+
 def geo_grid_cell(point: Column, res: int) -> Column:
     """geoToH3 analog: hierarchical lat/lon grid cell id (expression form of
     functions/registry._geo_to_grid; same contract — neighbors share cells,

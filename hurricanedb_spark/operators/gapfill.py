@@ -91,3 +91,30 @@ def gapfill(
         else:
             raise ValueError(f"unknown fill mode: {mode}")
     return out.withColumnRenamed("__bucket", "time_bucket")
+
+
+def gapfill_aggregate(
+    df: DataFrame,
+    time_col: str,
+    bucket: str,
+    start: str,
+    end: str,
+    keys: list[str],
+    aggs: dict[str, Column],
+    fills: dict[str, tuple[str, object]],
+    post_aggs: dict[str, Column],
+) -> DataFrame:
+    """The re-aggregating gapfill shapes (GapfillUtils.java:39-157
+    GAP_FILL_AGGREGATE / AGGREGATE_GAP_FILL_AGGREGATE): run gapfill to a
+    dense filled grid, then aggregate the filled series per key — e.g.
+    "average daily value including gap days". `post_aggs` expressions see
+    the filled columns plus `time_bucket`.
+
+    Distributed shape: the outer aggregation groups by the same keys the
+    fill window partitioned on, so no extra shuffle is introduced —
+    Catalyst reuses the window's hash partitioning for the final agg.
+    """
+    filled = gapfill(df, time_col, bucket, start, end, keys, aggs, fills)
+    return filled.groupBy(*keys).agg(
+        *[c.alias(name) for name, c in post_aggs.items()]
+    )

@@ -66,6 +66,48 @@ def q_geo_grid_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_st_union_points",
+    oracle="""
+    WITH pts AS (
+      SELECT c_mktsegment,
+             CAST(c_custkey * 7 % 360 - 180 AS INT) AS lon,
+             CAST(c_custkey * 13 % 180 - 90 AS INT) AS lat
+      FROM customer
+    ),
+    wkts AS (
+      SELECT c_mktsegment, CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) AS wkt
+      FROM pts
+    )
+    SELECT c_mktsegment,
+           'MULTIPOINT (' || string_agg(DISTINCT wkt, ', ' ORDER BY wkt) || ')'
+             AS union_wkt,
+           COUNT(DISTINCT wkt) AS n_points
+    FROM wkts
+    GROUP BY c_mktsegment
+    """,
+    doc="STUnion aggregate (AggregationFunctionType.java:73, "
+    "StUnionAggregationFunction): per-segment union of point geographies "
+    "as a deduplicated, deterministically ordered MULTIPOINT, plus its "
+    "cardinality. Point coords are integral by construction so the WKT "
+    "text is bit-identical across engines.",
+    tags=("geo", "aggregate"),
+)
+def q_st_union_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") * 7 % 360 - 180).cast("int")
+    lat = (F.col("c_custkey") * 13 % 180 - 90).cast("int")
+    wkt = F.concat(lon.cast("string"), F.lit(" "), lat.cast("string"))
+    pts = cu.select("c_mktsegment", wkt.alias("wkt"))
+    union = F.array_sort(F.collect_set("wkt"))
+    return pts.groupBy("c_mktsegment").agg(
+        F.concat(
+            F.lit("MULTIPOINT ("), F.concat_ws(", ", union), F.lit(")")
+        ).alias("union_wkt"),
+        F.size(union).cast("long").alias("n_points"),
+    )
+
+
+@register(
     "q_geo_radius_join",
     oracle=None,  # haversine uses libm trig; validated in tests/test_geo.py
     doc="Distance-radius filter (H3IndexFilterOperator shape: "

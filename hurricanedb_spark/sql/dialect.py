@@ -224,6 +224,33 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
 
 _LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
 _EXPLAIN_RE = re.compile(r"^\s*explain\s+plan\s+for\s+", re.IGNORECASE)
+_SET_RE = re.compile(
+    r"^\s*set\s+(\w+)\s*=\s*('[^']*'|\"[^\"]*\"|[\w.\-]+)\s*;", re.IGNORECASE
+)
+_OPTION_RE = re.compile(r"\boption\s*\(([^()]*)\)\s*;?\s*$", re.IGNORECASE)
+
+
+def extract_query_options(sql: str) -> tuple[str, dict[str, str]]:
+    """Pinot query options (CommonConstants.java:294-320; set via leading
+    `SET key=value;` statements — CalciteSqlParser.compileToPinotQuery
+    splits them off — or the legacy trailing `OPTION(k=v,...)` clause,
+    RequestUtils). Returns (bare query, {option: value}); quotes stripped,
+    keys preserved case-sensitively as Pinot does."""
+    opts: dict[str, str] = {}
+    while True:
+        m = _SET_RE.match(sql)
+        if not m:
+            break
+        opts[m.group(1)] = _strip_quotes(m.group(2))
+        sql = sql[m.end():]
+    m = _OPTION_RE.search(sql)
+    if m:
+        for pair in m.group(1).split(","):
+            if "=" in pair:
+                k, v = pair.split("=", 1)
+                opts[k.strip()] = _strip_quotes(v.strip())
+        sql = sql[: m.start()] + sql[m.end():]
+    return sql.strip(), opts
 
 
 def apply_default_limit(sql: str, default: int = 10) -> str:
@@ -257,6 +284,7 @@ class HurricaneSQL:
         null_defaults: dict[str, dict] | None = None,
     ):
         self.spark = spark
+        self.last_query_options: dict[str, str] = {}
         register_all(spark)
         if sf_dir:
             tables = register_views(spark, sf_dir)
@@ -273,6 +301,16 @@ class HurricaneSQL:
         )
 
     def sql(self, query: str, default_limit: int | None = 10) -> DataFrame:
+        query, opts = extract_query_options(query)
+        # Option semantics (CommonConstants.java Request.QueryOptionKey):
+        #   useMultistageEngine — no-op here: Spark SQL is one engine that
+        #     covers both V1 and V2 surfaces.
+        #   enableNullHandling — native Spark NULLs already implement the
+        #     "true" semantics; "false" is a table-registration mode
+        #     (default-value substitution), see __init__.
+        #   timeoutMs — advisory; recorded for the caller/server layer.
+        #   limit via SET — not a Pinot option; LIMIT stays in the query.
+        self.last_query_options = opts
         explain = bool(_EXPLAIN_RE.match(query))
         if explain:
             query = _EXPLAIN_RE.sub("", query)

@@ -171,3 +171,33 @@ def test_null_handling_dual_mode(spark):
     ).collect()[0]
     assert row.n_null == 3  # count(s) sees no NULLs anymore -> count(*) = 3
     assert row.n_default == 2
+
+
+def test_set_query_options_parsed_and_stripped(hdb):
+    rows = hdb.sql(
+        "SET enableNullHandling=true; SET timeoutMs = 5000; "
+        "SELECT 1 AS one",
+        default_limit=None,
+    ).collect()
+    assert rows[0].one == 1
+    assert hdb.last_query_options == {
+        "enableNullHandling": "true",
+        "timeoutMs": "5000",
+    }
+
+
+def test_trailing_option_clause(hdb):
+    rows = hdb.sql(
+        "SELECT 2 AS two OPTION(useMultistageEngine=true, timeoutMs='99')",
+        default_limit=None,
+    ).collect()
+    assert rows[0].two == 2
+    assert hdb.last_query_options == {
+        "useMultistageEngine": "true",
+        "timeoutMs": "99",
+    }
+
+
+def test_options_compose_with_default_limit(hdb):
+    df = hdb.sql("SET useMultistageEngine=true; SELECT o_orderkey FROM orders")
+    assert df.count() == 10  # default LIMIT 10 still applied after SET strip

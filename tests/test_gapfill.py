@@ -69,3 +69,44 @@ def test_gapfill_end_exclusive(spark):
     )
     hours = sorted({r.time_bucket.hour for r in out.collect()})
     assert hours == [0, 1]
+
+
+def test_gapfill_aggregate_reaggregates_filled_series(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.operators.gapfill import (
+        FILL_DEFAULT_VALUE,
+        FILL_PREVIOUS_VALUE,
+        gapfill_aggregate,
+    )
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 5), 10.0),
+        ("a", datetime.datetime(2024, 1, 3, 6), 30.0),  # gap on the 2nd
+        ("b", datetime.datetime(2024, 1, 2, 7), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = gapfill_aggregate(
+        df,
+        time_col="ts",
+        bucket="1 day",
+        start="2024-01-01 00:00:00",
+        end="2024-01-05 00:00:00",
+        keys=["k"],
+        aggs={"n": F.count(F.lit(1)), "v": F.sum("v")},
+        fills={"n": (FILL_DEFAULT_VALUE, 0), "v": (FILL_PREVIOUS_VALUE, None)},
+        post_aggs={
+            "n_buckets": F.count(F.lit(1)),
+            "n_gaps": F.count(F.when(F.col("n") == 0, 1)),
+            "sum_filled": F.sum("v"),
+        },
+    )
+    got = {r.k: r for r in out.collect()}
+    assert got["a"].n_buckets == 4 and got["b"].n_buckets == 4
+    assert got["a"].n_gaps == 2  # Jan 2 + Jan 4 empty for a
+    # a: 10 + 10(carried) + 30 + 30(carried) = 80
+    assert got["a"].sum_filled == 80.0
+    # b: null(carried-none) + 5 + 5 + 5 = 15
+    assert got["b"].sum_filled == 15.0

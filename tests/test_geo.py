@@ -85,3 +85,24 @@ def test_wkt_roundtrip(spark):
         geo.st_as_text(geo.st_point_from_text(F.col("wkt"))).alias("t")
     ).collect()[0].t
     assert back == "POINT (2.35 48.85)"
+
+
+def test_st_union_points_dedups_and_orders(spark):
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.functions.geo import (
+        st_point,
+        st_union_agg,
+        st_union_as_text,
+    )
+
+    rows = [(1.0, 2.0), (3.0, 4.0), (1.0, 2.0), (3.0, 4.0), (0.0, -1.0)]
+    df = spark.createDataFrame(rows, "lon double, lat double").select(
+        st_point(F.col("lon"), F.col("lat")).alias("pt")
+    )
+    out = df.agg(
+        st_union_as_text(st_union_agg(F.col("pt"))).alias("wkt"),
+        F.size(st_union_agg(F.col("pt"))).alias("n"),
+    ).collect()[0]
+    assert out.n == 3
+    assert out.wkt == "MULTIPOINT (0.0 -1.0, 1.0 2.0, 3.0 4.0)"
