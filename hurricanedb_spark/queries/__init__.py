@@ -64,6 +64,7 @@ def all_queries() -> dict[str, QueryDef]:
         mv_binary,
         dialect_q,
         streaming_live,
+        ingestion_q,
     )
 
     return REGISTRY

@@ -1,0 +1,96 @@
+"""Ingestion-pipeline and text-search queries in the correctness gate.
+
+The record-transformer chain (SURVEY.md §2.1,
+pinot-segment-local/.../recordtransformer/) and the TEXT_MATCH filter
+(pinot-core/.../filter/TextMatchFilterOperator.java) were previously
+pytest-only; these register oracle-checked end-to-end forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hurricanedb_spark.catalog.tables import load_table
+from hurricanedb_spark.queries import register
+from hurricanedb_spark.sources.ingestion import IngestionPipeline
+from hurricanedb_spark.sql.text_match import translate_text_match
+
+
+@register(
+    "q_ingestion_transform_chain",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           MIN(CAST(user_id AS INT)) AS min_user
+    FROM events
+    WHERE NOT event_type = 'error'
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-12-31 00:00:00'
+    GROUP BY event_type
+    """,
+    doc="Full record-transformer chain as one declarative pipeline "
+    "(FilterTransformer drop-matching + ExpressionTransformer derived "
+    "column + DataTypeTransformer cast + SanitizationTransformer trim + "
+    "TimeValidationTransformer range drop), then an aggregate over the "
+    "ingested result. Catalyst fuses the chain into the scan.",
+    tags=("ingestion",),
+)
+def q_ingestion_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pipe = IngestionPipeline(
+        {
+            "filter": {"expr": "event_type = 'error'"},  # drop matching rows
+            "transforms": [
+                {
+                    "column": "value_cents",
+                    "expr": "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)",
+                }
+            ],
+            "data_types": {"user_id": "int"},
+            "sanitize": {"trim": True},
+            "time_validate": {
+                "column": "ts",
+                "min": "2024-01-10 00:00:00",
+                "max": "2024-12-31 00:00:00",
+                "action": "drop",
+            },
+        }
+    )
+    ingested = pipe.apply(ev)
+    return ingested.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_cents").alias("sum_cents"),
+        F.min("user_id").alias("min_user"),
+    )
+
+
+@register(
+    "q_text_match_lucene",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE ((text LIKE '%fast table%' OR text LIKE '%slow merge%')
+           AND text LIKE '%spark%'
+           AND NOT text LIKE '%zebra%')
+    GROUP BY lang
+    """,
+    doc="TEXT_MATCH with Lucene boolean syntax "
+    "(TextMatchFilterOperator; shapes from TextSearchQueriesTest): "
+    "'(\"fast table\" OR \"slow merge\") AND spark AND NOT zebra' "
+    "translated by sql/text_match.py into contains() predicates that "
+    "Catalyst pushes into the scan; the text index itself is an "
+    "access-path optimization with no semantic surface.",
+    tags=("filter", "text"),
+)
+def q_text_match_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cond = translate_text_match(
+        "text", '("fast table" OR "slow merge") AND spark AND NOT zebra'
+    )
+    return docs.filter(F.expr(cond)).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
