@@ -50,12 +50,34 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
         ["t", "b"],
         "CAST(floor(unix_seconds(t) / (3600 * b)) AS BIGINT)",
     ),
+    "toepochdaysbucket": (
+        ["t", "b"],
+        "CAST(floor(unix_seconds(t) / (86400 * b)) AS BIGINT)",
+    ),
+    # fromEpoch<unit>Bucket(bucketed, size): invert the bucketed epoch back
+    # to a timestamp (DateTimeFunctions.java fromEpoch*Bucket family)
+    "fromepochsecondsbucket": (["v", "b"], "timestamp_seconds(CAST(v AS BIGINT) * b)"),
+    "fromepochminutesbucket": (["v", "b"], "timestamp_seconds(CAST(v AS BIGINT) * 60 * b)"),
+    "fromepochhoursbucket": (["v", "b"], "timestamp_seconds(CAST(v AS BIGINT) * 3600 * b)"),
+    "fromepochdaysbucket": (["v", "b"], "timestamp_seconds(CAST(v AS BIGINT) * 86400 * b)"),
+    # toDateTime(millis, pattern) / fromDateTime(str, pattern): Java
+    # SimpleDateFormat patterns are Spark's date_format dialect for the
+    # subset Pinot documents (yyyy-MM-dd HH:mm:ss etc.)
+    "todatetime": (["ms", "p"], "date_format(timestamp_millis(CAST(ms AS BIGINT)), p)"),
+    "fromdatetime": (["s", "p"], "unix_millis(to_timestamp(s, p))"),
+    "totimestamp": (["ms"], "timestamp_millis(CAST(ms AS BIGINT))"),
+    "fromtimestamp": (["t"], "unix_millis(t)"),
     "datetrunc": (["unit", "t"], "date_trunc(unit, t)"),
     "yearofweek": (["t"], "CAST(extract(YEAROFWEEK FROM t) AS INT)"),
     "monthofyear": (["t"], "month(t)"),
     "dayofyear_": (["t"], "dayofyear(t)"),
     "millisecond": (["t"], "CAST(date_format(t, 'SSS') AS INT)"),
     "timezonehour": (["tz"], "CAST(substr(tz, 1, 3) AS INT)"),
+    "timezoneminute": (
+        ["tz"],
+        # ±HH:MM offset string -> signed minute component
+        "CAST(concat(substr(tz, 1, 1), substr(tz, 5, 2)) AS INT)",
+    ),
     "ago": (["p"], "current_timestamp() - CAST(p AS INTERVAL DAY TO SECOND)"),
     # --- aggregation renames (AggregationFunctionType.java) ---
     # used via the dialect rewriter; kept here for selectExpr call sites
@@ -71,6 +93,7 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
     "codepoint": (["s"], "ascii(s)"),
     "chr_": (["i"], "char(i)"),
     "normalize_str": (["s"], "s"),  # NFC normalization: Spark strings are UTF-8; no-op shim
+    "toascii": (["s"], "regexp_replace(s, '[^\\\\x00-\\\\x7F]', '')"),
     "splitpart": (["s", "sep", "i"], "split_part(s, sep, i + 1)"),  # Pinot 0-based
     "remove": (["s", "sub"], "replace(s, sub, '')"),
     "encodeurl": (["s"], "url_encode(s)"),

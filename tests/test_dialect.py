@@ -201,3 +201,34 @@ def test_trailing_option_clause(hdb):
 def test_options_compose_with_default_limit(hdb):
     df = hdb.sql("SET useMultistageEngine=true; SELECT o_orderkey FROM orders")
     assert df.count() == 10  # default LIMIT 10 still applied after SET strip
+
+
+def test_new_datetime_macros(hdb):
+    row = hdb.sql(
+        "SELECT todatetime(1709596800000, 'yyyy-MM-dd') AS d, "
+        "fromdatetime('2024-03-05', 'yyyy-MM-dd') AS ms, "
+        "totimestamp(0) AS t0, "
+        "fromtimestamp(TIMESTAMP '1970-01-01 00:00:10') AS ms10, "
+        "toepochdaysbucket(TIMESTAMP '2024-03-05 12:00:00', 7) AS wk, "
+        "CAST(fromepochsecondsbucket(toepochsecondsbucket("
+        "TIMESTAMP '2024-03-05 12:34:56', 3600), 1) AS STRING) AS rt",
+        default_limit=None,
+    ).collect()[0]
+    assert row.d == "2024-03-05"
+    assert row.ms == 1709596800000
+    assert str(row.t0) == "1970-01-01 00:00:00"
+    assert row.ms10 == 10000
+    assert row.wk == 1709596800 // 86400 // 7
+    assert row.rt == "2024-03-05 12:00:00"
+
+
+def test_timezone_and_ascii_macros(hdb):
+    row = hdb.sql(
+        "SELECT timezoneminute('+05:30') AS pm, timezoneminute('-08:45') AS nm, "
+        "timezonehour('-08:45') AS nh, toascii('héllo wörld') AS a",
+        default_limit=None,
+    ).collect()[0]
+    assert row.pm == 30
+    assert row.nm == -45
+    assert row.nh == -8
+    assert row.a == "hllo wrld"
