@@ -67,3 +67,21 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "isFinalPlan=true" in executed
     # WholeStageCodegen stages appear in the finalized adaptive plan
     assert "WholeStageCodegen" in executed or "*(" in executed
+
+
+def test_gapfill_aggregate_no_extra_shuffle(spark, sf_dir):
+    """The re-aggregating gapfill groups by the same keys the fill window
+    partitions on: Catalyst must not insert an Exchange between the Window
+    and the final HashAggregates (the window's hash partitioning is reused)."""
+    plan = _plan(spark, sf_dir, "q_gapfill_aggregate")
+    after_window = plan.split("Window", 1)[0]  # plan text is root-first
+    assert "Exchange" not in after_window
+
+
+def test_text_match_is_single_pass(spark, sf_dir):
+    """TEXT_MATCH translates to scan-side boolean predicates: one scan, one
+    partial/final aggregate pair, no joins or extra stages."""
+    plan = _plan(spark, sf_dir, "q_text_match_lucene")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one agg exchange (+AQE final)
+    assert "contains" in plan.lower()
