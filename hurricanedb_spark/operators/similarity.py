@@ -195,3 +195,99 @@ def ann_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- IVF ANN (data-dependent scale path) -------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 9176,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: k-means centroids over (a sample of)
+    the corpus. At 100 TB the standard practice is to train on a small
+    sample (centroid quality converges long before 1% of the data) and
+    assign the full corpus with the fixed centroids — the expensive full
+    pass is pure JVM expression work, not ML iteration."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    if sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(df)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _l2sq_to(vec: Column, centroid: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def ivf_cells(vec: Column, centroids: list[list[float]], n_probe: int = 1) -> Column:
+    """The `n_probe` nearest centroid ids for a vector, as an array<int>.
+    Centroids are plan-time literals (broadcast-free, identical on every
+    executor); the distance folds are zip_with/aggregate expressions inside
+    codegen — no Python, no UDF."""
+    dists = F.array(
+        *[
+            F.struct(_l2sq_to(vec, c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.array_sort(dists), 1, n_probe)
+    return F.transform(top, lambda s: s["c"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: corpus rows live in exactly ONE cell (nearest centroid);
+    queries probe their `n_probe` nearest cells; exact cosine re-rank
+    inside the probed cells.
+
+    Scale shape: the corpus never shuffles — cell assignment is a map-side
+    expression and the query side is broadcast, so the only exchange is
+    the final per-query top-k window over candidate rows
+    (O(N * n_probe / n_cells) per query, not O(N)). Versus LSH: recall
+    comes from data-dependent partition boundaries instead of random
+    planes, so the same probe budget buys higher recall on clustered data.
+    """
+    from pyspark.sql import Window as W
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        ivf_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(ivf_cells(F.col(vec_col), centroids, n_probe)).alias("__cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_fast(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

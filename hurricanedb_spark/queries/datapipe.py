@@ -336,6 +336,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_ivf_topk",
+    oracle=None,  # approximate by design; recall vs brute force in pytest
+    doc="IVF ANN top-k (operators/similarity.py:ivf_topk): k-means coarse "
+    "quantizer (trained on a corpus sample), single-cell corpus "
+    "assignment, multi-probe query search, exact cosine re-rank inside "
+    "probed cells. The data-dependent scale path next to LSH; recall "
+    "measured against brute force in tests/test_similarity.py. Rows-only.",
+    tags=("datapipe", "similarity", "ann"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    centroids = sim.train_ivf_centroids(em, n_centroids=16)
+    return sim.ivf_topk(em, queries, centroids, k=10, n_probe=4)
+
+
+@register(
     "q_embedding_neardup",
     oracle="""
     WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
