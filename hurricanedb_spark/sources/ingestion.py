@@ -149,6 +149,27 @@ class IngestionPipeline:
         )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Co-located join layout (the reference's partitioned-replica-group
+    routing analog, SegmentPartitionConfig): persist a fact table bucketed
+    by its join key so repeated fact-fact joins on that key read
+    pre-partitioned files and skip the shuffle entirely — at 100 TB the
+    lineitem ⋈ orders exchange is the single largest cost in the star
+    queries, and bucketing removes it from every downstream query.
+    `sort_col` additionally sorts within buckets (sorted-merge reads)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def write_segments(
     df: DataFrame, path: str, time_col: str | None = None, mode: str = "overwrite"
 ) -> None:

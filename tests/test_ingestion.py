@@ -113,3 +113,45 @@ def test_purge_and_atomic_rewrite(spark, tmp):
     back = spark.read.parquet(path)
     assert back.count() == 5
     assert all(r.id % 2 == 1 for r in back.collect())
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """SCALE.md's storage-side seam, proven on the plan: lineitem and
+    orders bucketed by orderkey join with zero Exchange — each task reads
+    matching buckets from both sides (the co-located join the reference
+    gets from partitioned replica-group routing)."""
+    from hurricanedb_spark.catalog.tables import load_table
+    from hurricanedb_spark.sources.ingestion import write_bucketed_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    write_bucketed_table(li, "li_bkt", "l_orderkey", n_buckets=8)
+    write_bucketed_table(orders, "ord_bkt", "o_orderkey", n_buckets=8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("li_bkt").join(
+                spark.table("ord_bkt"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._sc._jvm.PythonSQLUtils.explainString(
+                joined._jdf.queryExecution(), "formatted"
+            )
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            # and it still computes the right thing
+            n = joined.count()
+            expected = li.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            ).count()
+            assert n == expected > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
