@@ -94,3 +94,36 @@ def q_text_match_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "q_json_match_filter",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS min_k
+    FROM events
+    WHERE (CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+           AND CAST(json_extract_string(props, '$.k') AS DOUBLE) NOT IN (69, 70)
+           AND json_extract_string(props, '$.k') IS NOT NULL)
+    GROUP BY event_type
+    """,
+    doc="JSON_MATCH predicate syntax (JsonMatchFilterOperator; JSON-index "
+    "semantics are path predicates): '\"$.k\" > 50 AND \"$.k\" NOT IN "
+    "(69, 70) AND \"$.k\" IS NOT NULL' translated by sql/json_match.py "
+    "into get_json_object comparisons.",
+    tags=("filter", "json"),
+)
+def q_json_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.sql.json_match import translate_json_match
+
+    ev = load_table(spark, sf_dir, "events")
+    cond = translate_json_match(
+        "props", '"$.k" > 50 AND "$.k" NOT IN (69, 70) AND "$.k" IS NOT NULL'
+    )
+    return ev.filter(F.expr(cond)).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.expr("CAST(get_json_object(props, '$.k') AS DOUBLE)")).alias(
+            "min_k"
+        ),
+    )

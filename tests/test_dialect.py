@@ -232,3 +232,37 @@ def test_timezone_and_ascii_macros(hdb):
     assert row.nm == -45
     assert row.nh == -8
     assert row.a == "hllo wrld"
+
+
+def test_json_match_translator_shapes():
+    from hurricanedb_spark.sql.json_match import translate_json_match as t
+
+    assert (
+        t("j", '"$.name" = \'zhang\'')
+        == "(get_json_object(j, '$.name') = 'zhang')"
+    )
+    assert t("j", '"$.a.b" > 3') == "(CAST(get_json_object(j, '$.a.b') AS DOUBLE) > 3)"
+    assert t("j", '"$.x" != 1.5') == "(CAST(get_json_object(j, '$.x') AS DOUBLE) <> 1.5)"
+    assert (
+        t("j", '"$.s" IN (\'a\', \'b\') OR NOT ("$.n" IS NULL)')
+        == "(get_json_object(j, '$.s') IN ('a', 'b') OR NOT "
+        "(get_json_object(j, '$.n') IS NULL))"
+    )
+    assert (
+        t("j", '"$.arr[0]" >= 2 AND "$.k" IS NOT NULL')
+        == "(CAST(get_json_object(j, '$.arr[0]') AS DOUBLE) >= 2 AND "
+        "get_json_object(j, '$.k') IS NOT NULL)"
+    )
+
+
+def test_json_match_executes(spark):
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.sql.json_match import translate_json_match as t
+
+    df = spark.createDataFrame(
+        [('{"a": {"b": 5}, "s": "x"}',), ('{"a": {"b": 1}, "s": "y"}',), (None,)],
+        "j string",
+    )
+    got = df.filter(F.expr(t("j", '"$.a.b" > 3 AND "$.s" = \'x\''))).count()
+    assert got == 1
