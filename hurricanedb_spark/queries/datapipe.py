@@ -235,13 +235,43 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB mirror of simhash32: same tokenization, same md5-derived
+    32-bit token hash (oracle_hash32_sql), same sign-of-bit-sum rule.
+    Division by 2^b is exact in double for h < 2^32, so floor(h/2^b)%2
+    is bit-identical across engines."""
+    h32 = dd.oracle_hash32_sql("tok")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               t -> t <> '')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, {h32} AS h FROM toks),
+    bits AS (
+      SELECT doc_id, b.b,
+             SUM(CASE WHEN CAST(floor(h / power(2, b.b)) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+             AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """
+
+
 @register(
     "q_simhash",
-    oracle=None,  # non-SQL-expressible compactly; verified by pytest instead
-    doc="32-bit SimHash signature per document + per-signature collision "
-    "counts (operators/dedup.py:simhash32). Rows-only driver check; "
-    "tests/test_dedup.py asserts near-dup pairs land at small Hamming "
-    "distance.",
+    oracle=_simhash_oracle_sql(),
+    doc="32-bit SimHash signature per document "
+    "(operators/dedup.py:simhash32, portable md5 token hash): bit b is "
+    "the sign of the per-token bit-sum. Full oracle; "
+    "tests/test_dedup.py additionally asserts near-dup pairs land at "
+    "small Hamming distance.",
     tags=("datapipe", "dedup", "simhash"),
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
