@@ -31,8 +31,11 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Full upsert: latest record per PK ordered by comparison column "
     "(ConcurrentMapPartitionUpsertMetadataManager.java:54-111); PK = "
-    "(user_id, event_type), cmp = ts, tiebreak = event_id.",
+    "(user_id, event_type), cmp = ts, tiebreak = event_id. In the bench "
+    "set as BASELINE.md's streaming-shaped events query (upsert view = "
+    "the realtime-table read path).",
     tags=("streaming", "upsert"),
+    bench=True,
 )
 def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_view(
