@@ -127,3 +127,39 @@ def q_json_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_k"
         ),
     )
+
+
+@register(
+    "q_idset_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+    )
+    GROUP BY l_returnflag
+    """,
+    doc="IN_SUBQUERY two-phase protocol "
+    "(BaseBrokerRequestHandler.handleSubquery:783-820): the inner query "
+    "runs first and its ID_SET serializes to a base64 literal, then the "
+    "outer query filters with IN_ID_SET against that literal "
+    "(sql/idset.py). Same result as the semi-join form (q_in_subquery) "
+    "by construction; this exercises the serialized-set path.",
+    tags=("join", "idset"),
+)
+def q_idset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.sql.idset import id_set, in_id_set
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    literal = id_set(orders.filter(F.col("o_totalprice") > 300000), "o_orderkey")
+    return (
+        li.filter(in_id_set(F.col("l_orderkey"), literal))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )

@@ -266,3 +266,18 @@ def test_json_match_executes(spark):
     )
     got = df.filter(F.expr(t("j", '"$.a.b" > 3 AND "$.s" = \'x\''))).count()
     assert got == 1
+
+
+def test_idset_roundtrip_small(spark):
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.sql.idset import id_set, in_id_set
+
+    inner = spark.createDataFrame([(3,), (1,), (3,), (None,)], "k int")
+    lit = id_set(inner, "k")
+    import base64, json
+
+    assert json.loads(base64.b64decode(lit)) == [1, 3]  # sorted, distinct, no nulls
+    outer = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    got = sorted(r.v for r in outer.filter(in_id_set(F.col("k"), lit)).collect())
+    assert got == ["a", "c"]
