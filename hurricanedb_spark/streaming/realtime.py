@@ -136,3 +136,156 @@ def compact_realtime_to_offline(
         .partitionBy("__day")
         .parquet(offline_dir)
     )
+
+
+def _collapse_state_batch(
+    batch: DataFrame,
+    pk: list[str],
+    cmp_col: str,
+    strategies: dict[str, str],
+    tiebreak: str | None,
+) -> DataFrame:
+    """Collapse a state-schema batch (MV columns already arrays) per PK.
+    Scalar strategies match partial_upsert_view; APPEND/UNION flatten the
+    per-row arrays instead of nesting them."""
+    sort_key = F.struct(cmp_col, *([tiebreak] if tiebreak else []))
+    aggs = []
+    for col, strat in strategies.items():
+        s = strat.upper()
+        if s == "OVERWRITE":
+            aggs.append(F.max_by(col, sort_key).alias(col))
+        elif s == "IGNORE":
+            aggs.append(F.min_by(col, sort_key).alias(col))
+        elif s == "INCREMENT":
+            aggs.append(F.sum(col).alias(col))
+        elif s == "MAX":
+            aggs.append(F.max(col).alias(col))
+        elif s == "MIN":
+            aggs.append(F.min(col).alias(col))
+        elif s == "APPEND":
+            aggs.append(
+                F.flatten(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(sort_key.alias("k"), F.col(col).alias("v"))
+                        )
+                    ).getField("v")
+                ).alias(col)
+            )
+        elif s == "UNION":
+            aggs.append(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(col)))
+                ).alias(col)
+            )
+        else:
+            raise ValueError(f"unknown partial-upsert strategy: {strat}")
+    aggs.append(F.max(cmp_col).alias(cmp_col))
+    return batch.groupBy(*pk).agg(*aggs)
+
+
+def merge_partial_state(
+    state: DataFrame,
+    batch: DataFrame,
+    pk: list[str],
+    cmp_col: str,
+    strategies: dict[str, str],
+    tiebreak: str | None = None,
+    batch_schema: str = "raw",
+) -> DataFrame:
+    """One incremental partial-upsert step: merge a new batch into the
+    accumulated per-PK state with the reference's pairwise column mergers
+    (pinot-segment-local/.../upsert/merger/*.java — each merger combines
+    (previousValue, newValue)). The batch is first collapsed per PK
+    (partial_upsert_view), then merged against state with a full-outer
+    join keyed on the PK — one shuffle, both sides hash-partitioned on
+    the PK, so state scales by key cardinality not event volume."""
+    if batch_schema == "state":
+        # batch rows already carry state-typed columns (MV = array): the
+        # within-batch collapse flattens instead of nesting
+        batch_merged = _collapse_state_batch(batch, pk, cmp_col, strategies, tiebreak)
+    else:
+        # raw source rows (APPEND/UNION collect scalars into the MV column,
+        # exactly the reference's scalar-row -> MV-column merger direction)
+        from hurricanedb_spark.operators.upsert import partial_upsert_view
+
+        batch_merged = partial_upsert_view(batch, pk, cmp_col, strategies, tiebreak)
+    s, b = state.alias("s"), batch_merged.alias("b")
+    joined = s.join(b, pk, "full_outer")
+    out_cols = [F.col(k) for k in pk]
+    for col, strat in strategies.items():
+        sv, bv = F.col(f"s.{col}"), F.col(f"b.{col}")
+        st = strat.upper()
+        if st == "OVERWRITE":
+            expr = F.coalesce(bv, sv)
+        elif st == "IGNORE":
+            expr = F.coalesce(sv, bv)
+        elif st == "INCREMENT":
+            expr = (
+                F.when(sv.isNull(), bv).when(bv.isNull(), sv).otherwise(sv + bv)
+            )
+        elif st == "MAX":
+            expr = (
+                F.when(sv.isNull(), bv)
+                .when(bv.isNull(), sv)
+                .otherwise(F.greatest(sv, bv))
+            )
+        elif st == "MIN":
+            expr = (
+                F.when(sv.isNull(), bv)
+                .when(bv.isNull(), sv)
+                .otherwise(F.least(sv, bv))
+            )
+        elif st == "APPEND":
+            empty = F.slice(F.coalesce(sv, bv), 1, 0)  # typed empty array
+            expr = F.concat(F.coalesce(sv, empty), F.coalesce(bv, empty))
+        elif st == "UNION":
+            empty = F.slice(F.coalesce(sv, bv), 1, 0)
+            expr = F.array_sort(
+                F.array_distinct(
+                    F.concat(F.coalesce(sv, empty), F.coalesce(bv, empty))
+                )
+            )
+        else:
+            raise ValueError(f"unknown partial-upsert strategy: {strat}")
+        out_cols.append(expr.alias(col))
+    out_cols.append(
+        F.greatest(F.col(f"s.{cmp_col}"), F.col(f"b.{cmp_col}")).alias(cmp_col)
+    )
+    return joined.select(*out_cols)
+
+
+def start_partial_upsert_sink(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    pk: list[str],
+    cmp_col: str,
+    strategies: dict[str, str],
+    tiebreak: str | None = None,
+):
+    """Partial-upsert materialization via foreachBatch: each micro-batch
+    merges into the per-PK state with merge_partial_state (the streaming
+    form of the reference's partial upsert, UpsertConfig.partialUpsertStrategies;
+    with Delta available the state read/write becomes MERGE INTO)."""
+    spark = stream_df.sparkSession
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(sink_dir):
+            state = spark.read.parquet(sink_dir)
+            result = merge_partial_state(
+                state, batch_df, pk, cmp_col, strategies, tiebreak
+            )
+        else:
+            from hurricanedb_spark.operators.upsert import partial_upsert_view
+
+            result = partial_upsert_view(batch_df, pk, cmp_col, strategies, tiebreak)
+        result.write.mode("overwrite").parquet(sink_dir + ".tmp")
+        spark.read.parquet(sink_dir + ".tmp").write.mode("overwrite").parquet(sink_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -140,3 +140,64 @@ def test_hybrid_view_boundary(spark, tmp):
     # offline serves <= minute 7 (8 rows: 0..7), realtime serves > 7 (7 rows: 8..14)
     assert len(rows) == 15
     assert len({r.event_id for r in rows}) == 15  # no duplicates across boundary
+
+
+def test_partial_upsert_sink_incremental_merge(spark, tmp):
+    """Two availableNow passes: the second batch must merge pairwise into
+    the accumulated state per column strategy (the reference's
+    upsert/merger semantics), not recompute from raw history."""
+    src, sink, ckpt = f"{tmp}/src", f"{tmp}/sink", f"{tmp}/ckpt"
+    base = datetime.datetime(2024, 1, 1)
+    strategies = {"value": "INCREMENT", "event_type": "OVERWRITE"}
+
+    _write_batch(
+        spark,
+        src,
+        [(1, base, 1, "first", 10.0), (2, base + datetime.timedelta(minutes=1), 1, "second", 5.0)],
+    )
+    q = rt.start_partial_upsert_sink(
+        rt.read_event_stream(spark, src, SCHEMA),
+        sink, ckpt, pk=["user_id"], cmp_col="ts", strategies=strategies,
+    )
+    q.awaitTermination(120)
+    row = spark.read.parquet(sink).collect()[0]
+    assert row.value == 15.0 and row.event_type == "second"
+
+    _write_batch(
+        spark, src,
+        [(3, base + datetime.timedelta(minutes=2), 1, "third", 2.5),
+         (4, base, 2, "other", 1.0)],
+    )
+    q2 = rt.start_partial_upsert_sink(
+        rt.read_event_stream(spark, src, SCHEMA),
+        sink, ckpt, pk=["user_id"], cmp_col="ts", strategies=strategies,
+    )
+    q2.awaitTermination(120)
+    out = {r.user_id: r for r in spark.read.parquet(sink).collect()}
+    assert len(out) == 2
+    assert out[1].value == 17.5  # 10 + 5 + 2.5 accumulated
+    assert out[1].event_type == "third"  # overwrite by latest
+    assert out[2].value == 1.0 and out[2].event_type == "other"
+
+
+def test_merge_partial_state_array_strategies(spark):
+    from hurricanedb_spark.streaming.realtime import merge_partial_state
+
+    state = spark.createDataFrame(
+        [(1, [1, 2], [1, 2], 100)], "pk int, ap array<int>, un array<int>, ts long"
+    )
+    batch = spark.createDataFrame(
+        [(1, [2, 3], [2, 3], 200), (2, [9], [9], 50)],
+        "pk int, ap array<int>, un array<int>, ts long",
+    )
+    out = {
+        r.pk: r
+        for r in merge_partial_state(
+            state, batch, ["pk"], "ts", {"ap": "APPEND", "un": "UNION"},
+            batch_schema="state",
+        ).collect()
+    }
+    assert out[1].ap == [1, 2, 2, 3]  # arrival-ordered append
+    assert out[1].un == [1, 2, 3]  # sorted distinct union
+    assert out[1].ts == 200
+    assert out[2].ap == [9] and out[2].un == [9] and out[2].ts == 50
