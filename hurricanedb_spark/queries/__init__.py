@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QueryDef]:
         dialect_q,
         streaming_live,
         ingestion_q,
+        clp_q,
     )
 
     return REGISTRY
