@@ -289,3 +289,69 @@ def start_partial_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# Ingestion-time aggregation (MutableSegmentImpl.java:891 aggregateMetrics;
+# AggregationConfig.java:27-47): rows with equal dimension values collapse
+# into one aggregated row as they are consumed. Every supported function is
+# pairwise-mergeable, so incremental merge(state, batch) == full recompute.
+_ROLLUP_MERGERS = {
+    "SUM": F.sum,
+    "COUNT": F.sum,  # partial counts merge by summing
+    "MIN": F.min,
+    "MAX": F.max,
+}
+
+
+def _rollup_aggregate(df: DataFrame, dims: list[str], aggs: dict[str, str]) -> DataFrame:
+    """One aggregation step over raw rows: dims -> aggregated metrics."""
+    exprs = []
+    for col, fn in aggs.items():
+        fn = fn.upper()
+        if fn == "COUNT":
+            exprs.append(F.count(F.col(col)).alias(col))
+        else:
+            exprs.append(_ROLLUP_MERGERS[fn](F.col(col)).alias(col))
+    return df.groupBy(*dims).agg(*exprs)
+
+
+def _rollup_merge(state: DataFrame, batch_agg: DataFrame, dims: list[str], aggs: dict[str, str]) -> DataFrame:
+    """Merge two already-aggregated states (both keyed on dims)."""
+    merged = state.unionByName(batch_agg)
+    exprs = [
+        _ROLLUP_MERGERS[fn.upper()](F.col(col)).alias(col) for col, fn in aggs.items()
+    ]
+    return merged.groupBy(*dims).agg(*exprs)
+
+
+def start_rollup_sink(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    dims: list[str],
+    aggs: dict[str, str],
+):
+    """Ingestion-time aggregation sink: the realtime table stores one row
+    per distinct dimension combination, with metric columns aggregated
+    in place (SUM/COUNT/MIN/MAX per AggregationConfig). Each micro-batch
+    pre-aggregates map-side, then merges into the compact state — state
+    size is O(distinct dims), not O(rows ingested), which is the entire
+    point of the reference feature at stream scale."""
+    spark = stream_df.sparkSession
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_agg = _rollup_aggregate(batch_df, dims, aggs)
+        if os.path.exists(sink_dir):
+            state = spark.read.parquet(sink_dir)
+            result = _rollup_merge(state, batch_agg, dims, aggs)
+        else:
+            result = batch_agg
+        result.write.mode("overwrite").parquet(sink_dir + ".tmp")
+        spark.read.parquet(sink_dir + ".tmp").write.mode("overwrite").parquet(sink_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -201,3 +201,36 @@ def test_merge_partial_state_array_strategies(spark):
     assert out[1].un == [1, 2, 3]  # sorted distinct union
     assert out[1].ts == 200
     assert out[2].ap == [9] and out[2].un == [9] and out[2].ts == 50
+
+
+def test_rollup_sink_ingestion_time_aggregation(spark, tmp):
+    """MutableSegmentImpl.aggregateMetrics analog: the sink holds one row
+    per dimension combo; incremental merge across restarts equals a full
+    batch recompute over everything ingested."""
+    src, sink, ckpt = f"{tmp}/src", f"{tmp}/rollup", f"{tmp}/ckpt"
+    aggs = {"value": "SUM", "event_id": "COUNT"}
+    _write_batch(spark, src, _rows(0, 6, uid=1, et="click") + _rows(6, 2, uid=2, et="view"))
+    q = rt.start_rollup_sink(
+        rt.read_event_stream(spark, src, SCHEMA), sink, ckpt,
+        dims=["user_id", "event_type"], aggs=aggs,
+    )
+    q.awaitTermination(120)
+    state = {(r.user_id, r.event_type): (r.value, r.event_id)
+             for r in spark.read.parquet(sink).collect()}
+    assert state == {(1, "click"): (15.0, 6), (2, "view") : (13.0, 2)}
+
+    # second wave: same dims collapse further, new dim appears
+    _write_batch(spark, src, _rows(8, 4, uid=1, et="click") + _rows(12, 1, uid=3, et="error"))
+    q2 = rt.start_rollup_sink(
+        rt.read_event_stream(spark, src, SCHEMA), sink, ckpt,
+        dims=["user_id", "event_type"], aggs=aggs,
+    )
+    q2.awaitTermination(120)
+    got = {(r.user_id, r.event_type): (r.value, r.event_id)
+           for r in spark.read.parquet(sink).collect()}
+    # full recompute over all 13 ingested rows
+    full = spark.read.parquet(src).groupBy("user_id", "event_type").agg(
+        F.sum("value").alias("v"), F.count("event_id").alias("n"))
+    want = {(r.user_id, r.event_type): (r.v, r.n) for r in full.collect()}
+    assert got == want
+    assert len(got) == 3  # state is O(distinct dims), not O(rows)
