@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QueryDef]:
         streaming_live,
         ingestion_q,
         clp_q,
+        sampling_q,
     )
 
     return REGISTRY
