@@ -41,9 +41,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.sql.legacy.parquet.nanosAsLong the reader returns epoch-nanos
     longs, converted here to microsecond timestamps (Spark's native
     resolution — sub-microsecond components are truncated, matching the
-    oracle's CAST(ts AS TIMESTAMP))."""
+    oracle's CAST(ts AS TIMESTAMP)).
+
+    Must work in ANY SparkSession, not just ours: callers (the driver's
+    correctness harness, notebooks) construct vanilla sessions, so the
+    nanosAsLong conf is set here at runtime (it is runtime-settable and
+    idempotent) rather than assumed from the session builder."""
     from pyspark.sql import functions as F, types as T
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         for field in df.schema.fields:

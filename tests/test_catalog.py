@@ -53,6 +53,20 @@ def test_load_table_normalizes_event_timestamps(spark, sf_dir):
     assert row.t.year == 2024
 
 
+def test_load_events_from_unconfigured_session(spark, sf_dir):
+    """load_table must work in ANY SparkSession, not just get_spark()'s.
+
+    The driver's harness builds its own vanilla session; round-1 failures
+    all traced to load_table assuming nanosAsLong was pre-set. Simulate a
+    vanilla session: fresh session state with the conf explicitly disabled.
+    """
+    vanilla = spark.newSession()
+    vanilla.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    ev = load_table(vanilla, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0
+
+
 def test_register_views(spark, sf_dir):
     tables = register_views(spark, sf_dir)
     assert set(tables) >= {"lineitem", "orders", "events"}
