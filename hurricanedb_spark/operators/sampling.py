@@ -36,7 +36,8 @@ def hash_split(df: DataFrame, key_col: str, splits: dict[str, float], out_col: s
 
     `splits` maps name -> fraction (must sum to ~1). Bucket thresholds are
     cumulative over insertion order, e.g. {"train": .8, "val": .1,
-    "test": .1} -> buckets [0,204) / [204,230) / [230,256)."""
+    "test": .1} -> buckets [0,205) / [205,230) / [230,256)
+    (int(round(0.8*256)) == 205)."""
     total = sum(splits.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split fractions must sum to 1, got {total}")

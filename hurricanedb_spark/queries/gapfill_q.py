@@ -27,7 +27,8 @@ _START, _END = "2024-01-01 00:00:00", "2024-01-31 00:00:00"
                                     INTERVAL 1 DAY)) AS time_bucket
     ),
     spine_b AS (SELECT time_bucket FROM spine WHERE time_bucket < TIMESTAMP '{_END}'),
-    keys AS (SELECT DISTINCT event_type FROM events),
+    keys AS (SELECT DISTINCT event_type FROM events
+             WHERE event_type <> 'purchase' OR EXTRACT(day FROM ts) % 3 = 0),
     actual AS (
       SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS time_bucket,
              COUNT(*) AS n_events,
@@ -83,7 +84,8 @@ def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     INTERVAL 1 DAY)) AS time_bucket
     ),
     spine_b AS (SELECT time_bucket FROM spine WHERE time_bucket < TIMESTAMP '{_END}'),
-    keys AS (SELECT DISTINCT event_type FROM events),
+    keys AS (SELECT DISTINCT event_type FROM events
+             WHERE event_type <> 'purchase' OR EXTRACT(day FROM ts) % 3 = 0),
     actual AS (
       SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS time_bucket,
              COUNT(*) AS n_events,

@@ -21,11 +21,83 @@ exactly like the reference's RealtimeToOfflineSegmentsTask minion job.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hurricanedb_spark.operators.upsert import upsert_view
+
+
+# ---------------------------------------------------------------------------
+# Versioned state commits for foreachBatch sinks.
+#
+# foreachBatch is at-least-once: after a failure the same micro-batch
+# (same epoch_id, same data) is replayed. A sink that merges
+# non-idempotent state (INCREMENT/SUM/COUNT) must therefore (a) skip
+# epochs it has already applied and (b) never corrupt the previous state
+# if it crashes mid-write. The reference gets this from the segment-commit
+# protocol (SegmentCommitter: atomic metadata swap keyed to stream
+# offsets); here the analog is versioned parquet directories plus an
+# atomically renamed meta file as the commit point:
+#
+#   {sink}.v{N}   full state after epoch E          (written first)
+#   {sink}.meta   {"version": N, "epoch": E}        (os.replace = commit)
+#   {sink}        queryable copy of the committed version (re-runnable)
+#
+# A crash before the meta rename leaves the old version committed and the
+# epoch unrecorded -> replay re-merges from the old version (correct). A
+# crash after the rename leaves the epoch recorded -> replay skips the
+# merge and just repairs the queryable copy.
+# ---------------------------------------------------------------------------
+
+
+def _read_state_meta(sink_dir: str) -> dict | None:
+    meta_path = sink_dir + ".meta"
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def _load_state(spark: SparkSession, sink_dir: str) -> tuple[DataFrame | None, dict | None]:
+    """Return (committed state, meta) — never the possibly-torn {sink} copy."""
+    meta = _read_state_meta(sink_dir)
+    if meta is None:
+        return None, None
+    return spark.read.parquet(f"{sink_dir}.v{meta['version']}"), meta
+
+
+def _publish_state(spark: SparkSession, sink_dir: str) -> None:
+    """Refresh the queryable copy from the committed version (idempotent)."""
+    meta = _read_state_meta(sink_dir)
+    if meta is not None:
+        spark.read.parquet(f"{sink_dir}.v{meta['version']}").write.mode(
+            "overwrite"
+        ).parquet(sink_dir)
+
+
+def _commit_state(
+    spark: SparkSession,
+    sink_dir: str,
+    result: DataFrame,
+    epoch_id: int,
+    prev_meta: dict | None,
+) -> None:
+    version = (prev_meta["version"] + 1) if prev_meta else 0
+    result.write.mode("overwrite").parquet(f"{sink_dir}.v{version}")
+    tmp_meta = sink_dir + ".meta.tmp"
+    with open(tmp_meta, "w") as f:
+        json.dump({"version": version, "epoch": epoch_id}, f)
+    os.replace(tmp_meta, sink_dir + ".meta")  # atomic commit point
+    _publish_state(spark, sink_dir)
+    if prev_meta is not None:
+        shutil.rmtree(f"{sink_dir}.v{prev_meta['version']}", ignore_errors=True)
+
+
+def _already_applied(meta: dict | None, epoch_id: int) -> bool:
+    return meta is not None and epoch_id <= meta["epoch"]
 
 
 def read_event_stream(
@@ -70,18 +142,19 @@ def start_upsert_sink(
 ):
     """Upsert materialization via foreachBatch: each micro-batch merges into
     the sink keeping the latest row per PK (overwrite-compact formulation;
-    with Delta available this becomes MERGE INTO)."""
+    with Delta available this becomes MERGE INTO). The merge itself is
+    idempotent (max_by over a union), but epochs are still tracked so a
+    replayed batch skips the rewrite and state commits are crash-atomic."""
     spark = stream_df.sparkSession
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.exists(sink_dir):
-            current = spark.read.parquet(sink_dir)
-            merged = current.unionByName(batch_df)
-        else:
-            merged = batch_df
+        state, meta = _load_state(spark, sink_dir)
+        if _already_applied(meta, epoch_id):
+            _publish_state(spark, sink_dir)
+            return
+        merged = state.unionByName(batch_df) if state is not None else batch_df
         result = upsert_view(merged, pk, cmp_col, tiebreak)
-        result.write.mode("overwrite").parquet(sink_dir + ".tmp")
-        spark.read.parquet(sink_dir + ".tmp").write.mode("overwrite").parquet(sink_dir)
+        _commit_state(spark, sink_dir, result, epoch_id, meta)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)
@@ -213,13 +286,28 @@ def merge_partial_state(
     s, b = state.alias("s"), batch_merged.alias("b")
     joined = s.join(b, pk, "full_outer")
     out_cols = [F.col(k) for k in pk]
+    scmp, bcmp = F.col(f"s.{cmp_col}"), F.col(f"b.{cmp_col}")
     for col, strat in strategies.items():
         sv, bv = F.col(f"s.{col}"), F.col(f"b.{col}")
         st = strat.upper()
         if st == "OVERWRITE":
-            expr = F.coalesce(bv, sv)
+            # Value at the LARGER comparison value wins: a late-arriving
+            # batch (bcmp < scmp) must not overwrite newer state — the
+            # reference drops records whose comparison value is below the
+            # stored one (ConcurrentMapPartitionUpsertMetadataManager).
+            # When either side's row is absent its cmp is NULL, the
+            # comparison is NULL, and the otherwise-branch coalesce picks
+            # whichever side exists.
+            expr = F.when(bcmp >= scmp, F.coalesce(bv, sv)).otherwise(
+                F.coalesce(sv, bv)
+            )
         elif st == "IGNORE":
-            expr = F.coalesce(sv, bv)
+            # Mirror: value at the SMALLER comparison value wins (first
+            # record by cmp order), matching the in-batch min_by collapse
+            # so incremental merge == full recompute.
+            expr = F.when(bcmp >= scmp, F.coalesce(sv, bv)).otherwise(
+                F.coalesce(bv, sv)
+            )
         elif st == "INCREMENT":
             expr = (
                 F.when(sv.isNull(), bv).when(bv.isNull(), sv).otherwise(sv + bv)
@@ -267,12 +355,17 @@ def start_partial_upsert_sink(
     """Partial-upsert materialization via foreachBatch: each micro-batch
     merges into the per-PK state with merge_partial_state (the streaming
     form of the reference's partial upsert, UpsertConfig.partialUpsertStrategies;
-    with Delta available the state read/write becomes MERGE INTO)."""
+    with Delta available the state read/write becomes MERGE INTO).
+    INCREMENT state is not idempotent, so replayed epochs are skipped via
+    the versioned-state commit protocol (see _commit_state)."""
     spark = stream_df.sparkSession
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.exists(sink_dir):
-            state = spark.read.parquet(sink_dir)
+        state, meta = _load_state(spark, sink_dir)
+        if _already_applied(meta, epoch_id):
+            _publish_state(spark, sink_dir)
+            return
+        if state is not None:
             result = merge_partial_state(
                 state, batch_df, pk, cmp_col, strategies, tiebreak
             )
@@ -280,8 +373,7 @@ def start_partial_upsert_sink(
             from hurricanedb_spark.operators.upsert import partial_upsert_view
 
             result = partial_upsert_view(batch_df, pk, cmp_col, strategies, tiebreak)
-        result.write.mode("overwrite").parquet(sink_dir + ".tmp")
-        spark.read.parquet(sink_dir + ".tmp").write.mode("overwrite").parquet(sink_dir)
+        _commit_state(spark, sink_dir, result, epoch_id, meta)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)
@@ -336,18 +428,19 @@ def start_rollup_sink(
     in place (SUM/COUNT/MIN/MAX per AggregationConfig). Each micro-batch
     pre-aggregates map-side, then merges into the compact state — state
     size is O(distinct dims), not O(rows ingested), which is the entire
-    point of the reference feature at stream scale."""
+    point of the reference feature at stream scale. SUM/COUNT state is
+    not idempotent, so replayed epochs are skipped via the versioned-state
+    commit protocol (see _commit_state)."""
     spark = stream_df.sparkSession
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        state, meta = _load_state(spark, sink_dir)
+        if _already_applied(meta, epoch_id):
+            _publish_state(spark, sink_dir)
+            return
         batch_agg = _rollup_aggregate(batch_df, dims, aggs)
-        if os.path.exists(sink_dir):
-            state = spark.read.parquet(sink_dir)
-            result = _rollup_merge(state, batch_agg, dims, aggs)
-        else:
-            result = batch_agg
-        result.write.mode("overwrite").parquet(sink_dir + ".tmp")
-        spark.read.parquet(sink_dir + ".tmp").write.mode("overwrite").parquet(sink_dir)
+        result = _rollup_merge(state, batch_agg, dims, aggs) if state is not None else batch_agg
+        _commit_state(spark, sink_dir, result, epoch_id, meta)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)

@@ -234,3 +234,57 @@ def test_rollup_sink_ingestion_time_aggregation(spark, tmp):
     want = {(r.user_id, r.event_type): (r.v, r.n) for r in full.collect()}
     assert got == want
     assert len(got) == 3  # state is O(distinct dims), not O(rows)
+
+
+def test_rollup_sink_replayed_epoch_not_double_counted(spark, tmp):
+    """foreachBatch is at-least-once: re-delivering already-merged batches
+    (same data, restarted epoch numbering from a wiped checkpoint) must not
+    double-count SUM/COUNT state — the versioned-state commit protocol
+    skips epochs at or below the recorded high-water mark."""
+    src, sink, ckpt = f"{tmp}/src", f"{tmp}/rollup", f"{tmp}/ckpt"
+    aggs = {"value": "SUM", "event_id": "COUNT"}
+    _write_batch(spark, src, _rows(0, 4, uid=1, et="click"))
+    q = rt.start_rollup_sink(
+        rt.read_event_stream(spark, src, SCHEMA), sink, ckpt,
+        dims=["user_id", "event_type"], aggs=aggs,
+    )
+    q.awaitTermination(120)
+    before = spark.read.parquet(sink).collect()
+
+    # wipe the checkpoint: the source replays every file from epoch 0
+    shutil.rmtree(ckpt)
+    q2 = rt.start_rollup_sink(
+        rt.read_event_stream(spark, src, SCHEMA), sink, ckpt,
+        dims=["user_id", "event_type"], aggs=aggs,
+    )
+    q2.awaitTermination(120)
+    after = spark.read.parquet(sink).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    assert after[0].value == 6.0  # 0+1+2+3 once, not twice
+
+
+def test_merge_partial_state_late_batch_respects_cmp(spark):
+    """A late-arriving batch (cmp older than accumulated state) must not
+    overwrite newer state (reference: records with comparison value below
+    the stored one are dropped), and IGNORE must track the earliest record
+    by cmp so incremental merge == full recompute."""
+    from hurricanedb_spark.streaming.realtime import merge_partial_state
+
+    state = spark.createDataFrame(
+        [(1, "newer", "oldest", 200)], "pk int, ow string, ig string, ts long"
+    )
+    late = spark.createDataFrame(
+        [(1, "stale", "earlier", 100), (2, "fresh", "fresh", 50)],
+        "pk int, ow string, ig string, ts long",
+    )
+    out = {
+        r.pk: r
+        for r in merge_partial_state(
+            state, late, ["pk"], "ts",
+            {"ow": "OVERWRITE", "ig": "IGNORE"}, batch_schema="state",
+        ).collect()
+    }
+    assert out[1].ow == "newer"    # late batch does not overwrite
+    assert out[1].ig == "earlier"  # IGNORE keeps value at smallest cmp
+    assert out[1].ts == 200
+    assert out[2].ow == "fresh" and out[2].ig == "fresh"
