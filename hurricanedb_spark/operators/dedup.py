@@ -88,12 +88,8 @@ def minhash_signature(shingles: Column, k: int = 8, portable: bool = True) -> Co
     return F.array(*sigs)
 
 
-def lsh_candidate_pairs(
-    df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int
-) -> DataFrame:
-    """Band the signature and self-join on (band, band-slice) buckets.
-    Returns candidate (id_a < id_b) pairs, distinct."""
-    banded = df.select(
+def _banded(df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    return df.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -113,6 +109,39 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Band the signature and self-join on (band, band-slice) buckets.
+    Returns candidate (id_a < id_b) pairs, distinct.
+
+    max_bucket_size caps the self-join per (band, bucket): one degenerate
+    bucket (empty docs, boilerplate) otherwise produces O(b²) pairs — at
+    100 TB a single hot bucket becomes the whole job. Buckets above the
+    cap are dropped from candidate generation (their members are almost
+    always mutual near-dups of one template; exact dedup catches the
+    identical ones, and `lsh_dropped_buckets` reports what was skipped so
+    the drop is observable, never silent). None disables the cap.
+    """
+    banded = _banded(df, id_col, sig_col, bands, rows_per_band)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        # one count per (band, bucket) — same partitioning the self-join
+        # needs, so this adds no extra exchange before the join
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -126,6 +155,24 @@ def lsh_candidate_pairs(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def lsh_dropped_buckets(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """(band, bucket, size) rows for buckets over the cap — the audit
+    companion to lsh_candidate_pairs(max_bucket_size=...)."""
+    return (
+        _banded(df, id_col, sig_col, bands, rows_per_band)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > max_bucket_size)
     )
 
 

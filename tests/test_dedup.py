@@ -84,3 +84,42 @@ def test_jaccard_bounds(spark):
                                "x array<string>, y array<string>")
     vals = [r.j for r in df.select(dd.jaccard(F.col("x"), F.col("y")).alias("j")).collect()]
     assert vals[0] == 1.0 and vals[1] == 0.0 and vals[2] == 1.0
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A degenerate bucket (thousands of identical signatures) must not
+    explode into O(b²) candidate pairs: the cap drops it, the normal
+    near-dup pairs survive, and the drop is reported, not silent."""
+    import pyspark.sql.functions as F
+
+    # 2000 identical empty-ish docs (one hot bucket) + 3 distinct docs
+    hot = [(i, "the same boilerplate text") for i in range(2000)]
+    normal = [
+        (10_000, "a unique document about spark"),
+        (10_001, "a unique document about spark"),  # near-dup pair
+        (10_002, "completely different content entirely"),
+    ]
+    df = spark.createDataFrame(hot + normal, "doc_id long, body string")
+    sig = df.select(
+        "doc_id", dd.minhash_signature(dd.word_shingles(F.col("body")), k=8).alias("sig")
+    )
+
+    capped = dd.lsh_candidate_pairs(
+        sig, "doc_id", "sig", bands=4, rows_per_band=2, max_bucket_size=100
+    )
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (10_000, 10_001) in pairs  # normal near-dups still found
+    # hot bucket (2000² / 2 ≈ 2M pairs) is gone — nothing references it
+    assert all(a >= 10_000 for a, _ in pairs), pairs
+    assert len(pairs) < 100
+
+    dropped = dd.lsh_dropped_buckets(
+        sig, "doc_id", "sig", bands=4, rows_per_band=2, max_bucket_size=100
+    ).collect()
+    assert dropped and all(r.size == 2000 for r in dropped)
+
+    # uncapped (None) still produces the quadratic blowup — the cap is load-bearing
+    uncapped = dd.lsh_candidate_pairs(
+        sig, "doc_id", "sig", bands=4, rows_per_band=2, max_bucket_size=None
+    )
+    assert uncapped.count() > 1_000_000
