@@ -97,6 +97,38 @@ def q_text_match_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_match_fuzzy_range",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+              t -> t <> '' AND levenshtein(t, 'colum') <= 1)) > 0
+      AND len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+              t -> t <> '' AND t >= 'slow' AND t <= 'sorta')) > 0
+      AND NOT regexp_matches(text, '\\bzebra')
+    GROUP BY lang
+    """,
+    doc="TEXT_MATCH fuzzy + range shapes (TextSearchQueriesTest fuzzy "
+    "`term~`, TermRangeQuery `[a TO b]`, field grouping `text:(...)`): "
+    "'text:(colum~1 AND [slow TO sorta] AND NOT zebra*)' — fuzzy and "
+    "range match per analyzed token via exists() over split(), all "
+    "JVM-side.",
+    tags=("filter", "text"),
+)
+def q_text_match_fuzzy_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cond = translate_text_match(
+        "text", "text:(colum~1 AND [slow TO sorta] AND NOT zebra*)"
+    )
+    return docs.filter(F.expr(cond)).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "q_json_match_filter",
     oracle="""
     SELECT event_type,

@@ -12,7 +12,17 @@ TextSearchQueriesTest shapes):
   "a phrase"      -> contains(col, 'a phrase')
   term*           -> rlike prefix match on word boundary
   /regex/         -> rlike
+  term~ / term~1  -> fuzzy: any analyzed token within edit distance
+                     (Lucene FuzzyQuery; default distance 2)
+  [a TO b]        -> token range, inclusive ([ ]) / exclusive ({ }),
+                     * as an open bound (Lucene TermRangeQuery)
+  field:term, field:(...)  -> field prefix (TEXT_MATCH is already scoped
+                     to one column, so the prefix is validated away)
   a AND b, a OR b, NOT a, parentheses
+
+Fuzzy and range shapes match per analyzed token (lowercased, split on
+non-alphanumerics — Lucene StandardAnalyzer behavior) via higher-order
+`exists()` over `split()`, staying JVM-side.
 """
 
 from __future__ import annotations
@@ -26,23 +36,57 @@ _TOKENIZER = re.compile(
         (?P<and>AND\b) |
         (?P<or>OR\b) |
         (?P<not>NOT\b) |
-        (?P<phrase>"[^"]*") |
+        (?P<field>[A-Za-z_]\w*:) |
+        (?P<range>[\[{][^\]}]*[\]}]) |
+        (?P<phrase>"[^"]*"(?:~\d+)?) |
         (?P<regex>/[^/]*/) |
         (?P<term>[^\s()]+)
     )""",
     re.VERBOSE,
 )
 
+# analyzed-token array of the column (StandardAnalyzer approximation)
+def _tokens(col: str) -> str:
+    return f"filter(split(lower({col}), '[^a-z0-9]+'), t -> t != '')"
+
 
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _range_expr(col: str, tok: str) -> str:
+    """[a TO b] / {a TO b} — lexicographic token range (TermRangeQuery)."""
+    m = re.match(r"^[\[{]\s*(\S+)\s+TO\s+(\S+)\s*[\]}]$", tok)
+    if not m:
+        raise ValueError(f"malformed range query: {tok}")
+    lo, hi = m.group(1).lower(), m.group(2).lower()
+    lo_op = ">=" if tok[0] == "[" else ">"
+    hi_op = "<=" if tok[-1] == "]" else "<"
+    conds = []
+    if lo != "*":
+        conds.append(f"t {lo_op} {_sql_quote(lo)}")
+    if hi != "*":
+        conds.append(f"t {hi_op} {_sql_quote(hi)}")
+    body = " AND ".join(conds) if conds else "true"
+    return f"exists({_tokens(col)}, t -> {body})"
+
+
 def _term_expr(col: str, term: str) -> str:
-    if term.startswith('"') and term.endswith('"'):
-        return f"contains({col}, {_sql_quote(term[1:-1])})"
+    if term.startswith('"'):
+        # optional proximity suffix "a b"~N: treated as phrase containment
+        # (conservative: matches a subset of Lucene slop matches)
+        phrase = re.match(r'^"([^"]*)"(?:~\d+)?$', term).group(1)
+        return f"contains({col}, {_sql_quote(phrase)})"
     if term.startswith("/") and term.endswith("/"):
         return f"regexp_like({col}, {_sql_quote(term[1:-1])})"
+    fuzzy = re.match(r"^([^~\s]+)~(\d*)$", term)
+    if fuzzy:
+        word = fuzzy.group(1).lower()
+        dist = int(fuzzy.group(2) or 2)  # Lucene FuzzyQuery default
+        return (
+            f"exists({_tokens(col)}, "
+            f"t -> levenshtein(t, {_sql_quote(word)}) <= {dist})"
+        )
     if term.endswith("*"):
         pattern = "\\b" + re.escape(term[:-1])
         return f"regexp_like({col}, {_sql_quote(pattern)})"
@@ -84,6 +128,17 @@ def translate_text_match(col: str, lucene_query: str) -> str:
                 out.append("AND")
             out.append("NOT")
             prev_operand = False
+        elif kind == "field":
+            # TEXT_MATCH is scoped to one column; the field prefix in
+            # grouped queries like `skills:(java AND python)` names that
+            # same column — consume it, the clause that follows applies
+            # to `col` as usual
+            continue
+        elif kind == "range":
+            if prev_operand:
+                out.append("OR")
+            out.append(_range_expr(col, m.group(0).strip()))
+            prev_operand = True
         else:
             if prev_operand:
                 out.append("OR")

@@ -281,3 +281,37 @@ def test_idset_roundtrip_small(spark):
     outer = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
     got = sorted(r.v for r in outer.filter(in_id_set(F.col("k"), lit)).collect())
     assert got == ["a", "c"]
+
+
+def test_text_match_fuzzy_translation():
+    e = translate_text_match("col", "colum~1")
+    assert "levenshtein" in e and "<= 1" in e and "lower(col)" in e
+    # bare ~ defaults to Lucene's max edit distance 2
+    assert "<= 2" in translate_text_match("col", "spark~")
+
+
+def test_text_match_range_translation():
+    e = translate_text_match("col", "[slow TO sorta]")
+    assert "t >= 'slow'" in e and "t <= 'sorta'" in e
+    ex = translate_text_match("col", "{slow TO sorta}")
+    assert "t > 'slow'" in ex and "t < 'sorta'" in ex
+    open_hi = translate_text_match("col", "[slow TO *]")
+    assert "t >= 'slow'" in open_hi and "<=" not in open_hi
+
+
+def test_text_match_field_grouping(spark):
+    grouped = translate_text_match("col", "col:(java AND python)")
+    plain = translate_text_match("col", "(java AND python)")
+    assert grouped == plain
+
+
+def test_text_match_fuzzy_range_live(spark):
+    df = spark.createDataFrame(
+        [(1, "the column store"), (2, "a colum typo here"), (3, "nothing")],
+        "id int, col string",
+    )
+    from pyspark.sql import functions as F
+    e = translate_text_match("col", "colum~1")
+    assert {r.id for r in df.filter(F.expr(e)).collect()} == {1, 2}
+    e = translate_text_match("col", "[store TO typo]")
+    assert {r.id for r in df.filter(F.expr(e)).collect()} == {1, 2}
