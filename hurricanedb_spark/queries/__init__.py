@@ -67,6 +67,7 @@ def all_queries() -> dict[str, QueryDef]:
         ingestion_q,
         clp_q,
         sampling_q,
+        null_mode_q,
     )
 
     return REGISTRY

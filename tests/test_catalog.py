@@ -72,3 +72,27 @@ def test_register_views(spark, sf_dir):
     assert set(tables) >= {"lineitem", "orders", "events"}
     n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
     assert n == 6000
+
+
+def test_null_mode_divergence(spark, sf_dir):
+    """The two null modes must actually diverge on the same input —
+    enableNullHandling=false substitutes FieldSpec defaults that COUNT/MIN
+    then see (the reference's documented default behavior)."""
+    from hurricanedb_spark.queries.null_mode_q import (
+        LONG_MIN,
+        q_null_mode_default,
+        q_null_mode_native,
+    )
+
+    native = {r.event_type: r for r in q_null_mode_native(spark, sf_dir).collect()}
+    default = {r.event_type: r for r in q_null_mode_default(spark, sf_dir).collect()}
+    assert set(native) == set(default)
+    diverged = False
+    for et, n in native.items():
+        d = default[et]
+        assert d.n_user == d.n_rows  # substitution fills every null
+        if n.n_user < n.n_rows:  # this group had nulls
+            assert d.min_user == LONG_MIN
+            assert n.min_user != LONG_MIN
+            diverged = True
+    assert diverged
