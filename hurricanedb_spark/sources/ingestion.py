@@ -26,7 +26,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-_FORMATS = {"parquet", "csv", "json", "orc", "avro"}
+_FORMATS = {"parquet", "csv", "json", "orc", "avro", "protobuf"}
 
 
 def read_batch(
@@ -35,11 +35,22 @@ def read_batch(
     fmt: str = "parquet",
     schema: T.StructType | None = None,
     options: dict[str, str] | None = None,
+    protobuf_fields: dict[int, tuple[str, str]] | None = None,
 ) -> DataFrame:
-    """Format-dispatching batch reader (RecordReader SPI analog)."""
+    """Format-dispatching batch reader (RecordReader SPI analog).
+
+    protobuf requires `schema` and `protobuf_fields` ({field_number:
+    (column, ptype)} — the descriptor analog); see sources/protobuf_reader.
+    """
     fmt = fmt.lower()
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format: {fmt} (supported: {sorted(_FORMATS)})")
+    if fmt == "protobuf":
+        if schema is None or protobuf_fields is None:
+            raise ValueError("protobuf format requires schema and protobuf_fields")
+        from hurricanedb_spark.sources.protobuf_reader import read_protobuf
+
+        return read_protobuf(spark, path, schema, protobuf_fields)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
