@@ -117,10 +117,16 @@ def read_event_stream(
 
 
 def start_append_sink(
-    stream_df: DataFrame, sink_dir: str, checkpoint_dir: str, partition_by: str | None = None
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    partition_by: str | None = None,
+    trigger: dict | None = None,
 ):
     """Append sink with checkpointing — the 'mutable segment' analog; rows
-    are queryable as soon as a micro-batch commits."""
+    are queryable as soon as a micro-batch commits. Default trigger is
+    availableNow (drain-and-stop, used by tests/backfill); pass e.g.
+    {"processingTime": "1 second"} for continuous sources (kafka/rate)."""
     w = (
         stream_df.writeStream.outputMode("append")
         .format("parquet")
@@ -129,7 +135,7 @@ def start_append_sink(
     )
     if partition_by:
         w = w.partitionBy(partition_by)
-    return w.trigger(availableNow=True).start()
+    return w.trigger(**(trigger or {"availableNow": True})).start()
 
 
 def start_upsert_sink(
