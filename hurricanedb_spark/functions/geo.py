@@ -96,6 +96,93 @@ def st_within_polygon(point: Column, ring: Column) -> Column:
     return crossings % 2 == 1
 
 
+def st_polygon_from_text(wkt: Column) -> Column:
+    """ST_Polygon / ST_GeomFromText for 'POLYGON ((lon lat, lon lat, ...))'
+    (outer ring; the reference's StPolygonFunction parses the same WKT via
+    JTS). Pure expression pipeline: extract ring body, split on commas,
+    parse each vertex — returns array<struct<lon,lat>> (closed ring)."""
+    body = F.regexp_extract(wkt, r"POLYGON\s*\(\s*\(([^)]*)\)\s*\)", 1)
+    verts = F.split(body, r"\s*,\s*")
+    return F.transform(
+        verts,
+        lambda v: F.struct(
+            F.regexp_extract(F.trim(v), r"^(\S+)\s+(\S+)$", 1)
+            .cast("double")
+            .alias("lon"),
+            F.regexp_extract(F.trim(v), r"^(\S+)\s+(\S+)$", 2)
+            .cast("double")
+            .alias("lat"),
+        ),
+    )
+
+
+def st_contains(ring: Column, point: Column) -> Column:
+    """ST_Contains(polygon, point) for simple polygons — the argument
+    order of the reference's StContainsFunction; same ray-casting core as
+    st_within_polygon (ST_Within(point, polygon) is the converse)."""
+    return st_within_polygon(point, ring)
+
+
+def st_area_spherical(ring: Column) -> Column:
+    """ST_Area for a spherical polygon in m² (StAreaFunction geography
+    path). Chamberlain–Duquette spherical excess approximation:
+    area = R²/2 · |Σ (λ₂−λ₁)(2 + sin φ₁ + sin φ₂)| — trig-only
+    expressions, codegen'd, no UDF."""
+    n = F.size(ring)
+    idx = F.sequence(F.lit(0), n - 2)
+
+    def term(i):
+        a = F.element_at(ring, i + 1)
+        b = F.element_at(ring, i + 2)
+        return (F.radians(b["lon"]) - F.radians(a["lon"])) * (
+            F.lit(2.0) + F.sin(F.radians(a["lat"])) + F.sin(F.radians(b["lat"]))
+        )
+
+    s = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + term(i))
+    return F.abs(s) * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0)
+
+
+def geo_to_h3(lon: Column, lat: Column, res) -> Column:
+    """geoToH3(lon, lat, res) (TransformFunctionType.java:124-146,
+    H3IndexFilterOperator.java:262).
+
+    With the `h3` package importable, returns REAL H3 cell ids via an
+    Arrow-batched pandas_udf (cross-system compatible — ids match any H3
+    implementation). Without it (this container), falls back to the
+    hierarchical lat/lon grid of geo_grid_cell: same bucketing contract
+    (neighbors share cells, resolution refines) but NOT H3-id compatible
+    — documented, and the fallback is detectable via geo_to_h3.is_real_h3.
+    """
+    try:
+        import h3  # noqa: F401
+
+        have_h3 = True
+    except ImportError:
+        have_h3 = False
+    geo_to_h3.is_real_h3 = have_h3
+    if not have_h3:
+        pt = F.struct(lon.cast("double").alias("lon"), lat.cast("double").alias("lat"))
+        return geo_grid_cell(pt, int(res))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _h3_cell(lon_s, lat_s):
+        import h3
+        import pandas as pd
+
+        return pd.Series(
+            [
+                int(h3.latlng_to_cell(la, lo, int(res)), 16)
+                if la is not None and lo is not None
+                else None
+                for lo, la in zip(lon_s, lat_s)
+            ]
+        )
+
+    return _h3_cell(lon.cast("double"), lat.cast("double"))
+
+
 def st_union_agg(point: Column) -> Column:
     """STUnion aggregate (AggregationFunctionType.java:73; reference impl
     pinot-core/.../aggregation/function/StUnionAggregationFunction.java):

@@ -107,6 +107,63 @@ def q_st_union_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# simple (convex-ish) test polygon over the synthetic coordinate space;
+# closed ring, lon/lat integral so both engines see identical doubles
+_RING = [(-10, 35), (30, 35), (40, 55), (0, 65), (-15, 50), (-10, 35)]
+_POLY_WKT = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in _RING) + "))"
+
+
+def _raycast_sql(lon: str, lat: str) -> str:
+    """DuckDB ray-casting over the fixed ring — the same IEEE double
+    arithmetic the Spark expression performs, one CASE term per edge, so
+    the inside/outside verdicts are bit-identical across engines."""
+    terms = []
+    for (ax, ay), (bx, by) in zip(_RING, _RING[1:]):
+        terms.append(
+            f"CASE WHEN ((CAST({ay} AS DOUBLE) > {lat}) <> "
+            f"(CAST({by} AS DOUBLE) > {lat})) AND "
+            f"{lon} < (CAST({bx} AS DOUBLE) - CAST({ax} AS DOUBLE)) * "
+            f"({lat} - CAST({ay} AS DOUBLE)) / "
+            f"(CAST({by} AS DOUBLE) - CAST({ay} AS DOUBLE)) + "
+            f"CAST({ax} AS DOUBLE) THEN 1 ELSE 0 END"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+@register(
+    "q_geo_polygon_contains",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) AS lon,
+             CAST(c_custkey * 13 % 180 - 90 AS DOUBLE) AS lat
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE {_raycast_sql('lon', 'lat')}) AS n_inside,
+           COUNT(*) AS n
+    FROM pts
+    GROUP BY c_mktsegment
+    """,
+    doc="General polygon containment (StContainsFunction / "
+    "H3InclusionIndexFilterOperator ST_Within over a real polygon, not a "
+    "bbox): WKT ring parsed by st_polygon_from_text, ray-casting "
+    "st_contains as codegen'd higher-order expressions; oracle runs the "
+    "identical edge arithmetic as generated SQL. ST_Area for the same "
+    "ring is validated against known geodesic values in tests/test_geo.py "
+    "(trig is not cross-engine bit-stable).",
+    tags=("geo",),
+)
+def q_geo_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    ring = geo.st_polygon_from_text(F.lit(_POLY_WKT))
+    inside = geo.st_contains(ring, F.col("pt"))
+    return pts.groupBy("c_mktsegment").agg(
+        F.count(F.when(inside, 1)).alias("n_inside"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register(
     "q_geo_radius_join",
     oracle=None,  # haversine uses libm trig; validated in tests/test_geo.py

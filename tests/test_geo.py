@@ -106,3 +106,80 @@ def test_st_union_points_dedups_and_orders(spark):
     ).collect()[0]
     assert out.n == 3
     assert out.wkt == "MULTIPOINT (0.0 -1.0, 1.0 2.0, 3.0 4.0)"
+
+
+def test_polygon_wkt_roundtrip(spark):
+    df = spark.range(1).select(
+        geo.st_polygon_from_text(
+            F.lit("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        ).alias("ring")
+    )
+    ring = df.collect()[0].ring
+    assert [(p.lon, p.lat) for p in ring] == [
+        (0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)
+    ]
+
+
+def test_polygon_contains_known_points(spark):
+    ring = geo.st_polygon_from_text(F.lit("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 15.0, 5.0), (3, -1.0, -1.0), (4, 9.9, 9.9)],
+        "id int, lon double, lat double",
+    ).select("id", geo.st_point(F.col("lon"), F.col("lat")).alias("pt"))
+    inside = {r.id for r in df.filter(geo.st_contains(ring, F.col("pt"))).collect()}
+    assert inside == {1, 4}
+
+
+def test_spherical_area_known_values(spark):
+    """1°x1° quad at the equator ≈ 111.19 km × 111.19 km ≈ 1.2364e10 m²
+    (spherical excess, Chamberlain–Duquette); a quad at 60°N shrinks by
+    ~cos(60°) = 0.5 in the east-west direction."""
+    import math
+
+    def area_of(wkt):
+        return (
+            spark.range(1)
+            .select(geo.st_area_spherical(geo.st_polygon_from_text(F.lit(wkt))).alias("a"))
+            .collect()[0]
+            .a
+        )
+
+    eq = area_of("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    # analytic: R² · Δλ · (sin φ₂ − sin φ₁)
+    R = 6371008.8
+    expect_eq = R * R * math.radians(1) * (math.sin(math.radians(1)) - 0)
+    assert abs(eq - expect_eq) / expect_eq < 1e-6
+    north = area_of("POLYGON ((0 60, 1 60, 1 61, 0 61, 0 60))")
+    expect_north = R * R * math.radians(1) * (
+        math.sin(math.radians(61)) - math.sin(math.radians(60))
+    )
+    assert abs(north - expect_north) / expect_north < 1e-6
+
+
+def test_geo_to_h3_seam(spark):
+    """geoToH3: with the h3 lib -> real cell ids (test vectors); without
+    -> documented grid fallback with the same bucketing contract."""
+    df = spark.createDataFrame(
+        [(1, -122.0553238, 37.3615593)], "id int, lon double, lat double"
+    )
+    cell = geo.geo_to_h3(F.col("lon"), F.col("lat"), 5)
+    val = df.select(cell.alias("c")).collect()[0].c
+    try:
+        import h3  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    assert geo.geo_to_h3.is_real_h3 == have
+    if have:
+        # canonical vector from the public H3 docs for this lat/lng at res 5
+        assert val == 0x85283473FFFFFFF
+    else:
+        # fallback: same cell for a nearby point, different for far away
+        near = spark.createDataFrame(
+            [(2, -122.0553, 37.3616)], "id int, lon double, lat double"
+        ).select(geo.geo_to_h3(F.col("lon"), F.col("lat"), 5).alias("c")).collect()[0].c
+        far = spark.createDataFrame(
+            [(3, 10.0, -45.0)], "id int, lon double, lat double"
+        ).select(geo.geo_to_h3(F.col("lon"), F.col("lat"), 5).alias("c")).collect()[0].c
+        assert val == near != far
