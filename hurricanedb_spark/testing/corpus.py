@@ -38,6 +38,10 @@ _TYPE_MAP = {
     "BIG_DECIMAL": (T.DecimalType(38, 18), "DECIMAL(38,18)"),
     "TIMESTAMP": (T.TimestampType(), "TIMESTAMP"),
     "BYTES": (T.BinaryType(), "BLOB"),
+    "INT[]": (T.ArrayType(T.IntegerType()), "INTEGER[]"),
+    "LONG[]": (T.ArrayType(T.LongType()), "BIGINT[]"),
+    "DOUBLE[]": (T.ArrayType(T.DoubleType()), "DOUBLE[]"),
+    "STRING[]": (T.ArrayType(T.StringType()), "VARCHAR[]"),
 }
 
 
@@ -82,6 +86,7 @@ def run_corpus_file(spark: SparkSession, path: str) -> list[CaseResult]:
     con = duckdb.connect()
     for case_name, case in cases.items():
         view_map: dict[str, str] = {}
+        setup_err: str | None = None
         for tbl, spec in case.get("tables", {}).items():
             view = f"corpus_{case_name}_{tbl}".replace("-", "_")
             view_map[tbl] = view
@@ -92,33 +97,76 @@ def run_corpus_file(spark: SparkSession, path: str) -> list[CaseResult]:
             schema = T.StructType(fields)
 
             def _coerce(val, dt):
-                # JSON can't carry timestamps natively; parse ISO strings
-                if val is not None and isinstance(dt, T.TimestampType):
+                # JSON can't carry timestamps/bytes/decimals natively
+                if val is None:
+                    return None
+                if isinstance(dt, T.TimestampType):
                     import datetime
 
+                    if isinstance(val, (int, float)):  # epoch millis
+                        return datetime.datetime.utcfromtimestamp(val / 1000.0)
                     return datetime.datetime.fromisoformat(val)
+                if isinstance(dt, T.BinaryType) and isinstance(val, str):
+                    return bytes.fromhex(val)
+                if isinstance(dt, T.DecimalType):
+                    import decimal
+
+                    return decimal.Decimal(str(val))
+                if isinstance(dt, (T.DoubleType, T.FloatType)):
+                    return float(val)  # JSON ints / "inf"/"NaN" strings
+                if isinstance(dt, (T.IntegerType, T.LongType)) and isinstance(
+                    val, (str, float)
+                ):
+                    # reference inputs carry "1" / 0.001 in INT columns;
+                    # Pinot's DataTypeTransformer truncates (Java (int)
+                    # cast) — coerce identically for BOTH engines here
+                    return int(float(val))
                 return val
 
             rows = [
                 tuple(_coerce(v, f.dataType) for v, f in zip(r, fields))
                 for r in spec["inputs"]
+                # reference inputs may contain ["------"] segment-separator
+                # marker rows (per-segment splits); data rows match arity
+                if len(r) == len(fields)
             ]
-            sdf = spark.createDataFrame(rows, schema)
+            # inline tables are tiny; one partition keeps derived cross
+            # joins at 1 task instead of defaultParallelism². Partitioned
+            # at parallelize time — a trailing .coalesce(1) hangs pyspark
+            # 4.1 local mode intermittently (python worker crash).
+            sdf = spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1), schema
+            )
             sdf.createOrReplaceTempView(view)
             ddl_cols = ", ".join(
                 f'"{c["name"]}" {_TYPE_MAP[c["type"].upper()][1]}'
                 for c in spec["schema"]
             )
-            con.execute(f'CREATE OR REPLACE TABLE {view} ({ddl_cols})')
-            if rows:
-                ph = ", ".join("?" for _ in fields)
-                con.executemany(f"INSERT INTO {view} VALUES ({ph})", [list(r) for r in rows])
+            try:
+                con.execute(f'CREATE OR REPLACE TABLE {view} ({ddl_cols})')
+                if rows:
+                    ph = ", ".join("?" for _ in fields)
+                    con.executemany(
+                        f"INSERT INTO {view} VALUES ({ph})", [list(r) for r in rows]
+                    )
+            except Exception as e:  # noqa: BLE001 — e.g. inf into DECIMAL
+                con = duckdb.connect()  # the failed insert poisons the cursor
+                setup_err = f"oracle table setup failed: {e}"
 
         for q in case.get("queries", []):
             sql = q["sql"]
             if q.get("skip"):
                 continue
+            if setup_err:
+                results.append(CaseResult(case_name, sql, False, setup_err))
+                continue
             bound = re.sub(r"\{(\w+)\}", lambda m: view_map[m.group(1)], sql)
+            # leading SET option=value; statements are engine no-ops
+            # (reference query options — sql/dialect.py treats them the
+            # same way); strip for both engines
+            bound = re.sub(r"^\s*(SET\s+\w+\s*=\s*\w+\s*;\s*)+", "", bound, flags=re.I)
+            if os.environ.get("CORPUS_VERBOSE"):
+                print(f"RUN [{case_name}] {sql}", flush=True)
             try:
                 sdf = spark.sql(bound)
                 scols = sdf.columns
