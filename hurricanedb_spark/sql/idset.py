@@ -29,10 +29,28 @@ import json
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def id_set(df: DataFrame, col: str) -> str:
+DEFAULT_MAX_IDS = 1_000_000  # the reference bounds IdSets the same way
+                             # (bitmap/bloom structures with size limits)
+
+
+class IdSetTooLargeError(ValueError):
+    """Inner-query result exceeds the shippable-IdSet bound. Use the
+    semi-join formulation (q_in_subquery) instead — it never collects."""
+
+
+def id_set(df: DataFrame, col: str, max_ids: int = DEFAULT_MAX_IDS) -> str:
     """Execute the inner query: distinct values of `col`, serialized as a
-    base64 JSON array literal (sorted for determinism)."""
-    rows = df.select(col).distinct().collect()
+    base64 JSON array literal (sorted for determinism).
+
+    Guarded: collects at most max_ids+1 distinct values and raises
+    IdSetTooLargeError past the bound instead of pulling an unbounded
+    result onto the driver."""
+    rows = df.select(col).distinct().limit(max_ids + 1).collect()
+    if len(rows) > max_ids:
+        raise IdSetTooLargeError(
+            f"inner query produced more than {max_ids} distinct ids; "
+            "use the LEFT SEMI JOIN path for unbounded sets"
+        )
     vals = sorted(r[0] for r in rows if r[0] is not None)
     return base64.b64encode(json.dumps(vals).encode()).decode()
 

@@ -315,3 +315,14 @@ def test_text_match_fuzzy_range_live(spark):
     assert {r.id for r in df.filter(F.expr(e)).collect()} == {1, 2}
     e = translate_text_match("col", "[store TO typo]")
     assert {r.id for r in df.filter(F.expr(e)).collect()} == {1, 2}
+
+
+def test_id_set_size_guard(spark):
+    from hurricanedb_spark.sql.idset import IdSetTooLargeError, id_set, in_id_set
+    import pytest as _pytest
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    lit = id_set(df, "k", max_ids=200)  # under bound: fine
+    assert df.filter(in_id_set(df.k, lit)).count() == 100
+    with _pytest.raises(IdSetTooLargeError):
+        id_set(df, "k", max_ids=50)
