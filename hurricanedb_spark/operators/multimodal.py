@@ -2,13 +2,14 @@
 with typed metadata, processed by Arrow-batched pandas functions over
 mapInPandas.
 
-The container has no image/audio codecs, so the decode kernels are
-deterministic fakes / NotImplementedError stubs — but everything Spark-side
-is real and tested (tests/test_multimodal.py): schemas, batch iteration,
-partition sizing, UDF signatures. Swapping `_fake_decode_image` for
-PIL/torchvision is a one-function change; the distributed plumbing is the
-part that has to be right at 100 TB (binary payloads make partitions heavy:
-size `spark.sql.files.maxPartitionBytes` down so a partition of decoded
+Decode kernels (operators/codecs.py): REAL for PNG / BMP / PCM-WAV —
+stdlib zlib/struct/wave implementations, no external codec needed.
+Formats that genuinely require external codecs (JPEG/MP3/video) fall
+back to deterministic byte-statistics features; swapping in
+PIL/librosa/ffmpeg is a one-function change at the `_decode_features`
+dispatch. The distributed plumbing is the part that has to be right at
+100 TB (binary payloads make partitions heavy: size
+`spark.sql.files.maxPartitionBytes` down so a partition of decoded
 frames fits in executor memory).
 """
 
@@ -18,6 +19,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+from hurricanedb_spark.operators import codecs
 
 IMAGE_SCHEMA = T.StructType(
     [
@@ -29,14 +32,16 @@ IMAGE_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_SCHEMA = "media_id long, media_type string, n_bytes int, feature array<float>"
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes int, decoder string, "
+    "feature array<float>"
+)
 
 
-def _fake_decode_image(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a real decoder: 8 'features' derived from
-    byte statistics. Replace with PIL/librosa/ffmpeg in production.
-    (A true decoder would raise NotImplementedError here when the codec
-    library is missing.)"""
+def _byte_stat_features(payload: bytes) -> list[float]:
+    """Deterministic fallback for codec-less formats: 8 'features' from
+    byte statistics (the honest stand-in where JPEG/MP3/video decode
+    would plug in)."""
     if payload is None or len(payload) == 0:
         return [0.0] * 8
     n = len(payload)
@@ -52,6 +57,25 @@ def _fake_decode_image(payload: bytes) -> list[float]:
     ]
 
 
+def _decode_features(payload: bytes) -> tuple[str, list[float]]:
+    """Sniff the payload and decode with a real kernel where one exists
+    (PNG/BMP/WAV — codecs.py); otherwise byte-stat fallback. Returns
+    (decoder_name, features) so downstream can tell real decodes apart."""
+    if payload is None or len(payload) == 0:
+        return "empty", [0.0] * 8
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return "png", codecs.image_features(codecs.decode_png(bytes(payload)))
+        if payload[:2] == b"BM":
+            return "bmp", codecs.image_features(codecs.decode_bmp(bytes(payload)))
+        if payload[:4] == b"RIFF":
+            rate, _, samples = codecs.decode_wav(bytes(payload))
+            return "wav", codecs.audio_features(rate, samples)
+    except codecs.UnsupportedMediaError:
+        pass
+    return "byte-stats", _byte_stat_features(bytes(payload))
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -60,6 +84,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            decoded = pdf["payload"].map(_decode_features)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -67,7 +92,8 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda b: 0 if b is None else len(b)
                     ),
-                    "feature": pdf["payload"].map(_fake_decode_image),
+                    "decoder": decoded.map(lambda t: t[0]),
+                    "feature": decoded.map(lambda t: t[1]),
                 }
             )
 

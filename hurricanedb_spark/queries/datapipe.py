@@ -418,12 +418,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_features",
-    oracle=None,  # pandas-UDF pipeline; deterministic fake decoder, rows-only
+    oracle=None,  # pandas-UDF pipeline; rows-only
     doc="Multimodal binary-column pipeline: documents -> synthetic media "
     "table (binary payload + typed metadata) -> Arrow-batched mapInPandas "
-    "feature extraction (operators/multimodal.py). The decode kernel is a "
-    "deterministic stub; the Spark plumbing (schema, batching, UDF "
-    "signatures) is real and also covered by tests/test_multimodal.py.",
+    "feature extraction (operators/multimodal.py). Decode kernels are "
+    "REAL for PNG/BMP/WAV (stdlib codecs, tests/test_codecs.py); "
+    "codec-less formats fall back to byte-stat features, labeled in the "
+    "`decoder` column.",
     tags=("datapipe", "multimodal"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
