@@ -171,6 +171,72 @@ def _find_calls(sql: str, names: set[str]) -> list[tuple[int, int, str, list[str
     return out
 
 
+_GROOVY_TYPE = {
+    "INT": "INT",
+    "LONG": "BIGINT",
+    "FLOAT": "FLOAT",
+    "DOUBLE": "DOUBLE",
+    "STRING": "STRING",
+    "BOOLEAN": "BOOLEAN",
+}
+
+# Math.xxx -> SQL function names for the Groovy subset
+_GROOVY_MATH = {
+    "Math.max": "greatest",
+    "Math.min": "least",
+    "Math.abs": "abs",
+    "Math.sqrt": "sqrt",
+    "Math.pow": "power",
+    "Math.floor": "floor",
+    "Math.ceil": "ceiling",
+    "Math.log": "ln",
+    "Math.exp": "exp",
+}
+
+_GROOVY_ALLOWED = re.compile(
+    r"^[\sA-Za-z0-9_+\-*/%().,'<>=!&|?:]*$"  # expression-subset charset
+)
+
+
+def translate_groovy(args: list[str]) -> str:
+    """groovy('{"returnType":...}', 'script', cols...) — the reference's
+    inline-script transform (GroovyTransformFunction.java, guarded by
+    config). There is no Groovy runtime here; the EXPRESSION SUBSET that
+    covers the documented usage (arithmetic, comparison, logic, ternary,
+    Math.*) translates directly to Spark SQL with arg0..argN substituted.
+    Anything beyond the subset raises with guidance to register a real
+    UDF via spark.udf.register — the supported extension path."""
+    import json as _json
+
+    meta = _json.loads(args[0].strip().strip("'").replace('""', '"'))
+    script = args[1].strip().strip("'")
+    if not _GROOVY_ALLOWED.match(script) or ";" in script or "{" in script:
+        raise ValueError(
+            "groovy(): only the expression subset (arithmetic, comparison, "
+            "logic, ternary, Math.*) is translatable; register general "
+            "scripts as UDFs via spark.udf.register"
+        )
+    for gname, sqlname in _GROOVY_MATH.items():
+        script = script.replace(gname + "(", sqlname + "(")
+    if "Math." in script:
+        raise ValueError("groovy(): unsupported Math.* function")
+    # groovy operators -> SQL (order matters: != before !, == before =)
+    script = script.replace("&&", " AND ").replace("||", " OR ")
+    script = re.sub(r"!(?!=)", " NOT ", script)
+    script = re.sub(r"(?<![<>!=])==(?!=)", "=", script)
+    # single non-nested ternary: cond ? a : b -> CASE WHEN
+    tern = re.match(r"^([^?]+)\?([^:]+):(.+)$", script)
+    if tern:
+        script = (
+            f"CASE WHEN {tern.group(1)} THEN {tern.group(2)} "
+            f"ELSE {tern.group(3)} END"
+        )
+    for idx, a in enumerate(args[2:]):
+        script = re.sub(rf"\barg{idx}\b", f"({a})", script)
+    ret = _GROOVY_TYPE.get(str(meta.get("returnType", "STRING")).upper(), "STRING")
+    return f"CAST(({script}) AS {ret})"
+
+
 def rewrite_functions(sql: str, max_passes: int = 10) -> str:
     """Expand Pinot-named calls into Spark SQL, repeating until fixpoint so
     nested calls resolve."""
@@ -178,7 +244,8 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
     names = (
         set(macros)
         | set(_AGG_REWRITES)
-        | {"text_match", "text_contains", "lookup", "timeconvert", "datetimeconvert"}
+        | {"text_match", "text_contains", "lookup", "timeconvert",
+           "datetimeconvert", "groovy"}
     )
     for _ in range(max_passes):
         calls = _find_calls(sql, names)
@@ -204,6 +271,8 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
                 body = translate_text_match(args[0], args[1])
             elif name == "text_contains":
                 body = f"contains({args[0]}, {args[1]})"
+            elif name == "groovy":
+                body = translate_groovy(args)
             elif name == "lookup":
                 # lookUp('dimTable','retCol','joinKey',expr) -> scalar subquery
                 # over the registered dim view (broadcast by Catalyst).

@@ -326,3 +326,42 @@ def test_id_set_size_guard(spark):
     assert df.filter(in_id_set(df.k, lit)).count() == 100
     with _pytest.raises(IdSetTooLargeError):
         id_set(df, "k", max_ids=50)
+
+
+def test_groovy_expression_translation():
+    from hurricanedb_spark.sql.dialect import translate_groovy
+
+    out = translate_groovy(
+        ["'{\"returnType\":\"LONG\",\"isSingleValue\":true}'",
+         "'arg0 * 2 + arg1'", "a", "b"]
+    )
+    assert out == "CAST(((a) * 2 + (b)) AS BIGINT)"
+    # ternary + logic + Math.*
+    out = translate_groovy(
+        ["'{\"returnType\":\"DOUBLE\"}'",
+         "'arg0 > 0 && arg1 > 0 ? Math.max(arg0, arg1) : 0'", "x", "y"]
+    )
+    assert "CASE WHEN" in out and "greatest" in out and out.endswith("AS DOUBLE)")
+
+
+def test_groovy_rejects_general_scripts():
+    from hurricanedb_spark.sql.dialect import translate_groovy
+
+    with pytest.raises(ValueError):
+        translate_groovy(["'{\"returnType\":\"STRING\"}'",
+                          "'for (i in 0..9) { sum += i }'", "a"])
+
+
+def test_groovy_through_sql_surface(hdb):
+    df = hdb.sql(
+        "SELECT groovy('{\"returnType\":\"LONG\"}', 'arg0 * 2 + arg1', "
+        "l_orderkey, l_linenumber) AS g FROM lineitem "
+        "WHERE l_orderkey = 1 ORDER BY g"
+    )
+    rows = [r.g for r in df.collect()]
+    assert rows and all(isinstance(v, int) for v in rows)
+    base = hdb.sql(
+        "SELECT l_orderkey * 2 + l_linenumber AS g FROM lineitem "
+        "WHERE l_orderkey = 1 ORDER BY g"
+    )
+    assert rows == [r.g for r in base.collect()]
