@@ -31,6 +31,14 @@ class UnsupportedMediaError(NotImplementedError):
     """Format requires an external codec not present in this environment."""
 
 
+class CorruptMediaError(UnsupportedMediaError):
+    """Payload claims a decodable format but the container is damaged
+    (truncated IDAT, missing IHDR, bad chunk structure). Subclass of
+    UnsupportedMediaError so a broad `except UnsupportedMediaError`
+    still degrades gracefully, while callers that care can label the
+    row corrupt instead of merely codec-less."""
+
+
 # --------------------------------------------------------------------- PNG
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -62,9 +70,16 @@ def decode_png(payload: bytes) -> np.ndarray:
             idat += data
         elif ctype == b"IEND":
             break
+    if width is None:
+        raise CorruptMediaError("PNG missing IHDR")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise CorruptMediaError(f"PNG IDAT corrupt: {e}") from e
     stride = width * ch
+    if len(raw) < height * (1 + stride):
+        raise CorruptMediaError("PNG scanline data truncated")
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
@@ -72,25 +87,38 @@ def decode_png(payload: bytes) -> np.ndarray:
         filt = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
         pos += 1 + stride
-        if filt == 1:  # Sub
-            for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
-        elif filt == 2:  # Up
-            line = (line.astype(np.uint16) + prev) % 256
-            line = line.astype(np.uint8)
-        elif filt == 3:  # Average
-            for x in range(stride):
-                left = int(line[x - ch]) if x >= ch else 0
-                line[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
-        elif filt == 4:  # Paeth
-            for x in range(stride):
-                a = int(line[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (int(line[x]) + pred) & 0xFF
+        if filt == 1:  # Sub: per-channel prefix sum; uint8 accumulate wraps mod 256
+            line = np.cumsum(
+                line.reshape(width, ch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif filt == 2:  # Up: uint8 add wraps mod 256
+            line += prev
+        elif filt == 3:  # Average: sequential in x, vectorized across channels
+            cur = line.reshape(width, ch).astype(np.int32)
+            up = prev.reshape(width, ch).astype(np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(width):
+                left = (cur[x] + ((left + up[x]) >> 1)) & 0xFF
+                cur[x] = left
+            line = cur.astype(np.uint8).reshape(stride)
+        elif filt == 4:  # Paeth: sequential in x, vectorized across channels
+            cur = line.reshape(width, ch).astype(np.int32)
+            up = prev.reshape(width, ch).astype(np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(width):
+                b = up[x]
+                p = left + b - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - b)
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, upleft)
+                )
+                left = (cur[x] + pred) & 0xFF
+                cur[x] = left
+                upleft = b
+            line = cur.astype(np.uint8).reshape(stride)
         elif filt != 0:
             raise UnsupportedMediaError(f"PNG filter {filt}")
         out[y] = line

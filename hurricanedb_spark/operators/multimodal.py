@@ -60,7 +60,13 @@ def _byte_stat_features(payload: bytes) -> list[float]:
 def _decode_features(payload: bytes) -> tuple[str, list[float]]:
     """Sniff the payload and decode with a real kernel where one exists
     (PNG/BMP/WAV — codecs.py); otherwise byte-stat fallback. Returns
-    (decoder_name, features) so downstream can tell real decodes apart."""
+    (decoder_name, features) so downstream can tell real decodes apart.
+
+    Corrupt/truncated payloads must NEVER kill the Spark stage: at 100 TB
+    some fraction of files is always damaged, so any parse failure —
+    not just the typed UnsupportedMediaError — degrades to byte-stat
+    features with decoder='corrupt' (distinguishable from clean
+    'byte-stats' fallbacks for formats we simply lack a codec for)."""
     if payload is None or len(payload) == 0:
         return "empty", [0.0] * 8
     try:
@@ -71,8 +77,12 @@ def _decode_features(payload: bytes) -> tuple[str, list[float]]:
         if payload[:4] == b"RIFF":
             rate, _, samples = codecs.decode_wav(bytes(payload))
             return "wav", codecs.audio_features(rate, samples)
+    except codecs.CorruptMediaError:
+        return "corrupt", _byte_stat_features(bytes(payload))
     except codecs.UnsupportedMediaError:
         pass
+    except Exception:  # truncated/garbled container: struct/zlib/index errors
+        return "corrupt", _byte_stat_features(bytes(payload))
     return "byte-stats", _byte_stat_features(bytes(payload))
 
 
