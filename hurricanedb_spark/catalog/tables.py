@@ -35,13 +35,14 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table, normalizing nanosecond-timestamp columns.
+    """Load one table, normalizing the events timestamp column.
 
-    The events table stores TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong the reader returns epoch-nanos
-    longs, converted here to microsecond timestamps (Spark's native
-    resolution — sub-microsecond components are truncated, matching the
-    oracle's CAST(ts AS TIMESTAMP)).
+    The events table's `ts` physical type has varied across driver data
+    generations — TIMESTAMP(NANOS) (read as epoch-nanos longs under
+    spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP_NTZ(MICROS) —
+    so every shape is normalized to Spark's session-zoned TimestampType
+    with the same wall-clock value, which is what the DuckDB oracle's
+    naive TIMESTAMP compares equal to.
 
     Must work in ANY SparkSession, not just ours: callers (the driver's
     correctness harness, notebooks) construct vanilla sessions, so the
@@ -53,10 +54,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         for field in df.schema.fields:
-            if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            if field.name != "ts":
+                continue
+            if isinstance(field.dataType, T.LongType):
                 # integer div: double division would lose precision on
                 # epoch-nanos (~1.7e18 > 2^53)
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            elif isinstance(field.dataType, T.TimestampNTZType):
+                # NTZ -> session-zoned timestamp keeps the wall clock;
+                # collect() then yields the same naive datetimes the
+                # oracle produces regardless of the session timezone.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -198,6 +198,28 @@ _GROOVY_ALLOWED = re.compile(
 )
 
 
+def _map_outside_strings(script: str, fn) -> str:
+    """Apply `fn` to the segments of `script` that are OUTSIDE single-quoted
+    string literals; literals pass through untouched. Groovy operator
+    characters inside a literal (e.g. `arg0 == 'a&&b'`) must survive
+    rewriting verbatim — same quote-aware scanning as _find_calls."""
+    parts: list[str] = []
+    i, n = 0, len(script)
+    seg_start = 0
+    while i < n:
+        if script[i] == "'":
+            parts.append(fn(script[seg_start:i]))
+            j = i + 1
+            while j < n and script[j] != "'":
+                j += 2 if script[j] == "\\" else 1
+            parts.append(script[i : j + 1])  # literal, verbatim
+            i = seg_start = j + 1
+        else:
+            i += 1
+    parts.append(fn(script[seg_start:]))
+    return "".join(parts)
+
+
 def translate_groovy(args: list[str]) -> str:
     """groovy('{"returnType":...}', 'script', cols...) — the reference's
     inline-script transform (GroovyTransformFunction.java, guarded by
@@ -210,20 +232,26 @@ def translate_groovy(args: list[str]) -> str:
 
     meta = _json.loads(args[0].strip().strip("'").replace('""', '"'))
     script = args[1].strip().strip("'")
-    if not _GROOVY_ALLOWED.match(script) or ";" in script or "{" in script:
+    bare = _map_outside_strings(script, lambda s: "")  # literals removed
+    if not _GROOVY_ALLOWED.match(script) or ";" in bare or "{" in bare:
         raise ValueError(
             "groovy(): only the expression subset (arithmetic, comparison, "
             "logic, ternary, Math.*) is translatable; register general "
             "scripts as UDFs via spark.udf.register"
         )
-    for gname, sqlname in _GROOVY_MATH.items():
-        script = script.replace(gname + "(", sqlname + "(")
-    if "Math." in script:
-        raise ValueError("groovy(): unsupported Math.* function")
-    # groovy operators -> SQL (order matters: != before !, == before =)
-    script = script.replace("&&", " AND ").replace("||", " OR ")
-    script = re.sub(r"!(?!=)", " NOT ", script)
-    script = re.sub(r"(?<![<>!=])==(?!=)", "=", script)
+
+    def _ops(seg: str) -> str:
+        for gname, sqlname in _GROOVY_MATH.items():
+            seg = seg.replace(gname + "(", sqlname + "(")
+        if "Math." in seg:
+            raise ValueError("groovy(): unsupported Math.* function")
+        # groovy operators -> SQL (order matters: != before !, == before =)
+        seg = seg.replace("&&", " AND ").replace("||", " OR ")
+        seg = re.sub(r"!(?!=)", " NOT ", seg)
+        seg = re.sub(r"(?<![<>!=])==(?!=)", "=", seg)
+        return seg
+
+    script = _map_outside_strings(script, _ops)
     # single non-nested ternary: cond ? a : b -> CASE WHEN
     tern = re.match(r"^([^?]+)\?([^:]+):(.+)$", script)
     if tern:
