@@ -40,9 +40,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The events table's `ts` physical type has varied across driver data
     generations — TIMESTAMP(NANOS) (read as epoch-nanos longs under
     spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP_NTZ(MICROS) —
-    so every shape is normalized to Spark's session-zoned TimestampType
-    with the same wall-clock value, which is what the DuckDB oracle's
-    naive TIMESTAMP compares equal to.
+    so every shape is normalized to Spark's session-zoned TimestampType.
+
+    Timezone scope of that normalization (deliberately narrow): the NTZ
+    branch preserves the file's wall clock into the session zone, so any
+    session-zone renderer reproduces it. The Long branch fixes a UTC
+    *instant*, so its wall clock matches the DuckDB oracle's naive
+    `CAST(ts AS TIMESTAMP)` only where timestamps are rendered in UTC —
+    which the driver harness is (UTC OS zone; PySpark's non-Arrow
+    collect() renders in the OS zone, not the session zone). A
+    non-UTC-rendering consumer of the legacy nanos files would need
+    `to_utc_timestamp(ts, <render zone>)` on top; not done here because
+    the two rendering paths (OS-zone plain collect vs session-zone
+    Arrow collect) would need opposite corrections.
 
     Must work in ANY SparkSession, not just ours: callers (the driver's
     correctness harness, notebooks) construct vanilla sessions, so the

@@ -52,11 +52,15 @@ def q_streaming_windowed_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(src, link)
 
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    # same ns->us conversion the batch loader applies
+    # same ts normalization the batch loader (catalog.tables.load_table)
+    # applies: epoch-nanos longs -> microsecond timestamps, TIMESTAMP_NTZ
+    # -> session-zoned TIMESTAMP (withWatermark rejects NTZ event time)
     from pyspark.sql import types as T
 
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
     agg = (
         stream.withWatermark("ts", "1 hour")

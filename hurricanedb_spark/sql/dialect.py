@@ -198,26 +198,57 @@ _GROOVY_ALLOWED = re.compile(
 )
 
 
+def _segments(script: str) -> list[tuple[bool, str]]:
+    """Split into (is_literal, text) segments; literal text keeps its quotes.
+    Inside a literal a doubled quote ('') continues it — that is how an
+    embedded quote arrives from the SQL surface. Backslash has no special
+    meaning (the _GROOVY_ALLOWED charset forbids it)."""
+    segs: list[tuple[bool, str]] = []
+    i, n, seg_start = 0, len(script), 0
+    while i < n:
+        if script[i] == "'":
+            segs.append((False, script[seg_start:i]))
+            j = i + 1
+            while j < n:
+                if script[j] == "'":
+                    if j + 1 < n and script[j + 1] == "'":
+                        j += 2  # '' = escaped quote, literal continues
+                        continue
+                    break
+                j += 1
+            segs.append((True, script[i : j + 1]))
+            i = seg_start = j + 1
+        else:
+            i += 1
+    segs.append((False, script[seg_start:]))
+    return segs
+
+
 def _map_outside_strings(script: str, fn) -> str:
     """Apply `fn` to the segments of `script` that are OUTSIDE single-quoted
     string literals; literals pass through untouched. Groovy operator
     characters inside a literal (e.g. `arg0 == 'a&&b'`) must survive
-    rewriting verbatim — same quote-aware scanning as _find_calls."""
-    parts: list[str] = []
-    i, n = 0, len(script)
-    seg_start = 0
-    while i < n:
-        if script[i] == "'":
-            parts.append(fn(script[seg_start:i]))
-            j = i + 1
-            while j < n and script[j] != "'":
-                j += 2 if script[j] == "\\" else 1
-            parts.append(script[i : j + 1])  # literal, verbatim
-            i = seg_start = j + 1
-        else:
-            i += 1
-    parts.append(fn(script[seg_start:]))
-    return "".join(parts)
+    rewriting verbatim."""
+    return "".join(t if lit else fn(t) for lit, t in _segments(script))
+
+
+def _code_only(script: str) -> str:
+    """The script with string literals dropped — what structural guards
+    (`;`, `{`) should inspect."""
+    return "".join(t for lit, t in _segments(script) if not lit)
+
+
+def _index_outside(script: str, char: str, start: int = 0) -> int:
+    """Index of the first `char` at or after `start` that is outside any
+    string literal, or -1."""
+    pos = 0
+    for lit, t in _segments(script):
+        if not lit:
+            k = t.find(char, max(0, start - pos))
+            if k != -1:
+                return pos + k
+        pos += len(t)
+    return -1
 
 
 def translate_groovy(args: list[str]) -> str:
@@ -231,9 +262,17 @@ def translate_groovy(args: list[str]) -> str:
     import json as _json
 
     meta = _json.loads(args[0].strip().strip("'").replace('""', '"'))
-    script = args[1].strip().strip("'")
-    bare = _map_outside_strings(script, lambda s: "")  # literals removed
-    if not _GROOVY_ALLOWED.match(script) or ";" in bare or "{" in bare:
+    raw = args[1].strip()
+    script = _strip_quotes(raw)
+    if raw != script:
+        # The script arrived as a SQL string literal: '' is an escaped
+        # embedded quote. Decode to the true script text before scanning.
+        script = script.replace("''", "'")
+    # Structural guards inspect CODE only: literals may contain anything
+    # (they are data), while code is held to the expression-subset charset
+    # and must be statement-free (no ; or {).
+    bare = _code_only(script)  # literals removed
+    if not _GROOVY_ALLOWED.match(bare) or ";" in bare or "{" in bare:
         raise ValueError(
             "groovy(): only the expression subset (arithmetic, comparison, "
             "logic, ternary, Math.*) is translatable; register general "
@@ -252,15 +291,22 @@ def translate_groovy(args: list[str]) -> str:
         return seg
 
     script = _map_outside_strings(script, _ops)
-    # single non-nested ternary: cond ? a : b -> CASE WHEN
-    tern = re.match(r"^([^?]+)\?([^:]+):(.+)$", script)
-    if tern:
+    # single non-nested ternary: cond ? a : b -> CASE WHEN. The ?/: are
+    # located outside string literals so 'a:b' contents don't split.
+    qpos = _index_outside(script, "?")
+    if qpos != -1:
+        cpos = _index_outside(script, ":", qpos + 1)
+        if cpos == -1:
+            raise ValueError("groovy(): ternary '?' without matching ':'")
         script = (
-            f"CASE WHEN {tern.group(1)} THEN {tern.group(2)} "
-            f"ELSE {tern.group(3)} END"
+            f"CASE WHEN {script[:qpos]} THEN {script[qpos + 1:cpos]} "
+            f"ELSE {script[cpos + 1:]} END"
         )
     for idx, a in enumerate(args[2:]):
-        script = re.sub(rf"\barg{idx}\b", f"({a})", script)
+        script = _map_outside_strings(
+            script,
+            lambda s, idx=idx, a=a: re.sub(rf"\barg{idx}\b", f"({a})", s),
+        )
     ret = _GROOVY_TYPE.get(str(meta.get("returnType", "STRING")).upper(), "STRING")
     return f"CAST(({script}) AS {ret})"
 

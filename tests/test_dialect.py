@@ -352,6 +352,41 @@ def test_groovy_rejects_general_scripts():
                           "'for (i in 0..9) { sum += i }'", "a"])
 
 
+def test_groovy_literal_safety():
+    """Operator/ternary/argN rewriting must not touch string literals.
+
+    Scripts arrive through the SQL surface as single-quoted literals, so an
+    embedded quote is SQL-doubled (''): the translator decodes that before
+    scanning, then locates ?/: and substitutes argN only outside literals."""
+    from hurricanedb_spark.sql.dialect import translate_groovy
+
+    meta = "'{\"returnType\":\"STRING\"}'"
+    # ':' inside a literal must not be taken as the ternary split point
+    out = translate_groovy([meta, "'arg0 > 5 ? ''a:b'' : ''c'''", "x"])
+    assert "THEN  'a:b'" in out and "ELSE  'c'" in out
+    # '&&' inside a literal survives; 'arg0' inside a literal is not substituted
+    out = translate_groovy(
+        [meta, "'arg0 == ''a&&b'' ? ''arg0'' : ''no'''", "x"]
+    )
+    assert "'a&&b'" in out and "THEN  'arg0'" in out and "(x) = " in out
+    # ';' and '{' inside literals are data, not script structure
+    out = translate_groovy([meta, "'arg0 == ''a;{b'' ? 1 : 0'", "x"])
+    assert "'a;{b'" in out
+    # ...but in code they still reject
+    with pytest.raises(ValueError):
+        translate_groovy([meta, "'arg0; arg0'", "x"])
+
+
+def test_groovy_literal_safety_through_sql(hdb):
+    df = hdb.sql(
+        "SELECT groovy('{\"returnType\":\"STRING\"}', "
+        "'arg0 > 3 ? ''hi:&&there'' : ''lo'''"
+        ", l_linenumber) AS g FROM lineitem WHERE l_orderkey = 1 ORDER BY g"
+    )
+    vals = {r.g for r in df.collect()}
+    assert vals <= {"hi:&&there", "lo"} and vals
+
+
 def test_groovy_through_sql_surface(hdb):
     df = hdb.sql(
         "SELECT groovy('{\"returnType\":\"LONG\"}', 'arg0 * 2 + arg1', "
