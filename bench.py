@@ -32,7 +32,10 @@ RUNS = 3
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("hurricanedb-bench")
+    # regime experiments (e.g. forcing the non-broadcast plans measured in
+    # BENCH.md): SPARK_GRAFT_EXTRA_CONF='{"spark.sql.autoBroadcastJoinThreshold":"10485760"}'
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
+    spark = get_spark("hurricanedb-bench", extra_conf=extra)
 
     reg = {n: q for n, q in all_queries().items() if q.bench}
     timings: dict[str, float] = {}

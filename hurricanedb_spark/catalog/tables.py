@@ -28,10 +28,69 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-# Dimension tables small enough to broadcast at any scale factor; at 100 TB
-# the facts (lineitem/orders/events/documents) grow but these stay bounded,
-# so joins against them must never shuffle the fact side.
-BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+# Star-schema dimension tables. Two different scale behaviors hide here:
+# region (5 rows) and nation (25) have FIXED cardinality at any scale
+# factor and may always broadcast; customer/part/supplier grow LINEARLY
+# with SF (TPC-H scaling), so at 100 TB they are multi-GB and a forced
+# broadcast hint would OOM every executor. They get a hint only while
+# their measured on-disk footprint proves they fit (load_dim below);
+# past that, AQE/CBO picks the shuffle strategy from runtime stats.
+DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
+BOUNDED_TABLES = {"region", "nation"}
+BROADCAST_TABLES = DIM_TABLES  # back-compat alias
+
+
+def _parse_size_bytes(v: str) -> int:
+    """Parse Spark size-conf strings: '-1', '10485760', '10485760b',
+    '10m'/'10MB', '1g', ... (JavaUtils.byteStringAsBytes subset)."""
+    import re
+
+    s = str(v).strip().lower()
+    m = re.fullmatch(r"(-?\d+)\s*([kmgtp]?)b?", s)
+    if not m:
+        raise ValueError(f"unparseable size: {v!r}")
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+            "t": 1 << 40, "p": 1 << 50}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
+def table_footprint_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet footprint (file or directory)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def load_dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a dimension with a scale-safe broadcast decision.
+
+    Fixed-cardinality dims (region/nation) always carry the broadcast
+    hint. Growing dims (customer/part/supplier) carry it only while
+    their on-disk footprint is within the session's
+    autoBroadcastJoinThreshold — the same statistic Catalyst's own
+    file-relation sizeInBytes estimate uses — so the hint can never
+    force a broadcast the planner would refuse on size. Beyond the
+    threshold the join is left to AQE/CBO (shuffle join, runtime
+    broadcast-conversion when a filter shrinks the dim)."""
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, name)
+    if name in BOUNDED_TABLES:
+        return F.broadcast(df)
+    try:
+        thresh = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        thresh = 10 << 20
+    if 0 < thresh and table_footprint_bytes(sf_dir, name) <= thresh:
+        return F.broadcast(df)
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -17,7 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hurricanedb_spark.catalog.tables import load_table
+from hurricanedb_spark.catalog.tables import load_dim, load_table
 from hurricanedb_spark.queries import register
 from hurricanedb_spark.queries._exact import dcol, dsum, o_dcol, o_dsum
 
@@ -36,14 +36,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     GROUP BY c.c_mktsegment
     """,
     doc="Equi inner join (HashJoinOperator SUPPORTED_JOIN_TYPES); customer "
-    "is broadcast so the orders side never shuffles.",
+    "broadcasts while its footprint fits (load_dim), so the orders side "
+    "never shuffles at bench scale; past the threshold AQE owns the "
+    "strategy.",
     tags=("join",),
     bench=True,
 )
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od, cu = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    cu = load_dim(spark, sf_dir, "customer")
     return (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "inner")
+        od.join(cu, od.o_custkey == cu.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
     )
@@ -224,7 +227,7 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     od, cu = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
     rich = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     return (
-        od.join(F.broadcast(rich), od.o_custkey == rich.c_custkey, "left_semi")
+        od.join(rich, od.o_custkey == rich.c_custkey, "left_semi")
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )

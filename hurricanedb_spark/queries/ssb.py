@@ -5,10 +5,14 @@ SSBQueryIntegrationTest.java:112-143). Translated onto the driver's star
 schema: lineitem ⋈ orders ⋈ customer ⋈ part ⋈ supplier ⋈ nation ⋈ region,
 with revenue = extendedprice*(1-discount) and profit = revenue - cost proxy.
 
-Scale design: all dimension sides are broadcast (nation/region/supplier/
-part/customer stay small as facts grow); the only true shuffle is
-lineitem ⋈ orders on orderkey, which bucketed/co-partitioned storage
-removes. Partial aggregation runs map-side before the final group-by
+Scale design: nation/region (fixed cardinality) always broadcast;
+customer/part/supplier GROW with SF, so they are loaded through
+catalog.tables.load_dim, which applies the broadcast hint only while the
+measured on-disk footprint fits the session threshold — past that the
+planner (AQE/CBO) picks shuffle strategies from runtime stats instead of
+being forced into an executor-OOM broadcast. The fact-fact shuffle
+(lineitem ⋈ orders on orderkey) is removed by bucketed/co-partitioned
+storage. Partial aggregation runs map-side before the final group-by
 exchange — plans verified via .explain in tests/test_plans.py.
 """
 
@@ -18,7 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hurricanedb_spark.catalog.tables import load_table
+from hurricanedb_spark.catalog.tables import load_dim, load_table
 from hurricanedb_spark.queries import register
 from hurricanedb_spark.queries._exact import dcol, fcol
 
@@ -125,15 +129,15 @@ def ssb_q1_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q2_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    pt = _t(spark, sf_dir, "part")
-    su = _t(spark, sf_dir, "supplier")
-    na = _t(spark, sf_dir, "nation")
-    re = _t(spark, sf_dir, "region")
+    pt = load_dim(spark, sf_dir, "part")
+    su = load_dim(spark, sf_dir, "supplier")
+    na = load_dim(spark, sf_dir, "nation")
+    re = load_dim(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
-        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
     )
 
 
@@ -222,8 +226,8 @@ def ssb_q2_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q3_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
-    cu = _t(spark, sf_dir, "customer")
-    su = _t(spark, sf_dir, "supplier")
+    cu = load_dim(spark, sf_dir, "customer")
+    su = load_dim(spark, sf_dir, "supplier")
     cn = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("c_nation"),
         F.col("n_regionkey").alias("cn_region"),
@@ -234,8 +238,8 @@ def _q3_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
     )
@@ -375,9 +379,9 @@ def ssb_q3_4(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q4_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
-    cu = _t(spark, sf_dir, "customer")
-    su = _t(spark, sf_dir, "supplier")
-    pt = _t(spark, sf_dir, "part")
+    cu = load_dim(spark, sf_dir, "customer")
+    su = load_dim(spark, sf_dir, "supplier")
+    pt = load_dim(spark, sf_dir, "part")
     cn = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("c_nation"),
         F.col("n_regionkey").alias("cn_region"),
@@ -394,9 +398,9 @@ def _q4_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(pt, li.l_partkey == pt.p_partkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cr), F.col("cn_region") == F.col("cr_key"))

@@ -26,7 +26,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-_FORMATS = {"parquet", "csv", "json", "orc", "avro", "protobuf"}
+_FORMATS = {"parquet", "csv", "json", "orc", "avro", "protobuf", "thrift"}
 
 
 def read_batch(
@@ -36,11 +36,15 @@ def read_batch(
     schema: T.StructType | None = None,
     options: dict[str, str] | None = None,
     protobuf_fields: dict[int, tuple[str, str]] | None = None,
+    thrift_fields: dict[int, tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Format-dispatching batch reader (RecordReader SPI analog).
 
     protobuf requires `schema` and `protobuf_fields` ({field_number:
     (column, ptype)} — the descriptor analog); see sources/protobuf_reader.
+    thrift requires `schema` and `thrift_fields` ({field_id: (column,
+    ttype)} — the generated-class metadata analog); see
+    sources/thrift_reader.
     """
     fmt = fmt.lower()
     if fmt not in _FORMATS:
@@ -51,6 +55,12 @@ def read_batch(
         from hurricanedb_spark.sources.protobuf_reader import read_protobuf
 
         return read_protobuf(spark, path, schema, protobuf_fields)
+    if fmt == "thrift":
+        if schema is None or thrift_fields is None:
+            raise ValueError("thrift format requires schema and thrift_fields")
+        from hurricanedb_spark.sources.thrift_reader import read_thrift
+
+        return read_thrift(spark, path, schema, thrift_fields)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

@@ -348,13 +348,18 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
             elif name == "groovy":
                 body = translate_groovy(args)
             elif name == "lookup":
-                # lookUp('dimTable','retCol','joinKey',expr) -> scalar subquery
-                # over the registered dim view (broadcast by Catalyst).
+                # lookUp('dimTable','retCol','joinKey',expr) -> correlated
+                # scalar subquery over the registered dim view. Catalyst
+                # rewrites it to aggregate-by-key + BroadcastHashJoin (the
+                # q_lookup_join shape; asserted in tests/test_plans.py), so
+                # the fact side never shuffles. min() — not first() — keeps
+                # the result deterministic if the dim ever violates PK
+                # uniqueness (the reference's dimension tables enforce it).
                 dim = args[0].strip("'")
                 ret = args[1].strip("'")
                 key = args[2].strip("'")
                 body = (
-                    f"(SELECT first({ret}) FROM {dim} WHERE {key} = {args[3]})"
+                    f"(SELECT min({ret}) FROM {dim} WHERE {key} = {args[3]})"
                 )
             else:  # pragma: no cover
                 body = sql[start:end]

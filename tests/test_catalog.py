@@ -96,3 +96,37 @@ def test_null_mode_divergence(spark, sf_dir):
             assert n.min_user != LONG_MIN
             diverged = True
     assert diverged
+
+
+def test_parse_size_bytes():
+    from hurricanedb_spark.catalog.tables import _parse_size_bytes
+
+    assert _parse_size_bytes("-1") == -1
+    assert _parse_size_bytes("10485760") == 10 << 20
+    assert _parse_size_bytes("10485760b") == 10 << 20
+    assert _parse_size_bytes("10MB") == 10 << 20
+    assert _parse_size_bytes("1g") == 1 << 30
+    assert _parse_size_bytes("512k") == 512 << 10
+
+
+def test_load_dim_broadcast_decision(spark, sf_dir):
+    """Fixed-cardinality dims always hint; growing dims hint only while
+    their on-disk footprint fits the session broadcast threshold — the
+    hint must never be able to force an over-threshold broadcast."""
+    from hurricanedb_spark.catalog.tables import load_dim, table_footprint_bytes
+
+    def hinted(df) -> bool:
+        return "UnresolvedHint" in df._jdf.queryExecution().logical().toString() \
+            or "ResolvedHint" in df._jdf.queryExecution().logical().toString()
+
+    assert hinted(load_dim(spark, sf_dir, "nation"))
+    assert hinted(load_dim(spark, sf_dir, "customer"))  # tiny at test SF
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thresh = table_footprint_bytes(sf_dir, "customer") - 1
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thresh))
+    try:
+        assert not hinted(load_dim(spark, sf_dir, "customer"))
+        assert hinted(load_dim(spark, sf_dir, "nation"))  # bounded: always
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

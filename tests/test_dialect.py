@@ -108,6 +108,34 @@ def test_lookup_join(hdb):
     assert row.nation is not None
 
 
+def test_lookup_plans_broadcast_and_is_deterministic(hdb, spark):
+    """lookUp() must reach the broadcast-join path (fact side unshuffled)
+    and return a deterministic value even when the dim table violates PK
+    uniqueness (min of the candidates, not whichever partition answered
+    first)."""
+    df = hdb.sql(
+        "SELECT c_name, lookup('nation', 'n_name', 'n_nationkey', "
+        "c_nationkey) AS nation FROM customer",
+        default_limit=None,
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(c_" not in plan  # fact never shuffles
+
+    # duplicate-key dim: deterministic min, not first-seen
+    spark.createDataFrame(
+        [(1, "zeta"), (1, "alpha"), (2, "only")], "k int, v string"
+    ).repartition(4).createOrReplaceTempView("dup_dim")
+    rows = hdb.sql(
+        "SELECT c_custkey, lookup('dup_dim', 'v', 'k', "
+        "CAST(1 AS INT)) AS v FROM customer WHERE c_custkey <= 3",
+        default_limit=None,
+    ).collect()
+    assert all(r.v == "alpha" for r in rows)
+
+
 def test_explain_plan_for(hdb):
     out = hdb.sql("EXPLAIN PLAN FOR SELECT count(*) FROM lineitem").collect()
     assert len(out) == 1 and "Physical Plan" in out[0].plan

@@ -69,6 +69,43 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "WholeStageCodegen" in executed or "*(" in executed
 
 
+def test_star_join_degrades_sanely_past_broadcast_threshold(spark, sf_dir):
+    """The 100 TB regime, simulated by shrinking the broadcast threshold
+    below customer/part/supplier's footprint (they grow linearly with SF;
+    at scale they are multi-GB). load_dim must NOT force-broadcast them —
+    a forced hint there is an executor OOM at scale — so the plan degrades
+    to shuffle joins for the growing dims while fixed-cardinality
+    nation/region keep broadcasting, and results are unchanged."""
+    from hurricanedb_spark.catalog.tables import table_footprint_bytes
+
+    qd = all_queries()["ssb_q4_1"]
+    baseline = sorted(map(tuple, qd.fn(spark, sf_dir).collect()))
+
+    # below supplier/customer/part, above nation/region
+    growing = [table_footprint_bytes(sf_dir, t)
+               for t in ("supplier", "customer", "part")]
+    bounded = [table_footprint_bytes(sf_dir, t) for t in ("nation", "region")]
+    thresh = (max(bounded) + min(growing)) // 2
+    assert max(bounded) < thresh < min(growing)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thresh))
+    try:
+        df = qd.fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # growing dims: shuffle join, NOT a forced broadcast
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # bounded dims: still broadcast
+        assert "BroadcastHashJoin" in plan, plan
+        # partial aggregation still runs below the final exchange
+        assert plan.count("HashAggregate") >= 2
+        assert sorted(map(tuple, df.collect())) == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_gapfill_aggregate_no_extra_shuffle(spark, sf_dir):
     """The re-aggregating gapfill groups by the same keys the fill window
     partitions on: Catalyst must not insert an Exchange between the Window
