@@ -214,3 +214,204 @@ def geo_grid_cell(point: Column, res: int) -> Column:
     y = F.least(y, cells - 1).cast("long")
     x = F.least(x, cells - 1).cast("long")
     return (F.lit(res).cast("long") * F.lit(2**40) + y * F.lit(2**20) + x).cast("long")
+
+
+# --------------------------------------------------------------- WKB layer
+# Reference: StGeomFromWKBFunction.java / StAsBinaryFunction.java /
+# StGeometryTypeFunction.java (JTS WKBReader/WKBWriter under the hood).
+# Here: OGC WKB for the two geometry kinds this module models —
+# Point (type 1) <-> struct<lon,lat>, Polygon (type 3, outer ring) <->
+# array<struct<lon,lat>>. Parse/emit run as ONE Arrow-batched kernel
+# (binary reinterpret has no Spark expression); ST_GeometryType reads only
+# the 5-byte header, which IS expressible JVM-side, so it never leaves
+# codegen.
+
+WKB_POINT, WKB_POLYGON = 1, 3
+
+_WKB_TYPE_NAMES = {1: "Point", 2: "LineString", 3: "Polygon",
+                   4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon",
+                   7: "GeometryCollection"}
+
+
+def wkb_point_bytes(lon: float, lat: float, little: bool = True) -> bytes:
+    """Emit one WKB point (test/write helper)."""
+    import struct as _s
+
+    bo = "<" if little else ">"
+    return _s.pack(f"{bo}BI", 1 if little else 0, WKB_POINT) + _s.pack(
+        f"{bo}2d", lon, lat
+    )
+
+
+def wkb_polygon_bytes(ring: list[tuple[float, float]], little: bool = True) -> bytes:
+    import struct as _s
+
+    bo = "<" if little else ">"
+    out = _s.pack(f"{bo}BII", 1 if little else 0, WKB_POLYGON, 1)
+    out += _s.pack(f"{bo}I", len(ring))
+    for lon, lat in ring:
+        out += _s.pack(f"{bo}2d", lon, lat)
+    return out
+
+
+def parse_wkb(buf: bytes):
+    """Decode one WKB blob -> ('Point', (lon, lat)) or
+    ('Polygon', [[(lon, lat), ...] ring0, ...]). Both byte orders."""
+    import struct as _s
+
+    if not buf or len(buf) < 5:
+        return None
+    bo = "<" if buf[0] == 1 else ">"
+    (gtype,) = _s.unpack_from(f"{bo}I", buf, 1)
+    if gtype == WKB_POINT:
+        lon, lat = _s.unpack_from(f"{bo}2d", buf, 5)
+        return "Point", (lon, lat)
+    if gtype == WKB_POLYGON:
+        (nrings,) = _s.unpack_from(f"{bo}I", buf, 5)
+        pos = 9
+        rings = []
+        for _ in range(nrings):
+            (npts,) = _s.unpack_from(f"{bo}I", buf, pos)
+            pos += 4
+            pts = list(
+                zip(*[iter(_s.unpack_from(f"{bo}{2 * npts}d", buf, pos))] * 2)
+            )
+            pos += 16 * npts
+            rings.append(pts)
+        return "Polygon", rings
+    return _WKB_TYPE_NAMES.get(gtype, f"type{gtype}"), None
+
+
+def st_point_from_wkb(wkb: Column) -> Column:
+    """ST_GeomFromWKB for points -> struct<lon,lat> (Arrow-batched)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("lon double, lat double")
+    def _parse(col):
+        import pandas as pd
+
+        out = []
+        for b in col:
+            p = parse_wkb(bytes(b)) if b is not None else None
+            out.append(p[1] if p and p[0] == "Point" else (None, None))
+        return pd.DataFrame(out, columns=["lon", "lat"])
+
+    return _parse(wkb)
+
+
+def st_polygon_from_wkb(wkb: Column) -> Column:
+    """ST_GeomFromWKB for polygons -> outer ring array<struct<lon,lat>>."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<lon:double,lat:double>>")
+    def _parse(col):
+        import pandas as pd
+
+        out = []
+        for b in col:
+            p = parse_wkb(bytes(b)) if b is not None else None
+            if p and p[0] == "Polygon" and p[1]:
+                out.append([{"lon": x, "lat": y} for x, y in p[1][0]])
+            else:
+                out.append(None)
+        return pd.Series(out)
+
+    return _parse(wkb)
+
+
+def st_as_wkb(point: Column) -> Column:
+    """ST_AsBinary for point geometries (little-endian, matching JTS
+    WKBWriter's default)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _emit(col):
+        # struct-typed args arrive as a pd.DataFrame with one column per field
+        import pandas as pd
+
+        return pd.Series(
+            [
+                wkb_point_bytes(lon, lat)
+                if lon is not None and not pd.isna(lon)
+                else None
+                for lon, lat in zip(col["lon"], col["lat"])
+            ]
+        )
+
+    return _emit(point)
+
+
+def st_polygon_as_wkb(ring: Column) -> Column:
+    """ST_AsBinary for polygon geometries (outer ring only)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _emit(col):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                wkb_polygon_bytes([(p["lon"], p["lat"]) for p in r])
+                if r is not None
+                else None
+                for r in col
+            ]
+        )
+
+    return _emit(ring)
+
+
+def st_geometry_type_wkb(wkb: Column) -> Column:
+    """ST_GeometryType over raw WKB (StGeometryTypeFunction.java:74 returns
+    JTS getGeometryType(): 'Point', 'Polygon', ...). Reads the 5-byte
+    header with pure expressions — endian byte, then the uint32 type code
+    byte-swapped when little-endian — so this stays in codegen; no kernel."""
+    hex4 = F.hex(F.substring(wkb, 2, 4))  # 8 hex chars, byte order as stored
+    is_le = F.hex(F.substring(wkb, 1, 1)) == "01"
+    # type codes are < 256: the low byte is the first stored byte when
+    # little-endian, the last when big-endian
+    low_byte = F.when(is_le, F.substring(hex4, 1, 2)).otherwise(
+        F.substring(hex4, 7, 2)
+    )
+    code = F.conv(low_byte, 16, 10).cast("int")
+    mapping = F.create_map(
+        *[x for k, v in _WKB_TYPE_NAMES.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return mapping[code]
+
+
+# ----------------------------------------------------------- ST_Equals
+# Reference: StEqualsFunction.java (JTS Geometry.equals — topological
+# equality). Points: coordinate equality with -0.0/0.0 normalized.
+# Polygons: equality of canonicalized rings — drop the closing vertex,
+# rotate so the minimum vertex leads, and normalize orientation by taking
+# the lexicographically smaller of forward/reversed traversals. All
+# higher-order expressions; no kernel, no shuffle.
+
+
+def st_equals_point(a: Column, b: Column) -> Column:
+    az = F.struct((a["lon"] + 0.0).alias("lon"), (a["lat"] + 0.0).alias("lat"))
+    bz = F.struct((b["lon"] + 0.0).alias("lon"), (b["lat"] + 0.0).alias("lat"))
+    return az == bz
+
+
+def canonical_ring(ring: Column) -> Column:
+    """Orientation- and rotation-independent canonical form of a closed
+    ring: open the ring, rotate the minimum vertex to the front, and take
+    the lexicographically smaller of the two directions."""
+    opened = F.slice(ring, 1, F.size(ring) - 1)  # drop closing vertex
+    n = F.size(opened)
+    k = F.array_position(opened, F.array_min(opened))  # 1-based min index
+
+    def rotate(arr, k):
+        return F.concat(F.slice(arr, k, n), F.slice(arr, 1, k - 1))
+
+    fwd = rotate(opened, k)
+    rev_open = F.reverse(opened)
+    krev = F.array_position(rev_open, F.array_min(rev_open))
+    rev = rotate(rev_open, krev)
+    return F.least(fwd, rev)
+
+
+def st_equals_polygon(a: Column, b: Column) -> Column:
+    return canonical_ring(a) == canonical_ring(b)

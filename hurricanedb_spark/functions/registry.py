@@ -107,6 +107,34 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
         "CASE WHEN length(a) <> length(b) THEN -1 ELSE "
         "size(filter(zip_with(split(a, ''), split(b, ''), (x, y) -> x <> y), v -> v)) END",
     ),
+    # --- geospatial (TransformFunctionType.java:124-146; geometry model
+    # from functions/geo.py: point = struct<lon,lat>) ---
+    "stpoint": (
+        ["x", "y"],
+        "named_struct('lon', CAST(x AS DOUBLE), 'lat', CAST(y AS DOUBLE))",
+    ),
+    "stastext": (
+        ["p"],
+        "concat('POINT (', CAST(p.lon AS STRING), ' ', CAST(p.lat AS STRING), ')')",
+    ),
+    # ST_Equals on points: coordinate equality with -0.0/0.0 normalized
+    # (StEqualsFunction.java via JTS equality)
+    "stequals": (
+        ["a", "b"],
+        "(named_struct('lon', a.lon + 0.0D, 'lat', a.lat + 0.0D) = "
+        "named_struct('lon', b.lon + 0.0D, 'lat', b.lat + 0.0D))",
+    ),
+    # ST_GeometryType over raw WKB: reads only the 5-byte header (endian
+    # byte + uint32 type code), stays in codegen (StGeometryTypeFunction)
+    "stgeometrytype": (
+        ["w"],
+        "element_at(map(1, 'Point', 2, 'LineString', 3, 'Polygon', "
+        "4, 'MultiPoint', 5, 'MultiLineString', 6, 'MultiPolygon', "
+        "7, 'GeometryCollection'), "
+        "CAST(conv(CASE WHEN hex(substring(w, 1, 1)) = '01' "
+        "THEN substring(hex(substring(w, 2, 4)), 1, 2) "
+        "ELSE substring(hex(substring(w, 2, 4)), 7, 2) END, 16, 10) AS INT))",
+    ),
     # --- json (JsonFunctions.java) ---
     "jsonextractscalar": (["j", "p"], "get_json_object(j, p)"),
     "jsonextractkey": (["j"], "json_object_keys(j)"),

@@ -136,6 +136,29 @@ def test_lookup_plans_broadcast_and_is_deterministic(hdb, spark):
     assert all(r.v == "alpha" for r in rows)
 
 
+def test_geo_sql_surface(hdb):
+    # WKB hex literal: little-endian point (1.5, 2.5)
+    import struct
+
+    from hurricanedb_spark.functions.geo import wkb_point_bytes, wkb_polygon_bytes
+
+    pt_hex = wkb_point_bytes(1.5, 2.5).hex()
+    poly_hex = wkb_polygon_bytes([(0, 0), (1, 0), (1, 1), (0, 0)]).hex()
+    be_pt_hex = struct.pack(">BI2d", 0, 1, 1.5, 2.5).hex()
+    row = hdb.sql(
+        f"SELECT stgeometrytype(X'{pt_hex}') AS t_pt, "
+        f"stgeometrytype(X'{poly_hex}') AS t_poly, "
+        f"stgeometrytype(X'{be_pt_hex}') AS t_be, "
+        "stastext(stpoint(1.5, 2.5)) AS wkt, "
+        "stequals(stpoint(0.0, 1.0), stpoint(-0.0, 1.0)) AS eq "
+        "FROM region",
+        default_limit=1,
+    ).collect()[0]
+    assert row.t_pt == "Point" and row.t_poly == "Polygon" and row.t_be == "Point"
+    assert row.wkt == "POINT (1.5 2.5)"
+    assert row.eq is True
+
+
 def test_explain_plan_for(hdb):
     out = hdb.sql("EXPLAIN PLAN FOR SELECT count(*) FROM lineitem").collect()
     assert len(out) == 1 and "Physical Plan" in out[0].plan

@@ -3,6 +3,7 @@ bucketing — validated against known geography."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hurricanedb_spark.functions import geo
@@ -183,3 +184,126 @@ def test_geo_to_h3_seam(spark):
             [(3, 10.0, -45.0)], "id int, lon double, lat double"
         ).select(geo.geo_to_h3(F.col("lon"), F.col("lat"), 5).alias("c")).collect()[0].c
         assert val == near != far
+
+
+def test_wkb_point_roundtrip_both_endians(spark):
+    import struct
+
+    lon, lat = -122.4194, 37.7749
+    le = geo.wkb_point_bytes(lon, lat, little=True)
+    be = struct.pack(">BI2d", 0, geo.WKB_POINT, lon, lat)
+    df = spark.createDataFrame([(1, le), (2, be)], "id int, wkb binary")
+    rows = {r.id: r for r in df.select(
+        "id",
+        geo.st_point_from_wkb(F.col("wkb")).alias("pt"),
+        geo.st_geometry_type_wkb(F.col("wkb")).alias("gt"),
+    ).collect()}
+    for i in (1, 2):
+        assert rows[i].gt == "Point"
+        assert abs(rows[i].pt.lon - lon) < 1e-12
+        assert abs(rows[i].pt.lat - lat) < 1e-12
+
+    # emit side: struct -> WKB -> struct round trip
+    back = (
+        df.filter("id = 1")
+        .select(geo.st_point_from_wkb(F.col("wkb")).alias("pt"))
+        .select(geo.st_as_wkb(F.col("pt")).alias("w"))
+        .select(geo.st_point_from_wkb(F.col("w")).alias("pt2"))
+        .collect()[0]
+        .pt2
+    )
+    assert abs(back.lon - lon) < 1e-12 and abs(back.lat - lat) < 1e-12
+
+
+def test_wkb_polygon_roundtrip(spark):
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    blob = geo.wkb_polygon_bytes(ring)
+    df = spark.createDataFrame([(1, blob)], "id int, wkb binary")
+    out = df.select(
+        geo.st_polygon_from_wkb(F.col("wkb")).alias("ring"),
+        geo.st_geometry_type_wkb(F.col("wkb")).alias("gt"),
+    ).collect()[0]
+    assert out.gt == "Polygon"
+    assert [(p.lon, p.lat) for p in out.ring] == ring
+    # emit and re-parse
+    back = (
+        df.select(geo.st_polygon_from_wkb(F.col("wkb")).alias("r"))
+        .select(geo.st_polygon_as_wkb(F.col("r")).alias("w"))
+        .select(geo.st_polygon_from_wkb(F.col("w")).alias("r2"))
+        .collect()[0]
+        .r2
+    )
+    assert [(p.lon, p.lat) for p in back] == ring
+    # the parsed ring feeds the existing predicates once materialized as a
+    # column (a Python-UDF result can't be referenced inside a HOF lambda,
+    # so parse-then-predicate is the supported composition)
+    inside = (
+        df.select(geo.st_polygon_from_wkb(F.col("wkb")).alias("r"))
+        .localCheckpoint(eager=False)
+        .select(
+            geo.st_within_polygon(
+                geo.st_point(F.lit(2.0), F.lit(2.0)), F.col("r")
+            ).alias("ok")
+        )
+        .collect()[0]
+        .ok
+    )
+    assert inside
+
+
+def test_st_equals_polygon_canonicalization(spark):
+    # same square: rotated start vertex AND reversed orientation
+    a = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    b = [(4.0, 4.0), (4.0, 0.0), (0.0, 0.0), (0.0, 4.0), (4.0, 4.0)]
+    c = [(0.0, 0.0), (4.0, 0.0), (4.0, 5.0), (0.0, 4.0), (0.0, 0.0)]
+    df = spark.createDataFrame(
+        [(geo.wkb_polygon_bytes(a), geo.wkb_polygon_bytes(b)),
+         (geo.wkb_polygon_bytes(a), geo.wkb_polygon_bytes(c))],
+        "wa binary, wb binary",
+    )
+    rows = df.select(
+        geo.st_equals_polygon(
+            geo.st_polygon_from_wkb(F.col("wa")),
+            geo.st_polygon_from_wkb(F.col("wb")),
+        ).alias("eq")
+    ).collect()
+    assert rows[0].eq is True and rows[1].eq is False
+
+
+def test_st_equals_point_zero_normalization(spark):
+    df = spark.createDataFrame([(0.0, -0.0)], "x double, y double")
+    eq = df.select(
+        geo.st_equals_point(
+            geo.st_point(F.col("x"), F.lit(1.0)),
+            geo.st_point(F.col("y"), F.lit(1.0)),
+        ).alias("eq")
+    ).collect()[0].eq
+    assert eq is True
+
+
+def test_h3_golden_vectors(spark):
+    """Golden (lat, lng, res) -> cell vectors from the public h3 test
+    suite/docs, asserted whenever the real lib is importable, so the
+    real-id path is no longer untested-by-construction."""
+    pytest.importorskip("h3")
+    import h3 as h3lib
+
+    vectors = [
+        (37.3615593, -122.0553238, 5, "85283473fffffff"),
+        (37.7749, -122.4194, 9, None),
+        (-41.2865, 174.7762, 7, None),
+        (0.0, 0.0, 2, None),
+    ]
+    rows = [(i, lng, lat, res) for i, (lat, lng, res, _) in enumerate(vectors)]
+    df = spark.createDataFrame(rows, "id int, lon double, lat double, res int")
+    for i, (lat, lng, res, known) in enumerate(vectors):
+        got = (
+            df.filter(F.col("id") == i)
+            .select(geo.geo_to_h3(F.col("lon"), F.col("lat"), res).alias("c"))
+            .collect()[0]
+            .c
+        )
+        expected = int(h3lib.latlng_to_cell(lat, lng, res), 16)
+        assert got == expected
+        if known:
+            assert got == int(known, 16)
