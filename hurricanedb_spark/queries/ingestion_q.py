@@ -129,6 +129,35 @@ def q_text_match_fuzzy_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_match_wildcard_boost",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+              t -> t <> '' AND regexp_matches(t, '^sc.n$'))) > 0
+      AND text LIKE '%merge%'
+    GROUP BY lang
+    """,
+    doc="TEXT_MATCH mid-word wildcard + boost shapes (Lucene "
+    "WildcardQuery `sc?n` — matches whole analyzed terms via an anchored "
+    "per-token regex — and `merge^2`, whose boost weights scoring only "
+    "and is parsed away in a filter context). sql/text_match.py keeps "
+    "trailing-star prefixes on the cheap whole-column scan path; only "
+    "true mid-word wildcards pay the per-token exists().",
+    tags=("filter", "text"),
+)
+def q_text_match_wildcard_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cond = translate_text_match("text", "sc?n AND merge^2")
+    return docs.filter(F.expr(cond)).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "q_json_match_filter",
     oracle="""
     SELECT event_type,

@@ -95,9 +95,10 @@ def execute_sql(hdb: HurricaneSQL, sql: str, max_rows: int = 100_000) -> dict:
 
 class _Handler(BaseHTTPRequestHandler):
     hdb: HurricaneSQL = None  # injected by serve()
+    protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
 
     def do_POST(self):  # noqa: N802 (http.server API)
-        if self.path not in ("/query/sql", "/query"):
+        if self.path not in ("/query/sql", "/query", "/query/sql/stream"):
             self.send_error(404)
             return
         length = int(self.headers.get("Content-Length", 0))
@@ -105,12 +106,92 @@ class _Handler(BaseHTTPRequestHandler):
             body = json.loads(self.rfile.read(length) or b"{}")
             sql = body["sql"]
         except (json.JSONDecodeError, KeyError):
+            payload = b'{"error": "body must be JSON with a sql field"}'
             self.send_response(400)
             self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
-            self.wfile.write(b'{"error": "body must be JSON with a sql field"}')
+            self.wfile.write(payload)
+            return
+        if self.path == "/query/sql/stream":
+            self._stream_sql(sql, body)
             return
         payload = json.dumps(execute_sql(self.hdb, sql)).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _chunk(self, data: bytes) -> None:
+        self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+    def _stream_sql(self, sql: str, body: dict) -> None:
+        """Streaming results endpoint — the reference's entry point 3
+        (GrpcBrokerRequestHandler: the broker streams result blocks to the
+        client instead of materializing one response). Same semantics over
+        chunked HTTP/NDJSON: one schema line, then row-batch lines of at
+        most `chunkSize` rows (driven by toLocalIterator — only one batch
+        is ever resident on the driver), then a trailer line with the row
+        count. Errors mid-stream arrive in-band as an `exceptions` line,
+        matching the batch endpoint's contract."""
+        chunk_rows = max(1, int(body.get("chunkSize", 10_000)))
+        t0 = time.time()
+        try:
+            df = self.hdb.sql(sql)
+            schema = df.schema
+        except Exception as e:  # noqa: BLE001 — in-band, like execute_sql
+            self._stream_error(e, t0)
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        head = {
+            "dataSchema": {
+                "columnNames": [f.name for f in schema.fields],
+                "columnDataTypes": [_type_name(f.dataType) for f in schema.fields],
+            }
+        }
+        self._chunk(json.dumps(head).encode() + b"\n")
+        n = 0
+        buf: list = []
+        try:
+            for row in df.toLocalIterator():
+                buf.append([_json_cell(v) for v in row])
+                if len(buf) >= chunk_rows:
+                    n += len(buf)
+                    self._chunk(json.dumps({"rows": buf}).encode() + b"\n")
+                    buf = []
+            if buf:
+                n += len(buf)
+                self._chunk(json.dumps({"rows": buf}).encode() + b"\n")
+            trailer = {
+                "numRowsResultSet": n,
+                "timeUsedMs": int((time.time() - t0) * 1000),
+                "exceptions": [],
+            }
+        except Exception as e:  # noqa: BLE001
+            trailer = {
+                "numRowsResultSet": n,
+                "timeUsedMs": int((time.time() - t0) * 1000),
+                "exceptions": [{"errorCode": 200,
+                                "message": str(e).split("\n")[0]}],
+            }
+        self._chunk(json.dumps(trailer).encode() + b"\n")
+        self.wfile.write(b"0\r\n\r\n")
+        self.close_connection = True
+
+    def _stream_error(self, e: Exception, t0: float) -> None:
+        payload = json.dumps(
+            {
+                "resultTable": None,
+                "numRowsResultSet": 0,
+                "timeUsedMs": int((time.time() - t0) * 1000),
+                "exceptions": [{"errorCode": 200,
+                                "message": str(e).split("\n")[0]}],
+            }
+        ).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))

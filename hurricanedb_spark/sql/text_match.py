@@ -11,6 +11,9 @@ TextSearchQueriesTest shapes):
   term            -> contains(col, 'term')
   "a phrase"      -> contains(col, 'a phrase')
   term*           -> rlike prefix match on word boundary
+  te?t, s*k       -> mid-word wildcards: anchored regex per analyzed token
+  term^2          -> boost parsed and dropped (weights affect scoring,
+                     never the match set of a filter)
   /regex/         -> rlike
   term~ / term~1  -> fuzzy: any analyzed token within edit distance
                      (Lucene FuzzyQuery; default distance 2)
@@ -38,7 +41,7 @@ _TOKENIZER = re.compile(
         (?P<not>NOT\b) |
         (?P<field>[A-Za-z_]\w*:) |
         (?P<range>[\[{][^\]}]*[\]}]) |
-        (?P<phrase>"[^"]*"(?:~\d+)?) |
+        (?P<phrase>"[^"]*"(?:~\d+)?(?:\^[\d.]+)?) |
         (?P<regex>/[^/]*/) |
         (?P<term>[^\s()]+)
     )""",
@@ -71,7 +74,28 @@ def _range_expr(col: str, tok: str) -> str:
     return f"exists({_tokens(col)}, t -> {body})"
 
 
+def _wildcard_token_regex(word: str) -> str:
+    """Lucene WildcardQuery -> anchored regex over one analyzed token:
+    `?` = one character, `*` = any run (terms are alnum, so `.` is safe)."""
+    parts = []
+    for ch in word:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return "^" + "".join(parts) + "$"
+
+
 def _term_expr(col: str, term: str) -> str:
+    # boost suffix (term^2, "a b"^0.5): boosts weight Lucene's scoring,
+    # never the match set — TEXT_MATCH is a filter, so the weight is
+    # parsed and dropped (regex terms excluded: ^ is a valid regex char)
+    if not (term.startswith("/") and term.endswith("/")):
+        boost = re.match(r"^(.+?)\^[\d.]+$", term)
+        if boost:
+            term = boost.group(1)
     if term.startswith('"'):
         # optional proximity suffix "a b"~N: treated as phrase containment
         # (conservative: matches a subset of Lucene slop matches)
@@ -87,9 +111,15 @@ def _term_expr(col: str, term: str) -> str:
             f"exists({_tokens(col)}, "
             f"t -> levenshtein(t, {_sql_quote(word)}) <= {dist})"
         )
-    if term.endswith("*"):
+    if term.endswith("*") and "*" not in term[:-1] and "?" not in term:
+        # pure prefix query: cheap whole-column word-boundary scan
         pattern = "\\b" + re.escape(term[:-1])
         return f"regexp_like({col}, {_sql_quote(pattern)})"
+    if "*" in term or "?" in term:
+        # mid-word wildcards (te?t, s*k): WildcardQuery matches a whole
+        # analyzed term, so test each token against the anchored regex
+        rx = _wildcard_token_regex(term.lower())
+        return f"exists({_tokens(col)}, t -> t rlike {_sql_quote(rx)})"
     return f"contains({col}, {_sql_quote(term)})"
 
 

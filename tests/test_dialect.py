@@ -4,6 +4,7 @@ default LIMIT 10, function rewrites, TEXT_MATCH translation, lookUp join."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hurricanedb_spark.sql.dialect import (
     HurricaneSQL,
@@ -451,3 +452,39 @@ def test_groovy_through_sql_surface(hdb):
         "WHERE l_orderkey = 1 ORDER BY g"
     )
     assert rows == [r.g for r in base.collect()]
+
+
+def test_text_match_boost_dropped():
+    """Boosts weight scoring, never the match set of a filter — term^2 and
+    "phrase"^0.5 must translate identically to their unboosted forms."""
+    assert translate_text_match("col", "spark^2") == \
+        translate_text_match("col", "spark")
+    assert translate_text_match("col", '"fast table"^0.5') == \
+        translate_text_match("col", '"fast table"')
+    assert translate_text_match("col", "colum~1^3") == \
+        translate_text_match("col", "colum~1")
+    # regex terms keep ^ (it is a regex anchor, not a boost)
+    assert "a^b" in translate_text_match("col", "/a^b/")
+
+
+def test_text_match_midword_wildcards(spark):
+    e = translate_text_match("col", "te?t")
+    assert "^te.t$" in e and "exists" in e
+    e2 = translate_text_match("col", "s*k")
+    assert "^s.*k$" in e2
+    # trailing-star prefix keeps the cheap whole-column scan path
+    assert "exists" not in translate_text_match("col", "spark*")
+
+    df = spark.createDataFrame(
+        [(1, "a quick test of text"), (2, "the toast is burnt"),
+         (3, "nothing matches here")],
+        "id int, col string",
+    )
+    got = sorted(
+        r.id for r in df.filter(F.expr(translate_text_match("col", "te?t"))).collect()
+    )
+    assert got == [1]  # 'test' and 'text' match te?t; 'toast' does not
+    got2 = sorted(
+        r.id for r in df.filter(F.expr(translate_text_match("col", "t*t"))).collect()
+    )
+    assert got2 == [1, 2]  # test/text/toast all match t*t

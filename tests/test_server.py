@@ -77,3 +77,51 @@ def test_bad_request(endpoint):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 400
+
+
+def _post_stream(url, body):
+    """POST to the streaming endpoint, return the NDJSON lines as the
+    client observes them arriving (urllib de-chunks; each line is one
+    result block)."""
+    req = urllib.request.Request(
+        url + "/query/sql/stream",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    lines = []
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        for raw in resp:
+            if raw.strip():
+                lines.append(json.loads(raw))
+    return lines
+
+
+def test_streaming_endpoint_multiple_chunks(endpoint):
+    """Entry point 3 (GrpcBrokerRequestHandler semantics): results arrive
+    as a schema block, >=2 bounded row blocks, and a trailer — the server
+    never materializes the full result."""
+    lines = _post_stream(
+        endpoint,
+        {"sql": "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+         "chunkSize": 2},
+    )
+    head, *mid, trailer = lines
+    assert head["dataSchema"]["columnNames"] == ["r_regionkey", "r_name"]
+    row_blocks = [b for b in mid if "rows" in b]
+    assert len(row_blocks) >= 2  # 5 regions / chunkSize 2 -> 3 blocks
+    assert all(len(b["rows"]) <= 2 for b in row_blocks)
+    rows = [r for b in row_blocks for r in b["rows"]]
+    assert len(rows) == 5 and trailer["numRowsResultSet"] == 5
+    assert trailer["exceptions"] == []
+
+
+def test_streaming_endpoint_error_in_band(endpoint):
+    lines = _post_stream(endpoint, {"sql": "SELECT * FROM no_such_table"})
+    assert lines[-1]["exceptions"]
+    assert lines[-1].get("numRowsResultSet", 0) == 0
+
+
+def test_batch_endpoint_still_works_after_stream(endpoint):
+    status, out = _post(endpoint, {"sql": "SELECT count(*) AS n FROM region"})
+    assert status == 200 and out["resultTable"]["rows"][0][0] == 5
