@@ -431,3 +431,59 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")
     media = synth_media_from_documents(doc)
     return extract_features(media).orderBy("media_id")
+
+
+# --- Benchmark contamination -------------------------------------------------
+
+# 3-gram shingles, DuckDB form matching operators.contamination.ngram_set
+# (same tokenization as _SHINGLES_SQL, window of 3, empty grams dropped)
+_SHINGLES3_SQL = """
+  list_filter(list_distinct(
+    list_transform(
+      range(0, greatest(len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '')) - 3, 0) + 1),
+      i -> array_to_string(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '')[i+1:i+3], ' ')
+    )
+  ), g -> g <> '')
+"""
+
+
+@register(
+    "q_contamination_ngram",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, {_SHINGLES3_SQL} AS grams FROM documents
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id, {_SHINGLES3_SQL} AS grams
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    bg AS (SELECT DISTINCT bench_id, unnest(grams) AS gram FROM bench),
+    bsize AS (SELECT bench_id, COUNT(*) AS bench_grams FROM bg GROUP BY bench_id),
+    cg AS (SELECT doc_id, unnest(grams) AS gram FROM corpus),
+    m AS (
+      SELECT cg.doc_id, bg.bench_id, COUNT(*) AS matched_grams
+      FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id, bg.bench_id
+    )
+    SELECT m.doc_id, m.bench_id, m.matched_grams, bsize.bench_grams,
+           CAST(m.matched_grams AS DOUBLE) / bsize.bench_grams AS overlap
+    FROM m JOIN bsize USING (bench_id)
+    WHERE m.doc_id <> m.bench_id
+      AND CAST(m.matched_grams AS DOUBLE) / bsize.bench_grams >= 0.04
+    """,
+    doc="Benchmark-contamination scan (operators/contamination.py): every "
+    "corpus document checked against a benchmark set (here: the doc_id%97 "
+    "slice standing in for an eval suite) for 3-gram containment >= 0.04 (threshold chosen to exercise rows in the synthetic corpus; production decontamination uses ~0.5-0.8), "
+    "self-pairs excluded. Benchmark grams + sizes broadcast; corpus "
+    "explodes once (O(tokens)); exactly one shuffle (the per-pair count).",
+    tags=("datapipe", "contamination", "text"),
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.operators.contamination import ngram_overlap_report
+
+    doc = _t(spark, sf_dir, "documents")
+    bench = doc.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return ngram_overlap_report(
+        doc, bench, n=3, min_overlap=0.04
+    ).filter(F.col("doc_id") != F.col("bench_id"))

@@ -123,3 +123,36 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
         sig, "doc_id", "sig", bands=4, rows_per_band=2, max_bucket_size=None
     )
     assert uncapped.count() > 1_000_000
+
+
+def test_contamination_report_semantics_and_plan(spark):
+    from hurricanedb_spark.operators.contamination import ngram_overlap_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over a sleepy cat today"),
+            (3, "completely unrelated text about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "bench_id long, text string",
+    )
+    rep = ngram_overlap_report(corpus, bench, n=3, min_overlap=0.3)
+    rows = {r.doc_id: r for r in rep.collect()}
+    # verbatim copy: full containment
+    assert rows[1].overlap == 1.0
+    assert rows[1].matched_grams == rows[1].bench_grams
+    # partial overlap passes the 0.3 gate; unrelated text is absent
+    assert 0.3 <= rows[2].overlap < 1.0
+    assert 3 not in rows
+
+    # scale shape: the two bench-side joins broadcast; the only hash
+    # exchange is the per-(doc,bench) count
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
