@@ -487,3 +487,29 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_report(
         doc, bench, n=3, min_overlap=0.04
     ).filter(F.col("doc_id") != F.col("bench_id"))
+
+
+@register(
+    "q_theta_sketch_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Mergeable KMV theta sketch (operators/theta.py; reference "
+    "distinctCountThetaSketch raw form): per-group sketches built with a "
+    "map-side partial phase (one shuffle of O(groups x K) doubles), "
+    "estimated with the KMV estimator. Below K the sketch is lossless, "
+    "so THIS query is exact and oracle-checked; the approximate regime "
+    "and union/intersection/difference algebra are bounded in "
+    "tests/test_theta.py.",
+    tags=("datapipe", "sketch", "approx"),
+)
+def q_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.operators import theta as th
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = th.theta_sketch_by_group(li, ["l_returnflag"], "l_suppkey", k=1024)
+    return sk.select(
+        "l_returnflag",
+        th.theta_estimate(F.col("sketch"), 1024).cast("bigint").alias("n_supp"),
+    )

@@ -34,6 +34,9 @@ _AGG_REWRITES: dict[str, str] = {
     "distinctcounthll": "approx_count_distinct($1)",
     "distinctcountrawhll": "hll_sketch_agg($1)",
     "distinctcountsmarthll": "approx_count_distinct($1)",
+    # theta sketch names: the SQL surface estimates via HLL; the mergeable
+    # raw-sketch form with set algebra is operators/theta.py (KMV)
+    "distinctcountthetasketch": "approx_count_distinct($1)",
     "fasthll": "approx_count_distinct($1)",
     "distinctsum": "sum(DISTINCT $1)",
     "distinctavg": "avg(DISTINCT $1)",
