@@ -165,31 +165,34 @@ _SHINGLES_SQL = """
 
 def _minhash_oracle_sql() -> str:
     """DuckDB SQL computing the identical K=8 minhash signature, banded
-    2-rows x 4-bands, candidate pairs + exact bigram-jaccard >= 0.5."""
+    2-rows x 4-bands, candidate pairs + exact jaccard >= 0.5 over the
+    int-hashed bigram sets (same hash as Spark: oracle_hash32_sql)."""
     h = dd.oracle_hash32_sql("s")
     perms = dd.perm_params(8)
     sig_cols = ",\n        ".join(
-        f"list_min(list_transform(shingles, s -> ({h} * {a} + {b}) % {dd.MINHASH_P})) AS mh{i}"
+        f"list_min(list_transform(hsh, h -> (h * {a} + {b}) % {dd.MINHASH_P})) AS mh{i}"
         for i, (a, b) in enumerate(perms)
     )
     return f"""
     WITH docs AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      SELECT doc_id,
+             list_distinct(list_transform({_SHINGLES_SQL}, s -> {h})) AS hsh
+      FROM documents
     ),
     sigs AS (
-      SELECT doc_id, shingles,
+      SELECT doc_id, hsh,
         {sig_cols}
       FROM docs
     ),
     bands AS (
-      SELECT doc_id, shingles, 0 AS band, concat(mh0, ',', mh1) AS bucket FROM sigs
-      UNION ALL SELECT doc_id, shingles, 1, concat(mh2, ',', mh3) FROM sigs
-      UNION ALL SELECT doc_id, shingles, 2, concat(mh4, ',', mh5) FROM sigs
-      UNION ALL SELECT doc_id, shingles, 3, concat(mh6, ',', mh7) FROM sigs
+      SELECT doc_id, hsh, 0 AS band, concat(mh0, ',', mh1) AS bucket FROM sigs
+      UNION ALL SELECT doc_id, hsh, 1, concat(mh2, ',', mh3) FROM sigs
+      UNION ALL SELECT doc_id, hsh, 2, concat(mh4, ',', mh5) FROM sigs
+      UNION ALL SELECT doc_id, hsh, 3, concat(mh6, ',', mh7) FROM sigs
     ),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
-             l.shingles AS sh_a, r.shingles AS sh_b
+             l.hsh AS sh_a, r.hsh AS sh_b
       FROM bands l JOIN bands r
         ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
     )
@@ -213,18 +216,23 @@ def _minhash_oracle_sql() -> str:
 )
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")
+    # hash the gram set ONCE (one md5 pass); signatures and the exact
+    # verify both run over the int array — see dd.hashed_shingles
     with_sh = doc.select(
-        "doc_id", dd.word_shingles(F.col("text"), 2).alias("shingles")
+        "doc_id",
+        dd.hashed_shingles(
+            dd.word_shingles(F.col("text"), 2), portable=True
+        ).alias("hsh"),
     )
     with_sig = with_sh.withColumn(
-        "sig", dd.minhash_signature(F.col("shingles"), k=8, portable=True)
+        "sig", dd.minhash_from_hashed(F.col("hsh"), k=8)
     )
     pairs = dd.lsh_candidate_pairs(with_sig, "doc_id", "sig", bands=4, rows_per_band=2)
     sh_a = with_sh.select(
-        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+        F.col("doc_id").alias("id_a"), F.col("hsh").alias("sh_a")
     )
     sh_b = with_sh.select(
-        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+        F.col("doc_id").alias("id_b"), F.col("hsh").alias("sh_b")
     )
     return (
         pairs.join(sh_a, "id_a")
