@@ -293,7 +293,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_jaccard_pairs",
     oracle=f"""
     WITH docs AS (
-      SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM documents
+      SELECT doc_id, source,
+             list_distinct(list_transform({_SHINGLES_SQL}, s -> {dd.oracle_hash32_sql("s")})) AS shingles
+      FROM documents
     )
     SELECT l.doc_id AS id_a, r.doc_id AS id_b,
            CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
@@ -304,22 +306,34 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact n-gram Jaccard similarity within source-blocked pairs "
     "(blocking keeps the join off the all-pairs cliff; the LSH variant "
-    "removes even the block constraint at scale).",
+    "removes even the block constraint at scale). Grams are int-hashed "
+    "once (dd.hashed_shingles, oracle mirrored) so the pairwise "
+    "intersect/union runs on longs, not strings.",
     tags=("datapipe", "dedup", "jaccard"),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")
-    sh = doc.select("doc_id", "source", dd.word_shingles(F.col("text"), 2).alias("sh"))
+    sh = doc.select(
+        "doc_id", "source",
+        dd.hashed_shingles(dd.word_shingles(F.col("text"), 2)).alias("sh"),
+    )
     left = sh.select(
         F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("sh").alias("sh_a")
     )
     right = sh.select(
         F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("sh").alias("sh_b")
     )
+    # size prefilter: jaccard(A,B) >= 0.3 forces 3*|A| <= 10*|B| and
+    # 3*|B| <= 10*|A|; evaluating the cheap integer bound inside the join
+    # prunes most pairs before any array intersect runs. Pure superset
+    # pruning - the result set (and the oracle) are unchanged.
     return (
         left.join(
             right,
-            (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b")),
+            (F.col("src_a") == F.col("src_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.size("sh_a") * 3 <= F.size("sh_b") * 10)
+            & (F.size("sh_b") * 3 <= F.size("sh_a") * 10),
         )
         .withColumn("jaccard", dd.jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= 0.3)
