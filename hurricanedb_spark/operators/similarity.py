@@ -150,6 +150,34 @@ def _table_sketches(vec: Column, dim: int, n_tables: int, bits: int) -> Column:
     return F.array(*sketches)
 
 
+def _table_sketches_kernel(dim: int, n_tables: int, bits: int):
+    """Arrow-batched form of _table_sketches: one numpy matmul computes
+    every plane dot for a whole batch (N x d @ d x T*B), instead of
+    T*B interpreted aggregate() folds per row. Same planes, same strict
+    sign rule; used on the CORPUS side where N is large — the expression
+    form remains for plan-literal contexts and documentation."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(_planes(dim, n_tables * bits), dtype=np.float64)  # (T*B, d)
+    weights = 2 ** np.arange(bits, dtype=np.int64)
+    offsets = (np.arange(n_tables, dtype=np.int64) * (2**bits))
+
+    @pandas_udf("array<bigint>")
+    def _sk(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        bits_on = (X @ P.T) > 0.0  # (n, T*B)
+        per_table = bits_on.reshape(len(X), n_tables, bits) @ weights
+        ids = per_table + offsets[None, :]
+        return pd.Series([row.tolist() for row in ids])
+
+    return _sk
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -159,6 +187,7 @@ def ann_topk(
     k: int = 10,
     n_tables: int = 8,
     bits: int = 4,
+    kernel: bool = True,
 ) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH + exact cosine re-rank.
 
@@ -168,19 +197,20 @@ def ann_topk(
     broadcast (query batches are small relative to the corpus)."""
     from pyspark.sql import Window as W
 
+    sketches = (
+        _table_sketches_kernel(dim, n_tables, bits)
+        if kernel
+        else lambda col: _table_sketches(col, dim, n_tables, bits)
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        F.explode(_table_sketches(F.col(vec_col), dim, n_tables, bits)).alias(
-            "__bucket"
-        ),
+        F.explode(sketches(F.col(vec_col))).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        F.explode(_table_sketches(F.col(vec_col), dim, n_tables, bits)).alias(
-            "__bucket"
-        ),
+        F.explode(sketches(F.col(vec_col))).alias("__bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "__bucket")
@@ -248,6 +278,30 @@ def ivf_cells(vec: Column, centroids: list[list[float]], n_probe: int = 1) -> Co
     return F.transform(top, lambda s: s["c"])
 
 
+def ivf_cells_kernel(centroids: list[list[float]], n_probe: int):
+    """Arrow-batched form of ivf_cells: one matmul assigns a whole batch
+    to cells ( ||x-c||^2 = ||x||^2 - 2<x,c> + ||c||^2 ), stable argsort
+    for the expression path's (distance, centroid-id) tie-break."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    cn = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def _cells(v):
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.tolist() for row in idx])
+
+    return _cells
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -256,6 +310,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     n_probe: int = 4,
+    kernel: bool = True,
 ) -> DataFrame:
     """IVF ANN: corpus rows live in exactly ONE cell (nearest centroid);
     queries probe their `n_probe` nearest cells; exact cosine re-rank
@@ -270,15 +325,23 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
+    if kernel:
+        cells1 = ivf_cells_kernel(centroids, 1)
+        cellsp = ivf_cells_kernel(centroids, n_probe)
+        corpus_cell = cells1(F.col(vec_col))[0]
+        query_cells = cellsp(F.col(vec_col))
+    else:
+        corpus_cell = ivf_cells(F.col(vec_col), centroids, 1)[0]
+        query_cells = ivf_cells(F.col(vec_col), centroids, n_probe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        ivf_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+        corpus_cell.alias("__cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        F.explode(ivf_cells(F.col(vec_col), centroids, n_probe)).alias("__cell"),
+        F.explode(query_cells).alias("__cell"),
     )
     scored = (
         c.join(F.broadcast(q), "__cell")
