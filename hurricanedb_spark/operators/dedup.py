@@ -37,15 +37,11 @@ def perm_params(k: int) -> list[tuple[int, int]]:
 
 
 def portable_hash32(col: Column) -> Column:
-    """32-bit hash = first 8 hex chars of md5, parsed digit-by-digit.
-    Bit-identical in DuckDB (see oracle_hash32_sql) — used by the
-    oracle-checked dedup queries. Scale path: xxhash64 instead."""
-    hx = F.substring(F.md5(col), 1, 8)
-    val = F.lit(0).cast("long")
-    for j in range(8):
-        digit = F.instr(F.lit("0123456789abcdef"), F.substring(hx, j + 1, 1)) - 1
-        val = val + digit.cast("long") * F.lit(16 ** (7 - j)).cast("long")
-    return val
+    """32-bit hash = first 8 hex chars of md5 as an integer. Bit-identical
+    in DuckDB (oracle_hash32_sql parses the same hex digit-by-digit —
+    DuckDB has no conv(); Spark uses one conv() call, verified equal) —
+    used by the oracle-checked dedup queries. Scale path: xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def oracle_hash32_sql(expr: str) -> str:
