@@ -90,3 +90,57 @@ def q_streaming_windowed_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "q_streaming_theta_live",
+    oracle=None,  # custom stateful op: KMV state uses xxhash64, which the
+    # DuckDB oracle cannot reproduce; equivalence to the BATCH sketch is
+    # asserted bit-exactly in tests/test_streaming_stateful.py instead
+    doc="Continuous per-event-type distinct-user estimate, executed as a "
+    "LIVE applyInPandasWithState pipeline (streaming/stateful.py): KMV "
+    "theta-sketch state bounded O(K) per key across micro-batches — the "
+    "reference's realtime distinct-count-sketch path "
+    "(DistinctCountThetaSketchAggregationFunction over consuming "
+    "segments) as a Spark custom stateful operator.",
+    tags=("streaming", "live", "sketch"),
+)
+def q_streaming_theta_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.streaming.stateful import streaming_theta_distinct
+
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+
+    import tempfile
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"hstream_theta_{abs(hash(os.path.abspath(src)))}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    out = streaming_theta_distinct(stream, "event_type", "user_id", k=256)
+    name = "htheta_gate_sink"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # latest state row per key, sketch dropped (array column hashes are
+    # engine-specific; estimate + n_seen are the queryable surface)
+    snap = spark.table(name)
+    return (
+        snap.groupBy("event_type")
+        .agg(F.max(F.struct("n_seen", "estimate")).alias("s"))
+        .select(
+            "event_type",
+            F.col("s.estimate").alias("estimate"),
+            F.col("s.n_seen").alias("n_seen"),
+        )
+    )
