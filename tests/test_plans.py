@@ -122,3 +122,52 @@ def test_text_match_is_single_pass(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # one agg exchange (+AQE final)
     assert "contains" in plan.lower()
+
+
+def test_sf10_real_data_plan_regimes(spark):
+    """Against the actual 100x dataset (tools/gen_scale.py output; skipped
+    when the scratch data is absent): at the 10 MB default threshold,
+    load_dim must WITHHOLD the broadcast hint from customer (13 MB) and
+    part (14 MB) — past that the decision belongs to the planner, which
+    may still broadcast them when the column-pruned projection fits (it
+    does here: ssb_q4_1 reads 2-3 of their columns ≈ 3 MB), but must
+    never be forced to. The fact-fact lineitem ⋈ orders edge leaves the
+    broadcast regime entirely (SortMergeJoin)."""
+    import os
+
+    import pytest as _pytest
+
+    sf10 = "/root/repo/.scale/sf10"
+    if not os.path.exists(os.path.join(sf10, "customer.parquet")):
+        _pytest.skip("sf10 scratch data not generated")
+
+    from hurricanedb_spark.catalog.tables import load_dim, table_footprint_bytes
+
+    assert table_footprint_bytes(sf10, "customer") > 10 << 20
+    assert table_footprint_bytes(sf10, "part") > 10 << 20
+    assert table_footprint_bytes(sf10, "supplier") < 10 << 20
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 << 20))
+    try:
+        # the hint contract: big dims load UNHINTED, bounded dims hinted
+        def hinted(df) -> bool:
+            logical = df._jdf.queryExecution().logical().toString()
+            return "Hint" in logical
+
+        assert not hinted(load_dim(spark, sf10, "customer"))
+        assert not hinted(load_dim(spark, sf10, "part"))
+        assert hinted(load_dim(spark, sf10, "supplier"))
+        assert hinted(load_dim(spark, sf10, "nation"))
+
+        plan = _plan(spark, sf10, "ssb_q4_1")
+        # the fact-fact edge leaves the broadcast regime; bounded dims
+        # still broadcast; planner-chosen pruned-projection broadcasts of
+        # customer/part are allowed (its estimate, its call — the point
+        # is no OOM-forcing hint from our side)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "customer.parquet" in plan and "part.parquet" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark._hurricane_view_cache = None
