@@ -224,3 +224,40 @@ def q_idset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "q_text_match_slop",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE len(list_filter(
+            list_filter(range(1, len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '')) + 1),
+                        i -> list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '')[i] = 'fast'),
+            i -> len(list_filter(
+                   list_filter(range(1, len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '')) + 1),
+                               j -> list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '')[j] = 'table'),
+                   j -> CASE WHEN j > i THEN j - i - 1 <= 1
+                             WHEN j < i THEN i - j + 1 <= 1
+                             ELSE false END)) > 0)) > 0
+    GROUP BY lang
+    """,
+    doc="TEXT_MATCH two-term sloppy phrase '\"fast table\"~1' with EXACT "
+    "Lucene slop semantics (in-order cost = token gap, reversed adjacent "
+    "pair costs 2 — SloppyPhraseMatcher): token positions via "
+    "sequence/element_at inside codegen; the oracle replays the same "
+    "position algebra with DuckDB range/list_filter. Note the analyzed-"
+    "token tokenization differs from raw substring containment, so this "
+    "is a strictly different (and larger) match set than LIKE "
+    "'%fast table%'.",
+    tags=("filter", "text"),
+)
+def q_text_match_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cond = translate_text_match("text", '"fast table"~1')
+    return docs.filter(F.expr(cond)).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -74,6 +74,26 @@ def _range_expr(col: str, tok: str) -> str:
     return f"exists({_tokens(col)}, t -> {body})"
 
 
+def _positions(col: str, word: str) -> str:
+    """1-based positions of `word` among the analyzed tokens of col."""
+    toks = _tokens(col)
+    return (
+        f"filter(sequence(1, size({toks})), "
+        f"i -> element_at({toks}, i) = {_sql_quote(word)})"
+    )
+
+
+def _slop2_expr(col: str, w1: str, w2: str, slop: int) -> str:
+    """Two-term sloppy phrase: exists positions i of w1, j of w2 with
+    in-order cost j-i-1 <= slop, or reversed cost i-j+1 <= slop."""
+    p1, p2 = _positions(col, w1), _positions(col, w2)
+    cond = (
+        f"CASE WHEN j > i THEN j - i - 1 <= {slop} "
+        f"WHEN j < i THEN i - j + 1 <= {slop} ELSE false END"
+    )
+    return f"exists({p1}, i -> exists({p2}, j -> {cond}))"
+
+
 def _wildcard_token_regex(word: str) -> str:
     """Lucene WildcardQuery -> anchored regex over one analyzed token:
     `?` = one character, `*` = any run (terms are alnum, so `.` is safe)."""
@@ -97,9 +117,17 @@ def _term_expr(col: str, term: str) -> str:
         if boost:
             term = boost.group(1)
     if term.startswith('"'):
-        # optional proximity suffix "a b"~N: treated as phrase containment
-        # (conservative: matches a subset of Lucene slop matches)
-        phrase = re.match(r'^"([^"]*)"(?:~\d+)?$', term).group(1)
+        m = re.match(r'^"([^"]*)"(?:~(\d+))?$', term)
+        phrase, slop = m.group(1), m.group(2)
+        words = [w for w in re.split(r"[^a-zA-Z0-9]+", phrase.lower()) if w]
+        if slop is not None and len(words) == 2:
+            # exact Lucene slop for the two-term case: in-order occurrence
+            # costs gap (j-i-1), reversed costs i-j+1 (adjacent transposed
+            # pair = 2, matching SloppyPhraseMatcher). Token positions via
+            # sequence+element_at, all inside codegen.
+            return _slop2_expr(col, words[0], words[1], int(slop))
+        # containment (exact for slop 0 / unspecified; for >=3 terms with
+        # slop, a conservative subset of Lucene's matches)
         return f"contains({col}, {_sql_quote(phrase)})"
     if term.startswith("/") and term.endswith("/"):
         return f"regexp_like({col}, {_sql_quote(term[1:-1])})"

@@ -488,3 +488,27 @@ def test_text_match_midword_wildcards(spark):
         r.id for r in df.filter(F.expr(translate_text_match("col", "t*t"))).collect()
     )
     assert got2 == [1, 2]  # test/text/toast all match t*t
+
+
+def test_text_match_two_term_slop_exact(spark):
+    """Two-term "a b"~N now uses exact Lucene slop semantics: in-order
+    cost = gap, reversed adjacent pair costs 2."""
+    df = spark.createDataFrame(
+        [(1, "the quick fox jumped"),       # quick fox adjacent
+         (2, "the quick brown fox jumped"), # gap 1
+         (3, "the quick brown lazy fox"),   # gap 2
+         (4, "the fox saw something quick"),# reversed, gap 3
+         (5, "fox quick")],                 # reversed adjacent
+        "id int, col string",
+    )
+
+    def ids(q):
+        e = translate_text_match("col", q)
+        return sorted(r.id for r in df.filter(F.expr(e)).collect())
+
+    assert ids('"quick fox"~0') == [1]
+    assert ids('"quick fox"~1') == [1, 2]
+    assert ids('"quick fox"~2') == [1, 2, 3, 5]  # reversed adjacent = 2
+    assert ids('"quick fox"~4') == [1, 2, 3, 4, 5]
+    # slop-less phrases keep exact containment semantics
+    assert ids('"quick fox"') == [1]
