@@ -136,7 +136,7 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
         "ELSE substring(hex(substring(w, 2, 4)), 7, 2) END, 16, 10) AS INT))",
     ),
     # --- json (JsonFunctions.java) ---
-    "jsonextractscalar": (["j", "p"], "get_json_object(j, p)"),
+    # jsonextractscalar: 2/3/4-arg forms handled in sql/dialect.py
     "jsonextractkey": (["j"], "json_object_keys(j)"),
     "jsonformat": (["j"], "to_json(j)"),
     "jsonpathstring": (["j", "p"], "get_json_object(j, p)"),

@@ -127,6 +127,44 @@ def _date_time_convert(args: list[str]) -> str:
     return f"date_format(timestamp_millis({bucket}), '{_java_to_spark_fmt(opat)}')"
 
 
+_JSON_TYPE = {
+    "INT": "INT", "LONG": "BIGINT", "FLOAT": "FLOAT", "DOUBLE": "DOUBLE",
+    "BOOLEAN": "BOOLEAN", "STRING": "STRING", "BIG_DECIMAL": "DECIMAL(38,18)",
+    "TIMESTAMP": "TIMESTAMP",
+}
+_JSON_ARRAY_TYPE = {
+    "INT_ARRAY": "array<int>", "LONG_ARRAY": "array<bigint>",
+    "FLOAT_ARRAY": "array<float>", "DOUBLE_ARRAY": "array<double>",
+    "STRING_ARRAY": "array<string>",
+}
+
+
+def _json_extract_scalar(args: list[str]) -> str:
+    """jsonExtractScalar(json, 'path', 'resultsType'[, default])
+    (JsonExtractScalarTransformFunction.java:49-107; 2-arg legacy form
+    kept as plain extraction). Scalars cast from the extracted text;
+    *_ARRAY types parse the extracted JSON array; the 4-arg default
+    applies when the path is missing (null extraction)."""
+    j, p = args[0], args[1]
+    if len(args) == 2:
+        return f"get_json_object({j}, {p})"
+    rtype = _strip_quotes(args[2]).upper()
+    if rtype in _JSON_ARRAY_TYPE:
+        body = f"from_json(get_json_object({j}, {p}), '{_JSON_ARRAY_TYPE[rtype]}')"
+    elif rtype in _JSON_TYPE:
+        body = f"CAST(get_json_object({j}, {p}) AS {_JSON_TYPE[rtype]})"
+    else:
+        raise ValueError(f"jsonExtractScalar: unsupported resultsType {rtype}")
+    if len(args) >= 4:
+        default = args[3]
+        cast_default = (
+            default if rtype in _JSON_ARRAY_TYPE
+            else f"CAST({default} AS {_JSON_TYPE[rtype]})"
+        )
+        body = f"coalesce({body}, {cast_default})"
+    return body
+
+
 def _find_calls(sql: str, names: set[str]) -> list[tuple[int, int, str, list[str]]]:
     """Find outermost known-name calls as (start, end, name, args); string
     literals are opaque."""
@@ -322,7 +360,7 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
         set(macros)
         | set(_AGG_REWRITES)
         | {"text_match", "text_contains", "lookup", "timeconvert",
-           "datetimeconvert", "groovy"}
+           "datetimeconvert", "groovy", "jsonextractscalar"}
     )
     for _ in range(max_passes):
         calls = _find_calls(sql, names)
@@ -342,6 +380,8 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
                     body = re.sub(rf"\b{p}\b", f"({a})", body)
             elif name == "timeconvert":
                 body = _time_convert(args)
+            elif name == "jsonextractscalar":
+                body = _json_extract_scalar(args)
             elif name == "datetimeconvert":
                 body = _date_time_convert(args)
             elif name == "text_match":

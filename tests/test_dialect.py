@@ -512,3 +512,17 @@ def test_text_match_two_term_slop_exact(spark):
     assert ids('"quick fox"~4') == [1, 2, 3, 4, 5]
     # slop-less phrases keep exact containment semantics
     assert ids('"quick fox"') == [1]
+
+
+def test_json_extract_scalar_typed_and_default(hdb):
+    rows = hdb.sql(
+        "SELECT jsonextractscalar(props, '$.k', 'DOUBLE') AS kd, "
+        "jsonextractscalar(props, '$.missing', 'LONG', 42) AS dflt, "
+        "jsonextractscalar(props, '$.k') AS raw "
+        "FROM events WHERE event_id = 0",
+        default_limit=None,
+    ).collect()
+    r = rows[0]
+    assert isinstance(r.kd, float)
+    assert r.dflt == 42
+    assert isinstance(r.raw, str)
