@@ -47,8 +47,26 @@ def _extract(col: str, path: str, numeric: bool) -> str:
     return f"CAST({base} AS DOUBLE)" if numeric else base
 
 
+def _array_any(col: str, path: str, numeric: bool, body: str) -> str:
+    """[*] paths: Pinot's JSON index flattens arrays, so a predicate on a
+    `[*]` path matches when ANY flattened value satisfies it
+    (JsonIndexCreator flatten semantics). get_json_object already returns
+    the JSON array of matched values for `[*]` paths; exists() applies
+    the predicate per element."""
+    elem_t = "array<double>" if numeric else "array<string>"
+    raw = f"get_json_object({col}, '{path}')"
+    # a [*] path with exactly one match extracts as the bare scalar, not a
+    # one-element array — re-wrap so from_json always sees an array
+    arr_text = (
+        f"CASE WHEN left({raw}, 1) = '[' THEN {raw} "
+        f"ELSE concat('[', {raw}, ']') END"
+    )
+    return f"exists(from_json({arr_text}, '{elem_t}'), __e -> __e {body})"
+
+
 def _one(col: str, m: re.Match) -> str:
     path = m.group("path")
+    starred = "[*]" in path
     if m.group("isnull"):
         null_kw = " ".join(m.group("isnull").upper().split())
         return f"{_extract(col, path, False)} {null_kw}"
@@ -58,10 +76,14 @@ def _one(col: str, m: re.Match) -> str:
         numeric = all(
             _NUM.match(v.strip()) for v in items.split(",") if v.strip()
         )
+        if starred:
+            return _array_any(col, path, numeric, f"{kw} ({items})")
         return f"{_extract(col, path, numeric)} {kw} ({items})"
     op = "<>" if m.group("op") == "!=" else m.group("op")
     lit = m.group("lit")
     numeric = bool(_NUM.match(lit))
+    if starred:
+        return _array_any(col, path, numeric, f"{op} {lit}")
     return f"{_extract(col, path, numeric)} {op} {lit}"
 
 

@@ -526,3 +526,29 @@ def test_json_extract_scalar_typed_and_default(hdb):
     assert isinstance(r.kd, float)
     assert r.dflt == 42
     assert isinstance(r.raw, str)
+
+
+def test_json_match_array_star_semantics(spark):
+    """'[*]' paths use Pinot's flattened any-element semantics: the
+    predicate matches when ANY array element satisfies it."""
+    from hurricanedb_spark.sql.json_match import translate_json_match as t
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"tags": ["red", "blue"], "scores": [1, 9]}'),
+            (2, '{"tags": ["green"], "scores": [2, 3]}'),
+            (3, '{"tags": [], "scores": []}'),
+        ],
+        "id int, j string",
+    )
+
+    def ids(cond):
+        return sorted(
+            r.id for r in df.filter(F.expr(t("j", cond))).collect()
+        )
+
+    assert ids('"$.tags[*]" = \'red\'') == [1]
+    assert ids('"$.scores[*]" > 5') == [1]
+    assert ids('"$.scores[*]" <= 3') == [1, 2]
+    assert ids('"$.tags[*]" IN (\'green\', \'red\')') == [1, 2]
+    assert ids('"$.tags[*]" != \'red\'') == [1, 2]  # any element differs
