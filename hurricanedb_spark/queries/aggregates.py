@@ -301,3 +301,72 @@ def q_hll_raw_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_distinct"),
         F.count(F.lit(1)).alias("n_sketches"),
     )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT l_returnflag,
+           [SUM(CASE WHEN l_quantity >= 0.0 AND l_quantity < 10.0 THEN 1 ELSE 0 END),
+            SUM(CASE WHEN l_quantity >= 10.0 AND l_quantity < 20.0 THEN 1 ELSE 0 END),
+            SUM(CASE WHEN l_quantity >= 20.0 AND l_quantity < 30.0 THEN 1 ELSE 0 END),
+            SUM(CASE WHEN l_quantity >= 30.0 AND l_quantity < 40.0 THEN 1 ELSE 0 END),
+            SUM(CASE WHEN l_quantity >= 40.0 AND l_quantity <= 50.0 THEN 1 ELSE 0 END)] AS bins
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="HISTOGRAM aggregation (HistogramAggregationFunction.java:46-140): "
+    "equal-width bins over [lower, upper], out-of-range values ignored, "
+    "upper edge inclusive in the last bin. The dialect expands "
+    "histogram(l_quantity, 0, 50, 5) to one sum(CASE) per bin, each with "
+    "a map-side partial phase — shuffle volume stays O(groups x bins).",
+    tags=("aggregation", "histogram"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.catalog.tables import register_views
+    from hurricanedb_spark.sql.dialect import rewrite_functions
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        rewrite_functions(
+            "SELECT l_returnflag, histogram(l_quantity, 0, 50, 5) AS bins "
+            "FROM lineitem GROUP BY l_returnflag"
+        )
+    )
+
+
+@register(
+    "q_mv_distinct_aggregates",
+    oracle="""
+    SELECT CAST(vec_id % 5 AS BIGINT) AS grp,
+           CAST(len(list_distinct(flatten(list(embedding)))) AS INT) AS dc,
+           CAST(MAX(list_max(embedding)) - MIN(list_min(embedding)) AS FLOAT) AS mmr,
+           CAST(list_sort(flatten(list(embedding)))[
+             CAST((len(flatten(list(embedding))) * 50) // 100 AS INT) + 1
+           ] AS FLOAT) AS p50
+    FROM embeddings
+    GROUP BY vec_id % 5
+    """,
+    doc="MV-column aggregate family over array<float> embeddings "
+    "(AggregationFunctionType *MV rows: DISTINCTCOUNTMV, MINMAXRANGEMV, "
+    "PERCENTILEMV): distinct/percentile forms aggregate the flattened "
+    "element multiset (collect_set of arrays -> flatten -> distinct; "
+    "percentile uses the reference's index convention "
+    "PercentileAggregationFunction.java:152-165 — 0-based "
+    "size*p/100, p=100 -> last). minmaxrangemv stays fully decomposable "
+    "(max of array_max / min of array_min partials).",
+    tags=("aggregation", "mv"),
+)
+def q_mv_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.catalog.tables import register_views
+    from hurricanedb_spark.sql.dialect import rewrite_functions
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        rewrite_functions(
+            "SELECT CAST(vec_id % 5 AS BIGINT) AS grp, "
+            "distinctcountmv(embedding) AS dc, "
+            "CAST(minmaxrangemv(embedding) AS FLOAT) AS mmr, "
+            "CAST(percentilemv(embedding, 50) AS FLOAT) AS p50 "
+            "FROM embeddings GROUP BY vec_id % 5"
+        )
+    )

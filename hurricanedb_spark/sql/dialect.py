@@ -53,7 +53,28 @@ _AGG_REWRITES: dict[str, str] = {
     "boolOr".lower(): "bool_or($1)",
     "idset": "collect_set($1)",
     "fourthmoment": "(sum(power($1, 4)) / count($1))",
-    # MV aggregates: explode-free via higher-order pre-fold
+    # MV aggregates: explode-free via higher-order pre-fold. The
+    # DISTINCT*/PERCENTILE* MV forms collect per-group distinct arrays /
+    # values first — state bounded by distinct MV values per group (the
+    # same bound the reference's dictionary-encoded MV columns imply),
+    # exact where Pinot's HLL forms are approximate (documented
+    # exactness-superset, as with the theta set-ops).
+    "distinctcountmv": "size(array_distinct(flatten(collect_set($1))))",
+    "distinctcountbitmapmv": "size(array_distinct(flatten(collect_set($1))))",
+    "distinctcounthllmv": "size(array_distinct(flatten(collect_set($1))))",
+    "distinctcountrawhllmv": "size(array_distinct(flatten(collect_set($1))))",
+    "distinctsummv": "aggregate(array_distinct(flatten(collect_set($1))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))",
+    "distinctavgmv": "(aggregate(array_distinct(flatten(collect_set($1))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)) / size(array_distinct(flatten(collect_set($1)))))",
+    "minmaxrangemv": "(max(array_max($1)) - min(array_min($1)))",
+    "percentilemv": "element_at(array_sort(flatten(collect_list($1))), CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END)",
+    "percentileestmv": "element_at(array_sort(flatten(collect_list($1))), CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END)",
+    "percentiletdigestmv": "element_at(array_sort(flatten(collect_list($1))), CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END)",
+    "percentilerawtdigestmv": "element_at(array_sort(flatten(collect_list($1))), CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END)",
+    "percentilerawestmv": "element_at(array_sort(flatten(collect_list($1))), CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END)",
+    "percentilerawest": "percentile_approx($1, $2 / 100)",
+    "distinctcountrawthetasketch": "approx_count_distinct($1)",
+    # STUnion SQL name (Python API: functions/geo.py:st_union_agg)
+    "stunion": "array_sort(collect_set($1))",
     "countmv": "sum(size($1))",
     "summv": "sum(aggregate($1, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)))",
     "minmv": "min(array_min($1))",
@@ -163,6 +184,37 @@ def _json_extract_scalar(args: list[str]) -> str:
         )
         body = f"coalesce({body}, {cast_default})"
     return body
+
+
+def _histogram(args: list[str]) -> str:
+    """histogram(col, lower, upper, numBins) / histogram(col, ARRAY[...])
+    (HistogramAggregationFunction.java:46-140): values outside
+    [lower, upper] are ignored, val == upper lands in the last bin,
+    otherwise bin = floor((val-lower)/width). Expanded to one
+    sum(CASE ...) per bin — bin edges are query literals, so each bin
+    partial-aggregates map-side like any other sum."""
+    col = args[0]
+    # the arg splitter breaks on commas inside ARRAY[...] (brackets are
+    # not tracked); rejoin before matching the edge-vector form
+    joined = ", ".join(a.strip() for a in args[1:])
+    arr = re.match(r"(?i)^array\s*\[(.*)\]$", joined)
+    if arr:
+        edges = [float(v) for v in arr.group(1).split(",")]
+    else:
+        lo, hi, nb = (float(_strip_quotes(args[1])), float(_strip_quotes(args[2])),
+                      int(float(_strip_quotes(args[3]))))
+        w = (hi - lo) / nb
+        edges = [lo + i * w for i in range(nb)] + [hi]
+    sums = []
+    for i in range(len(edges) - 1):
+        left, right = edges[i], edges[i + 1]
+        last = i == len(edges) - 2
+        op = "<=" if last else "<"
+        sums.append(
+            f"sum(CASE WHEN ({col}) >= {left!r} AND ({col}) {op} {right!r} "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return f"array({', '.join(sums)})"
 
 
 def _find_calls(sql: str, names: set[str]) -> list[tuple[int, int, str, list[str]]]:
@@ -360,7 +412,7 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
         set(macros)
         | set(_AGG_REWRITES)
         | {"text_match", "text_contains", "lookup", "timeconvert",
-           "datetimeconvert", "groovy", "jsonextractscalar"}
+           "datetimeconvert", "groovy", "jsonextractscalar", "histogram"}
     )
     for _ in range(max_passes):
         calls = _find_calls(sql, names)
@@ -382,6 +434,8 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
                 body = _time_convert(args)
             elif name == "jsonextractscalar":
                 body = _json_extract_scalar(args)
+            elif name == "histogram":
+                body = _histogram(args)
             elif name == "datetimeconvert":
                 body = _date_time_convert(args)
             elif name == "text_match":

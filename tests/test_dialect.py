@@ -552,3 +552,23 @@ def test_json_match_array_star_semantics(spark):
     assert ids('"$.scores[*]" <= 3') == [1, 2]
     assert ids('"$.tags[*]" IN (\'green\', \'red\')') == [1, 2]
     assert ids('"$.tags[*]" != \'red\'') == [1, 2]  # any element differs
+
+
+def test_histogram_and_mv_aggregates(hdb):
+    row = hdb.sql(
+        "SELECT histogram(l_quantity, 0, 50, 5) AS bins FROM lineitem",
+        default_limit=None,
+    ).collect()[0]
+    assert len(row.bins) == 5 and sum(row.bins) == 6000  # every qty in range
+    row2 = hdb.sql(
+        "SELECT distinctcountmv(embedding) AS dc, "
+        "minmaxrangemv(embedding) AS mmr, "
+        "percentilemv(embedding, 100) AS p100 FROM embeddings",
+        default_limit=None,
+    ).collect()[0]
+    assert row2.dc > 0 and row2.mmr > 0
+    gmax = hdb.sql(
+        "SELECT max(array_max(embedding)) AS m FROM embeddings",
+        default_limit=None,
+    ).collect()[0].m
+    assert row2.p100 == gmax  # percentile 100 = last sorted element
