@@ -135,6 +135,20 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
         "THEN substring(hex(substring(w, 2, 4)), 1, 2) "
         "ELSE substring(hex(substring(w, 2, 4)), 7, 2) END, 16, 10) AS INT))",
     ),
+    # mapValue(keysCol, 'key', valuesCol): parallel-array map lookup
+    # (TransformFunctionType.MAPVALUE / MapValueTransformFunction)
+    "mapvalue": (
+        ["ks", "k", "vs"],
+        "CASE WHEN array_position(ks, k) > 0 "
+        "THEN element_at(vs, CAST(array_position(ks, k) AS INT)) END",
+    ),
+    # inIdSet(col, 'serialized-idset'): membership against the base64-JSON
+    # IdSet literal produced by sql/idset.py (IN_ID_SET / InIdSetTransformFunction)
+    "inidset": (
+        ["c", "s"],
+        "array_contains(from_json(CAST(unbase64(s) AS STRING), 'array<bigint>'), "
+        "CAST(c AS BIGINT))",
+    ),
     # --- json (JsonFunctions.java) ---
     # jsonextractscalar: 2/3/4-arg forms handled in sql/dialect.py
     "jsonextractkey": (["j"], "json_object_keys(j)"),

@@ -217,6 +217,19 @@ def _histogram(args: list[str]) -> str:
     return f"array({', '.join(sums)})"
 
 
+def _regexp_extract(args: list[str]) -> str:
+    """regexpExtract(value, regexp[, group[, default]])
+    (RegexpExtractTransformFunction): group defaults to 0 (whole match),
+    4-arg default applies when nothing matches (Spark's regexp_extract
+    returns '' there)."""
+    v, p = args[0], args[1]
+    g = args[2] if len(args) >= 3 else "0"
+    body = f"regexp_extract({v}, {p}, {g})"
+    if len(args) >= 4:
+        body = f"nvl(nullif({body}, ''), {args[3]})"
+    return body
+
+
 def _find_calls(sql: str, names: set[str]) -> list[tuple[int, int, str, list[str]]]:
     """Find outermost known-name calls as (start, end, name, args); string
     literals are opaque."""
@@ -412,7 +425,8 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
         set(macros)
         | set(_AGG_REWRITES)
         | {"text_match", "text_contains", "lookup", "timeconvert",
-           "datetimeconvert", "groovy", "jsonextractscalar", "histogram"}
+           "datetimeconvert", "groovy", "jsonextractscalar", "histogram",
+           "regexpextract"}
     )
     for _ in range(max_passes):
         calls = _find_calls(sql, names)
@@ -436,6 +450,8 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
                 body = _json_extract_scalar(args)
             elif name == "histogram":
                 body = _histogram(args)
+            elif name == "regexpextract":
+                body = _regexp_extract(args)
             elif name == "datetimeconvert":
                 body = _date_time_convert(args)
             elif name == "text_match":

@@ -572,3 +572,22 @@ def test_histogram_and_mv_aggregates(hdb):
         default_limit=None,
     ).collect()[0].m
     assert row2.p100 == gmax  # percentile 100 = last sorted element
+
+
+def test_mapvalue_inidset_regexpextract(hdb, spark):
+    import base64 as _b64
+
+    lit = _b64.b64encode(b"[2, 5]").decode()
+    row = hdb.sql(
+        "SELECT mapvalue(array('a','b'), 'b', array(10, 20)) AS mv, "
+        "mapvalue(array('a'), 'zz', array(1)) AS mv_missing, "
+        f"inidset(2, '{lit}') AS in_set, "
+        f"inidset(3, '{lit}') AS out_set, "
+        "regexpextract('ab-12-cd', '(\\\\d+)') AS whole, "
+        "regexpextract('ab-12-cd', '(\\\\d+)', 1) AS grp, "
+        "regexpextract('nope', '(\\\\d+)', 1, 'dflt') AS dflt",
+        default_limit=1,
+    ).collect()[0]
+    assert row.mv == 20 and row.mv_missing is None
+    assert row.in_set is True and row.out_set is False
+    assert row.whole == "12" and row.grp == "12" and row.dflt == "dflt"
