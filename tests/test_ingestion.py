@@ -155,3 +155,53 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_bucketed_join_zero_exchange_at_sf10(spark):
+    """Real-volume co-located join proof (skipped unless
+    tools/bench_bucketed.py has built the sf10 bucketed tables): the
+    60M ⋈ 15M orderkey join over bucketed storage plans with ZERO
+    exchanges on the join keys."""
+    import os
+
+    import pytest as _pytest
+
+    def _attach(table: str, bucket_col: str):
+        """Catalog entries are session-scoped without a metastore:
+        re-attach the tool's bucketed files by DDL (bucket spec + the
+        bucket-id-stamped filenames it wrote)."""
+        if spark.catalog.tableExists(table):
+            return True
+        loc = os.path.abspath(os.path.join("spark-warehouse", table))
+        if not os.path.isdir(loc):
+            return False
+        schema = spark.read.parquet(loc).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CLUSTERED BY ({bucket_col}) INTO 32 BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        return True
+
+    if not (_attach("li_bkt_bench", "l_orderkey")
+            and _attach("ord_bkt_bench", "o_orderkey")):
+        _pytest.skip("run tools/bench_bucketed.py first")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.table("li_bkt_bench").join(
+            spark.table("ord_bkt_bench"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy().count()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in tree, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in tree, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
