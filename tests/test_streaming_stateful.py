@@ -95,3 +95,48 @@ def test_streaming_sketch_state_bounded(spark, src_dir):
     row = spark.table(name).orderBy(F.desc("n_seen")).collect()[0]
     assert len(row.sketch) == K  # state bounded regardless of input size
     assert abs(row.estimate - 5_000) / 5_000 < 0.7
+
+
+def test_streaming_sketch_survives_restart(spark, src_dir):
+    """Checkpointed state continuity: stop the query, add data, restart
+    with the same checkpoint — the resumed state must include the first
+    run's contribution (equal to the batch sketch over ALL rows)."""
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="hstateful-ckpt-")
+    rows1 = [("a", i) for i in range(400)]
+    rows2 = [("a", i) for i in range(200, 600)]
+    _write_batch(spark, src_dir, "f1", rows1)
+
+    sink = tempfile.mkdtemp(prefix="hstateful-sink-")
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        stream = spark.readStream.schema("k string, v long").parquet(src_dir + "/*")
+        out = streaming_theta_distinct(stream, "k", "v", k=K)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda bdf, eid: bdf.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    _write_batch(spark, src_dir, "f2", rows2)
+    run_once()
+
+    final = spark.read.parquet(sink).orderBy(F.desc("n_seen")).collect()[0]
+    batch = th.theta_sketch_by_group(
+        spark.createDataFrame(rows1 + rows2, "k string, v long"), ["k"], "v", k=K
+    ).collect()[0]
+    assert list(final.sketch) == list(batch.sketch)  # state carried over
+    assert final.n_seen == 800
+
+    import shutil as _sh
+
+    _sh.rmtree(ckpt, ignore_errors=True)
+    _sh.rmtree(sink, ignore_errors=True)
