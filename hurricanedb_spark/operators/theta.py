@@ -37,9 +37,14 @@ DEFAULT_K = 1024
 
 def u01_hash(col: Column) -> Column:
     """Uniform (0,1] hash of any column: xxhash64 shifted to unsigned and
-    scaled. Deterministic across sessions (fixed seed), JVM-side."""
+    scaled. Deterministic across sessions (fixed seed), JVM-side.
+
+    NULL maps to NULL (not the seed hash xxhash64 would return): distinct
+    counts skip NULLs — SQL COUNT(DISTINCT) semantics and the reference's
+    aggregations — so NULL must never claim a sketch slot."""
     # (h + 2^63 + 1) / 2^64 maps signed-long hashes onto (0, 1]
-    return (F.xxhash64(col).cast("double") + F.lit(2.0**63 + 1)) / F.lit(2.0**64)
+    u = (F.xxhash64(col).cast("double") + F.lit(2.0**63 + 1)) / F.lit(2.0**64)
+    return F.when(col.isNotNull(), u)
 
 
 def theta_sketch_by_group(
@@ -67,6 +72,7 @@ def theta_sketch_by_group(
             rows = []
             for key, grp in pdf.groupby(group_cols, dropna=False, sort=False):
                 u = grp["__u"].to_numpy(dtype=np.float64)
+                u = u[~np.isnan(u)]  # NULL values: no sketch slot
                 u = np.unique(u)  # sorted distinct
                 key = key if isinstance(key, tuple) else (key,)
                 rows.append((*key, u[:k].tolist()))

@@ -63,6 +63,7 @@ def streaming_theta_distinct(
         for pdf in pdfs:
             u = pdf["__u"].to_numpy(dtype=np.float64)
             n_seen += len(u)
+            u = u[~np.isnan(u)]  # NULL values: counted in n_seen, no slot
             sk = np.unique(np.concatenate([sk, u]))[:k]  # sorted distinct
         state.update((sk.tolist(), int(n_seen)))
         if len(sk) < k:

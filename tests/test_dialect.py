@@ -591,3 +591,21 @@ def test_mapvalue_inidset_regexpextract(hdb, spark):
     assert row.mv == 20 and row.mv_missing is None
     assert row.in_set is True and row.out_set is False
     assert row.whole == "12" and row.grp == "12" and row.dflt == "dflt"
+
+
+def test_json_match_midpath_array_star(spark):
+    from hurricanedb_spark.sql.json_match import translate_json_match as t
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"items": [{"price": 5}, {"price": 20}]}'),
+            (2, '{"items": [{"price": 1}]}'),
+            (3, '{"items": []}'),
+        ],
+        "id int, j string",
+    )
+    got = sorted(
+        r.id
+        for r in df.filter(F.expr(t("j", '"$.items[*].price" > 10'))).collect()
+    )
+    assert got == [1]

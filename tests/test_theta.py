@@ -107,3 +107,22 @@ def test_grouped_sketches_one_shuffle(spark, sf_dir):
     # pre-adaptive tree under "== Initial Plan ==")
     tree = plan.split("== Initial Plan ==")[0]
     assert tree.count("Exchange") == 1, plan
+
+
+def test_nulls_take_no_sketch_slot(spark):
+    """COUNT(DISTINCT) semantics: NULL values must not hash into the
+    sketch (xxhash64 of NULL would otherwise claim a slot as the seed
+    constant)."""
+    df = spark.createDataFrame(
+        [("g", i) for i in range(50)] + [("g", None)] * 10,
+        "g string, v long",
+    )
+    out = th.theta_sketch_by_group(df, ["g"], "v", k=K).collect()[0]
+    assert len(out.sketch) == 50  # not 51
+    est = (
+        th.theta_sketch_by_group(df, ["g"], "v", k=K)
+        .select(th.theta_estimate(F.col("sketch"), K).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert est == 50.0
