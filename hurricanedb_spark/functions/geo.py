@@ -415,3 +415,16 @@ def canonical_ring(ring: Column) -> Column:
 
 def st_equals_polygon(a: Column, b: Column) -> Column:
     return canonical_ring(a) == canonical_ring(b)
+
+
+def st_polygon_as_text(ring: Column) -> Column:
+    """ST_AsText for polygon geometries (outer ring) — the emit side of
+    st_polygon_from_text (StAsTextFunction covers every geometry type via
+    JTS WKTWriter; here the two types this module models round-trip)."""
+    verts = F.transform(
+        ring,
+        lambda p: F.concat(
+            p["lon"].cast("string"), F.lit(" "), p["lat"].cast("string")
+        ),
+    )
+    return F.concat(F.lit("POLYGON (("), F.concat_ws(", ", verts), F.lit("))"))

@@ -307,3 +307,15 @@ def test_h3_golden_vectors(spark):
         assert got == expected
         if known:
             assert got == int(known, 16)
+
+
+def test_polygon_wkt_emit_roundtrip(spark):
+    wkt = "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 0.0))"
+    df = spark.createDataFrame([(wkt,)], "w string")
+    out = (
+        df.select(geo.st_polygon_from_text(F.col("w")).alias("r"))
+        .select(geo.st_polygon_as_text(F.col("r")).alias("w2"))
+        .collect()[0]
+        .w2
+    )
+    assert out == wkt
