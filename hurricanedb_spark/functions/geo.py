@@ -395,26 +395,78 @@ def st_equals_point(a: Column, b: Column) -> Column:
     return az == bz
 
 
+def _min_rotation(arr: Column) -> Column:
+    """Lexicographically smallest rotation of `arr`, considering EVERY
+    position whose vertex equals the array minimum — a ring whose min
+    vertex repeats (a pinch / self-touching ring) has several candidate
+    rotations and array_position would pick only the first occurrence,
+    which can differ between topologically equal rings."""
+    n = F.size(arr)
+    mn = F.array_min(arr)
+    rots = F.filter(
+        F.transform(
+            arr,
+            lambda x, i: F.when(
+                x == mn,
+                F.concat(F.slice(arr, i + F.lit(1), n), F.slice(arr, F.lit(1), i)),
+            ),
+        ),
+        lambda r: r.isNotNull(),
+    )
+    return F.array_min(rots)
+
+
 def canonical_ring(ring: Column) -> Column:
     """Orientation- and rotation-independent canonical form of a closed
-    ring: open the ring, rotate the minimum vertex to the front, and take
-    the lexicographically smaller of the two directions."""
+    ring: open the ring, rotate a minimum vertex to the front (all min
+    occurrences considered), and take the lexicographically smaller of the
+    two directions.
+
+    Expression-only form — valid when `ring` is a native array column.
+    Catalyst rejects Python-UDF subtrees inside higher-order lambdas, so
+    rings produced by st_polygon_from_wkb/text (pandas UDFs) must go
+    through _canonical_ring_kernel instead (st_equals_polygon does)."""
     opened = F.slice(ring, 1, F.size(ring) - 1)  # drop closing vertex
-    n = F.size(opened)
-    k = F.array_position(opened, F.array_min(opened))  # 1-based min index
+    return F.least(_min_rotation(opened), _min_rotation(F.reverse(opened)))
 
-    def rotate(arr, k):
-        return F.concat(F.slice(arr, k, n), F.slice(arr, 1, k - 1))
 
-    fwd = rotate(opened, k)
-    rev_open = F.reverse(opened)
-    krev = F.array_position(rev_open, F.array_min(rev_open))
-    rev = rotate(rev_open, krev)
-    return F.least(fwd, rev)
+def _canonical_ring_kernel() -> Column:
+    """Arrow-batched canonical-ring kernel: same semantics as
+    canonical_ring (all min-vertex occurrences considered in both
+    directions — a pinch ring whose minimum vertex repeats canonicalizes
+    identically regardless of traversal), usable on UDF-parsed rings."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<lon:double,lat:double>>")
+    def _canon(col):
+        def canon(ring):
+            if ring is None:
+                return None
+            pts = [(p["lon"] + 0.0, p["lat"] + 0.0) for p in ring]
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = pts[:-1]  # drop closing vertex
+            best = None
+            for seq in (pts, pts[::-1]):
+                if not seq:
+                    continue
+                mn = min(seq)
+                for i, v in enumerate(seq):
+                    if v == mn:
+                        rot = seq[i:] + seq[:i]
+                        if best is None or rot < best:
+                            best = rot
+            return (
+                [{"lon": x, "lat": y} for x, y in best] if best is not None else []
+            )
+
+        return col.apply(canon)
+
+    return _canon
 
 
 def st_equals_polygon(a: Column, b: Column) -> Column:
-    return canonical_ring(a) == canonical_ring(b)
+    canon = _canonical_ring_kernel()
+    return canon(a) == canon(b)
 
 
 def st_polygon_as_text(ring: Column) -> Column:

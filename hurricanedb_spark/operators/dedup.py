@@ -196,6 +196,77 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
 
 
+class QuadraticBlockError(ValueError):
+    """Raised when the exact pairwise-Jaccard baseline would run a
+    quadratic join over a block larger than the configured cap."""
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    shingles: Column,
+    threshold: float = 0.3,
+    max_block_rows: int = 100_000,
+) -> DataFrame:
+    """Exact blocked-quadratic Jaccard: all pairs within a block whose
+    shingle-set Jaccard >= threshold. This is the EXACT BASELINE / verify
+    metric — cost is O(sum over blocks of n_b^2). The guard below refuses
+    any block past `max_block_rows` (default 100k rows = 5e9 candidate
+    pairs per block before the size prefilter) so the baseline cannot be
+    launched accidentally against production-scale data; minhash-LSH
+    (`lsh_candidate_pairs`, O(docs*K + candidates)) is the scale path.
+    The pre-check is one cheap count-per-block aggregation; only offending
+    blocks ever reach the driver."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__blk"),
+        shingles.alias("__sh"),
+    )
+    hot = (
+        sh.groupBy("__blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_block_rows)
+        .orderBy(F.desc("n"))
+        .limit(5)
+        .collect()
+    )
+    if hot:
+        worst = ", ".join(f"{r['__blk']}={r['n']}" for r in hot)
+        raise QuadraticBlockError(
+            f"ngram_jaccard_pairs: block(s) exceed max_block_rows="
+            f"{max_block_rows} ({worst}); this exact baseline is O(pairs) "
+            f"per block — use minhash-LSH (lsh_candidate_pairs / "
+            f"minhash_lsh_dedup) as the scale path, or raise "
+            f"max_block_rows deliberately."
+        )
+    left = sh.select(
+        F.col("__id").alias("id_a"),
+        F.col("__blk").alias("src_a"),
+        F.col("__sh").alias("sh_a"),
+    )
+    right = sh.select(
+        F.col("__id").alias("id_b"),
+        F.col("__blk").alias("src_b"),
+        F.col("__sh").alias("sh_b"),
+    )
+    # size prefilter: jaccard(A,B) >= t forces t*|A| <= |B| and
+    # t*|B| <= |A|; the cheap integer bound prunes inside the join before
+    # any array intersect runs. Superset pruning — results unchanged.
+    return (
+        left.join(
+            right,
+            (F.col("src_a") == F.col("src_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.size("sh_a").cast("double") * threshold <= F.size("sh_b"))
+            & (F.size("sh_b").cast("double") * threshold <= F.size("sh_a")),
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash32(text: Column, portable: bool = True) -> Column:
     """32-bit SimHash over word tokens: bit b of the signature is the sign
     of sum over tokens of (+1 if bit b of hash(token) else -1)."""

@@ -312,32 +312,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "dedup", "jaccard"),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Guarded library op: refuses any source-block past max_block_rows
+    # (QuadraticBlockError naming the LSH scale path) before launching the
+    # O(pairs) join; includes the size prefilter inside the join.
     doc = _t(spark, sf_dir, "documents")
-    sh = doc.select(
-        "doc_id", "source",
-        dd.hashed_shingles(dd.word_shingles(F.col("text"), 2)).alias("sh"),
-    )
-    left = sh.select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("sh").alias("sh_a")
-    )
-    right = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("sh").alias("sh_b")
-    )
-    # size prefilter: jaccard(A,B) >= 0.3 forces 3*|A| <= 10*|B| and
-    # 3*|B| <= 10*|A|; evaluating the cheap integer bound inside the join
-    # prunes most pairs before any array intersect runs. Pure superset
-    # pruning - the result set (and the oracle) are unchanged.
-    return (
-        left.join(
-            right,
-            (F.col("src_a") == F.col("src_b"))
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.size("sh_a") * 3 <= F.size("sh_b") * 10)
-            & (F.size("sh_b") * 3 <= F.size("sh_a") * 10),
-        )
-        .withColumn("jaccard", dd.jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= 0.3)
-        .select("id_a", "id_b", "jaccard")
+    return dd.ngram_jaccard_pairs(
+        doc,
+        "doc_id",
+        "source",
+        dd.hashed_shingles(dd.word_shingles(F.col("text"), 2)),
+        threshold=0.3,
     )
 
 

@@ -124,6 +124,7 @@ def decode_struct(
         if ftype == T_STOP:
             return out, pos
         (fid,) = struct.unpack_from(">h", buf, pos)
+        fid &= 0xFFFF  # Short.toUnsignedInt (ThriftRecordReader.java:72)
         pos += 2
         spec = fields.get(fid)
         if spec is None:

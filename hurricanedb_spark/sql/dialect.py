@@ -25,6 +25,24 @@ from hurricanedb_spark.catalog.tables import register_views
 from hurricanedb_spark.functions.registry import register_all, sql_macros
 from hurricanedb_spark.sql.text_match import translate_text_match
 
+# Exact MV percentile: sort the flattened group values and index with the
+# reference's convention ((int)(p/100*n), PercentileAggregationFunction).
+# The empty-group CASE guard keeps it ANSI-safe: without it the index
+# resolves against an empty array (NULL under legacy config, a runtime
+# INVALID_ARRAY_INDEX under ANSI mode); with it empty groups yield NULL,
+# the reference's default final result. Per-group state is O(values in
+# group) — exact by design; the percentile*TDigest*/Est* MV names are
+# routed through the bounded-state explode + percentile_approx restructure
+# (rewrite_mv_percentile_bounded) and only fall back to this exact form
+# when the query shape blocks the restructure.
+_PCTL_MV_EXACT = (
+    "CASE WHEN size(flatten(collect_list($1))) > 0 THEN "
+    "element_at(array_sort(flatten(collect_list($1))), "
+    "CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) "
+    "ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END"
+    ") END"
+)
+
 # aggregation-name rewrites (AggregationFunctionType.java:33-97); the value
 # is a template with $1..$n placeholders.
 _AGG_REWRITES: dict[str, str] = {
@@ -66,11 +84,11 @@ _AGG_REWRITES: dict[str, str] = {
     "distinctsummv": "aggregate(array_distinct(flatten(collect_set($1))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))",
     "distinctavgmv": "(aggregate(array_distinct(flatten(collect_set($1))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)) / size(array_distinct(flatten(collect_set($1)))))",
     "minmaxrangemv": "(max(array_max($1)) - min(array_min($1)))",
-    "percentilemv": "element_at(array_sort(flatten(collect_list($1))), CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END)",
-    "percentileestmv": "element_at(array_sort(flatten(collect_list($1))), CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END)",
-    "percentiletdigestmv": "element_at(array_sort(flatten(collect_list($1))), CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END)",
-    "percentilerawtdigestmv": "element_at(array_sort(flatten(collect_list($1))), CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END)",
-    "percentilerawestmv": "element_at(array_sort(flatten(collect_list($1))), CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END)",
+    "percentilemv": _PCTL_MV_EXACT,
+    "percentileestmv": _PCTL_MV_EXACT,
+    "percentiletdigestmv": _PCTL_MV_EXACT,
+    "percentilerawtdigestmv": _PCTL_MV_EXACT,
+    "percentilerawestmv": _PCTL_MV_EXACT,
     "percentilerawest": "percentile_approx($1, $2 / 100)",
     "distinctcountrawthetasketch": "approx_count_distinct($1)",
     # STUnion SQL name (Python API: functions/geo.py:st_union_agg)
@@ -372,8 +390,26 @@ def translate_groovy(args: list[str]) -> str:
     script = _strip_quotes(raw)
     if raw != script:
         # The script arrived as a SQL string literal: '' is an escaped
-        # embedded quote. Decode to the true script text before scanning.
+        # embedded quote. Decode one SQL-escape level; the remaining ''
+        # pairs are the script's own embedded-quote escapes, which is the
+        # convention _segments scans AND the escape Spark SQL expects on
+        # emission, so decoded-once is the canonical working form.
         script = script.replace("''", "'")
+    # Fail closed on inconsistent escaping: a lone embedded quote (the
+    # user skipped one doubling level, e.g. 'arg0 == ''it''s''') mis-splits
+    # into an unterminated/odd literal; without this guard that emitted
+    # silently-broken SQL instead of the documented rejection.
+    for _lit, _t in _segments(script):
+        if _lit and not (
+            len(_t) >= 2
+            and _t.endswith("'")
+            and "'" not in _t[1:-1].replace("''", "")
+        ):
+            raise ValueError(
+                "groovy(): malformed string-literal escaping (use '' for an "
+                "embedded quote); register general scripts as UDFs via "
+                "spark.udf.register"
+            )
     # Structural guards inspect CODE only: literals may contain anything
     # (they are data), while code is held to the expression-subset charset
     # and must be statement-free (no ; or {).
@@ -483,6 +519,152 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
     return sql
 
 
+# ---- bounded-state MV percentile restructure -------------------------------
+# The reference feeds every MV element into a bounded sketch for the
+# TDigest/Est percentile names (PercentileTDigestMVAggregationFunction.java
+# — t-digest, O(compression) state per group). The pure-macro exact rewrite
+# materializes the whole group (O(values) state), which a billion-value
+# group would blow up at 100 TB. The Spark-native bounded form is
+# explode + percentile_approx (QuantileSummaries: bounded state, values
+# streamed through it) — that needs a query-shape restructure, done here
+# for the common Pinot shape
+#   SELECT ... FROM <table> [WHERE] [GROUP BY] [HAVING] [ORDER BY] [LIMIT]
+# by computing the percentiles in an exploded CTE LEFT-JOINed back on the
+# group keys (LEFT so groups whose arrays are all empty keep their NULL
+# default). Shapes outside this (joins, subqueries, DISTINCT, select-star,
+# ordinal GROUP BY) fall back to the exact macro — still correct, with the
+# documented O(group values) state bound. percentileMV itself always stays
+# exact, matching the reference's exact/sketch split.
+
+_TDMV_NAMES = {
+    "percentiletdigestmv",
+    "percentilerawtdigestmv",
+    "percentileestmv",
+    "percentilerawestmv",
+}
+
+_TDMV_SHAPE = re.compile(
+    r"^\s*select\s+(?P<sel>.*?)\s+from\s+(?P<tbl>[A-Za-z_]\w*)"
+    r"(?:\s+where\s+(?P<where>.*?))?"
+    r"(?:\s+group\s+by\s+(?P<gby>.*?))?"
+    r"(?:\s+having\s+(?P<having>.*?))?"
+    r"(?:\s+order\s+by\s+(?P<oby>.*?))?"
+    r"(?:\s+limit\s+(?P<lim>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (parens respected)."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return [p for p in parts if p]
+
+
+def rewrite_mv_percentile_bounded(sql: str) -> str:
+    """Restructure percentile*TDigest/Est*MV calls into a bounded-state
+    explode + percentile_approx CTE; return `sql` unchanged (exact-macro
+    fallback) when the query shape doesn't allow it."""
+    if not _find_calls(sql, _TDMV_NAMES):
+        return sql
+    low = sql.lower()
+    if len(re.findall(r"\bfrom\b", low)) != 1 or re.search(
+        r"\bjoin\b|\bunion\b|\bwith\b|\bselect\s+distinct\b", low
+    ):
+        return sql
+    m = _TDMV_SHAPE.match(sql)
+    if not m:
+        return sql
+    tbl = m.group("tbl")
+    if re.search(rf"\b{tbl}\s*\.", sql, re.IGNORECASE):
+        return sql  # table-qualified refs would dangle after the CTE rename
+    gby = _split_top(m.group("gby") or "")
+    if any(g.isdigit() for g in gby):
+        return sql  # ordinal keys aren't reconstructable in the CTE
+    if any(it == "*" or it.endswith(".*") for it in _split_top(m.group("sel"))):
+        return sql  # select-star would leak the helper columns
+
+    def _norm(s: str) -> str:
+        return " ".join(s.split())
+
+    assign: dict[tuple[str, str], str] = {}  # (col, pct) -> alias
+    colinfo: dict[str, tuple[str, list[tuple[str, str]]]] = {}
+
+    def _scan(text: str) -> None:
+        for _s, _e, _n, args in _find_calls(text, _TDMV_NAMES):
+            if len(args) != 2:
+                continue
+            k = (_norm(args[0]), _norm(args[1]))
+            if k not in assign:
+                alias = f"_tdmv_{len(assign)}"
+                assign[k] = alias
+                colinfo.setdefault(k[0], (args[0], []))[1].append((args[1], alias))
+
+    def _subst(text: str) -> str:
+        out, pos = [], 0
+        for s, e, _n, args in _find_calls(text, _TDMV_NAMES):
+            k = (_norm(args[0]), _norm(args[1])) if len(args) == 2 else None
+            if k not in assign:
+                continue
+            out.append(text[pos:s])
+            out.append(f"min({assign[k]})")
+            pos = e
+        out.append(text[pos:])
+        return "".join(out)
+
+    for clause in ("sel", "having", "oby"):
+        if m.group(clause):
+            _scan(m.group(clause))
+    if not assign:
+        return sql
+
+    where = f" WHERE {m.group('where')}" if m.group("where") else ""
+    ctes = [f"_mvsrc AS (SELECT * FROM {tbl}{where})"]
+    joined = "_mvsrc"
+    for j, (orig_col, plist) in enumerate(colinfo.values()):
+        keysel = "".join(f"{g} AS _gk_{i}, " for i, g in enumerate(gby))
+        pctsel = ", ".join(
+            f"percentile_approx(CAST(_mv AS DOUBLE), ({p}) / 100) AS {a}"
+            for p, a in plist
+        )
+        grp = f" GROUP BY {', '.join(gby)}" if gby else ""
+        ctes.append(
+            f"_mvp{j} AS (SELECT {keysel}{pctsel} "
+            f"FROM (SELECT *, explode({orig_col}) AS _mv FROM _mvsrc){grp})"
+        )
+        if gby:
+            cond = " AND ".join(
+                f"({g}) <=> _mvp{j}._gk_{i}" for i, g in enumerate(gby)
+            )
+            joined += f" LEFT JOIN _mvp{j} ON {cond}"
+        else:
+            joined += f" CROSS JOIN _mvp{j}"
+
+    out = f"WITH {', '.join(ctes)} SELECT {_subst(m.group('sel'))} FROM {joined}"
+    if gby:
+        out += f" GROUP BY {', '.join(gby)}"
+    if m.group("having"):
+        out += f" HAVING {_subst(m.group('having'))}"
+    if m.group("oby"):
+        out += f" ORDER BY {_subst(m.group('oby'))}"
+    if m.group("lim"):
+        out += f" LIMIT {m.group('lim')}"
+    return out
+
+
 _LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
 _EXPLAIN_RE = re.compile(r"^\s*explain\s+plan\s+for\s+", re.IGNORECASE)
 _SET_RE = re.compile(
@@ -575,7 +757,8 @@ class HurricaneSQL:
         explain = bool(_EXPLAIN_RE.match(query))
         if explain:
             query = _EXPLAIN_RE.sub("", query)
-        q = rewrite_functions(query)
+        q = rewrite_mv_percentile_bounded(query)
+        q = rewrite_functions(q)
         if default_limit is not None and not explain:
             q = apply_default_limit(q, default_limit)
         df = self.spark.sql(q)

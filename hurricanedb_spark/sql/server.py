@@ -135,7 +135,10 @@ class _Handler(BaseHTTPRequestHandler):
         is ever resident on the driver), then a trailer line with the row
         count. Errors mid-stream arrive in-band as an `exceptions` line,
         matching the batch endpoint's contract."""
-        chunk_rows = max(1, int(body.get("chunkSize", 10_000)))
+        try:
+            chunk_rows = max(1, int(body.get("chunkSize", 10_000)))
+        except (ValueError, TypeError):
+            chunk_rows = 10_000  # malformed chunkSize: default, not a dropped conn
         t0 = time.time()
         try:
             df = self.hdb.sql(sql)

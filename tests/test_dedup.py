@@ -156,3 +156,25 @@ def test_contamination_report_semantics_and_plan(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_jaccard_quadratic_guard(spark):
+    """The exact pairwise baseline must refuse oversized blocks and point
+    at the LSH scale path instead of silently launching an O(pairs) join."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.operators import dedup as dd
+
+    df = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.lit("blk").alias("source"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"),
+    )
+    sh = dd.hashed_shingles(dd.word_shingles(F.col("text"), 1))
+    with pytest.raises(dd.QuadraticBlockError, match="minhash"):
+        dd.ngram_jaccard_pairs(df, "doc_id", "source", sh, max_block_rows=10)
+    # under the cap: runs and self-pairs are excluded
+    out = dd.ngram_jaccard_pairs(df, "doc_id", "source", sh, max_block_rows=100)
+    assert out.filter("id_a >= id_b").count() == 0

@@ -609,3 +609,71 @@ def test_json_match_midpath_array_star(spark):
         for r in df.filter(F.expr(t("j", '"$.items[*].price" > 10'))).collect()
     )
     assert got == [1]
+
+
+def test_groovy_embedded_quote_and_malformed_escape():
+    """Canonical SQL-doubled embedded quotes decode + emit correctly;
+    inconsistently escaped input (one doubling level skipped) fails closed
+    instead of emitting an unterminated Spark literal."""
+    from hurricanedb_spark.sql.dialect import translate_groovy
+
+    meta = "'{\"returnType\":\"STRING\"}'"
+    out = translate_groovy([meta, "'arg0 == ''it''''s'''", "x"])
+    assert out == "CAST(((x) = 'it''s') AS STRING)"
+    with pytest.raises(ValueError, match="escaping"):
+        translate_groovy([meta, "'arg0 == ''it''s'''", "x"])
+
+
+def test_mv_percentile_bounded_restructure_shapes():
+    from hurricanedb_spark.sql.dialect import rewrite_mv_percentile_bounded as rw
+
+    grouped = rw(
+        "SELECT label, percentileTDigestMV(embedding, 95) AS p95 "
+        "FROM embeddings GROUP BY label"
+    )
+    assert "percentile_approx" in grouped and "explode(embedding)" in grouped
+    assert "collect_list" not in grouped and "LEFT JOIN" in grouped
+    global_q = rw("SELECT percentileRawTDigestMV(embedding, 50) AS p FROM embeddings")
+    assert "CROSS JOIN" in global_q and "percentile_approx" in global_q
+    # exact form and non-restructurable shapes fall back unchanged
+    for q in (
+        "SELECT percentileMV(embedding, 50) FROM embeddings",
+        "SELECT a, percentileEstMV(x, 90) FROM t JOIN u ON a = b GROUP BY a",
+        "SELECT *, percentileEstMV(x, 90) FROM t",
+        "SELECT percentileEstMV(x, 90) FROM t GROUP BY 1",
+    ):
+        assert rw(q) == q
+
+
+def test_mv_percentile_bounded_live(hdb, spark):
+    """Bounded TDigest MV percentile: no collect_list in the plan (state is
+    O(sketch) per group, not O(values)), result within 2% of the exact
+    form, NULL on empty groups even under ANSI mode."""
+    q = (
+        "SELECT label, percentileTDigestMV(embedding, 95) AS p95 "
+        "FROM embeddings GROUP BY label ORDER BY label"
+    )
+    df = hdb.sql(q, default_limit=None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    bounded = df.collect()
+    exact = hdb.sql(
+        "SELECT label, percentileMV(embedding, 95) AS p95 "
+        "FROM embeddings GROUP BY label ORDER BY label",
+        default_limit=None,
+    ).collect()
+    assert len(bounded) == len(exact) > 0
+    for a, b in zip(bounded, exact):
+        assert a.label == b.label
+        assert abs(a.p95 - b.p95) <= max(1e-9, abs(b.p95) * 0.02)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        r = hdb.sql(
+            "SELECT percentileRawTDigestMV(embedding, 50) AS p, "
+            "percentileMV(embedding, 100) AS pe "
+            "FROM embeddings WHERE vec_id < 0",
+            default_limit=None,
+        ).collect()
+        assert r[0].p is None and r[0].pe is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")

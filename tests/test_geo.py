@@ -319,3 +319,27 @@ def test_polygon_wkt_emit_roundtrip(spark):
         .w2
     )
     assert out == wkt
+
+
+def test_st_equals_pinch_ring_repeated_min_vertex(spark):
+    """A pinch ring visits its minimum vertex twice; anchoring the
+    canonical rotation at only the FIRST occurrence made two rotations of
+    the same cyclic ring canonicalize differently (false negative). All
+    min-vertex occurrences must be considered."""
+    s = [(0.0, 0.0), (2.0, 0.0), (0.0, 0.0), (0.0, 2.0)]
+    a = s + [s[0]]
+    rot2 = s[2:] + s[:2]
+    b = rot2 + [rot2[0]]
+    c = [(0.0, 0.0), (2.0, 0.0), (0.0, 0.0), (0.0, 3.0), (0.0, 0.0)]
+    df = spark.createDataFrame(
+        [(geo.wkb_polygon_bytes(a), geo.wkb_polygon_bytes(b)),
+         (geo.wkb_polygon_bytes(a), geo.wkb_polygon_bytes(c))],
+        "wa binary, wb binary",
+    )
+    rows = df.select(
+        geo.st_equals_polygon(
+            geo.st_polygon_from_wkb(F.col("wa")),
+            geo.st_polygon_from_wkb(F.col("wb")),
+        ).alias("eq")
+    ).collect()
+    assert rows[0].eq is True and rows[1].eq is False

@@ -125,3 +125,16 @@ def test_streaming_endpoint_error_in_band(endpoint):
 def test_batch_endpoint_still_works_after_stream(endpoint):
     status, out = _post(endpoint, {"sql": "SELECT count(*) AS n FROM region"})
     assert status == 200 and out["resultTable"]["rows"][0][0] == 5
+
+
+def test_streaming_endpoint_malformed_chunksize(endpoint):
+    """A non-numeric chunkSize must not drop the connection before any
+    status line; the server falls back to the default chunk size and the
+    stream completes normally."""
+    lines = _post_stream(
+        endpoint,
+        {"sql": "SELECT r_regionkey FROM region ORDER BY r_regionkey",
+         "chunkSize": "abc"},
+    )
+    rows = [r for b in lines if "rows" in b for r in b["rows"]]
+    assert len(rows) == 5 and lines[-1]["numRowsResultSet"] == 5

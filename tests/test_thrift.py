@@ -153,3 +153,19 @@ def test_cross_check_against_thrift_lib():
             proto.readListEnd()
         proto.readFieldEnd()
     assert seen[1] == 1 and seen[2] == b"alpha" and seen[6] == [1, -2, 3]
+
+
+def test_high_field_id_unsigned():
+    """Field ids above Short.MAX_VALUE arrive as negative i16 on the wire;
+    the reader normalizes with the reference's Short.toUnsignedInt
+    (ThriftRecordReader.java:72) so the configured-fields lookup matches."""
+    import struct as _s
+
+    buf = (
+        bytes([th.T_I64])
+        + _s.pack(">H", 40000)
+        + _s.pack(">q", 99)
+        + bytes([th.T_STOP])
+    )
+    got, pos = th.decode_struct(buf, 0, {40000: ("v", "i64")})
+    assert pos == len(buf) and got == {"v": 99}
