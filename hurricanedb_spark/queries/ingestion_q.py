@@ -261,3 +261,49 @@ def q_text_match_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# DuckDB rendering of the SloppyPhraseMatcher max-min rule used by
+# sql/text_match.py:_slop_expr — same tokenization ([^a-z0-9]+ split),
+# same position algebra, k-way nested lambdas.
+_DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def _duck_slop_pred(words: list[str], slop: int) -> str:
+    k = len(words)
+    pos = [
+        f"list_filter(range(1, len({_DUCK_TOKS}) + 1), "
+        f"i{m} -> {_DUCK_TOKS}[i{m}] = '{w}')"
+        for m, w in enumerate(words)
+    ]
+    adj = ", ".join(f"(p{m} - {m})" for m in range(k))
+    expr = f"greatest({adj}) - least({adj}) <= {slop}"
+    for m in reversed(range(k)):
+        expr = f"len(list_filter({pos[m]}, p{m} -> {expr})) > 0"
+    return expr
+
+
+@register(
+    "q_text_match_slop3",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents
+    WHERE {_duck_slop_pred(["fast", "table", "value"], 3)}
+    GROUP BY lang
+    """,
+    doc="TEXT_MATCH three-term sloppy phrase '\"fast table value\"~3' with "
+    "exact Lucene SloppyPhraseMatcher semantics: token positions p_m with "
+    "phrase offsets m match when max(p_m - m) - min(p_m - m) <= slop "
+    "(sql/text_match.py:_slop_expr, generalizing the two-term costs; "
+    "reference TextSearchQueriesTest slop cases). Oracle replays the same "
+    "position algebra with DuckDB nested list lambdas.",
+    tags=("filter", "text"),
+)
+def q_text_match_slop3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cond = translate_text_match("text", '"fast table value"~3')
+    return docs.filter(F.expr(cond)).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

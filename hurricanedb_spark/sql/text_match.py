@@ -83,15 +83,30 @@ def _positions(col: str, word: str) -> str:
     )
 
 
-def _slop2_expr(col: str, w1: str, w2: str, slop: int) -> str:
-    """Two-term sloppy phrase: exists positions i of w1, j of w2 with
-    in-order cost j-i-1 <= slop, or reversed cost i-j+1 <= slop."""
-    p1, p2 = _positions(col, w1), _positions(col, w2)
-    cond = (
-        f"CASE WHEN j > i THEN j - i - 1 <= {slop} "
-        f"WHEN j < i THEN i - j + 1 <= {slop} ELSE false END"
-    )
-    return f"exists({p1}, i -> exists({p2}, j -> {cond}))"
+def _slop_expr(col: str, words: list[str], slop: int) -> str:
+    """k-term sloppy phrase with exact Lucene semantics
+    (SloppyPhraseMatcher): term m carries phrase offset m, and a set of
+    token positions p_0..p_{k-1} matches when
+        max_m(p_m - m) - min_m(p_m - m) <= slop,
+    repeated terms constrained to distinct positions. For k = 2 this
+    reduces to the familiar costs: in-order gap j-i-1, reversed adjacent
+    pair i-j+1 (= 2 for a transposition). Nested `exists` over the
+    per-term position arrays — O(prod of term frequencies) per row, all
+    inside codegen."""
+    k = len(words)
+    adjusted = [f"(p{m} - {m})" for m in range(k)]
+    conds = [
+        f"greatest({', '.join(adjusted)}) - least({', '.join(adjusted)})"
+        f" <= {slop}"
+    ]
+    for a in range(k):
+        for b in range(a + 1, k):
+            if words[a] == words[b]:
+                conds.append(f"p{a} <> p{b}")
+    expr = "(" + " AND ".join(conds) + ")"
+    for m in reversed(range(k)):
+        expr = f"exists({_positions(col, words[m])}, p{m} -> {expr})"
+    return expr
 
 
 def _wildcard_token_regex(word: str) -> str:
@@ -120,14 +135,11 @@ def _term_expr(col: str, term: str) -> str:
         m = re.match(r'^"([^"]*)"(?:~(\d+))?$', term)
         phrase, slop = m.group(1), m.group(2)
         words = [w for w in re.split(r"[^a-zA-Z0-9]+", phrase.lower()) if w]
-        if slop is not None and len(words) == 2:
-            # exact Lucene slop for the two-term case: in-order occurrence
-            # costs gap (j-i-1), reversed costs i-j+1 (adjacent transposed
-            # pair = 2, matching SloppyPhraseMatcher). Token positions via
-            # sequence+element_at, all inside codegen.
-            return _slop2_expr(col, words[0], words[1], int(slop))
-        # containment (exact for slop 0 / unspecified; for >=3 terms with
-        # slop, a conservative subset of Lucene's matches)
+        if slop is not None and len(words) >= 2:
+            # exact Lucene slop semantics for any term count
+            # (SloppyPhraseMatcher max-min rule; see _slop_expr)
+            return _slop_expr(col, words, int(slop))
+        # containment (exact for unspecified slop over space-joined text)
         return f"contains({col}, {_sql_quote(phrase)})"
     if term.startswith("/") and term.endswith("/"):
         return f"regexp_like({col}, {_sql_quote(term[1:-1])})"

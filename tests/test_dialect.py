@@ -677,3 +677,35 @@ def test_mv_percentile_bounded_live(hdb, spark):
         assert r[0].p is None and r[0].pe is None
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_text_match_three_term_slop_lucene_semantics(spark):
+    """k-term sloppy phrases use the exact SloppyPhraseMatcher rule:
+    max_m(p_m - m) - min_m(p_m - m) <= slop over per-term token
+    positions; repeated terms need distinct positions. Golden vectors
+    derived from Lucene's documented costs (gap = 1 each, adjacent
+    transposition = 2, full reversal of 3 terms = 4)."""
+    docs = [
+        (1, "one two three"),        # exact
+        (2, "one two x three"),      # one gap        -> slop 1
+        (3, "one three two"),        # transposition  -> slop 2
+        (4, "three two one"),        # full reversal  -> slop 4
+        (5, "one x x two three"),    # two gaps, same offset shift -> slop 2
+        (6, "one two"),              # missing term: never matches
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+
+    def ids(frame, q):
+        cond = F.expr(translate_text_match("text", q))
+        return sorted(r.id for r in frame.filter(cond).collect())
+
+    assert ids(df, '"one two three"~0') == [1]
+    assert ids(df, '"one two three"~1') == [1, 2]
+    assert ids(df, '"one two three"~2') == [1, 2, 3, 5]
+    assert ids(df, '"one two three"~3') == [1, 2, 3, 5]
+    assert ids(df, '"one two three"~4') == [1, 2, 3, 4, 5]
+    # repeated terms must occupy distinct positions
+    rep = spark.createDataFrame(
+        [(1, "two two"), (2, "x two x")], "id int, text string"
+    )
+    assert ids(rep, '"two two"~0') == [1]
