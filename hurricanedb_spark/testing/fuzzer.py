@@ -1,0 +1,353 @@
+"""Grammar-based differential query fuzzer.
+
+The reference's strongest test asset is its 718-query resource corpus
+(pinot-query-runtime ResourceBasedQueriesTest.java:84-227); this is the
+systematic generator version: seeded random queries over the dialect
+surface — filters × aggregates × group-by × having × order-by ×
+scalar functions, the shapes QueryRewriterFactory.java:36 rewrites —
+rendered BOTH as Pinot-dialect SQL (run through HurricaneSQL → Spark)
+and as the equivalent DuckDB SQL, then value-compared with the corpus
+runner's tolerance normalization.
+
+Determinism rules baked into the grammar (cross-engine exactness):
+  - integer-only arithmetic; multiplication restricted to small operands
+    so no engine ever overflows int64
+  - selection queries always ORDER BY every output column plus the
+    (l_orderkey, l_linenumber) unique key before LIMIT — no tie
+    nondeterminism
+  - firstWithTime/lastWithTime aggregate a value that is a function of
+    the time key, so engine-specific tie-breaking cannot show (the
+    synthetic lineitem holds duplicate (l_orderkey, l_linenumber) pairs)
+  - avg is the only double producer; compared at 9 significant digits
+    (both engines accumulate int sums exactly below 2^53)
+
+Failures are FuzzResult(ok=False); tools/fuzz.py persists them as corpus
+cases for the regression suite.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from dataclasses import dataclass
+
+import duckdb
+from pyspark.sql import SparkSession
+
+# (pinot_sql, duck_sql) expression pair
+Pair = tuple[str, str]
+
+
+def _same(s: str) -> Pair:
+    return (s, s)
+
+
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+SMALL_INT = ["l_linenumber", "CAST(l_quantity AS INT)"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+STR_DOMAIN = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["O", "F"]}
+INT_RANGE = {
+    "l_orderkey": 6_000,
+    "l_partkey": 220,
+    "l_suppkey": 12,
+    "l_linenumber": 7,
+    "CAST(l_quantity AS INT)": 50,
+}
+GROUP_KEYS = [
+    "l_returnflag",
+    "l_linestatus",
+    "l_linenumber",
+    "year(l_shipdate)",
+]
+DATES = ["1993-06-01", "1994-01-01", "1995-07-14", "1996-12-31", "1997-03-03"]
+
+# dense per-row time key; NOT unique in the synthetic data (duplicate
+# (l_orderkey, l_linenumber) pairs exist) — see time_safe_expr
+UNIQUE_TIME = "(l_orderkey * 10 + l_linenumber)"
+
+
+class _Gen:
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+
+    # ---------------- scalar integer expressions ----------------
+    def int_expr(self, depth: int = 0) -> Pair:
+        r = self.rng
+        if depth >= 2 or r.random() < 0.35:
+            if r.random() < 0.75:
+                c = r.choice(INT_COLS + ["CAST(l_quantity AS INT)"])
+                return _same(c)
+            return _same(str(r.randint(0, 1000)))
+        kind = r.choice(["add", "sub", "mul", "mod", "abs", "least", "case"])
+        a_p, a_d = self.int_expr(depth + 1)
+        if kind == "abs":
+            return (f"abs({a_p})", f"abs({a_d})")
+        if kind == "mod":
+            m = r.randint(2, 13)
+            return (f"mod({a_p}, {m})", f"mod({a_d}, {m})")
+        if kind == "mul":
+            # small × small or small × literal ≤ 100: products stay tiny
+            s = r.choice(SMALL_INT)
+            other = r.choice(SMALL_INT + [str(r.randint(1, 100))])
+            return _same(f"({s} * {other})")
+        if kind == "least":
+            b_p, b_d = self.int_expr(depth + 1)
+            fn = r.choice(["least", "greatest"])
+            return (f"{fn}({a_p}, {b_p})", f"{fn}({a_d}, {b_d})")
+        if kind == "case":
+            p_p, p_d = self.pred(depth + 1)
+            b_p, b_d = self.int_expr(depth + 1)
+            return (
+                f"(CASE WHEN {p_p} THEN {a_p} ELSE {b_p} END)",
+                f"(CASE WHEN {p_d} THEN {a_d} ELSE {b_d} END)",
+            )
+        op = "+" if kind == "add" else "-"
+        b_p, b_d = self.int_expr(depth + 1)
+        return (f"({a_p} {op} {b_p})", f"({a_d} {op} {b_d})")
+
+    def time_safe_expr(self) -> Pair:
+        """Integer expression over (l_orderkey, l_linenumber) only — rows
+        tied on the UNIQUE_TIME key share these columns, so the value is
+        tie-invariant for *WithTime aggregates."""
+        r = self.rng
+        a = r.choice(["l_orderkey", "l_linenumber", str(r.randint(0, 1000))])
+        b = r.choice(["l_orderkey", "l_linenumber", str(r.randint(0, 1000))])
+        form = r.choice(
+            [
+                f"{a}",
+                f"({a} + {b})",
+                f"({a} - {b})",
+                f"mod({a}, {r.randint(2, 13)})",
+                f"abs(({a} - {b}))",
+                f"(l_linenumber * {r.randint(1, 100)})",
+            ]
+        )
+        return _same(form)
+
+    # ---------------- string expressions ----------------
+    def str_expr(self) -> Pair:
+        r = self.rng
+        c = r.choice(STR_COLS)
+        kind = r.choice(["col", "upper", "lower", "concat", "substr"])
+        if kind == "upper":
+            return _same(f"upper({c})")
+        if kind == "lower":
+            return _same(f"lower({c})")
+        if kind == "concat":
+            c2 = r.choice(STR_COLS)
+            return _same(f"({c} || {c2})")
+        if kind == "substr":
+            return _same(f"substr({c} || {r.choice(STR_COLS)}, 1, 1)")
+        return _same(c)
+
+    # ---------------- predicates ----------------
+    def pred(self, depth: int = 0) -> Pair:
+        r = self.rng
+        if depth < 2 and r.random() < 0.3:
+            kind = r.choice(["and", "or", "not"])
+            a_p, a_d = self.pred(depth + 1)
+            if kind == "not":
+                return (f"(NOT {a_p})", f"(NOT {a_d})")
+            b_p, b_d = self.pred(depth + 1)
+            op = "AND" if kind == "and" else "OR"
+            return (f"({a_p} {op} {b_p})", f"({a_d} {op} {b_d})")
+        kind = r.choice(["cmp", "between", "in_int", "in_str", "str_eq", "date"])
+        if kind == "cmp":
+            c = r.choice(list(INT_RANGE))
+            lit = r.randint(0, INT_RANGE[c])
+            op = r.choice(["=", "<>", "<", "<=", ">", ">="])
+            return _same(f"{c} {op} {lit}")
+        if kind == "between":
+            c = r.choice(list(INT_RANGE))
+            lo = r.randint(0, INT_RANGE[c])
+            hi = lo + r.randint(0, INT_RANGE[c])
+            return _same(f"{c} BETWEEN {lo} AND {hi}")
+        if kind == "in_int":
+            c = r.choice(list(INT_RANGE))
+            vals = sorted({r.randint(0, INT_RANGE[c]) for _ in range(r.randint(1, 5))})
+            return _same(f"{c} IN ({', '.join(map(str, vals))})")
+        if kind == "in_str":
+            c = r.choice(STR_COLS)
+            vals = r.sample(STR_DOMAIN[c], r.randint(1, len(STR_DOMAIN[c])))
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            neg = "NOT IN" if r.random() < 0.3 else "IN"
+            return _same(f"{c} {neg} ({quoted})")
+        if kind == "str_eq":
+            c = r.choice(STR_COLS)
+            v = r.choice(STR_DOMAIN[c])
+            op = r.choice(["=", "<>"])
+            return _same(f"{c} {op} '{v}'")
+        d = r.choice(DATES)
+        op = r.choice(["<", ">=", ">"])
+        return _same(f"l_shipdate {op} TIMESTAMP '{d} 00:00:00'")
+
+    # ---------------- aggregates ----------------
+    def agg(self) -> Pair:
+        r = self.rng
+        kind = r.choice(
+            [
+                "count",
+                "sum",
+                "min",
+                "max",
+                "avg",
+                "distinctcount",
+                "minmaxrange",
+                "boolagg",
+                "withtime",
+            ]
+        )
+        if kind == "count":
+            return _same("count(*)")
+        e_p, e_d = self.int_expr(1)
+        if kind == "distinctcount":
+            return (f"distinctcount({e_p})", f"count(DISTINCT {e_d})")
+        if kind == "minmaxrange":
+            return (f"minmaxrange({e_p})", f"(max({e_d}) - min({e_d}))")
+        if kind == "boolagg":
+            p_p, p_d = self.pred(1)
+            fn = r.choice(["boolAnd", "boolOr"])
+            duck = "bool_and" if fn == "boolAnd" else "bool_or"
+            return (f"{fn}({p_p})", f"{duck}({p_d})")
+        if kind == "withtime":
+            # the synthetic lineitem carries duplicate (l_orderkey,
+            # l_linenumber) pairs, so the "time" expression ties; engines
+            # may break ties differently. Keep the aggregated expression a
+            # function of the time key only — tied rows then carry
+            # identical values and the tie-break cannot show.
+            fn = r.choice(["firstwithtime", "lastwithtime"])
+            duck = "min_by" if fn == "firstwithtime" else "max_by"
+            e, _ = self.time_safe_expr()
+            return (f"{fn}({e}, {UNIQUE_TIME})", f"{duck}({e}, {UNIQUE_TIME})")
+        return (f"{kind}({e_p})", f"{kind}({e_d})")
+
+
+@dataclass
+class FuzzCase:
+    name: str
+    pinot_sql: str
+    duck_sql: str
+    shape: str
+
+
+@dataclass
+class FuzzResult:
+    case: FuzzCase
+    ok: bool
+    detail: str = ""
+
+
+def gen_case(rng: random.Random, idx: int) -> FuzzCase:
+    g = _Gen(rng)
+    shape = rng.choice(["select", "select", "global_agg", "group_agg", "group_agg"])
+    w_p, w_d = g.pred()
+    if shape == "select":
+        n = rng.randint(1, 4)
+        exprs = [
+            (g.int_expr() if rng.random() < 0.7 else g.str_expr()) for _ in range(n)
+        ]
+        sel_p = ", ".join(f"{p} AS c{i}" for i, (p, _d) in enumerate(exprs))
+        sel_d = ", ".join(f"{d} AS c{i}" for i, (_p, d) in enumerate(exprs))
+        order = ", ".join(f"c{i}" for i in range(n)) + ", l_orderkey, l_linenumber"
+        lim = rng.choice([20, 50, 100, 500])
+        return FuzzCase(
+            f"fuzz_{idx}_select",
+            f"SELECT {sel_p}, l_orderkey AS ok, l_linenumber AS ln FROM lineitem "
+            f"WHERE {w_p} ORDER BY {order} LIMIT {lim}",
+            f"SELECT {sel_d}, l_orderkey AS ok, l_linenumber AS ln FROM lineitem "
+            f"WHERE {w_d} ORDER BY {order} LIMIT {lim}",
+            shape,
+        )
+    n = rng.randint(1, 3)
+    aggs = [g.agg() for _ in range(n)]
+    agg_p = ", ".join(f"{p} AS a{i}" for i, (p, _d) in enumerate(aggs))
+    agg_d = ", ".join(f"{d} AS a{i}" for i, (_p, d) in enumerate(aggs))
+    if shape == "global_agg":
+        return FuzzCase(
+            f"fuzz_{idx}_global",
+            f"SELECT {agg_p} FROM lineitem WHERE {w_p}",
+            f"SELECT {agg_d} FROM lineitem WHERE {w_d}",
+            shape,
+        )
+    keys = rng.sample(GROUP_KEYS, rng.randint(1, 2))
+    keysel = ", ".join(f"{k} AS g{i}" for i, k in enumerate(keys))
+    having = ""
+    if rng.random() < 0.4:
+        having = f" HAVING count(*) > {rng.randint(0, 200)}"
+    gby = ", ".join(keys)
+    return FuzzCase(
+        f"fuzz_{idx}_group",
+        f"SELECT {keysel}, {agg_p} FROM lineitem WHERE {w_p} "
+        f"GROUP BY {gby}{having}",
+        f"SELECT {keysel}, {agg_d} FROM lineitem WHERE {w_d} "
+        f"GROUP BY {gby}{having}",
+        shape,
+    )
+
+
+def gen_cases(seed: int, n: int) -> list[FuzzCase]:
+    rng = random.Random(seed)
+    return [gen_case(rng, i) for i in range(n)]
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.9g}"
+    return str(v)
+
+
+def _rowset(rows) -> list[str]:
+    return sorted("|".join(_norm(v) for v in r) for r in rows)
+
+
+def run_fuzz(
+    spark: SparkSession,
+    sf_dir: str,
+    seed: int = 0,
+    n: int = 300,
+    cases: list[FuzzCase] | None = None,
+) -> list[FuzzResult]:
+    """Run `n` generated cases: Pinot dialect on Spark vs DuckDB oracle."""
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hdb = HurricaneSQL(spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    out: list[FuzzResult] = []
+    for case in cases if cases is not None else gen_cases(seed, n):
+        try:
+            srows = [tuple(r) for r in hdb.sql(case.pinot_sql, default_limit=None).collect()]
+            orows = con.execute(case.duck_sql).fetchall()
+        except Exception as e:  # noqa: BLE001
+            out.append(FuzzResult(case, False, f"error: {e}"))
+            continue
+        if len(srows) != len(orows):
+            out.append(
+                FuzzResult(
+                    case, False, f"rowcount spark={len(srows)} duckdb={len(orows)}"
+                )
+            )
+        elif _rowset(srows) != _rowset(orows):
+            diff = [
+                (a, b)
+                for a, b in zip(_rowset(srows), _rowset(orows))
+                if a != b
+            ][:2]
+            out.append(FuzzResult(case, False, f"values: {diff}"))
+        else:
+            out.append(FuzzResult(case, True))
+    return out
