@@ -147,6 +147,28 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+# -------------------------------------------------------------------- JPEG
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG decode via Pillow when importable — the documented codec seam
+    (a DCT decoder is out of scope for the stdlib-only container). Without
+    Pillow this raises UnsupportedMediaError and callers keep the honest
+    byte-stat fallback; with Pillow present the same call decodes to
+    (h, w, 3) uint8 RGB with no other code change."""
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG")
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+    except ImportError as e:
+        raise UnsupportedMediaError("JPEG decode requires Pillow") from e
+    try:
+        img = Image.open(io.BytesIO(payload))
+        return np.asarray(img.convert("RGB"))
+    except Exception as e:  # truncated / garbled entropy stream
+        raise CorruptMediaError(str(e)) from e
+
+
 # --------------------------------------------------------------------- BMP
 
 

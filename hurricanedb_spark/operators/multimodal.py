@@ -77,6 +77,10 @@ def _decode_features(payload: bytes) -> tuple[str, list[float]]:
         if payload[:4] == b"RIFF":
             rate, _, samples = codecs.decode_wav(bytes(payload))
             return "wav", codecs.audio_features(rate, samples)
+        if payload[:3] == b"\xff\xd8\xff":
+            # Pillow-gated seam: decodes for real where Pillow exists,
+            # raises UnsupportedMediaError (-> byte-stat fallback) here
+            return "jpeg", codecs.image_features(codecs.decode_jpeg(bytes(payload)))
     except codecs.CorruptMediaError:
         return "corrupt", _byte_stat_features(bytes(payload))
     except codecs.UnsupportedMediaError:

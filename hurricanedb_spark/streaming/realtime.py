@@ -116,6 +116,35 @@ def read_event_stream(
     )
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema,
+    starting_offsets: str = "earliest",
+):
+    """Kafka stream source — the production ingest path (reference:
+    pinot-plugins/pinot-stream-ingestion/pinot-kafka-2.0). The swap from
+    the file source is literally the format string: the downstream
+    pipeline (sinks, upsert, dedup, ingestion-time aggregation) is
+    source-agnostic. JSON payloads in `value` parse into `schema`, the
+    same record shape read_event_stream yields. Requires the
+    spark-sql-kafka connector on the classpath (absent in this container;
+    tests/test_streaming.py gates on it)."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("j")
+    ).select("j.*")
+
+
 def start_append_sink(
     stream_df: DataFrame,
     sink_dir: str,

@@ -106,3 +106,50 @@ def test_spark_pipeline_decodes_real_payloads(spark):
     assert out[3].decoder == "wav"
     assert out[3].feature[0] == 8000.0  # sample rate
     assert out[4].decoder == "byte-stats"
+
+
+def test_jpeg_seam_without_pillow_degrades_honestly():
+    """In a Pillow-less container a JPEG-magic payload must raise the
+    typed UnsupportedMediaError from the seam and reach the byte-stat
+    fallback with decoder='byte-stats' (not 'corrupt') in the dispatch."""
+    import pytest
+
+    from hurricanedb_spark.operators import codecs as cx
+    from hurricanedb_spark.operators.multimodal import _decode_features
+
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        pytest.skip("Pillow present: covered by the round-trip test")
+    with pytest.raises(cx.UnsupportedMediaError):
+        cx.decode_jpeg(fake_jpeg)
+    name, feats = _decode_features(fake_jpeg)
+    assert name == "byte-stats" and len(feats) == 8
+
+
+def test_jpeg_seam_roundtrip_with_pillow():
+    """Where Pillow exists: encode a golden gradient with Pillow, decode
+    through our seam, and cross-check against Pillow's own pixels."""
+    import io as _io
+
+    import numpy as np
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image", reason="Pillow not installed")
+
+    from hurricanedb_spark.operators import codecs as cx
+
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    rgb[..., 0] = np.arange(8, dtype=np.uint8)[None, :] * 30
+    img = PIL_Image.fromarray(rgb)
+    buf = _io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    payload = buf.getvalue()
+    got = cx.decode_jpeg(payload)
+    ref = np.asarray(PIL_Image.open(_io.BytesIO(payload)).convert("RGB"))
+    assert got.shape == (8, 8, 3) and np.array_equal(got, ref)
