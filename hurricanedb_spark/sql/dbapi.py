@@ -1,0 +1,203 @@
+"""PEP 249 (DB-API 2.0) client over the broker HTTP surface.
+
+The reference ships a JDBC client (pinot-clients/pinot-jdbc-client,
+PinotConnection/PinotStatement over the broker's query endpoint); this is
+the Python-native analog: `connect(url).cursor().execute(sql)` against
+sql/server.py. Cursors stream through the chunked NDJSON endpoint
+(/query/sql/stream), so `fetchone`/`fetchmany` hold at most one row
+block in memory — the full result never materializes client-side, the
+same property the reference's streaming entry point (entry point 3)
+provides to its clients.
+
+stdlib urllib only; values arrive as the endpoint's JSON renderings
+(timestamps as ISO strings, bytes as base64) — the wire contract, not a
+lossy client-side guess.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import urllib.request
+from collections import deque
+
+apilevel = "2.0"
+threadsafety = 1  # threads may share the module, not connections
+paramstyle = "qmark"
+
+
+class Error(Exception):
+    pass
+
+
+class DatabaseError(Error):
+    pass
+
+
+class ProgrammingError(Error):
+    pass
+
+
+def _render_param(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _interpolate(operation: str, parameters) -> str:
+    if not parameters:
+        return operation
+    out, pi, in_str = [], 0, False
+    for ch in operation:
+        if ch == "'":
+            in_str = not in_str
+            out.append(ch)
+        elif ch == "?" and not in_str:
+            if pi >= len(parameters):
+                raise ProgrammingError("not enough parameters for '?' markers")
+            out.append(_render_param(parameters[pi]))
+            pi += 1
+        else:
+            out.append(ch)
+    if pi != len(parameters):
+        raise ProgrammingError(
+            f"{len(parameters)} parameters for {pi} '?' markers"
+        )
+    return "".join(out)
+
+
+class Cursor:
+    arraysize = 1000
+
+    def __init__(self, conn: "Connection"):
+        self._conn = conn
+        self._resp = None
+        self._buffer: deque = deque()
+        self._exhausted = True
+        self.description = None
+        self.rowcount = -1
+
+    # ---- PEP 249 surface ----
+    def execute(self, operation: str, parameters=None) -> "Cursor":
+        self.close_result()
+        sql = _interpolate(operation, parameters)
+        req = urllib.request.Request(
+            self._conn.url + "/query/sql/stream",
+            data=json.dumps({"sql": sql, "chunkSize": self.arraysize}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        self._resp = urllib.request.urlopen(req, timeout=self._conn.timeout)
+        head = json.loads(self._resp.readline())
+        if head.get("exceptions"):
+            raise DatabaseError(head["exceptions"])
+        schema = head["dataSchema"]
+        self.description = [
+            (name, typ, None, None, None, None, None)
+            for name, typ in zip(schema["columnNames"], schema["columnDataTypes"])
+        ]
+        self._buffer.clear()
+        self._exhausted = False
+        self.rowcount = -1
+        return self
+
+    def _pull_block(self) -> None:
+        line = self._resp.readline()
+        if not line.strip():
+            self._exhausted = True
+            return
+        block = json.loads(line)
+        if "rows" in block:
+            self._buffer.extend(tuple(r) for r in block["rows"])
+            return
+        # trailer: rowcount + in-band errors
+        self._exhausted = True
+        if block.get("exceptions"):
+            raise DatabaseError(block["exceptions"])
+        self.rowcount = block.get("numRowsResultSet", self.rowcount)
+
+    def fetchone(self):
+        while not self._buffer and not self._exhausted:
+            self._pull_block()
+        return self._buffer.popleft() if self._buffer else None
+
+    def fetchmany(self, size: int | None = None):
+        size = size or self.arraysize
+        out = []
+        while len(out) < size:
+            row = self.fetchone()
+            if row is None:
+                break
+            out.append(row)
+        return out
+
+    def fetchall(self):
+        out = []
+        while True:
+            row = self.fetchone()
+            if row is None:
+                return out
+            out.append(row)
+
+    def close_result(self) -> None:
+        if self._resp is not None:
+            try:
+                self._resp.close()
+            except Exception:  # noqa: BLE001 — already broken stream
+                pass
+            self._resp = None
+        self._buffer.clear()
+        self._exhausted = True
+
+    def close(self) -> None:
+        self.close_result()
+
+    def setinputsizes(self, sizes) -> None:  # PEP 249 no-op
+        pass
+
+    def setoutputsize(self, size, column=None) -> None:  # PEP 249 no-op
+        pass
+
+    def __iter__(self):
+        return iter(self.fetchone, None)
+
+
+class Connection:
+    def __init__(self, url: str, timeout: float = 120.0):
+        self.url = url.rstrip("/")
+        self.timeout = timeout
+        self._closed = False
+
+    def cursor(self) -> Cursor:
+        if self._closed:
+            raise ProgrammingError("connection is closed")
+        return Cursor(self)
+
+    def commit(self) -> None:  # read-only engine: transactions are no-ops
+        pass
+
+    def rollback(self) -> None:
+        pass
+
+    def close(self) -> None:
+        self._closed = True
+
+    def __enter__(self) -> "Connection":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def connect(url: str, timeout: float = 120.0) -> Connection:
+    """connect('http://host:port') -> Connection over the broker HTTP
+    endpoint (sql/server.py serve())."""
+    return Connection(url, timeout)

@@ -74,11 +74,34 @@ class _Gen:
     def int_expr(self, depth: int = 0) -> Pair:
         r = self.rng
         if depth >= 2 or r.random() < 0.35:
-            if r.random() < 0.75:
+            roll = r.random()
+            if roll < 0.6:
                 c = r.choice(INT_COLS + ["CAST(l_quantity AS INT)"])
                 return _same(c)
+            if roll < 0.7:
+                # NULL injection: nullif hits ~1/|domain| of rows, so both
+                # engines exercise three-valued logic and null-skipping
+                c = r.choice(list(INT_RANGE))
+                v = r.randint(1, INT_RANGE[c])
+                return _same(f"nullif({c}, {v})")
+            if roll < 0.8:
+                fn = r.choice(["year", "month"])
+                return _same(f"{fn}(l_shipdate)")
             return _same(str(r.randint(0, 1000)))
-        kind = r.choice(["add", "sub", "mul", "mod", "abs", "least", "case"])
+        kind = r.choice(
+            ["add", "sub", "mul", "mod", "abs", "least", "case", "timeconvert"]
+        )
+        if kind == "timeconvert":
+            # Pinot timeConvert unit arithmetic (dialect _time_convert)
+            # over a synthetic epoch; DuckDB replays the truncating DIV
+            units = [("MILLISECONDS", 1), ("SECONDS", 1000), ("MINUTES", 60000)]
+            (fu, fm), (tu, tm) = self.rng.choice(units), self.rng.choice(units)
+            base = self.rng.choice(["l_orderkey", "l_partkey"])
+            v = f"({base} * 7)"
+            return (
+                f"timeconvert({v}, '{fu}', '{tu}')",
+                f"CAST((({v}) * {fm}) // {tm} AS BIGINT)",
+            )
         a_p, a_d = self.int_expr(depth + 1)
         if kind == "abs":
             return (f"abs({a_p})", f"abs({a_d})")
@@ -187,21 +210,37 @@ class _Gen:
         kind = r.choice(
             [
                 "count",
+                "count_expr",
                 "sum",
                 "min",
                 "max",
                 "avg",
                 "distinctcount",
+                "distinctsum",
+                "sumprecision",
                 "minmaxrange",
                 "boolagg",
                 "withtime",
+                "filtered",
             ]
         )
         if kind == "count":
             return _same("count(*)")
         e_p, e_d = self.int_expr(1)
+        if kind == "count_expr":
+            # null-skipping count over a (possibly nullif'd) expression
+            return (f"count({e_p})", f"count({e_d})")
         if kind == "distinctcount":
             return (f"distinctcount({e_p})", f"count(DISTINCT {e_d})")
+        if kind == "distinctsum":
+            fn = r.choice(["distinctsum", "distinctavg"])
+            duck = "sum" if fn == "distinctsum" else "avg"
+            return (f"{fn}({e_p})", f"{duck}(DISTINCT {e_d})")
+        if kind == "sumprecision":
+            return (
+                f"sumprecision({e_p})",
+                f"sum(CAST({e_d} AS DECIMAL(38,18)))",
+            )
         if kind == "minmaxrange":
             return (f"minmaxrange({e_p})", f"(max({e_d}) - min({e_d}))")
         if kind == "boolagg":
@@ -209,6 +248,14 @@ class _Gen:
             fn = r.choice(["boolAnd", "boolOr"])
             duck = "bool_and" if fn == "boolAnd" else "bool_or"
             return (f"{fn}({p_p})", f"{duck}({p_d})")
+        if kind == "filtered":
+            # FILTER clause (identical ANSI syntax both engines)
+            p_p, p_d = self.pred(1)
+            fn = r.choice(["sum", "count", "min", "max"])
+            return (
+                f"{fn}({e_p}) FILTER (WHERE {p_p})",
+                f"{fn}({e_d}) FILTER (WHERE {p_d})",
+            )
         if kind == "withtime":
             # the synthetic lineitem carries duplicate (l_orderkey,
             # l_linenumber) pairs, so the "time" expression ties; engines
@@ -239,7 +286,20 @@ class FuzzResult:
 
 def gen_case(rng: random.Random, idx: int) -> FuzzCase:
     g = _Gen(rng)
-    shape = rng.choice(["select", "select", "global_agg", "group_agg", "group_agg"])
+    shape = rng.choice(
+        [
+            "select",
+            "select",
+            "global_agg",
+            "group_agg",
+            "group_agg",
+            "lookup",
+            "join",
+            "window",
+            "union_all",
+            "cte",
+        ]
+    )
     w_p, w_d = g.pred()
     if shape == "select":
         n = rng.randint(1, 4)
@@ -248,7 +308,12 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
         ]
         sel_p = ", ".join(f"{p} AS c{i}" for i, (p, _d) in enumerate(exprs))
         sel_d = ", ".join(f"{d} AS c{i}" for i, (_p, d) in enumerate(exprs))
-        order = ", ".join(f"c{i}" for i in range(n)) + ", l_orderkey, l_linenumber"
+        # explicit null placement: Spark defaults NULLS FIRST on ASC,
+        # DuckDB NULLS LAST — under LIMIT that changes the selected set
+        order = (
+            ", ".join(f"c{i} ASC NULLS FIRST" for i in range(n))
+            + ", l_orderkey, l_linenumber"
+        )
         lim = rng.choice([20, 50, 100, 500])
         return FuzzCase(
             f"fuzz_{idx}_select",
@@ -256,6 +321,82 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
             f"WHERE {w_p} ORDER BY {order} LIMIT {lim}",
             f"SELECT {sel_d}, l_orderkey AS ok, l_linenumber AS ln FROM lineitem "
             f"WHERE {w_d} ORDER BY {order} LIMIT {lim}",
+            shape,
+        )
+    if shape == "lookup":
+        # lookUp() dimension join (dialect -> correlated min() scalar
+        # subquery -> BroadcastHashJoin); modulus past the dim key domain
+        # exercises the left-miss NULL path
+        m = rng.randint(4, 7)
+        key = f"mod(l_suppkey, {m})"
+        lim = rng.choice([50, 200])
+        order = "rname ASC NULLS FIRST, ok, ln"
+        return FuzzCase(
+            f"fuzz_{idx}_lookup",
+            f"SELECT lookup('region', 'r_name', 'r_regionkey', {key}) AS rname, "
+            f"l_orderkey AS ok, l_linenumber AS ln FROM lineitem "
+            f"WHERE {w_p} ORDER BY {order} LIMIT {lim}",
+            f"SELECT (SELECT min(r_name) FROM region WHERE r_regionkey = {key}) "
+            f"AS rname, l_orderkey AS ok, l_linenumber AS ln FROM lineitem "
+            f"WHERE {w_d} ORDER BY {order} LIMIT {lim}",
+            shape,
+        )
+    if shape == "join":
+        # fact-fact equi-join (ANSI, identical both engines); predicate
+        # stays on the lineitem side, aggregates over fuzzed expressions
+        a_p, a_d = g.agg()
+        key = rng.choice(["o_orderstatus", "o_orderpriority"])
+        return FuzzCase(
+            f"fuzz_{idx}_join",
+            f"SELECT {key} AS g0, count(*) AS n, {a_p} AS a0 "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE {w_p} GROUP BY {key}",
+            f"SELECT {key} AS g0, count(*) AS n, {a_d} AS a0 "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE {w_d} GROUP BY {key}",
+            shape,
+        )
+    if shape == "window":
+        # windowed aggregate + row_number: project exactly the ordering
+        # columns so exact-duplicate rows make rank ties multiset-invariant
+        e_p, e_d = g.int_expr()
+        key = rng.choice(["l_returnflag", "l_linestatus", "l_linenumber"])
+        return FuzzCase(
+            f"fuzz_{idx}_window",
+            f"SELECT l_orderkey AS ok, l_linenumber AS ln, "
+            f"sum({e_p}) OVER (PARTITION BY {key}) AS w, "
+            f"ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey, " f"{key}) AS rn, "
+            f""
+            f"l_suppkey AS sk, l_partkey AS pk "
+            f"FROM lineitem WHERE {w_p}",
+            f"SELECT l_orderkey AS ok, l_linenumber AS ln, "
+            f"sum({e_d}) OVER (PARTITION BY {key}) AS w, "
+            f"ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey, " f"{key}) AS rn, "
+            f""
+            f"l_suppkey AS sk, l_partkey AS pk "
+            f"FROM lineitem WHERE {w_d}",
+            shape,
+        )
+    if shape == "union_all":
+        e_p, e_d = g.int_expr()
+        w2_p, w2_d = g.pred()
+        return FuzzCase(
+            f"fuzz_{idx}_union",
+            f"SELECT {e_p} AS c0 FROM lineitem WHERE {w_p} "
+            f"UNION ALL SELECT {e_p} AS c0 FROM lineitem WHERE {w2_p}",
+            f"SELECT {e_d} AS c0 FROM lineitem WHERE {w_d} "
+            f"UNION ALL SELECT {e_d} AS c0 FROM lineitem WHERE {w2_d}",
+            shape,
+        )
+    if shape == "cte":
+        e_p, e_d = g.int_expr()
+        key = rng.choice(["l_returnflag", "l_linenumber"])
+        return FuzzCase(
+            f"fuzz_{idx}_cte",
+            f"WITH t AS (SELECT {key} AS k, {e_p} AS v FROM lineitem WHERE {w_p}) "
+            f"SELECT k, count(*) AS n, sum(v) AS s, min(v) AS mn FROM t GROUP BY k",
+            f"WITH t AS (SELECT {key} AS k, {e_d} AS v FROM lineitem WHERE {w_d}) "
+            f"SELECT k, count(*) AS n, sum(v) AS s, min(v) AS mn FROM t GROUP BY k",
             shape,
         )
     n = rng.randint(1, 3)
@@ -324,9 +465,10 @@ def run_fuzz(
 
     hdb = HurricaneSQL(spark, sf_dir)
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
-    )
+    for t in ("lineitem", "region", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
     out: list[FuzzResult] = []
     for case in cases if cases is not None else gen_cases(seed, n):
         try:

@@ -138,3 +138,39 @@ def test_streaming_endpoint_malformed_chunksize(endpoint):
     )
     rows = [r for b in lines if "rows" in b for r in b["rows"]]
     assert len(rows) == 5 and lines[-1]["numRowsResultSet"] == 5
+
+
+def test_dbapi_wrapper_end_to_end(endpoint):
+    """PEP 249 client over the chunked endpoint: description, streaming
+    fetchmany (bounded blocks), fetchall, qmark parameters, trailer
+    rowcount, and DatabaseError on bad SQL."""
+    from hurricanedb_spark.sql import dbapi
+
+    with dbapi.connect(endpoint) as conn:
+        cur = conn.cursor()
+        cur.arraysize = 2
+        cur.execute(
+            "SELECT r_regionkey, upper(r_name) AS rn FROM region "
+            "ORDER BY r_regionkey"
+        )
+        assert [d[0] for d in cur.description] == ["r_regionkey", "rn"]
+        first_two = cur.fetchmany(2)
+        assert [r[0] for r in first_two] == [0, 1]
+        rest = cur.fetchall()
+        assert len(rest) == 3 and cur.fetchone() is None
+        assert cur.rowcount == 5
+
+        cur.execute(
+            "SELECT count(*) AS n FROM lineitem WHERE l_returnflag = ? "
+            "AND l_quantity > ?",
+            ("A", 0),
+        )
+        (n,) = cur.fetchone()
+        assert n > 0
+
+        import pytest
+
+        with pytest.raises(dbapi.DatabaseError):
+            cur.execute("SELECT * FROM no_such_table")
+            cur.fetchall()
+        cur.close()
