@@ -89,8 +89,29 @@ class _Gen:
                 return _same(f"{fn}(l_shipdate)")
             return _same(str(r.randint(0, 1000)))
         kind = r.choice(
-            ["add", "sub", "mul", "mod", "abs", "least", "case", "timeconvert"]
+            [
+                "add",
+                "sub",
+                "mul",
+                "mod",
+                "abs",
+                "least",
+                "case",
+                "timeconvert",
+                "datetimeconvert",
+            ]
         )
+        if kind == "datetimeconvert":
+            # dateTimeConvert epoch->epoch with granularity truncation
+            # (dialect _date_time_convert); DuckDB replays the bucketing
+            gran_min, gran_ms = self.rng.choice([(5, 300000), (15, 900000), (60, 3600000)])
+            base = self.rng.choice(["l_orderkey", "l_partkey"])
+            v = f"({base} * 100000)"
+            return (
+                f"datetimeconvert({v}, '1:MILLISECONDS:EPOCH', "
+                f"'1:SECONDS:EPOCH', '{gran_min}:MINUTES')",
+                f"CAST(((({v}) // {gran_ms}) * {gran_ms}) // 1000 AS BIGINT)",
+            )
         if kind == "timeconvert":
             # Pinot timeConvert unit arithmetic (dialect _time_convert)
             # over a synthetic epoch; DuckDB replays the truncating DIV
@@ -255,6 +276,24 @@ class _Gen:
             return (
                 f"{fn}({e_p}) FILTER (WHERE {p_p})",
                 f"{fn}({e_d}) FILTER (WHERE {p_d})",
+            )
+        if kind == "histogram":
+            # histogram bin rule (dialect _histogram): outside-range
+            # ignored, val == upper in the last bin; edges are Python
+            # literals so both renderings compare identical doubles
+            nb = r.randint(2, 6)
+            lo, hi = 0.0, 50.0
+            w = (hi - lo) / nb
+            edges = [lo + i * w for i in range(nb)] + [hi]
+            duck_bins = ", ".join(
+                f"sum(CASE WHEN l_quantity >= {edges[i]!r} AND l_quantity "
+                f"{'<=' if i == nb - 1 else '<'} {edges[i + 1]!r} "
+                f"THEN 1 ELSE 0 END)"
+                for i in range(nb)
+            )
+            return (
+                f"histogram(l_quantity, 0, 50, {nb})",
+                f"list_value({duck_bins})",
             )
         if kind == "withtime":
             # the synthetic lineitem carries duplicate (l_orderkey,
