@@ -35,11 +35,16 @@ from hurricanedb_spark.sql.text_match import translate_text_match
 # routed through the bounded-state explode + percentile_approx restructure
 # (rewrite_mv_percentile_bounded) and only fall back to this exact form
 # when the query shape blocks the restructure.
+# size() is INT: the rank multiply must widen to BIGINT or a group with
+# more than ~21M MV values overflows at p=95 (found by the skewed-MV
+# stress bench, tools/bench_mv_percentile.py); the final index fits INT
+# because Spark arrays cap below 2^31 elements anyway.
 _PCTL_MV_EXACT = (
     "CASE WHEN size(flatten(collect_list($1))) > 0 THEN "
     "element_at(array_sort(flatten(collect_list($1))), "
     "CASE WHEN ($2) >= 100 THEN size(flatten(collect_list($1))) "
-    "ELSE CAST((size(flatten(collect_list($1))) * ($2)) DIV 100 AS INT) + 1 END"
+    "ELSE CAST((CAST(size(flatten(collect_list($1))) AS BIGINT) * ($2)) "
+    "DIV 100 AS INT) + 1 END"
     ") END"
 )
 
@@ -555,15 +560,18 @@ _TDMV_SHAPE = re.compile(
 
 
 def _split_top(s: str) -> list[str]:
-    """Split on top-level commas (parens respected)."""
+    """Split on top-level commas (parens and string literals respected)."""
     parts: list[str] = []
-    depth, cur = 0, []
+    depth, cur, in_str = 0, [], False
     for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             parts.append("".join(cur).strip())
             cur = []
         else:
@@ -574,27 +582,59 @@ def _split_top(s: str) -> list[str]:
     return [p for p in parts if p]
 
 
+def _mask_literals(sql: str) -> str:
+    """Same-length copy of `sql` with string-literal interiors replaced by
+    NULs, so clause-keyword regexes cannot match inside literals; match
+    spans taken on the masked text slice the original correctly."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = "\x00"
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def rewrite_mv_percentile_bounded(sql: str) -> str:
     """Restructure percentile*TDigest/Est*MV calls into a bounded-state
     explode + percentile_approx CTE; return `sql` unchanged (exact-macro
     fallback) when the query shape doesn't allow it."""
     if not _find_calls(sql, _TDMV_NAMES):
         return sql
-    low = sql.lower()
+    # clause keywords inside string literals must not steer the shape
+    # parse: match on a literal-masked copy, slice the original by span
+    masked = _mask_literals(sql)
+    low = masked.lower()
     if len(re.findall(r"\bfrom\b", low)) != 1 or re.search(
         r"\bjoin\b|\bunion\b|\bwith\b|\bselect\s+distinct\b", low
     ):
         return sql
-    m = _TDMV_SHAPE.match(sql)
+    m = _TDMV_SHAPE.match(masked)
     if not m:
         return sql
+
+    def grp(name: str) -> str | None:
+        s, e = m.span(name)
+        return sql[s:e] if s != -1 else None
+
     tbl = m.group("tbl")
-    if re.search(rf"\b{tbl}\s*\.", sql, re.IGNORECASE):
+    if re.search(rf"\b{tbl}\s*\.", masked, re.IGNORECASE):
         return sql  # table-qualified refs would dangle after the CTE rename
-    gby = _split_top(m.group("gby") or "")
+    gby = _split_top(grp("gby") or "")
     if any(g.isdigit() for g in gby):
         return sql  # ordinal keys aren't reconstructable in the CTE
-    if any(it == "*" or it.endswith(".*") for it in _split_top(m.group("sel"))):
+    if any(it == "*" or it.endswith(".*") for it in _split_top(grp("sel"))):
         return sql  # select-star would leak the helper columns
 
     def _norm(s: str) -> str:
@@ -626,12 +666,12 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
         return "".join(out)
 
     for clause in ("sel", "having", "oby"):
-        if m.group(clause):
-            _scan(m.group(clause))
+        if grp(clause):
+            _scan(grp(clause))
     if not assign:
         return sql
 
-    where = f" WHERE {m.group('where')}" if m.group("where") else ""
+    where = f" WHERE {grp('where')}" if grp("where") else ""
     ctes = [f"_mvsrc AS (SELECT * FROM {tbl}{where})"]
     joined = "_mvsrc"
     for j, (orig_col, plist) in enumerate(colinfo.values()):
@@ -640,10 +680,10 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
             f"percentile_approx(CAST(_mv AS DOUBLE), ({p}) / 100) AS {a}"
             for p, a in plist
         )
-        grp = f" GROUP BY {', '.join(gby)}" if gby else ""
+        grp_by = f" GROUP BY {', '.join(gby)}" if gby else ""
         ctes.append(
             f"_mvp{j} AS (SELECT {keysel}{pctsel} "
-            f"FROM (SELECT *, explode({orig_col}) AS _mv FROM _mvsrc){grp})"
+            f"FROM (SELECT *, explode({orig_col}) AS _mv FROM _mvsrc){grp_by})"
         )
         if gby:
             cond = " AND ".join(
@@ -653,15 +693,15 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
         else:
             joined += f" CROSS JOIN _mvp{j}"
 
-    out = f"WITH {', '.join(ctes)} SELECT {_subst(m.group('sel'))} FROM {joined}"
+    out = f"WITH {', '.join(ctes)} SELECT {_subst(grp('sel'))} FROM {joined}"
     if gby:
         out += f" GROUP BY {', '.join(gby)}"
-    if m.group("having"):
-        out += f" HAVING {_subst(m.group('having'))}"
-    if m.group("oby"):
-        out += f" ORDER BY {_subst(m.group('oby'))}"
-    if m.group("lim"):
-        out += f" LIMIT {m.group('lim')}"
+    if grp("having"):
+        out += f" HAVING {_subst(grp('having'))}"
+    if grp("oby"):
+        out += f" ORDER BY {_subst(grp('oby'))}"
+    if grp("lim"):
+        out += f" LIMIT {grp('lim')}"
     return out
 
 

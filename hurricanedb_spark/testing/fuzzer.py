@@ -195,7 +195,21 @@ class _Gen:
             b_p, b_d = self.pred(depth + 1)
             op = "AND" if kind == "and" else "OR"
             return (f"({a_p} {op} {b_p})", f"({a_d} {op} {b_d})")
-        kind = r.choice(["cmp", "between", "in_int", "in_str", "str_eq", "date"])
+        kinds = ["cmp", "between", "in_int", "in_str", "str_eq", "date"]
+        if depth == 0:
+            # Spark only allows IN-subqueries in filter contexts, so never
+            # inside CASE / boolAnd / FILTER clauses (depth >= 1)
+            kinds.append("in_subquery")
+        kind = r.choice(kinds)
+        if kind == "in_subquery":
+            # semi/anti-join pushdown (IdSet IN_SUBQUERY analog); o_orderkey
+            # is non-null so NOT IN keeps its intuitive semantics
+            st = r.choice(["F", "O", "P"])
+            neg = "NOT IN" if r.random() < 0.3 else "IN"
+            return _same(
+                f"l_orderkey {neg} (SELECT o_orderkey FROM orders "
+                f"WHERE o_orderstatus = '{st}')"
+            )
         if kind == "cmp":
             c = r.choice(list(INT_RANGE))
             lit = r.randint(0, INT_RANGE[c])

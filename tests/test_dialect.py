@@ -709,3 +709,71 @@ def test_text_match_three_term_slop_lucene_semantics(spark):
         [(1, "two two"), (2, "x two x")], "id int, text string"
     )
     assert ids(rep, '"two two"~0') == [1]
+
+
+def test_mv_percentile_restructure_literal_masking():
+    """Clause keywords inside string literals must not steer the shape
+    parse (WHERE name = 'x group by y' once split into a bogus GROUP BY)."""
+    from hurricanedb_spark.sql.dialect import rewrite_mv_percentile_bounded as rw
+
+    out = rw(
+        "SELECT percentileTDigestMV(vals, 50) AS p FROM t "
+        "WHERE name = 'x group by y'"
+    )
+    assert "WHERE name = 'x group by y'" in out and "percentile_approx" in out
+    # a literal containing ' from ' must not trip the single-FROM bail
+    out2 = rw(
+        "SELECT percentileTDigestMV(vals, 50) AS p FROM t WHERE name = 'a from b'"
+    )
+    assert "percentile_approx" in out2
+    # HAVING referencing the call routes through the bounded column
+    out3 = rw(
+        "SELECT grp, count(*) AS n FROM t GROUP BY grp "
+        "HAVING percentileTDigestMV(vals, 50) > 3"
+    )
+    assert "HAVING min(_tdmv_0) > 3" in out3
+
+
+def test_exact_mv_percentile_rank_widened_to_bigint():
+    """size() is INT; without a BIGINT widen the rank multiply overflows
+    for groups past ~21M MV values at p=95 (found by
+    tools/bench_mv_percentile.py at a 32M-value hot group)."""
+    from hurricanedb_spark.sql.dialect import _PCTL_MV_EXACT
+
+    assert "CAST(size(flatten(collect_list($1))) AS BIGINT) * ($2)" in _PCTL_MV_EXACT
+
+
+def test_mv_percentile_bounded_multiple_columns_and_pcts(spark):
+    """Two distinct MV columns and repeated percentiles: one exploded CTE
+    per column, every call routed to its own bounded output column."""
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    df = spark.range(200).selectExpr(
+        "id % 4 AS grp",
+        "transform(sequence(1, 10), i -> CAST(id * 10 + i AS DOUBLE)) AS a",
+        "transform(sequence(1, 5), i -> CAST(id + i AS DOUBLE)) AS b",
+    )
+    hdb = HurricaneSQL(spark)
+    hdb.register("mv2", df)
+    got = hdb.sql(
+        "SELECT grp, percentileTDigestMV(a, 50) AS a50, "
+        "percentileTDigestMV(a, 90) AS a90, "
+        "percentileRawTDigestMV(b, 50) AS b50 "
+        "FROM mv2 GROUP BY grp ORDER BY grp",
+        default_limit=None,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    rows = got.collect()
+    exact = hdb.sql(
+        "SELECT grp, percentileMV(a, 50) AS a50, percentileMV(a, 90) AS a90, "
+        "percentileMV(b, 50) AS b50 FROM mv2 GROUP BY grp ORDER BY grp",
+        default_limit=None,
+    ).collect()
+    assert len(rows) == 4
+    for r, e in zip(rows, exact):
+        assert r.grp == e.grp
+        for c in ("a50", "a90", "b50"):
+            assert abs(getattr(r, c) - getattr(e, c)) <= abs(getattr(e, c)) * 0.05
+    # monotonic sanity: a90 >= a50 within each group
+    assert all(r.a90 >= r.a50 for r in rows)
