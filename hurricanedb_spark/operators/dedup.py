@@ -286,6 +286,72 @@ def simhash32(text: Column, portable: bool = True) -> Column:
     return sig
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame,
+    node_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a similarity-pair graph — the standard
+    post-LSH clustering step (all transitively-linked near-dups collapse
+    to one component; keep min-id per component as the survivor).
+
+    Min-label propagation with pointer jumping: every node starts labeled
+    with itself; each round a node takes the min of its own label, its
+    neighbors' labels (edge hop), and ITS LABEL'S label (pointer jump —
+    label chains halve, so a diameter-d path converges in O(log d) rounds
+    rather than O(d); same idea as large-star). Each round is two shuffle
+    joins + an aggregation; lineage is truncated per round
+    (localCheckpoint) so plans stay flat at 100 TB, and the early-stop
+    count is one cheap action per round.
+
+    Returns (node_col, component) where component = min node id reachable.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    labels = nodes.select(
+        F.col(node_col).alias("a"), F.col(node_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            und.join(
+                labels.select(F.col("a").alias("b"), F.col("label").alias("nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_label"))
+        )
+        hop = labels.join(nbr, "a", "left").select(
+            "a",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer jump: label <- label(label); halves label-chain depth
+        new_labels = (
+            hop.join(
+                hop.select(
+                    F.col("a").alias("label"), F.col("label").alias("ll")
+                ),
+                "label",
+                "left",
+            )
+            .select("a", F.least("label", F.coalesce("ll", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("a").alias(node_col), F.col("label").alias("component"))
+
+
 def exact_dedup(df: DataFrame, id_col: str, fingerprint_col: Column) -> DataFrame:
     """Exact dedup: keep the smallest id per fingerprint; emit survivors with
     duplicate counts. One shuffle on the fingerprint hash."""

@@ -243,6 +243,46 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _components_oracle_sql() -> str:
+    """Recursive transitive closure over the SAME LSH pair derivation as
+    _minhash_oracle_sql: component(doc) = min doc id reachable through
+    jaccard>=0.5 candidate pairs (reflexive base covers singletons)."""
+    pairs = _minhash_oracle_sql()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+    """
+
+
+@register(
+    "q_dedup_components",
+    oracle=_components_oracle_sql(),
+    doc="Connected components over the MinHash-LSH near-duplicate graph "
+    "(operators/dedup.py:connected_components, min-label propagation — "
+    "one shuffle join per round, rounds = cluster diameter, lineage "
+    "truncated per round): every transitively-linked duplicate cluster "
+    "collapses to component = min doc_id; singletons keep their own id. "
+    "The oracle replays the identical pair derivation and takes the "
+    "recursive transitive closure in DuckDB.",
+    tags=("datapipe", "dedup", "components"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_dedup(spark, sf_dir)
+    return dd.connected_components(
+        pairs, "id_a", "id_b", doc, "doc_id"
+    ).orderBy("doc_id")
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB mirror of simhash32: same tokenization, same md5-derived
     32-bit token hash (oracle_hash32_sql), same sign-of-bit-sum rule.

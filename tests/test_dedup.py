@@ -178,3 +178,52 @@ def test_ngram_jaccard_quadratic_guard(spark):
     # under the cap: runs and self-pairs are excluded
     out = dd.ngram_jaccard_pairs(df, "doc_id", "source", sh, max_block_rows=100)
     assert out.filter("id_a >= id_b").count() == 0
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """Chain (worst diameter), clique, and singleton topologies all label
+    with the component min; early stop fires when labels fix."""
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.operators import dedup as dd
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}; 30 is isolated
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 30]], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in dd.connected_components(
+            edges, "id_a", "id_b", nodes, "doc_id"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+    # survivors: min per component (the dedup keep-rule)
+    comp = dd.connected_components(edges, "id_a", "id_b", nodes, "doc_id")
+    survivors = sorted(
+        r.component for r in comp.select("component").distinct().collect()
+    )
+    assert survivors == [1, 10, 20, 30]
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """A 60-node chain needs ~59 rounds under plain propagation; pointer
+    jumping must close it within 8 rounds (O(log d))."""
+    from hurricanedb_spark.operators import dedup as dd
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    nodes = spark.range(61).selectExpr("id AS doc_id")
+    got = dd.connected_components(
+        edges, "id_a", "id_b", nodes, "doc_id", max_iter=8
+    )
+    comps = {r.component for r in got.collect()}
+    assert comps == {0}, comps
