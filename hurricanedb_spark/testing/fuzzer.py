@@ -87,6 +87,8 @@ class _Gen:
             if roll < 0.8:
                 fn = r.choice(["year", "month"])
                 return _same(f"{fn}(l_shipdate)")
+            if roll < 0.9:
+                return self.pinot_int_fn()
             return _same(str(r.randint(0, 1000)))
         kind = r.choice(
             [
@@ -168,11 +170,42 @@ class _Gen:
         )
         return _same(form)
 
+    def pinot_int_fn(self) -> Pair:
+        """Pinot-named scalar macros with integer results, each rendered
+        against its verified DuckDB equivalent (probed cross-engine before
+        inclusion — registry coverage the plain ANSI nodes can't give)."""
+        r = self.rng
+        s1, s2 = r.choice(STR_COLS), r.choice(STR_COLS)
+        a = r.choice(INT_COLS)
+        forms = [
+            (f"codepoint({s1})", f"ascii({s1})"),
+            ("monthofyear(l_shipdate)", "month(l_shipdate)"),
+            ("dayofyear(l_shipdate)", "dayofyear(l_shipdate)"),
+            (
+                f"strcmp({s1}, {s2})",
+                f"CAST(CASE WHEN {s1} < {s2} THEN -1 "
+                f"WHEN {s1} > {s2} THEN 1 ELSE 0 END AS INT)",
+            ),
+            (
+                f"strpos({s1} || {s2}, 'A')",
+                f"(strpos({s1} || {s2}, 'A') - 1)",
+            ),
+            (
+                f"""jsonpathlong('{{"k": ' || {a} || '}}', '$.k')""",
+                f"""CAST(json_extract_string('{{"k": ' || {a} || '}}', '$.k') AS BIGINT)""",
+            ),
+            (
+                "CAST(power(l_linenumber, 2) AS BIGINT)",
+                "CAST(power(l_linenumber, 2) AS BIGINT)",
+            ),
+        ]
+        return forms[r.randrange(len(forms))]
+
     # ---------------- string expressions ----------------
     def str_expr(self) -> Pair:
         r = self.rng
         c = r.choice(STR_COLS)
-        kind = r.choice(["col", "upper", "lower", "concat", "substr"])
+        kind = r.choice(["col", "upper", "lower", "concat", "substr", "pinotfn"])
         if kind == "upper":
             return _same(f"upper({c})")
         if kind == "lower":
@@ -182,6 +215,26 @@ class _Gen:
             return _same(f"({c} || {c2})")
         if kind == "substr":
             return _same(f"substr({c} || {r.choice(STR_COLS)}, 1, 1)")
+        if kind == "pinotfn":
+            c2 = r.choice(STR_COLS)
+            forms = [
+                (f"leftsubstr({c} || {c2}, 1)", f"left({c} || {c2}, 1)"),
+                (f"rightsubstr({c} || {c2}, 1)", f"right({c} || {c2}, 1)"),
+                (
+                    f"remove({c} || {c2}, 'A')",
+                    f"replace({c} || {c2}, 'A', '')",
+                ),
+                (f"md5({c})", f"md5({c})"),
+                (
+                    f"splitpart({c} || '-' || {c2}, '-', 1)",
+                    f"split_part({c} || '-' || {c2}, '-', 2)",
+                ),
+                (
+                    "CAST(datetrunc('month', l_shipdate) AS STRING)",
+                    "CAST(CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS STRING)",
+                ),
+            ]
+            return forms[r.randrange(len(forms))]
         return _same(c)
 
     # ---------------- predicates ----------------
