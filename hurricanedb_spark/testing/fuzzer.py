@@ -201,6 +201,41 @@ class _Gen:
         ]
         return forms[r.randrange(len(forms))]
 
+    def mv_scalar(self) -> Pair:
+        """Pinot MV-array macros over embeddings.embedding, each against
+        its DuckDB list equivalent. Only per-row EXACT ops — float32
+        values compare bit-for-bit, but fold-order-dependent sums
+        (arraysum/arrayaverage) are excluded by design."""
+        r = self.rng
+        k = r.randint(0, 63)
+        forms = [
+            ("arraylength(embedding)", "len(embedding)"),
+            ("arraymax(embedding)", "list_max(embedding)"),
+            ("arraymin(embedding)", "list_min(embedding)"),
+            (f"arrayelementat(embedding, {k})", f"embedding[{k + 1}]"),
+            (
+                "arrayindexof(embedding, arraymax(embedding))",
+                "(list_position(embedding, list_max(embedding)) - 1)",
+            ),
+            (
+                "arraylength(arraydistinct(embedding))",
+                "len(list_distinct(embedding))",
+            ),
+            (
+                "arraylength(arrayconcat(embedding, embedding))",
+                "len(list_concat(embedding, embedding))",
+            ),
+            (
+                f"arrayelementat(arraysort(embedding), {k})",
+                f"list_sort(embedding)[{k + 1}]",
+            ),
+            (
+                f"arrayelementat(arrayreverse(embedding), {k})",
+                f"list_reverse(embedding)[{k + 1}]",
+            ),
+        ]
+        return forms[r.randrange(len(forms))]
+
     # ---------------- string expressions ----------------
     def str_expr(self) -> Pair:
         r = self.rng
@@ -404,9 +439,44 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
             "window",
             "union_all",
             "cte",
+            "mv_select",
+            "mv_agg",
         ]
     )
     w_p, w_d = g.pred()
+    if shape == "mv_select":
+        n = rng.randint(1, 3)
+        exprs = [g.mv_scalar() for _ in range(n)]
+        sel_p = ", ".join(f"{p} AS c{i}" for i, (p, _d) in enumerate(exprs))
+        sel_d = ", ".join(f"{d} AS c{i}" for i, (_p, d) in enumerate(exprs))
+        lim = rng.choice([50, 200])
+        return FuzzCase(
+            f"fuzz_{idx}_mvsel",
+            f"SELECT {sel_p}, vec_id AS vid FROM embeddings "
+            f"ORDER BY vid LIMIT {lim}",
+            f"SELECT {sel_d}, vec_id AS vid FROM embeddings "
+            f"ORDER BY vid LIMIT {lim}",
+            shape,
+        )
+    if shape == "mv_agg":
+        # exact MV aggregates: count/min/max forms only (fold-order safe)
+        pool = [
+            ("countmv(embedding)", "sum(len(embedding))"),
+            ("minmv(embedding)", "min(list_min(embedding))"),
+            ("maxmv(embedding)", "max(list_max(embedding))"),
+            ("max(arraylength(embedding))", "max(len(embedding))"),
+        ]
+        picks = rng.sample(pool, rng.randint(1, 3))
+        agg_p = ", ".join(f"{p} AS a{i}" for i, (p, _d) in enumerate(picks))
+        agg_d = ", ".join(f"{d} AS a{i}" for i, (_p, d) in enumerate(picks))
+        return FuzzCase(
+            f"fuzz_{idx}_mvagg",
+            f"SELECT label AS g0, {agg_p}, count(*) AS n FROM embeddings "
+            f"GROUP BY label",
+            f"SELECT label AS g0, {agg_d}, count(*) AS n FROM embeddings "
+            f"GROUP BY label",
+            shape,
+        )
     if shape == "select":
         n = rng.randint(1, 4)
         exprs = [
@@ -571,7 +641,7 @@ def run_fuzz(
 
     hdb = HurricaneSQL(spark, sf_dir)
     con = duckdb.connect()
-    for t in ("lineitem", "region", "orders"):
+    for t in ("lineitem", "region", "orders", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
