@@ -279,7 +279,13 @@ def _duck_slop_pred(words: list[str], slop: int) -> str:
         for m, w in enumerate(words)
     ]
     adj = ", ".join(f"(p{m} - {m})" for m in range(k))
-    expr = f"greatest({adj}) - least({adj}) <= {slop}"
+    conds = [f"greatest({adj}) - least({adj}) <= {slop}"]
+    # repeated terms must occupy distinct positions (mirrors _slop_expr)
+    for a in range(k):
+        for b in range(a + 1, k):
+            if words[a] == words[b]:
+                conds.append(f"p{a} <> p{b}")
+    expr = "(" + " AND ".join(conds) + ")"
     for m in reversed(range(k)):
         expr = f"len(list_filter({pos[m]}, p{m} -> {expr})) > 0"
     return expr

@@ -777,3 +777,39 @@ def test_mv_percentile_bounded_multiple_columns_and_pcts(spark):
             assert abs(getattr(r, c) - getattr(e, c)) <= abs(getattr(e, c)) * 0.05
     # monotonic sanity: a90 >= a50 within each group
     assert all(r.a90 >= r.a50 for r in rows)
+
+
+def test_slop_fuzz_vs_duckdb(spark, sf_dir):
+    """Seeded fuzz of the k-term sloppy-phrase translator: random 2-4 term
+    phrases (duplicates included) at random slops, Spark match count vs
+    the DuckDB replay of the same SloppyPhraseMatcher position algebra."""
+    import random
+
+    import duckdb
+
+    from hurricanedb_spark.catalog.tables import load_table
+    from hurricanedb_spark.queries.ingestion_q import _duck_slop_pred
+
+    rng = random.Random(99)
+    vocab = ["fast", "table", "value", "scan", "key", "row", "agg",
+             "batch", "spark", "order", "data", "line"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    docs = load_table(spark, sf_dir, "documents").cache()
+    n_nonzero = 0
+    for _ in range(15):
+        k = rng.choice([2, 2, 3, 3, 4])
+        words = [rng.choice(vocab) for _ in range(k)]  # duplicates allowed
+        slop = rng.randint(0, 4)
+        q = '"' + " ".join(words) + f'"~{slop}'
+        cond = translate_text_match("text", q)
+        n_spark = docs.filter(F.expr(cond)).count()
+        n_duck = con.execute(
+            f"SELECT count(*) FROM documents WHERE {_duck_slop_pred(words, slop)}"
+        ).fetchone()[0]
+        assert n_spark == n_duck, (q, n_spark, n_duck)
+        n_nonzero += n_spark > 0
+    docs.unpersist()
+    assert n_nonzero >= 3  # the cases actually exercise matches
