@@ -532,6 +532,27 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
             f"WHERE {w_d} GROUP BY {key}",
             shape,
         )
+    if shape == "window" and rng.random() < 0.4:
+        # running frame + rank: the running-sum expression is a function
+        # of the total ordering columns, so exact-duplicate rows add equal
+        # increments and the prefix-sum multiset is order-invariant; rank/
+        # dense_rank are tie-stable by definition
+        base = rng.choice(["l_orderkey", "l_linenumber", "l_suppkey", "l_partkey"])
+        e = rng.choice([base, f"mod({base}, {rng.randint(2, 13)})", f"({base} + 3)"])
+        rk = rng.choice(["rank()", "dense_rank()"])
+        order = "l_orderkey, l_linenumber, l_suppkey, l_partkey"
+
+        def wf(where: str) -> str:
+            return (
+                f"SELECT l_orderkey AS ok, l_linenumber AS ln, l_suppkey AS sk, "
+                f"l_partkey AS pk, "
+                f"sum({e}) OVER (ORDER BY {order} ROWS BETWEEN UNBOUNDED "
+                f"PRECEDING AND CURRENT ROW) AS rs, "
+                f"{rk} OVER (ORDER BY l_returnflag) AS rk "
+                f"FROM lineitem WHERE {where}"
+            )
+
+        return FuzzCase(f"fuzz_{idx}_wframe", wf(w_p), wf(w_d), shape)
     if shape == "window":
         # windowed aggregate + row_number: project exactly the ordering
         # columns so exact-duplicate rows make rank ties multiset-invariant
@@ -588,16 +609,41 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
         )
     keys = rng.sample(GROUP_KEYS, rng.randint(1, 2))
     keysel = ", ".join(f"{k} AS g{i}" for i, k in enumerate(keys))
-    having = ""
+    having_p = having_d = ""
     if rng.random() < 0.4:
-        having = f" HAVING count(*) > {rng.randint(0, 200)}"
+        hp, hd = rng.choice(
+            [
+                _same(f"count(*) > {rng.randint(0, 200)}"),
+                _same(f"sum(l_linenumber) >= {rng.randint(0, 500)}"),
+                _same(f"min(l_orderkey) < {rng.randint(0, 6000)}"),
+                (
+                    f"distinctcount(l_suppkey) >= {rng.randint(0, 10)}",
+                    f"count(DISTINCT l_suppkey) >= {rng.randint(0, 10)}",
+                ),
+            ]
+        )
+        # the pinot/duck literal must agree: regenerate as a shared pair
+        if hp != hd:
+            n = rng.randint(0, 10)
+            hp = f"distinctcount(l_suppkey) >= {n}"
+            hd = f"count(DISTINCT l_suppkey) >= {n}"
+        having_p, having_d = f" HAVING {hp}", f" HAVING {hd}"
     gby = ", ".join(keys)
+    tail = ""
+    if rng.random() < 0.3:
+        # grouped output keys are unique, so ORDER BY keys + LIMIT is
+        # deterministic (explicit NULLS FIRST for engine agreement)
+        tail = (
+            " ORDER BY "
+            + ", ".join(f"g{i} ASC NULLS FIRST" for i in range(len(keys)))
+            + f" LIMIT {rng.choice([3, 5, 10])}"
+        )
     return FuzzCase(
         f"fuzz_{idx}_group",
         f"SELECT {keysel}, {agg_p} FROM lineitem WHERE {w_p} "
-        f"GROUP BY {gby}{having}",
+        f"GROUP BY {gby}{having_p}{tail}",
         f"SELECT {keysel}, {agg_d} FROM lineitem WHERE {w_d} "
-        f"GROUP BY {gby}{having}",
+        f"GROUP BY {gby}{having_d}{tail}",
         shape,
     )
 
