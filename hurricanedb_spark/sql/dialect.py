@@ -547,6 +547,14 @@ _TDMV_NAMES = {
     "percentileestmv",
     "percentilerawestmv",
 }
+# HLL-named MV distinct counts are approximate in the reference too
+# (DistinctCountHLLMVAggregationFunction — bounded HLL state); route them
+# through the same restructure so per-group state is the HLL++ sketch,
+# not collect_set of arrays. The exact names (distinctCountMV /
+# distinctCountBitmapMV) stay exact macros, mirroring the reference's
+# exact/sketch split.
+_HLLMV_NAMES = {"distinctcounthllmv", "distinctcountrawhllmv"}
+_BOUNDED_MV_NAMES = _TDMV_NAMES | _HLLMV_NAMES
 
 _TDMV_SHAPE = re.compile(
     r"^\s*select\s+(?P<sel>.*?)\s+from\s+(?P<tbl>[A-Za-z_]\w*)"
@@ -610,7 +618,7 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
     """Restructure percentile*TDigest/Est*MV calls into a bounded-state
     explode + percentile_approx CTE; return `sql` unchanged (exact-macro
     fallback) when the query shape doesn't allow it."""
-    if not _find_calls(sql, _TDMV_NAMES):
+    if not _find_calls(sql, _BOUNDED_MV_NAMES):
         return sql
     # clause keywords inside string literals must not steer the shape
     # parse: match on a literal-masked copy, slice the original by span
@@ -640,27 +648,44 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
     def _norm(s: str) -> str:
         return " ".join(s.split())
 
-    assign: dict[tuple[str, str], str] = {}  # (col, pct) -> alias
-    colinfo: dict[str, tuple[str, list[tuple[str, str]]]] = {}
+    assign: dict[tuple[str, str], str] = {}  # (col, spec) -> alias
+    colinfo: dict[str, tuple[str, list[tuple[str, str]]]] = {}  # col -> (orig, [(agg_sql, alias)])
+
+    def _call_key(name: str, args: list[str]) -> tuple[str, str] | None:
+        if name in _TDMV_NAMES and len(args) == 2:
+            return (_norm(args[0]), _norm(args[1]))
+        if name in _HLLMV_NAMES and len(args) == 1:
+            return (_norm(args[0]), "#hll")
+        return None
 
     def _scan(text: str) -> None:
-        for _s, _e, _n, args in _find_calls(text, _TDMV_NAMES):
-            if len(args) != 2:
+        for _s, _e, name, args in _find_calls(text, _BOUNDED_MV_NAMES):
+            k = _call_key(name, args)
+            if k is None or k in assign:
                 continue
-            k = (_norm(args[0]), _norm(args[1]))
-            if k not in assign:
-                alias = f"_tdmv_{len(assign)}"
-                assign[k] = alias
-                colinfo.setdefault(k[0], (args[0], []))[1].append((args[1], alias))
+            alias = f"_tdmv_{len(assign)}"
+            assign[k] = alias
+            # rsd 0.016 ~ the reference's default HLL log2m=12 precision
+            agg_sql = (
+                "approx_count_distinct(_mv, 0.016)"
+                if k[1] == "#hll"
+                else f"percentile_approx(CAST(_mv AS DOUBLE), ({args[1]}) / 100)"
+            )
+            colinfo.setdefault(k[0], (args[0], []))[1].append((agg_sql, alias))
 
     def _subst(text: str) -> str:
         out, pos = [], 0
-        for s, e, _n, args in _find_calls(text, _TDMV_NAMES):
-            k = (_norm(args[0]), _norm(args[1])) if len(args) == 2 else None
+        for s, e, name, args in _find_calls(text, _BOUNDED_MV_NAMES):
+            k = _call_key(name, args)
             if k not in assign:
                 continue
             out.append(text[pos:s])
-            out.append(f"min({assign[k]})")
+            if k[1] == "#hll":
+                # a group whose arrays are all empty has 0 distinct values
+                # (matching the exact macro), not NULL
+                out.append(f"coalesce(min({assign[k]}), 0)")
+            else:
+                out.append(f"min({assign[k]})")
             pos = e
         out.append(text[pos:])
         return "".join(out)
@@ -676,10 +701,7 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
     joined = "_mvsrc"
     for j, (orig_col, plist) in enumerate(colinfo.values()):
         keysel = "".join(f"{g} AS _gk_{i}, " for i, g in enumerate(gby))
-        pctsel = ", ".join(
-            f"percentile_approx(CAST(_mv AS DOUBLE), ({p}) / 100) AS {a}"
-            for p, a in plist
-        )
+        pctsel = ", ".join(f"{agg} AS {a}" for agg, a in plist)
         grp_by = f" GROUP BY {', '.join(gby)}" if gby else ""
         ctes.append(
             f"_mvp{j} AS (SELECT {keysel}{pctsel} "

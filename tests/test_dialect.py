@@ -813,3 +813,34 @@ def test_slop_fuzz_vs_duckdb(spark, sf_dir):
         n_nonzero += n_spark > 0
     docs.unpersist()
     assert n_nonzero >= 3  # the cases actually exercise matches
+
+
+def test_mv_hll_distinct_bounded_restructure(hdb, spark):
+    """distinctCountHLL*MV routes through the bounded restructure (HLL++
+    sketch state via approx_count_distinct over the exploded CTE, rsd
+    0.016 ~ the reference's log2m=12 default): no collect_set of arrays
+    in the plan, estimates within 5% of exact, 0 (not NULL) for empty
+    groups, and a TDigest call on the same column shares the CTE."""
+    q = (
+        "SELECT label, distinctCountHLLMV(embedding) AS dc, "
+        "percentileTDigestMV(embedding, 95) AS p95 "
+        "FROM embeddings GROUP BY label ORDER BY label"
+    )
+    df = hdb.sql(q, default_limit=None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    rows = df.collect()
+    exact = hdb.sql(
+        "SELECT label, distinctCountMV(embedding) AS dc FROM embeddings "
+        "GROUP BY label ORDER BY label",
+        default_limit=None,
+    ).collect()
+    assert len(rows) == len(exact) > 0
+    for a, b in zip(rows, exact):
+        assert abs(a.dc - b.dc) <= max(2, b.dc * 0.05), (a, b)
+    r = hdb.sql(
+        "SELECT distinctCountHLLMV(embedding) AS dc FROM embeddings "
+        "WHERE vec_id < 0",
+        default_limit=None,
+    ).collect()
+    assert r[0].dc == 0
