@@ -86,3 +86,23 @@ def q_dialect_default_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hdb(spark, sf_dir).sql(
         "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber"
     )
+
+
+@register(
+    "q_mv_sketch_bounded",
+    oracle=None,  # approximate by design (QuantileSummaries / HLL++ state);
+    # accuracy bounded in tests/test_dialect.py (2% / 5% vs exact forms)
+    doc="Bounded-state MV sketch aggregates through the dialect "
+    "restructure (rewrite_mv_percentile_bounded): percentileTDigestMV + "
+    "distinctCountHLLMV share one exploded CTE, per-group state is the "
+    "QuantileSummaries / HLL++ sketch — never O(values in group). The "
+    "reference's PercentileTDigestMV/DistinctCountHLLMV bounded forms.",
+    tags=("dialect", "mv", "sketch"),
+)
+def q_mv_sketch_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hdb(spark, sf_dir).sql(
+        "SELECT label, percentileTDigestMV(embedding, 95) AS p95, "
+        "distinctCountHLLMV(embedding) AS dc "
+        "FROM embeddings GROUP BY label ORDER BY label",
+        default_limit=None,
+    )
