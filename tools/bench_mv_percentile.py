@@ -53,7 +53,8 @@ def main() -> int:
         return time.time() - t0, rows
 
     bounded_sql = (
-        "SELECT grp, percentileTDigestMV(vals, 95) AS p95 FROM mvskew "
+        "SELECT grp, percentileTDigestMV(vals, 95) AS p95, "
+        "distinctCountHLLMV(vals) AS dc FROM mvskew "
         "GROUP BY grp ORDER BY grp"
     )
     exact_sql = (
