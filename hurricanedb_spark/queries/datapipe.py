@@ -283,6 +283,50 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "q_dedup_clean_corpus",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+    SELECT d.lang AS lang,
+           COUNT(*) AS kept_docs,
+           SUM(d.n_chars) AS kept_chars
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.component
+    GROUP BY d.lang
+    """,
+    doc="End-to-end corpus cleaning: MinHash-LSH pairs -> connected "
+    "components -> keep only component survivors (doc_id = component "
+    "min), reporting surviving docs/chars per language — the full "
+    "training-data dedup pipeline in one query. Oracle replays pair "
+    "derivation + recursive closure + survivor filter in DuckDB.",
+    tags=("datapipe", "dedup", "components"),
+)
+def q_dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    comp = dd.connected_components(
+        q_minhash_lsh_dedup(spark, sf_dir), "id_a", "id_b", doc, "doc_id"
+    )
+    survivors = comp.filter(F.col("doc_id") == F.col("component"))
+    return (
+        doc.join(survivors, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB mirror of simhash32: same tokenization, same md5-derived
     32-bit token hash (oracle_hash32_sql), same sign-of-bit-sum rule.
