@@ -304,6 +304,41 @@ def q_hll_raw_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_theta_ds_compat",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS theta_estimate
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="distinctCountRawThetaSketch in the DataSketches-compatible wire "
+    "form (DistinctCountThetaSketchAggregationFunction.java:60-111 "
+    "serializes org.apache.datasketches compact bytes): per-group compact "
+    "ordered theta sketches (murmur3-x64-128, seed 9001, nominalEntries "
+    "4096), serialized to the public byte layout, deserialized back, and "
+    "estimated. The oracle is valid because below nominalEntries the "
+    "sketch is EXACT by construction (theta == Long.MAX_VALUE, estimate "
+    "== retained count) — true at the gate's sf0.01; the estimation "
+    "regime is bounds-tested in tests/test_theta_ds.py.",
+    tags=("aggregation", "sketch", "wire-format"),
+)
+def q_theta_ds_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.operators.theta_ds import (
+        deserialize,
+        theta_ds_sketch_by_group,
+    )
+
+    @F.pandas_udf("double")
+    def _estimate(sketches):
+        return sketches.map(lambda b: deserialize(bytes(b)).estimate())
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = theta_ds_sketch_by_group(li, ["l_returnflag"], "l_partkey", k=4096)
+    return sk.select(
+        "l_returnflag", _estimate(F.col("sketch")).alias("theta_estimate")
+    )
+
+
+@register(
     "q_histogram",
     oracle="""
     SELECT l_returnflag,

@@ -58,7 +58,8 @@ _AGG_REWRITES: dict[str, str] = {
     "distinctcountrawhll": "hll_sketch_agg($1)",
     "distinctcountsmarthll": "approx_count_distinct($1)",
     # theta sketch names: the SQL surface estimates via HLL; the mergeable
-    # raw-sketch form with set algebra is operators/theta.py (KMV)
+    # raw-sketch form with set algebra is operators/theta.py (KMV), and the
+    # DataSketches-wire-compatible byte form is operators/theta_ds.py
     "distinctcountthetasketch": "approx_count_distinct($1)",
     "fasthll": "approx_count_distinct($1)",
     "distinctsum": "sum(DISTINCT $1)",
