@@ -1,0 +1,565 @@
+"""Native v3 segment format reader/writer — the migration path.
+
+A user of the reference engine has data in its on-disk segment format;
+this module reads those segments straight into Spark DataFrames (and
+exports DataFrames back out), so switching engines does not require
+re-ingesting from source. Everything implements the on-disk layout the
+reference defines in public code:
+
+  - Directory layout (SegmentDirectoryPaths.java): a segment dir with
+    `metadata.properties`, `creation.meta`, `index_map`, `columns.psf`
+    either at the root or under a `v3/` subdirectory (v3 format).
+  - Single-file index container (SingleFileIndexDirectory.java:72-73,
+    160-190): `columns.psf` concatenates index buffers, each prefixed
+    with the 8-byte big-endian magic marker 0xdeadbeefdeafbead; the
+    text file `index_map` records `<column>.<indexName>.startOffset`
+    and `<column>.<indexName>.size` (size INCLUDES the marker), index
+    names per ColumnIndexType.java (dictionary, forward_index, ...).
+  - Dictionaries (SegmentDictionaryCreator.java:73-260): values sorted
+    ascending, big-endian fixed width — INT 4B, LONG 8B, FLOAT 4B,
+    DOUBLE 8B; STRING either fixed width (max UTF-8 length, padded with
+    '\\0' — V1Constants.Str.DEFAULT_STRING_PAD_CHAR) or the var-length
+    layout (VarLengthValueWriter.java: ".vl;" magic + int version=1 +
+    int numValues + int dataSectionOffset header, then numValues+1
+    absolute int offsets followed by the concatenated UTF-8 bytes).
+  - Unsorted SV forward index (FixedBitSVForwardIndexWriter.java:40-48,
+    PinotDataBitSet.java): dictionary ids bit-packed MSB-first at
+    bitsPerElement = ceil(log2(cardinality)) (min 1), big-endian bit
+    order, file length = ceil(numDocs * bits / 8).
+  - Sorted SV forward index (SingleValueSortedForwardIndexCreator.java):
+    cardinality rows of two big-endian ints (minDocId, maxDocId),
+    row-major.
+  - metadata.properties (V1Constants.MetadataKeys, written by
+    SegmentColumnarIndexCreator.java:757-924): segment.total.docs,
+    segment.index.version, and per column `column.<name>.<key>` for
+    cardinality, dataType, bitsPerElement, lengthOfEachEntry, isSorted,
+    hasDictionary, isSingleValues, totalDocs, ...
+  - creation.meta (SegmentIndexCreationDriverImpl.java:383-390): two
+    big-endian longs, crc then creationTime.
+
+Scope: single-value dictionary-encoded columns of INT / LONG / FLOAT /
+DOUBLE / STRING — the core analytical layout. Multi-value, raw
+(noDictionary) chunk-compressed forward indexes, and auxiliary indexes
+(inverted, range, bloom, text, ...) are out of scope for the reader:
+auxiliary index entries in `index_map` are simply skipped (they are
+redundant acceleration structures — Spark plans its own access paths),
+while an MV or raw forward index raises a clear UnsupportedSegmentError
+naming the column.
+
+Scale design: one segment is one task. `read_segments` parallelizes the
+segment paths and decodes each inside mapInPandas (Arrow-batched,
+numpy-vectorized bit-unpack), so a 100 TB deep-store of segments reads
+with the same per-segment parallelism the reference's servers use;
+column pruning happens at the decoder (only requested columns are
+sliced out of columns.psf). `export_segments` writes one segment per
+Spark partition, shuffle-free.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import time
+import zlib
+from dataclasses import dataclass, field
+
+MAGIC_MARKER = 0xDEADBEEFDEAFBEAD
+V3_SUBDIR = "v3"
+INDEX_FILE = "columns.psf"
+INDEX_MAP_FILE = "index_map"
+METADATA_FILE = "metadata.properties"
+CREATION_META_FILE = "creation.meta"
+PAD_CHAR = b"\x00"
+VAR_LENGTH_MAGIC = b".vl;"
+
+_FIXED_WIDTH = {"INT": 4, "LONG": 8, "FLOAT": 4, "DOUBLE": 8}
+_STRUCT_FMT = {"INT": ">i", "LONG": ">q", "FLOAT": ">f", "DOUBLE": ">d"}
+_NP_BE = {"INT": ">i4", "LONG": ">i8", "FLOAT": ">f4", "DOUBLE": ">f8"}
+_SPARK_TO_PINOT = {
+    "int": "INT",
+    "integer": "INT",
+    "bigint": "LONG",
+    "long": "LONG",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "STRING",
+}
+_PINOT_TO_SPARK = {
+    "INT": "int",
+    "LONG": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "STRING": "string",
+}
+
+
+class UnsupportedSegmentError(NotImplementedError):
+    """Segment uses a layout outside this reader's scope (MV column, raw
+    no-dictionary forward index, unknown data type)."""
+
+
+def bits_per_element(cardinality: int) -> int:
+    """PinotDataBitSet.getNumBitsPerValue: bits to encode maxValue =
+    cardinality - 1, minimum 1."""
+    max_value = cardinality - 1
+    return max(max_value.bit_length(), 1)
+
+
+# ---------------------------------------------------------------------------
+# metadata.properties
+
+
+def _props_escape(v: str) -> str:
+    return (
+        v.replace("\\", "\\\\").replace(":", "\\:").replace("=", "\\=")
+    )
+
+
+def _props_unescape(v: str) -> str:
+    out = []
+    i = 0
+    while i < len(v):
+        if v[i] == "\\" and i + 1 < len(v):
+            nxt = v[i + 1]
+            if nxt == "u" and i + 5 < len(v):
+                out.append(chr(int(v[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            out.append({"t": "\t", "n": "\n", "r": "\r"}.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(v[i])
+            i += 1
+    return "".join(out)
+
+
+def parse_properties(text: str) -> dict[str, list[str]]:
+    """Minimal java-properties parse (key = value lines, '#'/'!'
+    comments, repeated keys accumulate — commons-configuration writes
+    list properties as repeated keys)."""
+    props: dict[str, list[str]] = {}
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith(("#", "!")):
+            continue
+        for i, ch in enumerate(line):
+            if ch in "=:" and (i == 0 or line[i - 1] != "\\"):
+                key = line[:i].strip()
+                val = line[i + 1 :].strip()
+                break
+        else:
+            key, val = line, ""
+        props.setdefault(_props_unescape(key), []).append(_props_unescape(val))
+    return props
+
+
+def _prop(props: dict[str, list[str]], key: str, default: str | None = None) -> str:
+    vals = props.get(key)
+    if not vals:
+        if default is not None:
+            return default
+        raise KeyError(f"metadata.properties missing key {key!r}")
+    return vals[0]
+
+
+# ---------------------------------------------------------------------------
+# column + segment descriptors
+
+
+@dataclass
+class ColumnMeta:
+    name: str
+    data_type: str  # INT | LONG | FLOAT | DOUBLE | STRING
+    cardinality: int
+    total_docs: int
+    bits_per_element: int
+    dictionary_element_size: int
+    is_sorted: bool
+    has_dictionary: bool
+    is_single_value: bool
+
+
+@dataclass
+class SegmentMeta:
+    segment_dir: str  # dir actually holding the files (root or v3/)
+    total_docs: int
+    columns: dict[str, ColumnMeta]
+    index_map: dict[tuple[str, str], tuple[int, int]]  # (col, idx) -> (start, size)
+    props: dict[str, list[str]] = field(default_factory=dict)
+
+
+def _resolve_dir(segment_dir: str) -> str:
+    v3 = os.path.join(segment_dir, V3_SUBDIR)
+    if os.path.isfile(os.path.join(v3, METADATA_FILE)):
+        return v3
+    if os.path.isfile(os.path.join(segment_dir, METADATA_FILE)):
+        return segment_dir
+    raise FileNotFoundError(
+        f"no {METADATA_FILE} at {segment_dir} or {segment_dir}/{V3_SUBDIR} — "
+        "not a segment directory"
+    )
+
+
+def read_segment_metadata(segment_dir: str) -> SegmentMeta:
+    d = _resolve_dir(segment_dir)
+    with open(os.path.join(d, METADATA_FILE), encoding="utf-8") as f:
+        props = parse_properties(f.read())
+    total_docs = int(_prop(props, "segment.total.docs"))
+    columns: dict[str, ColumnMeta] = {}
+    for key in props:
+        if key.startswith("column.") and key.endswith(".cardinality"):
+            name = key[len("column.") : -len(".cardinality")]
+            g = lambda k, dflt=None: _prop(props, f"column.{name}.{k}", dflt)  # noqa: E731
+            columns[name] = ColumnMeta(
+                name=name,
+                data_type=g("dataType"),
+                cardinality=int(g("cardinality")),
+                total_docs=int(g("totalDocs", str(total_docs))),
+                bits_per_element=int(g("bitsPerElement", "0")),
+                dictionary_element_size=int(g("lengthOfEachEntry", "0")),
+                is_sorted=g("isSorted", "false").lower() == "true",
+                has_dictionary=g("hasDictionary", "true").lower() == "true",
+                is_single_value=g("isSingleValues", "true").lower() == "true",
+            )
+    index_map: dict[tuple[str, str], tuple[int, int]] = {}
+    entries: dict[tuple[str, str], dict[str, int]] = {}
+    with open(os.path.join(d, INDEX_MAP_FILE), encoding="utf-8") as f:
+        for key, vals in parse_properties(f.read()).items():
+            # parse from the back: <column>.<indexName>.<startOffset|size>
+            # (ColumnIndexUtils.parseIndexMapKeys — column names may contain '.')
+            col_idx, _, prop_name = key.rpartition(".")
+            col, _, idx_name = col_idx.rpartition(".")
+            entries.setdefault((col, idx_name), {})[prop_name] = int(vals[0])
+    for (col, idx_name), kv in entries.items():
+        if "startOffset" in kv and "size" in kv:
+            index_map[(col, idx_name)] = (kv["startOffset"], kv["size"])
+    return SegmentMeta(
+        segment_dir=d,
+        total_docs=total_docs,
+        columns=columns,
+        index_map=index_map,
+        props=props,
+    )
+
+
+# ---------------------------------------------------------------------------
+# reading
+
+
+def _index_buffer(meta: SegmentMeta, psf: bytes, col: str, idx: str) -> bytes:
+    try:
+        start, size = meta.index_map[(col, idx)]
+    except KeyError:
+        raise UnsupportedSegmentError(
+            f"segment has no {idx} entry for column {col!r} in index_map"
+        ) from None
+    marker = struct.unpack_from(">Q", psf, start)[0]
+    if marker != MAGIC_MARKER:
+        raise ValueError(
+            f"missing magic marker for {col}.{idx} at offset {start} "
+            f"(got {marker:#x}) — corrupt columns.psf"
+        )
+    return psf[start + 8 : start + size]
+
+
+def _decode_dictionary(buf: bytes, cm: ColumnMeta):
+    """Dictionary buffer -> numpy array (numeric) or list[str]."""
+    import numpy as np
+
+    if cm.data_type in _FIXED_WIDTH:
+        arr = np.frombuffer(buf, dtype=_NP_BE[cm.data_type], count=cm.cardinality)
+        return arr.astype(arr.dtype.newbyteorder("="))  # BE -> native for pandas
+    if cm.data_type == "STRING":
+        if buf[:4] == VAR_LENGTH_MAGIC:
+            version, num_values, data_off = struct.unpack_from(">iii", buf, 4)
+            if version != 1:
+                raise UnsupportedSegmentError(
+                    f"var-length dictionary version {version} for {cm.name}"
+                )
+            offsets = struct.unpack_from(f">{num_values + 1}i", buf, data_off)
+            return [
+                buf[offsets[i] : offsets[i + 1]].decode("utf-8")
+                for i in range(num_values)
+            ]
+        w = cm.dictionary_element_size
+        return [
+            buf[i * w : (i + 1) * w].rstrip(PAD_CHAR).decode("utf-8")
+            for i in range(cm.cardinality)
+        ]
+    raise UnsupportedSegmentError(
+        f"data type {cm.data_type} for column {cm.name} is outside reader scope"
+    )
+
+
+def _unpack_dict_ids(buf: bytes, num_docs: int, bits: int):
+    """Vectorized fixed-bit unpack (PinotDataBitSet bit order: MSB-first
+    within big-endian bytes)."""
+    import numpy as np
+
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    bit_mat = np.unpackbits(raw)[: num_docs * bits].reshape(num_docs, bits)
+    weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.uint64)).astype(np.uint64)
+    return (bit_mat.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+
+
+def _decode_sorted_fwd(buf: bytes, cm: ColumnMeta):
+    """Sorted fwd index: (minDocId, maxDocId) per dictId -> doc->dictId
+    via run expansion."""
+    import numpy as np
+
+    pairs = np.frombuffer(buf, dtype=">i4", count=cm.cardinality * 2).reshape(
+        cm.cardinality, 2
+    )
+    runs = pairs[:, 1] - pairs[:, 0] + 1
+    return np.repeat(np.arange(cm.cardinality, dtype=np.int64), runs)
+
+
+def read_segment_pandas(segment_dir: str, columns: list[str] | None = None):
+    """Decode one segment into a pandas DataFrame (column-pruned)."""
+    import pandas as pd
+
+    meta = read_segment_metadata(segment_dir)
+    want = columns if columns is not None else sorted(meta.columns)
+    with open(os.path.join(meta.segment_dir, INDEX_FILE), "rb") as f:
+        psf = f.read()
+    out = {}
+    for name in want:
+        cm = meta.columns.get(name)
+        if cm is None:
+            raise KeyError(f"column {name!r} not in segment {segment_dir}")
+        if not cm.is_single_value:
+            raise UnsupportedSegmentError(
+                f"column {name!r} is multi-value — outside reader scope"
+            )
+        if not cm.has_dictionary:
+            raise UnsupportedSegmentError(
+                f"column {name!r} has a raw (noDictionary) forward index — "
+                "outside reader scope"
+            )
+        dict_vals = _decode_dictionary(
+            _index_buffer(meta, psf, name, "dictionary"), cm
+        )
+        fwd = _index_buffer(meta, psf, name, "forward_index")
+        if cm.is_sorted and len(fwd) == cm.cardinality * 8:
+            ids = _decode_sorted_fwd(fwd, cm)
+        else:
+            ids = _unpack_dict_ids(fwd, meta.total_docs, cm.bits_per_element)
+        if cm.data_type == "STRING":
+            out[name] = pd.Series([dict_vals[i] for i in ids], dtype="object")
+        else:
+            out[name] = pd.Series(dict_vals[ids])
+    return pd.DataFrame(out)
+
+
+def segment_spark_schema(segment_dir: str, columns: list[str] | None = None) -> str:
+    meta = read_segment_metadata(segment_dir)
+    want = columns if columns is not None else sorted(meta.columns)
+    parts = []
+    for name in want:
+        cm = meta.columns[name]
+        try:
+            parts.append(f"`{name}` {_PINOT_TO_SPARK[cm.data_type]}")
+        except KeyError:
+            raise UnsupportedSegmentError(
+                f"data type {cm.data_type} for column {name}"
+            ) from None
+    return ", ".join(parts)
+
+
+def read_segments(spark, segment_dirs: list[str], columns: list[str] | None = None):
+    """Segments -> Spark DataFrame, one decode task per segment
+    (mapInPandas; the driver touches only metadata of the first segment
+    for the schema)."""
+    if not segment_dirs:
+        raise ValueError("no segment directories given")
+    schema = segment_spark_schema(segment_dirs[0], columns)
+    paths = spark.createDataFrame(
+        [(p,) for p in segment_dirs], "__segment_path string"
+    ).repartition(len(segment_dirs))
+
+    def decode(batches):
+        for pdf in batches:
+            for p in pdf["__segment_path"]:
+                yield read_segment_pandas(p, columns)
+
+    return paths.mapInPandas(decode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# writing
+
+
+def _pack_dict_ids(ids, bits: int) -> bytes:
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.uint64)
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    bit_mat = ((ids[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bit_mat.ravel()).tobytes()
+
+
+def _encode_dictionary(values, data_type: str, var_length: bool) -> tuple[bytes, int]:
+    """Sorted distinct values -> (dictionary bytes, lengthOfEachEntry)."""
+    if data_type in _FIXED_WIDTH:
+        fmt = _STRUCT_FMT[data_type]
+        return b"".join(struct.pack(fmt, v) for v in values), _FIXED_WIDTH[data_type]
+    enc = [v.encode("utf-8") for v in values]
+    width = max((len(b) for b in enc), default=0)
+    if var_length:
+        header = VAR_LENGTH_MAGIC + struct.pack(">iii", 1, len(enc), 16)
+        off = 16 + 4 * (len(enc) + 1)
+        offsets = [off]
+        for b in enc:
+            off += len(b)
+            offsets.append(off)
+        return (
+            header + struct.pack(f">{len(enc) + 1}i", *offsets) + b"".join(enc),
+            width,
+        )
+    return b"".join(b.ljust(width, PAD_CHAR) for b in enc), width
+
+
+def write_segment_pandas(
+    pdf,
+    segment_dir: str,
+    table_name: str = "segment_export",
+    segment_name: str | None = None,
+    time_column: str | None = None,
+    var_length_string_dicts: bool = False,
+) -> str:
+    """Write a pandas DataFrame as one v3 segment directory. Columns
+    must be SV INT/LONG/FLOAT/DOUBLE/STRING without nulls (the reference
+    bakes defaultNullValue in at ingestion; do the fill before export).
+    Returns the segment directory path."""
+    import numpy as np
+    import pandas as pd
+
+    num_docs = len(pdf)
+    if num_docs == 0:
+        raise ValueError("cannot write an empty segment")
+    segment_name = segment_name or os.path.basename(os.path.normpath(segment_dir))
+    d = os.path.join(segment_dir, V3_SUBDIR)
+    os.makedirs(d, exist_ok=True)
+
+    psf_parts: list[bytes] = []
+    map_lines: list[str] = []
+    offset = 0
+
+    def append_entry(col: str, idx_name: str, payload: bytes):
+        nonlocal offset
+        size = len(payload) + 8
+        map_lines.append(f"{col}.{idx_name}.startOffset = {offset}")
+        map_lines.append(f"{col}.{idx_name}.size = {size}")
+        psf_parts.append(struct.pack(">Q", MAGIC_MARKER) + payload)
+        offset += size
+
+    prop_lines = [
+        "segment.name = " + _props_escape(segment_name),
+        "segment.table.name = " + _props_escape(table_name),
+        "segment.index.version = v3",
+        f"segment.total.docs = {num_docs}",
+        "segment.padding.character = \\u0000",
+    ]
+    if time_column is not None:
+        prop_lines.append("segment.time.column.name = " + _props_escape(time_column))
+
+    for col in pdf.columns:
+        ser = pdf[col]
+        if ser.isna().any():
+            raise ValueError(
+                f"column {col!r} has nulls — fill with the schema default "
+                "before export (the reference stores defaultNullValue)"
+            )
+        kind = ser.dtype.kind
+        if kind in "iu":
+            data_type = "LONG" if ser.dtype.itemsize > 4 else "INT"
+            vals = ser.to_numpy()
+        elif kind == "f":
+            data_type = "DOUBLE" if ser.dtype.itemsize > 4 else "FLOAT"
+            vals = ser.to_numpy()
+        elif kind == "O":
+            data_type = "STRING"
+            vals = ser.astype(str).to_numpy()
+        else:
+            raise UnsupportedSegmentError(
+                f"column {col!r} dtype {ser.dtype} is outside writer scope"
+            )
+        uniq, inverse = np.unique(vals, return_inverse=True)
+        cardinality = len(uniq)
+        bits = bits_per_element(cardinality)
+        is_sorted = bool(np.all(vals[:-1] <= vals[1:])) if num_docs > 1 else True
+        dict_bytes, entry_len = _encode_dictionary(
+            uniq.tolist(), data_type, var_length_string_dicts and data_type == "STRING"
+        )
+        append_entry(col, "dictionary", dict_bytes)
+        if is_sorted:
+            # sorted column: (minDocId, maxDocId) per dictId
+            firsts = np.searchsorted(vals, uniq, side="left")
+            lasts = np.searchsorted(vals, uniq, side="right") - 1
+            fwd = b"".join(
+                struct.pack(">ii", int(a), int(b)) for a, b in zip(firsts, lasts)
+            )
+        else:
+            fwd = _pack_dict_ids(inverse, bits)
+        append_entry(col, "forward_index", fwd)
+        ck = f"column.{col}."
+        prop_lines += [
+            f"{ck}cardinality = {cardinality}",
+            f"{ck}totalDocs = {num_docs}",
+            f"{ck}dataType = {data_type}",
+            f"{ck}bitsPerElement = {bits}",
+            f"{ck}lengthOfEachEntry = {entry_len}",
+            f"{ck}columnType = DIMENSION",
+            f"{ck}isSorted = {'true' if is_sorted else 'false'}",
+            f"{ck}hasDictionary = true",
+            f"{ck}isSingleValues = true",
+            f"{ck}maxNumberOfMultiValues = 0",
+            f"{ck}totalNumberOfEntries = {num_docs}",
+            f"{ck}isAutoGenerated = false",
+        ]
+
+    psf = b"".join(psf_parts)
+    with open(os.path.join(d, INDEX_FILE), "wb") as f:
+        f.write(psf)
+    with open(os.path.join(d, INDEX_MAP_FILE), "w", encoding="utf-8") as f:
+        f.write("\n".join(map_lines) + "\n")
+    with open(os.path.join(d, METADATA_FILE), "w", encoding="utf-8") as f:
+        f.write("\n".join(prop_lines) + "\n")
+    with open(os.path.join(d, CREATION_META_FILE), "wb") as f:
+        f.write(struct.pack(">qq", zlib.crc32(psf), int(time.time() * 1000)))
+    return segment_dir
+
+
+def export_segments(
+    df,
+    out_dir: str,
+    table_name: str = "segment_export",
+    segment_prefix: str = "segment",
+) -> list[str]:
+    """Spark DataFrame -> one v3 segment per partition (shuffle-free;
+    each task writes its own segment to shared storage). Returns the
+    written segment paths."""
+    from pyspark.sql import functions as F
+
+    def write_part(batches):
+        import pandas as pd
+
+        parts = []
+        for pdf in batches:
+            if not pdf.empty:
+                parts.append(pdf)
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            pid = int(pdf["__pid"].iloc[0])
+            pdf = pdf.drop(columns="__pid")
+            name = f"{segment_prefix}_{pid:05d}"
+            write_segment_pandas(
+                pdf, os.path.join(out_dir, name), table_name, name
+            )
+            yield pd.DataFrame({"segment": [os.path.join(out_dir, name)]})
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = df.withColumn("__pid", F.spark_partition_id()).mapInPandas(
+        write_part, schema="segment string"
+    )
+    return [r["segment"] for r in manifest.collect()]
