@@ -37,14 +37,27 @@ reference defines in public code:
   - creation.meta (SegmentIndexCreationDriverImpl.java:383-390): two
     big-endian longs, crc then creationTime.
 
-Scope: single-value dictionary-encoded columns of INT / LONG / FLOAT /
-DOUBLE / STRING — the core analytical layout. Multi-value, raw
-(noDictionary) chunk-compressed forward indexes, and auxiliary indexes
-(inverted, range, bloom, text, ...) are out of scope for the reader:
-auxiliary index entries in `index_map` are simply skipped (they are
-redundant acceleration structures — Spark plans its own access paths),
-while an MV or raw forward index raises a clear UnsupportedSegmentError
-naming the column.
+  - Multi-value forward index (FixedBitMVForwardIndexWriter.java:36-47,
+    77-96, 143-159): three sections — a chunk-offset header of
+    numChunks big-endian ints (start value-index of each chunk's first
+    doc, docsPerChunk = ceil(2048 / floor(totalValues / numDocs)),
+    mirroring the writer's int division), a bitset of totalNumValues
+    bits with a 1 at each doc's first value, then all dictionary ids
+    bit-packed at bitsPerElement.
+  - Null-value vector (NullValueVectorCreator, `.bitmap.nullvalue`):
+    a serialized RoaringBitmap of null docIds in the PUBLIC portable
+    format (little-endian; cookies 12346/12347, array / bitmap / run
+    containers). Null docs carry FieldSpec's default values in the
+    forward index (FieldSpec.java:49-57: Integer/Long.MIN_VALUE,
+    Float/Double.NEGATIVE_INFINITY, "null").
+
+Scope: dictionary-encoded SV and MV columns of INT / LONG / FLOAT /
+DOUBLE / STRING, with null-value vectors. Raw (noDictionary)
+chunk-compressed forward indexes are out of scope, raising a clear
+UnsupportedSegmentError naming the column; auxiliary index entries in
+`index_map` (inverted, range, bloom, text, ...) are simply skipped —
+they are redundant acceleration structures, Spark plans its own access
+paths.
 
 Scale design: one segment is one task. `read_segments` parallelizes the
 segment paths and decodes each inside mapInPandas (Arrow-batched,
@@ -103,6 +116,117 @@ def bits_per_element(cardinality: int) -> int:
     cardinality - 1, minimum 1."""
     max_value = cardinality - 1
     return max(max_value.bit_length(), 1)
+
+
+# FieldSpec.java:49-57 — dimension default null values baked into the
+# forward index for null docs (the null docIds live in the null vector)
+NULL_DEFAULTS = {
+    "INT": -(2**31),
+    "LONG": -(2**63),
+    "FLOAT": float("-inf"),
+    "DOUBLE": float("-inf"),
+    "STRING": "null",
+}
+
+
+# ---------------------------------------------------------------------------
+# RoaringBitmap portable serialization (public spec; little-endian)
+
+_ROARING_COOKIE_NO_RUN = 12346
+_ROARING_COOKIE_RUN = 12347
+_ROARING_NO_OFFSET_THRESHOLD = 4  # with-run streams omit offsets below this
+
+
+def roaring_serialize(values) -> bytes:
+    """Sorted distinct uint32 values -> portable RoaringBitmap bytes
+    (no-run cookie 12346: header, key/cardinality pairs, offsets, then
+    array containers <=4096 values / bitmap containers above)."""
+    import numpy as np
+
+    vals = np.unique(np.asarray(list(values), dtype=np.uint32))
+    keys_all = (vals >> np.uint32(16)).astype(np.uint16)
+    lows_all = (vals & np.uint32(0xFFFF)).astype(np.uint16)
+    keys = np.unique(keys_all)
+    size = len(keys)
+    header = struct.pack("<ii", _ROARING_COOKIE_NO_RUN, size)
+    desc, containers = [], []
+    for k in keys:
+        lows = lows_all[keys_all == k]
+        desc.append(struct.pack("<HH", int(k), len(lows) - 1))
+        if len(lows) <= 4096:
+            containers.append(lows.astype("<u2").tobytes())
+        else:
+            bitmap = np.zeros(1024, dtype="<u8")
+            idx = lows.astype(np.uint32)
+            np.bitwise_or.at(
+                bitmap, idx >> np.uint32(6), np.uint64(1) << (idx & np.uint32(63)).astype(np.uint64)
+            )
+            containers.append(bitmap.tobytes())
+    offset_pos = len(header) + 4 * size + 4 * size  # after desc + offsets
+    offsets, pos = [], offset_pos
+    for c in containers:
+        offsets.append(struct.pack("<i", pos))
+        pos += len(c)
+    return header + b"".join(desc) + b"".join(offsets) + b"".join(containers)
+
+
+def roaring_deserialize(buf: bytes):
+    """Portable RoaringBitmap bytes -> sorted numpy uint32 array.
+    Handles both cookies (12346 no-run / 12347 with run containers)."""
+    import numpy as np
+
+    (cookie,) = struct.unpack_from("<i", buf, 0)
+    if (cookie & 0xFFFF) == _ROARING_COOKIE_RUN:
+        size = (cookie >> 16) + 1
+        run_flag_bytes = (size + 7) // 8
+        run_flags = np.unpackbits(
+            np.frombuffer(buf, dtype=np.uint8, count=run_flag_bytes, offset=4),
+            bitorder="little",
+        )[:size]
+        pos = 4 + run_flag_bytes
+        has_offsets = size >= _ROARING_NO_OFFSET_THRESHOLD
+    elif cookie == _ROARING_COOKIE_NO_RUN:
+        (size,) = struct.unpack_from("<i", buf, 4)
+        run_flags = [0] * size
+        pos = 8
+        has_offsets = True
+    else:
+        raise ValueError(f"not a RoaringBitmap stream (cookie {cookie})")
+    desc = struct.unpack_from(f"<{2 * size}H", buf, pos)
+    pos += 4 * size
+    if has_offsets:
+        pos += 4 * size  # trust sequential layout; offsets are redundant
+    out = []
+    for i in range(size):
+        key, card = desc[2 * i], desc[2 * i + 1] + 1
+        base = np.uint32(key) << np.uint32(16)
+        if run_flags[i]:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            runs = struct.unpack_from(f"<{2 * n_runs}H", buf, pos)
+            pos += 4 * n_runs
+            lows = np.concatenate(
+                [
+                    np.arange(runs[2 * j], runs[2 * j] + runs[2 * j + 1] + 1, dtype=np.uint32)
+                    for j in range(n_runs)
+                ]
+            ) if n_runs else np.empty(0, dtype=np.uint32)
+        elif card <= 4096:
+            lows = np.frombuffer(buf, dtype="<u2", count=card, offset=pos).astype(
+                np.uint32
+            )
+            pos += 2 * card
+        else:
+            bitmap = np.frombuffer(buf, dtype="<u8", count=1024, offset=pos)
+            pos += 8192
+            bits = np.unpackbits(
+                bitmap.view(np.uint8), bitorder="little"
+            )
+            lows = np.nonzero(bits)[0].astype(np.uint32)
+        out.append(base + lows)
+    if not out:
+        return np.empty(0, dtype=np.uint32)
+    return np.concatenate(out)
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +301,7 @@ class ColumnMeta:
     is_sorted: bool
     has_dictionary: bool
     is_single_value: bool
+    total_entries: int = 0  # totalNumberOfEntries (== total MV values)
 
 
 @dataclass
@@ -220,6 +345,7 @@ def read_segment_metadata(segment_dir: str) -> SegmentMeta:
                 is_sorted=g("isSorted", "false").lower() == "true",
                 has_dictionary=g("hasDictionary", "true").lower() == "true",
                 is_single_value=g("isSingleValues", "true").lower() == "true",
+                total_entries=int(g("totalNumberOfEntries", "0")),
             )
     index_map: dict[tuple[str, str], tuple[int, int]] = {}
     entries: dict[tuple[str, str], dict[str, int]] = {}
@@ -314,6 +440,62 @@ def _decode_sorted_fwd(buf: bytes, cm: ColumnMeta):
     return np.repeat(np.arange(cm.cardinality, dtype=np.int64), runs)
 
 
+def _mv_docs_per_chunk(num_docs: int, total_values: int) -> int:
+    """FixedBitMVForwardIndexWriter:79-80 — note the writer's INT
+    division for averageValuesPerDoc; avg 0 (more docs than values)
+    overflows ceil(2048/0.0) to Integer.MAX_VALUE."""
+    avg = total_values // num_docs
+    if avg == 0:
+        return 2**31 - 1
+    return -(-2048 // avg)  # ceil
+
+
+def _decode_mv_fwd(buf: bytes, num_docs: int, total_values: int, bits: int):
+    """MV forward index -> list of per-doc dictId arrays (vectorized:
+    boundary bitset -> start positions, then one split)."""
+    import numpy as np
+
+    docs_per_chunk = _mv_docs_per_chunk(num_docs, total_values)
+    num_chunks = (num_docs + docs_per_chunk - 1) // docs_per_chunk
+    header_size = 4 * num_chunks
+    bitset_size = (total_values + 7) // 8
+    bitset = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8, count=bitset_size, offset=header_size)
+    )[:total_values]
+    starts = np.nonzero(bitset)[0]
+    if len(starts) != num_docs:
+        raise ValueError(
+            f"MV bitset has {len(starts)} doc starts, expected {num_docs}"
+        )
+    ids = _unpack_dict_ids(buf[header_size + bitset_size :], total_values, bits)
+    return np.split(ids, starts[1:])
+
+
+def _encode_mv_fwd(doc_arrays, bits: int) -> bytes:
+    """Per-doc dictId arrays -> MV forward index bytes (writer layout:
+    chunk-offset header, doc-start bitset, packed ids)."""
+    import numpy as np
+
+    num_docs = len(doc_arrays)
+    lengths = np.array([len(a) for a in doc_arrays], dtype=np.int64)
+    if (lengths == 0).any():
+        raise ValueError(
+            "empty multi-value rows cannot be encoded — the reference "
+            "ingests null/empty MV cells as [defaultNullValue]; fill first"
+        )
+    total_values = int(lengths.sum())
+    docs_per_chunk = _mv_docs_per_chunk(num_docs, total_values)
+    num_chunks = (num_docs + docs_per_chunk - 1) // docs_per_chunk
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    header = struct.pack(
+        f">{num_chunks}i", *(int(starts[c * docs_per_chunk]) for c in range(num_chunks))
+    )
+    bitset = np.zeros(total_values, dtype=np.uint8)
+    bitset[starts] = 1
+    flat = np.concatenate([np.asarray(a, dtype=np.uint64) for a in doc_arrays])
+    return header + np.packbits(bitset).tobytes() + _pack_dict_ids(flat, bits)
+
+
 def read_segment_pandas(segment_dir: str, columns: list[str] | None = None):
     """Decode one segment into a pandas DataFrame (column-pruned)."""
     import pandas as pd
@@ -327,10 +509,6 @@ def read_segment_pandas(segment_dir: str, columns: list[str] | None = None):
         cm = meta.columns.get(name)
         if cm is None:
             raise KeyError(f"column {name!r} not in segment {segment_dir}")
-        if not cm.is_single_value:
-            raise UnsupportedSegmentError(
-                f"column {name!r} is multi-value — outside reader scope"
-            )
         if not cm.has_dictionary:
             raise UnsupportedSegmentError(
                 f"column {name!r} has a raw (noDictionary) forward index — "
@@ -340,14 +518,35 @@ def read_segment_pandas(segment_dir: str, columns: list[str] | None = None):
             _index_buffer(meta, psf, name, "dictionary"), cm
         )
         fwd = _index_buffer(meta, psf, name, "forward_index")
+        if not cm.is_single_value:
+            doc_ids = _decode_mv_fwd(
+                fwd, meta.total_docs, cm.total_entries, cm.bits_per_element
+            )
+            if cm.data_type == "STRING":
+                col = pd.Series(
+                    [[dict_vals[i] for i in ids] for ids in doc_ids], dtype="object"
+                )
+            else:
+                col = pd.Series([dict_vals[ids] for ids in doc_ids], dtype="object")
+            out[name] = col
+            continue
         if cm.is_sorted and len(fwd) == cm.cardinality * 8:
             ids = _decode_sorted_fwd(fwd, cm)
         else:
             ids = _unpack_dict_ids(fwd, meta.total_docs, cm.bits_per_element)
         if cm.data_type == "STRING":
-            out[name] = pd.Series([dict_vals[i] for i in ids], dtype="object")
+            ser = pd.Series([dict_vals[i] for i in ids], dtype="object")
         else:
-            out[name] = pd.Series(dict_vals[ids])
+            ser = pd.Series(dict_vals[ids])
+        if (name, "nullvalue_vector") in meta.index_map:
+            null_docs = roaring_deserialize(
+                _index_buffer(meta, psf, name, "nullvalue_vector")
+            )
+            if len(null_docs):
+                if cm.data_type in ("INT", "LONG"):
+                    ser = ser.astype("Int64" if cm.data_type == "LONG" else "Int32")
+                ser[null_docs.astype("int64")] = None
+        out[name] = ser
     return pd.DataFrame(out)
 
 
@@ -358,11 +557,12 @@ def segment_spark_schema(segment_dir: str, columns: list[str] | None = None) -> 
     for name in want:
         cm = meta.columns[name]
         try:
-            parts.append(f"`{name}` {_PINOT_TO_SPARK[cm.data_type]}")
+            t = _PINOT_TO_SPARK[cm.data_type]
         except KeyError:
             raise UnsupportedSegmentError(
                 f"data type {cm.data_type} for column {name}"
             ) from None
+        parts.append(f"`{name}` {t if cm.is_single_value else f'array<{t}>'}")
     return ", ".join(parts)
 
 
@@ -463,27 +663,83 @@ def write_segment_pandas(
     if time_column is not None:
         prop_lines.append("segment.time.column.name = " + _props_escape(time_column))
 
+    def _elem_type(arr) -> str:
+        kind = arr.dtype.kind
+        if kind in "iu":
+            return "LONG" if arr.dtype.itemsize > 4 else "INT"
+        if kind == "f":
+            return "DOUBLE" if arr.dtype.itemsize > 4 else "FLOAT"
+        return "STRING"
+
     for col in pdf.columns:
         ser = pdf[col]
-        if ser.isna().any():
-            raise ValueError(
-                f"column {col!r} has nulls — fill with the schema default "
-                "before export (the reference stores defaultNullValue)"
+        first = ser.dropna().iloc[0] if ser.notna().any() else None
+        is_mv = isinstance(first, (list, tuple, np.ndarray))
+        ck = f"column.{col}."
+        if is_mv:
+            if ser.isna().any() or any(len(a) == 0 for a in ser):
+                raise ValueError(
+                    f"MV column {col!r} has null/empty cells — the reference "
+                    "ingests those as [defaultNullValue]; fill first"
+                )
+            lengths = np.array([len(a) for a in ser], dtype=np.int64)
+            flat = np.concatenate([np.asarray(a) for a in ser])
+            if flat.dtype.kind == "O" or flat.dtype.kind == "U":
+                data_type = "STRING"
+                flat = flat.astype(str)
+            else:
+                data_type = _elem_type(flat)
+            uniq, inverse = np.unique(flat, return_inverse=True)
+            bits = bits_per_element(len(uniq))
+            dict_bytes, entry_len = _encode_dictionary(
+                uniq.tolist(),
+                data_type,
+                var_length_string_dicts and data_type == "STRING",
             )
+            append_entry(col, "dictionary", dict_bytes)
+            bounds = np.concatenate(([0], np.cumsum(lengths)))
+            doc_arrays = [inverse[bounds[i] : bounds[i + 1]] for i in range(num_docs)]
+            append_entry(col, "forward_index", _encode_mv_fwd(doc_arrays, bits))
+            prop_lines += [
+                f"{ck}cardinality = {len(uniq)}",
+                f"{ck}totalDocs = {num_docs}",
+                f"{ck}dataType = {data_type}",
+                f"{ck}bitsPerElement = {bits}",
+                f"{ck}lengthOfEachEntry = {entry_len}",
+                f"{ck}columnType = DIMENSION",
+                f"{ck}isSorted = false",
+                f"{ck}hasDictionary = true",
+                f"{ck}isSingleValues = false",
+                f"{ck}maxNumberOfMultiValues = {int(lengths.max())}",
+                f"{ck}totalNumberOfEntries = {int(lengths.sum())}",
+                f"{ck}isAutoGenerated = false",
+            ]
+            continue
+        null_mask = ser.isna().to_numpy()
         kind = ser.dtype.kind
         if kind in "iu":
             data_type = "LONG" if ser.dtype.itemsize > 4 else "INT"
-            vals = ser.to_numpy()
         elif kind == "f":
             data_type = "DOUBLE" if ser.dtype.itemsize > 4 else "FLOAT"
-            vals = ser.to_numpy()
         elif kind == "O":
             data_type = "STRING"
-            vals = ser.astype(str).to_numpy()
         else:
             raise UnsupportedSegmentError(
                 f"column {col!r} dtype {ser.dtype} is outside writer scope"
             )
+        if null_mask.any():
+            # FieldSpec default null values + a null-value vector
+            ser = ser.fillna(NULL_DEFAULTS[data_type])
+        if data_type == "STRING":
+            vals = ser.astype(str).to_numpy()
+        else:
+            np_t = {
+                "INT": np.int32,
+                "LONG": np.int64,
+                "FLOAT": np.float32,
+                "DOUBLE": np.float64,
+            }[data_type]
+            vals = ser.to_numpy(dtype=np_t)
         uniq, inverse = np.unique(vals, return_inverse=True)
         cardinality = len(uniq)
         bits = bits_per_element(cardinality)
@@ -502,7 +758,10 @@ def write_segment_pandas(
         else:
             fwd = _pack_dict_ids(inverse, bits)
         append_entry(col, "forward_index", fwd)
-        ck = f"column.{col}."
+        if null_mask.any():
+            append_entry(
+                col, "nullvalue_vector", roaring_serialize(np.nonzero(null_mask)[0])
+            )
         prop_lines += [
             f"{ck}cardinality = {cardinality}",
             f"{ck}totalDocs = {num_docs}",

@@ -159,15 +159,124 @@ def test_sorted_column_uses_range_forward_index(tmp_path):
     assert list(back["t"]) == list(pdf["t"])
 
 
-def test_null_rejection_and_missing_column(tmp_path):
-    with pytest.raises(ValueError, match="nulls"):
-        ps.write_segment_pandas(
-            pd.DataFrame({"a": [1.0, None]}), str(tmp_path / "segn")
-        )
+def test_missing_column(tmp_path):
     seg = str(tmp_path / "seg7")
     ps.write_segment_pandas(_sample_pdf(10), seg)
     with pytest.raises(KeyError, match="not in segment"):
         ps.read_segment_pandas(seg, columns=["nope"])
+
+
+def test_roaring_round_trip_array_and_bitmap_containers():
+    # array container (sparse), bitmap container (dense, card > 4096),
+    # and a second 16-bit key space
+    vals = (
+        list(range(0, 5000))  # dense low key -> bitmap container
+        + [70000, 70002, 99999]  # key 1 -> array container
+    )
+    data = ps.roaring_serialize(vals)
+    assert struct.unpack_from("<i", data, 0)[0] == 12346  # no-run cookie
+    back = ps.roaring_deserialize(data)
+    assert sorted(back.tolist()) == sorted(vals)
+
+
+def test_roaring_run_container_decode():
+    # hand-built with-run stream (cookie 12347): runs [5..7] and [10..10]
+    stream = (
+        struct.pack("<i", 12347)  # size-1 == 0 in high bits
+        + bytes([0b1])  # run flag for container 0
+        + struct.pack("<HH", 0, 3)  # key 0, cardinality-1 = 3
+        + struct.pack("<H", 2)  # numRuns
+        + struct.pack("<HHHH", 5, 2, 10, 0)  # (start, len-1) pairs
+    )
+    back = ps.roaring_deserialize(stream)
+    assert back.tolist() == [5, 6, 7, 10]
+
+
+def test_null_value_vector_round_trip(tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "d": [1.5, None, 2.5, None, 1.5],
+            "s": ["a", "b", None, "b", "a"],
+            "i": pd.array([7, None, 9, 7, None], dtype="Int64"),
+        }
+    )
+    seg = str(tmp_path / "segnull")
+    ps.write_segment_pandas(pdf, seg)
+    meta = ps.read_segment_metadata(seg)
+    assert ("d", "nullvalue_vector") in meta.index_map
+    back = ps.read_segment_pandas(seg)
+    assert back["d"].isna().tolist() == [False, True, False, True, False]
+    assert back["s"].tolist() == ["a", "b", None, "b", "a"]
+    assert back["i"].isna().tolist() == [False, True, False, False, True]
+    assert back["i"].dropna().tolist() == [7, 9, 7]
+    # null docs carry FieldSpec defaults in the dictionary (STRING "null")
+    with open(
+        f"{meta.segment_dir}/columns.psf", "rb"
+    ) as f:
+        psf = f.read()
+    s_dict = ps._decode_dictionary(
+        ps._index_buffer(meta, psf, "s", "dictionary"), meta.columns["s"]
+    )
+    assert "null" in s_dict
+
+
+def test_mv_column_round_trip(tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "doc": np.arange(6, dtype=np.int64),
+            "tags": [
+                ["red", "green"],
+                ["green"],
+                ["blue", "red", "blue"],
+                ["x"],
+                ["red"],
+                ["green", "blue"],
+            ],
+            "nums": [[1, 2, 3], [4], [1], [9, 9], [2], [5, 1]],
+        }
+    )
+    seg = str(tmp_path / "segmv")
+    ps.write_segment_pandas(pdf, seg)
+    meta = ps.read_segment_metadata(seg)
+    cm = meta.columns["tags"]
+    assert not cm.is_single_value
+    assert cm.total_entries == 10
+    back = ps.read_segment_pandas(seg, columns=["doc", "tags", "nums"])
+    assert [list(x) for x in back["tags"]] == [list(x) for x in pdf["tags"]]
+    assert [list(map(int, x)) for x in back["nums"]] == [
+        list(x) for x in pdf["nums"]
+    ]
+    # spark schema marks MV columns as arrays
+    schema = ps.segment_spark_schema(seg)
+    assert "`tags` array<string>" in schema and "`nums` array<bigint>" in schema
+
+
+def test_mv_docs_per_chunk_matches_writer_int_division():
+    # FixedBitMVForwardIndexWriter:79-80 uses int division for the average
+    assert ps._mv_docs_per_chunk(10, 35) == 683  # avg=3 -> ceil(2048/3)
+    assert ps._mv_docs_per_chunk(4, 4) == 2048
+    assert ps._mv_docs_per_chunk(10, 9) == 2**31 - 1  # avg 0 edge
+
+def test_mv_empty_cell_rejected(tmp_path):
+    with pytest.raises(ValueError, match="empty"):
+        ps.write_segment_pandas(
+            pd.DataFrame({"m": [[1], []]}), str(tmp_path / "segbad")
+        )
+
+
+def test_mv_spark_read(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(50, dtype=np.int64),
+            "mv": [[f"t{i % 5}", f"t{(i + 1) % 7}"] for i in range(50)],
+        }
+    )
+    seg = str(tmp_path / "segmv2")
+    ps.write_segment_pandas(pdf, seg)
+    df = ps.read_segments(spark, [seg])
+    rows = {r["k"]: r["mv"] for r in df.collect()}
+    assert rows[3] == ["t3", "t4"]
+    assert len(rows) == 50
 
 
 def test_corrupt_magic_marker_detected(tmp_path):
