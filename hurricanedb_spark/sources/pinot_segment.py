@@ -51,9 +51,25 @@ reference defines in public code:
     forward index (FieldSpec.java:49-57: Integer/Long.MIN_VALUE,
     Float/Double.NEGATIVE_INFINITY, "null").
 
-Scope: dictionary-encoded SV and MV columns of INT / LONG / FLOAT /
-DOUBLE / STRING, with null-value vectors. Raw (noDictionary)
-chunk-compressed forward indexes are out of scope, raising a clear
+  - Raw (noDictionary) SV forward index (BaseChunkSVForwardIndexWriter
+    .java:128-160, VarByteChunkSVForwardIndexWriter.java:35-52):
+    big-endian file header (version, numChunks, numDocsPerChunk,
+    sizeOfEntry/lengthOfLongestEntry, and from version 2 totalDocs,
+    compressionType, dataHeaderStart), then per-chunk absolute file
+    offsets (int up to v2, long from v3), then compressed chunks.
+    Fixed-byte chunks are packed big-endian values; var-byte chunks
+    carry numDocsPerChunk int row offsets (0 for missing rows of the
+    final partial chunk) followed by the row bytes. Compression per
+    ChunkCompressionType.java: PASS_THROUGH(0), SNAPPY(1) raw block,
+    ZSTANDARD(2) frame, LZ4(3) raw block, LZ4_LENGTH_PREFIXED(4) =
+    little-endian decompressed-length int + raw block (lz4-java's
+    LZ4CompressorWithLength). Snappy/zstd/lz4 route through pyarrow's
+    bundled codecs; a pure-Python LZ4 block decoder covers the
+    unknown-decompressed-size case (var-byte LZ4 chunks).
+
+Scope: dictionary-encoded SV and MV columns plus raw (noDictionary) SV
+columns of INT / LONG / FLOAT / DOUBLE / STRING, with null-value
+vectors. Raw MV forward indexes are out of scope, raising a clear
 UnsupportedSegmentError naming the column; auxiliary index entries in
 `index_map` (inverted, range, bloom, text, ...) are simply skipped —
 they are redundant acceleration structures, Spark plans its own access
@@ -440,6 +456,256 @@ def _decode_sorted_fwd(buf: bytes, cm: ColumnMeta):
     return np.repeat(np.arange(cm.cardinality, dtype=np.int64), runs)
 
 
+# ---------------------------------------------------------------------------
+# raw (noDictionary) chunk-based SV forward index
+
+_COMPRESSION = {0: "PASS_THROUGH", 1: "SNAPPY", 2: "ZSTANDARD", 3: "LZ4", 4: "LZ4_LENGTH_PREFIXED"}
+_COMPRESSION_IDS = {v: k for k, v in _COMPRESSION.items()}
+
+
+def lz4_block_decompress(src: bytes, max_size: int | None = None) -> bytes:
+    """Pure-Python LZ4 block decoder (public block format: token byte =
+    literal-length nibble | match-length nibble, LSIC length extension,
+    2-byte little-endian match offsets). Used when the exact
+    decompressed size is unknown (var-byte LZ4 chunks); cold path."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        out += src[i : i + lit_len]
+        i += lit_len
+        if i >= n:
+            break  # last sequence has no match
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("corrupt LZ4 block: zero match offset")
+        match_len = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = src[i]
+                i += 1
+                match_len += b - 0  # LSIC continuation
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("corrupt LZ4 block: offset before start")
+        for _ in range(match_len):  # may overlap; byte-by-byte copy
+            out.append(out[len(out) - offset])
+        if max_size is not None and len(out) > max_size:
+            raise ValueError("LZ4 block exceeded expected size")
+    return bytes(out)
+
+
+def _zstd_content_size(data: bytes) -> int | None:
+    """Frame content size from a zstd frame header (public RFC 8878
+    layout); None when the frame omits it."""
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != 0xFD2FB528:
+        raise ValueError(f"not a zstd frame (magic {magic:#x})")
+    fhd = data[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    did_flag = fhd & 3
+    pos = 5 + (0 if single_segment else 1) + (0, 1, 2, 4)[did_flag]
+    if fcs_flag == 0:
+        return data[pos] if single_segment else None
+    if fcs_flag == 1:
+        return struct.unpack_from("<H", data, pos)[0] + 256
+    if fcs_flag == 2:
+        return struct.unpack_from("<I", data, pos)[0]
+    return struct.unpack_from("<Q", data, pos)[0]
+
+
+def _decompress_chunk(
+    data: bytes, compression: str, decompressed_size: int | None
+) -> bytes:
+    if compression == "PASS_THROUGH":
+        return data
+    if compression == "SNAPPY":
+        import pyarrow as pa
+
+        if decompressed_size is None:
+            # snappy raw blocks embed the uncompressed length as a varint
+            size, shift, i = 0, 0, 0
+            while True:
+                b = data[i]
+                size |= (b & 0x7F) << shift
+                i += 1
+                shift += 7
+                if not b & 0x80:
+                    break
+            decompressed_size = size
+        return bytes(pa.Codec("snappy").decompress(data, decompressed_size))
+    if compression == "ZSTANDARD":
+        import pyarrow as pa
+
+        if decompressed_size is None:
+            decompressed_size = _zstd_content_size(data)
+            if decompressed_size is None:
+                raise UnsupportedSegmentError(
+                    "zstd chunk frame omits the content size and the "
+                    "chunk's decompressed size is unknown"
+                )
+        return bytes(pa.Codec("zstd").decompress(data, decompressed_size))
+    if compression == "LZ4":
+        if decompressed_size is not None:
+            import pyarrow as pa
+
+            return bytes(pa.Codec("lz4_raw").decompress(data, decompressed_size))
+        return lz4_block_decompress(data)
+    if compression == "LZ4_LENGTH_PREFIXED":
+        # lz4-java LZ4CompressorWithLength: little-endian length prefix
+        (size,) = struct.unpack_from("<i", data, 0)
+        import pyarrow as pa
+
+        return bytes(pa.Codec("lz4_raw").decompress(data[4:], size))
+    raise UnsupportedSegmentError(f"unknown chunk compression {compression!r}")
+
+
+def _compress_chunk(data: bytes, compression: str) -> bytes:
+    if compression == "PASS_THROUGH":
+        return data
+    import pyarrow as pa
+
+    if compression == "SNAPPY":
+        return bytes(pa.Codec("snappy").compress(data))
+    if compression == "ZSTANDARD":
+        return bytes(pa.Codec("zstd").compress(data))
+    if compression in ("LZ4", "LZ4_LENGTH_PREFIXED"):
+        block = bytes(pa.Codec("lz4_raw").compress(data))
+        if compression == "LZ4_LENGTH_PREFIXED":
+            return struct.pack("<i", len(data)) + block
+        return block
+    raise UnsupportedSegmentError(f"unknown chunk compression {compression!r}")
+
+
+def _parse_chunk_container(buf: bytes):
+    """File header + chunk offsets -> (version, num_docs_per_chunk,
+    size_of_entry, total_docs, compression, [(start, end) per chunk])."""
+    version, num_chunks, docs_per_chunk, size_of_entry = struct.unpack_from(
+        ">iiii", buf, 0
+    )
+    if version < 2:
+        raise UnsupportedSegmentError(f"raw chunk container version {version} < 2")
+    total_docs, comp_id, data_header_start = struct.unpack_from(">iii", buf, 16)
+    comp = _COMPRESSION.get(comp_id)
+    if comp is None:
+        raise UnsupportedSegmentError(f"unknown compression id {comp_id}")
+    off_fmt = ">i" if version <= 2 else ">q"
+    width = 4 if version <= 2 else 8
+    offsets = [
+        struct.unpack_from(off_fmt, buf, data_header_start + i * width)[0]
+        for i in range(num_chunks)
+    ]
+    bounds = [
+        (offsets[i], offsets[i + 1] if i + 1 < num_chunks else len(buf))
+        for i in range(num_chunks)
+    ]
+    return version, docs_per_chunk, size_of_entry, total_docs, comp, bounds
+
+
+def _decode_raw_sv(buf: bytes, cm: ColumnMeta, num_docs: int):
+    """Raw SV forward index -> numpy array / list[str]."""
+    import numpy as np
+
+    _, docs_per_chunk, size_of_entry, total_docs, comp, bounds = (
+        _parse_chunk_container(buf)
+    )
+    n = total_docs or num_docs
+    if cm.data_type in _FIXED_WIDTH:
+        width = _FIXED_WIDTH[cm.data_type]
+        parts = []
+        remaining = n
+        for start, end in bounds:
+            docs_here = min(docs_per_chunk, remaining)
+            chunk = _decompress_chunk(buf[start:end], comp, docs_here * width)
+            parts.append(np.frombuffer(chunk, dtype=_NP_BE[cm.data_type]))
+            remaining -= docs_here
+        arr = np.concatenate(parts)[:n]
+        return arr.astype(arr.dtype.newbyteorder("="))
+    if cm.data_type == "STRING":
+        out: list[str] = []
+        remaining = n
+        for start, end in bounds:
+            docs_here = min(docs_per_chunk, remaining)
+            chunk = _decompress_chunk(buf[start:end], comp, None)
+            # the in-chunk offset header always holds numDocsPerChunk
+            # slots; missing rows of the final partial chunk stay 0
+            row_offsets = struct.unpack_from(f">{docs_per_chunk}i", chunk, 0)
+            for j in range(docs_here):
+                lo = row_offsets[j]
+                hi = row_offsets[j + 1] if j + 1 < docs_here else len(chunk)
+                out.append(chunk[lo:hi].decode("utf-8"))
+            remaining -= docs_here
+        return out
+    raise UnsupportedSegmentError(
+        f"raw data type {cm.data_type} for column {cm.name}"
+    )
+
+
+def _encode_raw_sv(vals, data_type: str, compression: str) -> bytes:
+    """Values -> raw SV chunk container (version 3, long chunk offsets)."""
+    import numpy as np
+
+    n = len(vals)
+    chunks: list[bytes] = []
+    if data_type in _FIXED_WIDTH:
+        width = _FIXED_WIDTH[data_type]
+        docs_per_chunk = max(1, (1 << 20) // width)
+        arr = np.asarray(vals).astype(_NP_BE[data_type])
+        for i in range(0, n, docs_per_chunk):
+            chunks.append(arr[i : i + docs_per_chunk].tobytes())
+        size_of_entry = width
+    else:
+        enc = [v.encode("utf-8") for v in vals]
+        size_of_entry = max((len(b) for b in enc), default=0)
+        docs_per_chunk = max(1, (1 << 20) // (4 + max(size_of_entry, 1)))
+        for i in range(0, n, docs_per_chunk):
+            rows = enc[i : i + docs_per_chunk]
+            header_len = 4 * docs_per_chunk
+            offs, pos = [], header_len
+            for b in rows:
+                offs.append(pos)
+                pos += len(b)
+            # partial final chunk: missing row offsets stay 0
+            offs += [0] * (docs_per_chunk - len(rows))
+            chunks.append(
+                struct.pack(f">{docs_per_chunk}i", *offs) + b"".join(rows)
+            )
+    num_chunks = len(chunks)
+    header_size = 28 + 8 * num_chunks
+    out = [
+        struct.pack(
+            ">iiiiiii",
+            3,
+            num_chunks,
+            docs_per_chunk,
+            size_of_entry,
+            n,
+            _COMPRESSION_IDS[compression],
+            28,
+        )
+    ]
+    compressed = [_compress_chunk(c, compression) for c in chunks]
+    pos = header_size
+    for c in compressed:
+        out.append(struct.pack(">q", pos))
+        pos += len(c)
+    return b"".join(out) + b"".join(compressed)
+
+
 def _mv_docs_per_chunk(num_docs: int, total_values: int) -> int:
     """FixedBitMVForwardIndexWriter:79-80 — note the writer's INT
     division for averageValuesPerDoc; avg 0 (more docs than values)
@@ -510,10 +776,16 @@ def read_segment_pandas(segment_dir: str, columns: list[str] | None = None):
         if cm is None:
             raise KeyError(f"column {name!r} not in segment {segment_dir}")
         if not cm.has_dictionary:
-            raise UnsupportedSegmentError(
-                f"column {name!r} has a raw (noDictionary) forward index — "
-                "outside reader scope"
+            if not cm.is_single_value:
+                raise UnsupportedSegmentError(
+                    f"column {name!r} is raw multi-value — outside reader scope"
+                )
+            raw = _decode_raw_sv(
+                _index_buffer(meta, psf, name, "forward_index"), cm, meta.total_docs
             )
+            ser = pd.Series(raw, dtype="object" if cm.data_type == "STRING" else None)
+            out[name] = _apply_null_vector(ser, meta, psf, name, cm)
+            continue
         dict_vals = _decode_dictionary(
             _index_buffer(meta, psf, name, "dictionary"), cm
         )
@@ -538,16 +810,21 @@ def read_segment_pandas(segment_dir: str, columns: list[str] | None = None):
             ser = pd.Series([dict_vals[i] for i in ids], dtype="object")
         else:
             ser = pd.Series(dict_vals[ids])
-        if (name, "nullvalue_vector") in meta.index_map:
-            null_docs = roaring_deserialize(
-                _index_buffer(meta, psf, name, "nullvalue_vector")
-            )
-            if len(null_docs):
-                if cm.data_type in ("INT", "LONG"):
-                    ser = ser.astype("Int64" if cm.data_type == "LONG" else "Int32")
-                ser[null_docs.astype("int64")] = None
-        out[name] = ser
+        out[name] = _apply_null_vector(ser, meta, psf, name, cm)
     return pd.DataFrame(out)
+
+
+def _apply_null_vector(ser, meta: SegmentMeta, psf: bytes, name: str, cm: ColumnMeta):
+    if (name, "nullvalue_vector") not in meta.index_map:
+        return ser
+    null_docs = roaring_deserialize(
+        _index_buffer(meta, psf, name, "nullvalue_vector")
+    )
+    if len(null_docs):
+        if cm.data_type in ("INT", "LONG"):
+            ser = ser.astype("Int64" if cm.data_type == "LONG" else "Int32")
+        ser[null_docs.astype("int64")] = None
+    return ser
 
 
 def segment_spark_schema(segment_dir: str, columns: list[str] | None = None) -> str:
@@ -626,10 +903,14 @@ def write_segment_pandas(
     segment_name: str | None = None,
     time_column: str | None = None,
     var_length_string_dicts: bool = False,
+    raw_columns: dict[str, str] | None = None,
 ) -> str:
-    """Write a pandas DataFrame as one v3 segment directory. Columns
-    must be SV INT/LONG/FLOAT/DOUBLE/STRING without nulls (the reference
-    bakes defaultNullValue in at ingestion; do the fill before export).
+    """Write a pandas DataFrame as one v3 segment directory (SV and MV
+    INT/LONG/FLOAT/DOUBLE/STRING; SV nulls become FieldSpec defaults +
+    a null-value vector). `raw_columns` maps column name -> chunk
+    compression (PASS_THROUGH, SNAPPY, ZSTANDARD, LZ4,
+    LZ4_LENGTH_PREFIXED) to store that SV column as a raw
+    (noDictionary) chunk container instead of dictionary-encoded.
     Returns the segment directory path."""
     import numpy as np
     import pandas as pd
@@ -740,6 +1021,43 @@ def write_segment_pandas(
                 "DOUBLE": np.float64,
             }[data_type]
             vals = ser.to_numpy(dtype=np_t)
+        if raw_columns and col in raw_columns:
+            compression = raw_columns[col]
+            entry_len = (
+                max((len(v.encode("utf-8")) for v in vals), default=0)
+                if data_type == "STRING"
+                else _FIXED_WIDTH[data_type]
+            )
+            append_entry(
+                col,
+                "forward_index",
+                _encode_raw_sv(
+                    vals.tolist() if data_type == "STRING" else vals,
+                    data_type,
+                    compression,
+                ),
+            )
+            if null_mask.any():
+                append_entry(
+                    col,
+                    "nullvalue_vector",
+                    roaring_serialize(np.nonzero(null_mask)[0]),
+                )
+            prop_lines += [
+                f"{ck}cardinality = {len(np.unique(vals))}",
+                f"{ck}totalDocs = {num_docs}",
+                f"{ck}dataType = {data_type}",
+                f"{ck}bitsPerElement = 0",
+                f"{ck}lengthOfEachEntry = {entry_len}",
+                f"{ck}columnType = METRIC",
+                f"{ck}isSorted = false",
+                f"{ck}hasDictionary = false",
+                f"{ck}isSingleValues = true",
+                f"{ck}maxNumberOfMultiValues = 0",
+                f"{ck}totalNumberOfEntries = {num_docs}",
+                f"{ck}isAutoGenerated = false",
+            ]
+            continue
         uniq, inverse = np.unique(vals, return_inverse=True)
         cardinality = len(uniq)
         bits = bits_per_element(cardinality)

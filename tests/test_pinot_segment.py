@@ -329,3 +329,79 @@ def test_export_segments_spark_round_trip(spark, sf_dir, tmp_path):
     assert sorted(
         (r["r_regionkey"], r["r_name"]) for r in back.collect()
     ) == sorted((r["r_regionkey"], r["r_name"]) for r in reg.collect())
+
+
+@pytest.mark.parametrize(
+    "compression",
+    ["PASS_THROUGH", "SNAPPY", "ZSTANDARD", "LZ4", "LZ4_LENGTH_PREFIXED"],
+)
+def test_raw_sv_round_trip_all_compressions(tmp_path, compression):
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "m_double": rng.normal(size=3000),
+            "m_long": rng.integers(0, 10**12, 3000).astype(np.int64),
+            "txt": [f"payload-{i}-" + "x" * (i % 40) for i in range(3000)],
+        }
+    )
+    seg = str(tmp_path / f"raw_{compression}")
+    ps.write_segment_pandas(
+        pdf,
+        seg,
+        raw_columns={
+            "m_double": compression,
+            "m_long": compression,
+            "txt": compression,
+        },
+    )
+    meta = ps.read_segment_metadata(seg)
+    assert not meta.columns["m_double"].has_dictionary
+    with open(f"{meta.segment_dir}/columns.psf", "rb") as f:
+        psf = f.read()
+    fwd = ps._index_buffer(meta, psf, "m_double", "forward_index")
+    # header golden: version 3, sizeOfEntry 8, compression id, offsets at 28
+    ver, n_chunks, dpc, entry = struct.unpack_from(">iiii", fwd, 0)
+    total, comp_id, dh_start = struct.unpack_from(">iii", fwd, 16)
+    assert (ver, entry, total, dh_start) == (3, 8, 3000, 28)
+    assert comp_id == {"PASS_THROUGH": 0, "SNAPPY": 1, "ZSTANDARD": 2,
+                       "LZ4": 3, "LZ4_LENGTH_PREFIXED": 4}[compression]
+    back = ps.read_segment_pandas(seg)
+    pd.testing.assert_series_equal(back["m_double"], pdf["m_double"], check_names=True)
+    pd.testing.assert_series_equal(back["m_long"], pdf["m_long"])
+    assert back["txt"].tolist() == pdf["txt"].tolist()
+
+
+def test_raw_sv_multi_chunk_partial_tail(tmp_path):
+    # > 1 MiB of doubles forces multiple chunks with a partial tail
+    n = 200_000
+    pdf = pd.DataFrame({"v": np.arange(n, dtype=np.float64)})
+    seg = str(tmp_path / "rawchunks")
+    ps.write_segment_pandas(pdf, seg, raw_columns={"v": "ZSTANDARD"})
+    meta = ps.read_segment_metadata(seg)
+    with open(f"{meta.segment_dir}/columns.psf", "rb") as f:
+        psf = f.read()
+    fwd = ps._index_buffer(meta, psf, "v", "forward_index")
+    _, n_chunks, dpc, _ = struct.unpack_from(">iiii", fwd, 0)
+    assert n_chunks == -(-n // dpc) and n_chunks >= 2
+    back = ps.read_segment_pandas(seg)
+    assert (back["v"].to_numpy() == pdf["v"].to_numpy()).all()
+
+
+def test_raw_sv_nulls_round_trip(tmp_path):
+    pdf = pd.DataFrame({"v": [1.5, None, 3.5, None, 5.0]})
+    seg = str(tmp_path / "rawnull")
+    ps.write_segment_pandas(pdf, seg, raw_columns={"v": "SNAPPY"})
+    back = ps.read_segment_pandas(seg)
+    assert back["v"].isna().tolist() == [False, True, False, True, False]
+    assert back["v"].dropna().tolist() == [1.5, 3.5, 5.0]
+
+
+def test_lz4_block_decoder_against_pyarrow():
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    for size in (0, 1, 17, 1000, 70000):
+        # compressible + random mix
+        data = (b"abcd" * (size // 3 + 1))[:size // 2] + rng.bytes(size - size // 2)
+        block = bytes(pa.Codec("lz4_raw").compress(data))
+        assert ps.lz4_block_decompress(block) == data
