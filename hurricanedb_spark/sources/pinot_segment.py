@@ -882,6 +882,12 @@ def _encode_dictionary(values, data_type: str, var_length: bool) -> tuple[bytes,
         return b"".join(struct.pack(fmt, v) for v in values), _FIXED_WIDTH[data_type]
     enc = [v.encode("utf-8") for v in values]
     width = max((len(b) for b in enc), default=0)
+    # fixed-width entries are '\0'-padded and unpadded by rstrip on read,
+    # so a value with a trailing NUL byte is unrepresentable there (the
+    # reference rejects values containing the padding character); the
+    # var-length layout carries explicit lengths and has no such limit
+    if any(b.endswith(PAD_CHAR) for b in enc):
+        var_length = True
     if var_length:
         header = VAR_LENGTH_MAGIC + struct.pack(">iii", 1, len(enc), 16)
         off = 16 + 4 * (len(enc) + 1)

@@ -405,3 +405,89 @@ def test_lz4_block_decoder_against_pyarrow():
         data = (b"abcd" * (size // 3 + 1))[:size // 2] + rng.bytes(size - size // 2)
         block = bytes(pa.Codec("lz4_raw").compress(data))
         assert ps.lz4_block_decompress(block) == data
+
+# ---------------------------------------------------------------------------
+# property-based round trip (hypothesis)
+
+from hypothesis import given, settings, strategies as hst  # noqa: E402
+
+_texts = hst.text(
+    alphabet=hst.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    min_size=0,
+    max_size=24,
+)
+
+
+def _col_strategy(kind):
+    if kind == "INT":
+        return hst.lists(
+            hst.one_of(hst.integers(-(2**31), 2**31 - 1), hst.none()),
+            min_size=1,
+            max_size=60,
+        )
+    if kind == "LONG":
+        return hst.lists(
+            hst.one_of(hst.integers(-(2**63), 2**63 - 1), hst.none()),
+            min_size=1,
+            max_size=60,
+        )
+    if kind == "DOUBLE":
+        return hst.lists(
+            hst.one_of(
+                hst.floats(allow_nan=False, width=64), hst.none()
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    if kind == "STRING":
+        return hst.lists(hst.one_of(_texts, hst.none()), min_size=1, max_size=60)
+    if kind == "MV_LONG":
+        return hst.lists(
+            hst.lists(hst.integers(-(2**40), 2**40), min_size=1, max_size=6),
+            min_size=1,
+            max_size=60,
+        )
+    raise AssertionError(kind)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    kind=hst.sampled_from(["INT", "LONG", "DOUBLE", "STRING", "MV_LONG"]),
+    data=hst.data(),
+)
+def test_property_round_trip(tmp_path_factory, kind, data):
+    vals = data.draw(_col_strategy(kind))
+    if kind == "MV_LONG":
+        pdf = pd.DataFrame({"c": pd.Series(vals, dtype="object")})
+    elif kind == "INT":
+        pdf = pd.DataFrame({"c": pd.array(vals, dtype="Int32")})
+    elif kind == "LONG":
+        pdf = pd.DataFrame({"c": pd.array(vals, dtype="Int64")})
+    elif kind == "DOUBLE":
+        pdf = pd.DataFrame({"c": pd.Series(vals, dtype="float64")})
+    else:
+        pdf = pd.DataFrame({"c": pd.Series(vals, dtype="object")})
+    # the reference's null contract cannot represent the literal pad
+    # values; FieldSpec defaults occupy those slots
+    seg = str(tmp_path_factory.mktemp("prop") / "seg")
+    ps.write_segment_pandas(pdf, seg)
+    back = ps.read_segment_pandas(seg)
+    got = back["c"]
+    exp = pdf["c"]
+    if kind == "MV_LONG":
+        assert [list(map(int, a)) for a in got] == [list(a) for a in exp]
+        return
+    assert got.isna().tolist() == exp.isna().tolist()
+    g, e = got.dropna().tolist(), exp.dropna().tolist()
+    if kind == "DOUBLE":
+        assert g == pytest.approx(e, nan_ok=True, abs=0, rel=0)
+    else:
+        assert g == e
+
+
+def test_trailing_nul_string_switches_to_var_length(tmp_path):
+    pdf = pd.DataFrame({"s": ["plain", "ends-in-nul\x00", "x"]})
+    seg = str(tmp_path / "segnul0")
+    ps.write_segment_pandas(pdf, seg)
+    back = ps.read_segment_pandas(seg)
+    assert back["s"].tolist() == pdf["s"].tolist()
