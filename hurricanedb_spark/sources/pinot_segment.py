@@ -706,6 +706,43 @@ def _encode_raw_sv(vals, data_type: str, compression: str) -> bytes:
     return b"".join(out) + b"".join(compressed)
 
 
+# ---------------------------------------------------------------------------
+# bitmap inverted index (BitmapInvertedIndexWriter.java:33-50: numBitmaps+1
+# big-endian int offsets — absolute, end-exclusive — then one serialized
+# portable RoaringBitmap of docIds per dictId)
+
+
+def _encode_inverted_index(doc_ids_per_dict: list) -> bytes:
+    blobs = [roaring_serialize(d) for d in doc_ids_per_dict]
+    n = len(blobs)
+    pos = 4 * (n + 1)
+    offsets = [pos]
+    for b in blobs:
+        pos += len(b)
+        offsets.append(pos)
+    return struct.pack(f">{n + 1}i", *offsets) + b"".join(blobs)
+
+
+def _group_docs_by_dict(dict_ids, doc_ids, cardinality: int):
+    """(value dictId, value docId) pairs -> per-dictId sorted docId
+    arrays, vectorized (stable argsort + split by counts)."""
+    import numpy as np
+
+    order = np.argsort(dict_ids, kind="stable")
+    counts = np.bincount(dict_ids, minlength=cardinality)
+    return [np.unique(a) for a in np.split(doc_ids[order], np.cumsum(counts)[:-1])]
+
+
+def read_inverted_index(meta: SegmentMeta, psf: bytes, col: str):
+    """Inverted index -> list of sorted numpy docId arrays per dictId."""
+    buf = _index_buffer(meta, psf, col, "inverted_index")
+    card = meta.columns[col].cardinality
+    offsets = struct.unpack_from(f">{card + 1}i", buf, 0)
+    return [
+        roaring_deserialize(buf[offsets[i] : offsets[i + 1]]) for i in range(card)
+    ]
+
+
 def _mv_docs_per_chunk(num_docs: int, total_values: int) -> int:
     """FixedBitMVForwardIndexWriter:79-80 — note the writer's INT
     division for averageValuesPerDoc; avg 0 (more docs than values)
@@ -807,7 +844,10 @@ def read_segment_pandas(segment_dir: str, columns: list[str] | None = None):
         else:
             ids = _unpack_dict_ids(fwd, meta.total_docs, cm.bits_per_element)
         if cm.data_type == "STRING":
-            ser = pd.Series([dict_vals[i] for i in ids], dtype="object")
+            import numpy as np
+
+            lut = np.asarray(dict_vals, dtype=object)
+            ser = pd.Series(lut[ids], dtype="object")
         else:
             ser = pd.Series(dict_vals[ids])
         out[name] = _apply_null_vector(ser, meta, psf, name, cm)
@@ -910,6 +950,7 @@ def write_segment_pandas(
     time_column: str | None = None,
     var_length_string_dicts: bool = False,
     raw_columns: dict[str, str] | None = None,
+    inverted_index_columns: list[str] | None = None,
 ) -> str:
     """Write a pandas DataFrame as one v3 segment directory (SV and MV
     INT/LONG/FLOAT/DOUBLE/STRING; SV nulls become FieldSpec defaults +
@@ -917,7 +958,9 @@ def write_segment_pandas(
     compression (PASS_THROUGH, SNAPPY, ZSTANDARD, LZ4,
     LZ4_LENGTH_PREFIXED) to store that SV column as a raw
     (noDictionary) chunk container instead of dictionary-encoded.
-    Returns the segment directory path."""
+    `inverted_index_columns` additionally writes a bitmap inverted
+    index (one RoaringBitmap of docIds per dictId) for those
+    dictionary-encoded columns. Returns the segment directory path."""
     import numpy as np
     import pandas as pd
 
@@ -987,6 +1030,17 @@ def write_segment_pandas(
             bounds = np.concatenate(([0], np.cumsum(lengths)))
             doc_arrays = [inverse[bounds[i] : bounds[i + 1]] for i in range(num_docs)]
             append_entry(col, "forward_index", _encode_mv_fwd(doc_arrays, bits))
+            if inverted_index_columns and col in inverted_index_columns:
+                doc_of_value = np.repeat(
+                    np.arange(num_docs, dtype=np.int64), lengths
+                )
+                append_entry(
+                    col,
+                    "inverted_index",
+                    _encode_inverted_index(
+                        _group_docs_by_dict(inverse, doc_of_value, len(uniq))
+                    ),
+                )
             prop_lines += [
                 f"{ck}cardinality = {len(uniq)}",
                 f"{ck}totalDocs = {num_docs}",
@@ -1082,6 +1136,16 @@ def write_segment_pandas(
         else:
             fwd = _pack_dict_ids(inverse, bits)
         append_entry(col, "forward_index", fwd)
+        if inverted_index_columns and col in inverted_index_columns:
+            append_entry(
+                col,
+                "inverted_index",
+                _encode_inverted_index(
+                    _group_docs_by_dict(
+                        inverse, np.arange(num_docs, dtype=np.int64), cardinality
+                    )
+                ),
+            )
         if null_mask.any():
             append_entry(
                 col, "nullvalue_vector", roaring_serialize(np.nonzero(null_mask)[0])

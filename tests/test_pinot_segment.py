@@ -491,3 +491,33 @@ def test_trailing_nul_string_switches_to_var_length(tmp_path):
     ps.write_segment_pandas(pdf, seg)
     back = ps.read_segment_pandas(seg)
     assert back["s"].tolist() == pdf["s"].tolist()
+
+
+def test_inverted_index_sv_and_mv(tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "flag": ["a", "b", "a", "c", "b", "a"],
+            "tags": [["x"], ["x", "y"], ["y"], ["x"], ["z", "x"], ["y"]],
+        }
+    )
+    seg = str(tmp_path / "seginv")
+    ps.write_segment_pandas(
+        pdf, seg, inverted_index_columns=["flag", "tags"]
+    )
+    meta = ps.read_segment_metadata(seg)
+    assert ("flag", "inverted_index") in meta.index_map
+    with open(f"{meta.segment_dir}/columns.psf", "rb") as f:
+        psf = f.read()
+    # SV: dict is sorted ['a','b','c']
+    inv = ps.read_inverted_index(meta, psf, "flag")
+    assert [list(map(int, b)) for b in inv] == [[0, 2, 5], [1, 4], [3]]
+    # MV: dict sorted ['x','y','z']; docs containing each tag
+    inv_mv = ps.read_inverted_index(meta, psf, "tags")
+    assert [list(map(int, b)) for b in inv_mv] == [[0, 1, 3, 4], [1, 2, 5], [4]]
+    # consistency contract: inverted == transpose of forward
+    back = ps.read_segment_pandas(seg)
+    for dict_id, docs in enumerate(inv):
+        val = sorted(set(pdf["flag"]))[dict_id]
+        assert list(map(int, docs)) == [
+            i for i, v in enumerate(back["flag"]) if v == val
+        ]

@@ -1,0 +1,106 @@
+"""Migration CLI: native v3 segment store <-> parquet.
+
+The switch-over path for a user of the reference engine: point this at
+a directory of segment dirs (the untarred deep-store layout) and get a
+parquet table Spark reads natively — or export a parquet table back to
+v3 segments. Decoding/encoding is distributed, one task per segment /
+per partition (sources/pinot_segment.py).
+
+Usage:
+  python tools/migrate_segments.py to-parquet  <segment_store_dir> <out.parquet> [col,col,...]
+  python tools/migrate_segments.py to-segments <in.parquet> <out_segment_store_dir> [table_name]
+  python tools/migrate_segments.py bench <sf_dir>   # decode-throughput measurement
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hurricanedb_spark.session import get_spark
+from hurricanedb_spark.sources import pinot_segment as ps
+
+
+def _segment_dirs(store: str) -> list[str]:
+    segs = []
+    for name in sorted(os.listdir(store)):
+        p = os.path.join(store, name)
+        if os.path.isdir(p):
+            try:
+                ps.read_segment_metadata(p)
+            except FileNotFoundError:
+                continue
+            segs.append(p)
+    if not segs:
+        raise SystemExit(f"no segment directories under {store}")
+    return segs
+
+
+def to_parquet(store: str, out: str, columns: list[str] | None) -> None:
+    spark = get_spark("segment-migration")
+    segs = _segment_dirs(store)
+    df = ps.read_segments(spark, segs, columns)
+    df.write.mode("overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    print(f"migrated {len(segs)} segments -> {out} ({n} rows)")
+
+
+def to_segments(parquet: str, store: str, table: str) -> None:
+    spark = get_spark("segment-migration")
+    df = spark.read.parquet(parquet)
+    paths = ps.export_segments(df, store, table, segment_prefix=table)
+    print(f"exported {parquet} -> {len(paths)} segments under {store}")
+
+
+def bench(sf_dir: str) -> None:
+    """Decode-throughput: lineitem -> segments once, then timed
+    distributed decode (the migration path's scan rate)."""
+    import json
+
+    spark = get_spark("segment-bench")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    store = "/tmp/hurricanedb_segments/bench_" + os.path.basename(
+        os.path.normpath(sf_dir)
+    )
+    if not os.path.isdir(store) or not os.listdir(store):
+        ps.export_segments(li.repartition(16), store, "lineitem")
+    segs = _segment_dirs(store)
+    t0 = time.time()
+    n = ps.read_segments(spark, segs).count()
+    dt = time.time() - t0
+    t0 = time.time()
+    n2 = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    parquet_dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "segment_decode_rows_per_sec",
+                "rows": n,
+                "segments": len(segs),
+                "decode_sec": round(dt, 3),
+                "rows_per_sec": round(n / dt),
+                "parquet_count_sec": round(parquet_dt, 3),
+            }
+        )
+    )
+    assert n == n2, (n, n2)
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else ""
+    if cmd == "to-parquet":
+        cols = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+        to_parquet(sys.argv[2], sys.argv[3], cols)
+    elif cmd == "to-segments":
+        to_segments(
+            sys.argv[2], sys.argv[3], sys.argv[4] if len(sys.argv) > 4 else "table"
+        )
+    elif cmd == "bench":
+        bench(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1")
+    else:
+        raise SystemExit(__doc__)
