@@ -318,6 +318,8 @@ class ColumnMeta:
     has_dictionary: bool
     is_single_value: bool
     total_entries: int = 0  # totalNumberOfEntries (== total MV values)
+    min_value: str | None = None  # raw metadata strings; typed via data_type
+    max_value: str | None = None
 
 
 @dataclass
@@ -362,6 +364,8 @@ def read_segment_metadata(segment_dir: str) -> SegmentMeta:
                 has_dictionary=g("hasDictionary", "true").lower() == "true",
                 is_single_value=g("isSingleValues", "true").lower() == "true",
                 total_entries=int(g("totalNumberOfEntries", "0")),
+                min_value=(props.get(f"column.{name}.minValue") or [None])[0],
+                max_value=(props.get(f"column.{name}.maxValue") or [None])[0],
             )
     index_map: dict[tuple[str, str], tuple[int, int]] = {}
     entries: dict[tuple[str, str], dict[str, int]] = {}
@@ -883,6 +887,52 @@ def segment_spark_schema(segment_dir: str, columns: list[str] | None = None) -> 
     return ", ".join(parts)
 
 
+def typed_min_max(cm: ColumnMeta):
+    """(min, max) of a column parsed from metadata, or None when absent
+    or flagged invalid."""
+    if cm.min_value is None or cm.max_value is None:
+        return None
+    if cm.data_type in ("INT", "LONG"):
+        return int(cm.min_value), int(cm.max_value)
+    if cm.data_type in ("FLOAT", "DOUBLE"):
+        return float(cm.min_value), float(cm.max_value)
+    return cm.min_value, cm.max_value
+
+
+def prune_segments(segment_dirs: list[str], column: str, op: str, value):
+    """Segment-level pruning on metadata min/max — the migration
+    reader's partition pruning: a predicate that cannot match a
+    segment's [min, max] range drops the whole segment without opening
+    columns.psf. Unknown/invalid min-max keeps the segment (safe)."""
+    kept = []
+    for seg in segment_dirs:
+        meta = read_segment_metadata(seg)
+        cm = meta.columns.get(column)
+        rng = typed_min_max(cm) if cm else None
+        if rng is None:
+            kept.append(seg)
+            continue
+        lo, hi = rng
+        if op == "=":
+            match = lo <= value <= hi
+        elif op == "<":
+            match = lo < value
+        elif op == "<=":
+            match = lo <= value
+        elif op == ">":
+            match = hi > value
+        elif op == ">=":
+            match = hi >= value
+        elif op == "between":
+            vlo, vhi = value
+            match = not (hi < vlo or lo > vhi)
+        else:
+            raise ValueError(f"unknown prune op {op!r}")
+        if match:
+            kept.append(seg)
+    return kept
+
+
 def read_segments(spark, segment_dirs: list[str], columns: list[str] | None = None):
     """Segments -> Spark DataFrame, one decode task per segment
     (mapInPandas; the driver touches only metadata of the first segment
@@ -993,6 +1043,22 @@ def write_segment_pandas(
     if time_column is not None:
         prop_lines.append("segment.time.column.name = " + _props_escape(time_column))
 
+    def _min_max_lines(ck: str, data_type: str, mn, mx) -> list[str]:
+        # SegmentColumnarIndexCreator.java:914-925: write minValue/maxValue,
+        # or flag MIN_MAX_VALUE_INVALID when the value can't be stored as a
+        # clean property string
+        if data_type == "STRING":
+            for v in (mn, mx):
+                if len(v) > 512 or any(ord(c) < 0x20 for c in v):
+                    return [f"{ck}minMaxValueInvalid = true"]
+            return [
+                f"{ck}minValue = {_props_escape(mn)}",
+                f"{ck}maxValue = {_props_escape(mx)}",
+            ]
+        if data_type in ("INT", "LONG"):
+            return [f"{ck}minValue = {int(mn)}", f"{ck}maxValue = {int(mx)}"]
+        return [f"{ck}minValue = {float(mn)!r}", f"{ck}maxValue = {float(mx)!r}"]
+
     def _elem_type(arr) -> str:
         kind = arr.dtype.kind
         if kind in "iu":
@@ -1054,7 +1120,7 @@ def write_segment_pandas(
                 f"{ck}maxNumberOfMultiValues = {int(lengths.max())}",
                 f"{ck}totalNumberOfEntries = {int(lengths.sum())}",
                 f"{ck}isAutoGenerated = false",
-            ]
+            ] + _min_max_lines(ck, data_type, uniq[0], uniq[-1])
             continue
         null_mask = ser.isna().to_numpy()
         kind = ser.dtype.kind
@@ -1116,7 +1182,12 @@ def write_segment_pandas(
                 f"{ck}maxNumberOfMultiValues = 0",
                 f"{ck}totalNumberOfEntries = {num_docs}",
                 f"{ck}isAutoGenerated = false",
-            ]
+            ] + _min_max_lines(
+                ck,
+                data_type,
+                min(vals) if data_type == "STRING" else vals.min(),
+                max(vals) if data_type == "STRING" else vals.max(),
+            )
             continue
         uniq, inverse = np.unique(vals, return_inverse=True)
         cardinality = len(uniq)
@@ -1163,7 +1234,7 @@ def write_segment_pandas(
             f"{ck}maxNumberOfMultiValues = 0",
             f"{ck}totalNumberOfEntries = {num_docs}",
             f"{ck}isAutoGenerated = false",
-        ]
+        ] + _min_max_lines(ck, data_type, uniq[0], uniq[-1])
 
     psf = b"".join(psf_parts)
     with open(os.path.join(d, INDEX_FILE), "wb") as f:

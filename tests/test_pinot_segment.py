@@ -521,3 +521,38 @@ def test_inverted_index_sv_and_mv(tmp_path):
         assert list(map(int, docs)) == [
             i for i, v in enumerate(back["flag"]) if v == val
         ]
+
+
+def test_min_max_metadata_and_pruning(tmp_path):
+    segs = []
+    for i, lo in enumerate([0, 100, 200]):
+        pdf = pd.DataFrame(
+            {
+                "v": np.arange(lo, lo + 50, dtype=np.int64),
+                "s": [f"name-{lo + j}" for j in range(50)],
+            }
+        )
+        seg = str(tmp_path / f"p{i}")
+        ps.write_segment_pandas(pdf, seg)
+        segs.append(seg)
+    meta = ps.read_segment_metadata(segs[1])
+    assert ps.typed_min_max(meta.columns["v"]) == (100, 149)
+    mn, mx = ps.typed_min_max(meta.columns["s"])
+    assert (mn, mx) == ("name-100", "name-149")
+    # equality hits exactly one segment
+    assert ps.prune_segments(segs, "v", "=", 120) == [segs[1]]
+    assert ps.prune_segments(segs, "v", ">=", 200) == [segs[2]]
+    assert ps.prune_segments(segs, "v", "<", 100) == [segs[0]]
+    assert ps.prune_segments(segs, "v", "between", (140, 210)) == segs[1:]
+    # unknown column keeps everything (safe)
+    assert ps.prune_segments(segs, "nope", "=", 1) == segs
+
+
+def test_min_max_invalid_for_control_chars(tmp_path):
+    pdf = pd.DataFrame({"s": ["ok", "bad\nnewline"]})
+    seg = str(tmp_path / "mmx")
+    ps.write_segment_pandas(pdf, seg)
+    meta = ps.read_segment_metadata(seg)
+    assert ps.typed_min_max(meta.columns["s"]) is None
+    with open(f"{meta.segment_dir}/metadata.properties", encoding="utf-8") as f:
+        assert "column.s.minMaxValueInvalid = true" in f.read()
