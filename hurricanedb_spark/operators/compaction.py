@@ -65,3 +65,37 @@ def rewrite_atomic(
     tmp = path + tmp_suffix
     out.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+
+def realtime_to_offline_segments(
+    df: DataFrame,
+    out_dir: str,
+    table_name: str,
+    time_col: str,
+    window_start_ms: int,
+    window_end_ms: int,
+    rollup: dict | None = None,
+    dimension_cols: list[str] | None = None,
+) -> list[str]:
+    """RealtimeToOfflineSegmentsTask analog: take the realtime rows of
+    one time window [window_start_ms, window_end_ms), optionally
+    merge-rollup them, and seal the result as native v3 OFFLINE segments
+    (sources/pinot_segment.py) named with the window bounds — the
+    reference's realtime->offline movement with the segment store as the
+    sink. Time partitioning pins one window per task run, so a 100 TB
+    table moves one window at a time; the write itself is shuffle-free
+    (one segment per partition)."""
+    from hurricanedb_spark.sources.pinot_segment import export_segments
+
+    windowed = df.filter(
+        (F.col(time_col) >= F.lit(window_start_ms))
+        & (F.col(time_col) < F.lit(window_end_ms))
+    )
+    if rollup:
+        windowed = merge_rollup(
+            windowed, dimension_cols or [], rollup, time_col=time_col
+        )
+    prefix = f"{table_name}_{window_start_ms}_{window_end_ms}"
+    return export_segments(
+        windowed, out_dir, table_name, segment_prefix=prefix, time_column=time_col
+    )

@@ -1042,6 +1042,15 @@ def write_segment_pandas(
     ]
     if time_column is not None:
         prop_lines.append("segment.time.column.name = " + _props_escape(time_column))
+        tser = pdf[time_column]
+        if tser.notna().all() and tser.dtype.kind in "iu":
+            # epoch-millis time column: segment time range + unit
+            # (V1Constants.MetadataKeys.Segment START/END_TIME, TIME_UNIT)
+            prop_lines += [
+                f"segment.start.time = {int(tser.min())}",
+                f"segment.end.time = {int(tser.max())}",
+                "segment.time.unit = MILLISECONDS",
+            ]
 
     def _min_max_lines(ck: str, data_type: str, mn, mx) -> list[str]:
         # SegmentColumnarIndexCreator.java:914-925: write minValue/maxValue,
@@ -1253,6 +1262,7 @@ def export_segments(
     out_dir: str,
     table_name: str = "segment_export",
     segment_prefix: str = "segment",
+    time_column: str | None = None,
 ) -> list[str]:
     """Spark DataFrame -> one v3 segment per partition (shuffle-free;
     each task writes its own segment to shared storage). Returns the
@@ -1272,7 +1282,11 @@ def export_segments(
             pdf = pdf.drop(columns="__pid")
             name = f"{segment_prefix}_{pid:05d}"
             write_segment_pandas(
-                pdf, os.path.join(out_dir, name), table_name, name
+                pdf,
+                os.path.join(out_dir, name),
+                table_name,
+                name,
+                time_column=time_column,
             )
             yield pd.DataFrame({"segment": [os.path.join(out_dir, name)]})
 

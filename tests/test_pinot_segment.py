@@ -556,3 +556,35 @@ def test_min_max_invalid_for_control_chars(tmp_path):
     assert ps.typed_min_max(meta.columns["s"]) is None
     with open(f"{meta.segment_dir}/metadata.properties", encoding="utf-8") as f:
         assert "column.s.minMaxValueInvalid = true" in f.read()
+
+
+def test_realtime_to_offline_segments(spark, tmp_path):
+    from hurricanedb_spark.operators.compaction import (
+        realtime_to_offline_segments,
+    )
+
+    rows = [
+        (1_000 + i, f"u{i % 3}", float(i)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "ts_ms bigint, user string, amount double")
+    out = str(tmp_path / "offline")
+    paths = realtime_to_offline_segments(
+        df.repartition(2),
+        out,
+        "events_offline",
+        time_col="ts_ms",
+        window_start_ms=1_010,
+        window_end_ms=1_040,
+    )
+    assert paths
+    back = ps.read_segments(spark, paths)
+    got = sorted(r["ts_ms"] for r in back.collect())
+    assert got == list(range(1_010, 1_040))
+    # sealed segments carry the reference's time metadata
+    meta = ps.read_segment_metadata(paths[0])
+    assert meta.props["segment.time.column.name"] == ["ts_ms"]
+    assert "segment.start.time" in meta.props
+    assert meta.props["segment.time.unit"] == ["MILLISECONDS"]
+    lo = int(meta.props["segment.start.time"][0])
+    hi = int(meta.props["segment.end.time"][0])
+    assert 1_010 <= lo <= hi < 1_040
