@@ -711,6 +711,72 @@ def _encode_raw_sv(vals, data_type: str, compression: str) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# guava-compatible bloom filter (BaseGuavaBloomFilterReader.java:34-40
+# layout: byte strategyOrdinal=1 | byte numHashFunctions | int numLongs |
+# numLongs big-endian longs; OnHeapGuavaBloomFilterReader.java:41-53
+# membership: murmur3-128 of the UTF-8 value, hash1/hash2 = little-endian
+# longs of the digest halves, k probes at (hash1 + i*hash2) % numBits with
+# bits stored LSB-first within each long)
+
+_LONG_MASK = (1 << 64) - 1
+
+
+def _bloom_hashes(value: str) -> tuple[int, int]:
+    from hurricanedb_spark.operators.theta_ds import murmur3_x64_128
+
+    return murmur3_x64_128(value.encode("utf-8"), 0)
+
+
+def _bloom_sizing(n: int, fpp: float) -> tuple[int, int]:
+    """Guava BloomFilter.optimalNumOfBits / optimalNumOfHashFunctions."""
+    import math
+
+    n = max(n, 1)
+    bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    num_longs = (bits + 63) // 64
+    bits = num_longs * 64
+    k = max(1, round(bits / n * math.log(2)))
+    return num_longs, min(k, 255)
+
+
+def bloom_serialize(values, fpp: float = 0.05) -> bytes:
+    """Build guava-format bloom filter bytes over stringified values."""
+    import numpy as np
+
+    vals = list(values)
+    num_longs, k = _bloom_sizing(len(vals), fpp)
+    num_bits = num_longs * 64
+    data = np.zeros(num_longs, dtype=np.uint64)
+    for v in vals:
+        h1, h2 = _bloom_hashes(v)
+        combined = h1
+        for _ in range(k):
+            bit = (combined & (1 << 63) - 1) % num_bits
+            data[bit >> 6] |= np.uint64(1 << (bit & 63))
+            combined = (combined + h2) & _LONG_MASK
+    return (
+        struct.pack(">BBi", 1, k, num_longs)
+        + data.byteswap().tobytes()  # big-endian longs
+    )
+
+
+def bloom_might_contain(buf: bytes, value: str) -> bool:
+    strategy, k, num_longs = struct.unpack_from(">BBi", buf, 0)
+    if strategy != 1:
+        raise UnsupportedSegmentError(f"bloom strategy ordinal {strategy}")
+    num_bits = num_longs * 64
+    h1, h2 = _bloom_hashes(value)
+    combined = h1
+    for _ in range(k):
+        bit = (combined & (1 << 63) - 1) % num_bits
+        (word,) = struct.unpack_from(">Q", buf, 6 + 8 * (bit >> 6))
+        if not word & (1 << (bit & 63)):
+            return False
+        combined = (combined + h2) & _LONG_MASK
+    return True
+
+
+# ---------------------------------------------------------------------------
 # bitmap inverted index (BitmapInvertedIndexWriter.java:33-50: numBitmaps+1
 # big-endian int offsets — absolute, end-exclusive — then one serialized
 # portable RoaringBitmap of docIds per dictId)
@@ -908,6 +974,21 @@ def prune_segments(segment_dirs: list[str], column: str, op: str, value):
     for seg in segment_dirs:
         meta = read_segment_metadata(seg)
         cm = meta.columns.get(column)
+        if (
+            cm is not None
+            and op == "="
+            and (column, "bloom_filter") in meta.index_map
+            and cm.data_type in ("STRING", "INT", "LONG")
+        ):
+            # bloom filter: definite absence drops the segment even when
+            # the value falls inside [min, max]
+            with open(os.path.join(meta.segment_dir, INDEX_FILE), "rb") as f:
+                psf = f.read()
+            probe = str(int(value)) if cm.data_type != "STRING" else str(value)
+            if not bloom_might_contain(
+                _index_buffer(meta, psf, column, "bloom_filter"), probe
+            ):
+                continue
         rng = typed_min_max(cm) if cm else None
         if rng is None:
             kept.append(seg)
@@ -1001,6 +1082,8 @@ def write_segment_pandas(
     var_length_string_dicts: bool = False,
     raw_columns: dict[str, str] | None = None,
     inverted_index_columns: list[str] | None = None,
+    bloom_filter_columns: list[str] | None = None,
+    bloom_fpp: float = 0.05,
 ) -> str:
     """Write a pandas DataFrame as one v3 segment directory (SV and MV
     INT/LONG/FLOAT/DOUBLE/STRING; SV nulls become FieldSpec defaults +
@@ -1010,7 +1093,11 @@ def write_segment_pandas(
     (noDictionary) chunk container instead of dictionary-encoded.
     `inverted_index_columns` additionally writes a bitmap inverted
     index (one RoaringBitmap of docIds per dictId) for those
-    dictionary-encoded columns. Returns the segment directory path."""
+    dictionary-encoded columns. `bloom_filter_columns` writes a
+    guava-format bloom filter over the distinct values of STRING / INT /
+    LONG dictionary columns (float/double excluded: the funnel
+    stringifies values and Java float formatting differs from Python's).
+    Returns the segment directory path."""
     import numpy as np
     import pandas as pd
 
@@ -1226,6 +1313,18 @@ def write_segment_pandas(
                     )
                 ),
             )
+        if bloom_filter_columns and col in bloom_filter_columns:
+            if data_type not in ("STRING", "INT", "LONG"):
+                raise UnsupportedSegmentError(
+                    f"bloom filter on {data_type} column {col!r}: the "
+                    "stringified funnel is not portable for floats"
+                )
+            strs = (
+                uniq.tolist()
+                if data_type == "STRING"
+                else [str(int(v)) for v in uniq]
+            )
+            append_entry(col, "bloom_filter", bloom_serialize(strs, bloom_fpp))
         if null_mask.any():
             append_entry(
                 col, "nullvalue_vector", roaring_serialize(np.nonzero(null_mask)[0])

@@ -588,3 +588,83 @@ def test_realtime_to_offline_segments(spark, tmp_path):
     lo = int(meta.props["segment.start.time"][0])
     hi = int(meta.props["segment.end.time"][0])
     assert 1_010 <= lo <= hi < 1_040
+
+
+def test_spark_read_with_nulls(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(20, dtype=np.int64),
+            "v": [float(i) if i % 3 else None for i in range(20)],
+            "s": [f"s{i}" if i % 4 else None for i in range(20)],
+        }
+    )
+    seg = str(tmp_path / "segnullspark")
+    ps.write_segment_pandas(pdf, seg)
+    df = ps.read_segments(spark, [seg])
+    rows = {r["k"]: (r["v"], r["s"]) for r in df.collect()}
+    assert rows[0] == (None, None)
+    assert rows[1] == (1.0, "s1")
+    assert rows[3] == (None, "s3")
+    assert rows[4] == (4.0, None)
+    assert df.filter("v IS NULL").count() == 7
+
+
+def test_bloom_filter_layout_and_membership(tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "name": [f"user-{i}" for i in range(300)],
+            "uid": np.arange(1000, 1300, dtype=np.int64),
+        }
+    )
+    seg = str(tmp_path / "segbloom")
+    ps.write_segment_pandas(
+        pdf, seg, bloom_filter_columns=["name", "uid"], bloom_fpp=0.01
+    )
+    meta = ps.read_segment_metadata(seg)
+    assert ("name", "bloom_filter") in meta.index_map
+    with open(f"{meta.segment_dir}/columns.psf", "rb") as f:
+        psf = f.read()
+    buf = ps._index_buffer(meta, psf, "name", "bloom_filter")
+    # guava reader header: strategy ordinal 1, k, numLongs
+    strategy, k, num_longs = struct.unpack_from(">BBi", buf, 0)
+    assert strategy == 1 and k >= 1 and num_longs >= 1
+    assert len(buf) == 6 + 8 * num_longs
+    # no false negatives
+    for i in range(300):
+        assert ps.bloom_might_contain(buf, f"user-{i}")
+    # false-positive rate near configured fpp
+    fp = sum(
+        ps.bloom_might_contain(buf, f"absent-{i}") for i in range(2000)
+    )
+    assert fp < 2000 * 0.05  # 5x slack over fpp=0.01
+    # numeric funnel uses Java-style integer strings
+    ubuf = ps._index_buffer(meta, psf, "uid", "bloom_filter")
+    assert ps.bloom_might_contain(ubuf, "1000")
+    assert not all(
+        ps.bloom_might_contain(ubuf, str(x)) for x in range(5000, 5100)
+    )
+
+
+def test_bloom_pruning_beats_min_max(tmp_path):
+    # two segments with overlapping [min,max] but disjoint value sets:
+    # min/max cannot separate them, the bloom filter can
+    a = pd.DataFrame({"s": [f"k{i:03d}" for i in range(0, 200, 2)]})  # evens
+    b = pd.DataFrame({"s": [f"k{i:03d}" for i in range(1, 200, 2)]})  # odds
+    segs = []
+    for i, pdf in enumerate((a, b)):
+        seg = str(tmp_path / f"bl{i}")
+        ps.write_segment_pandas(pdf, seg, bloom_filter_columns=["s"])
+        segs.append(seg)
+    kept = ps.prune_segments(segs, "s", "=", "k100")  # even -> segment 0
+    assert segs[0] in kept and segs[1] not in kept
+    kept = ps.prune_segments(segs, "s", "=", "k101")
+    assert segs[1] in kept and segs[0] not in kept
+
+
+def test_bloom_rejects_float_columns(tmp_path):
+    with pytest.raises(ps.UnsupportedSegmentError, match="bloom"):
+        ps.write_segment_pandas(
+            pd.DataFrame({"f": [1.5, 2.5]}),
+            str(tmp_path / "segbad2"),
+            bloom_filter_columns=["f"],
+        )
