@@ -237,6 +237,64 @@ class _Gen:
         return forms[r.randrange(len(forms))]
 
     # ---------------- string expressions ----------------
+    def json_doc(self) -> tuple[Pair, dict]:
+        """A per-row JSON document built by identical string
+        concatenation on both engines (int columns cast explicitly:
+        Spark STRING vs DuckDB VARCHAR is the only divergence), plus
+        the ground-truth field layout for path generation."""
+        rng = self.rng
+        ic = rng.choice(SMALL_INT)
+        sc = rng.choice(STR_COLS)
+        a1 = rng.choice(INT_COLS)
+        a2 = rng.choice(SMALL_INT)
+        nx = rng.choice(STR_COLS)
+
+        def doc(cast_t: str) -> str:
+            c = lambda e: f"CAST({e} AS {cast_t})"  # noqa: E731
+            return (
+                "'{\"i\":' || " + c(ic) + " || ',\"s\":\"' || " + sc
+                + " || '\",\"arr\":[' || " + c(a1) + " || ',' || " + c(a2)
+                + " || '],\"n\":{\"x\":\"' || " + nx + " || '\"}}'"
+            )
+
+        return (doc("STRING"), doc("VARCHAR")), {
+            "i": ic, "s": sc, "a1": a1, "a2": a2, "nx": nx,
+        }
+
+    def json_extract(self, doc: Pair) -> Pair:
+        """jsonExtractScalar vs DuckDB json_extract_string over one of
+        the known paths, with occasional missing-path + default."""
+        rng = self.rng
+        doc_p, doc_d = doc
+        duck_t = {"INT": "INTEGER", "LONG": "BIGINT", "DOUBLE": "DOUBLE"}
+        path, rtype = rng.choice(
+            [
+                ("$.i", "INT"),
+                ("$.i", "LONG"),
+                ("$.s", "STRING"),
+                ("$.n.x", "STRING"),
+                ("$.arr[0]", "INT"),
+                ("$.arr[1]", "LONG"),
+            ]
+        )
+        if rng.random() < 0.25:
+            # missing path -> 4-arg default
+            dflt = rng.randint(-5, 99)
+            return (
+                f"jsonExtractScalar({doc_p}, '$.missing', 'INT', {dflt})",
+                f"COALESCE(CAST(json_extract_string({doc_d}, '$.missing')"
+                f" AS INTEGER), {dflt})",
+            )
+        if rtype == "STRING":
+            return (
+                f"jsonExtractScalar({doc_p}, '{path}', 'STRING')",
+                f"json_extract_string({doc_d}, '{path}')",
+            )
+        return (
+            f"jsonExtractScalar({doc_p}, '{path}', '{rtype}')",
+            f"CAST(json_extract_string({doc_d}, '{path}') AS {duck_t[rtype]})",
+        )
+
     def str_expr(self) -> Pair:
         r = self.rng
         c = r.choice(STR_COLS)
@@ -441,6 +499,8 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
             "cte",
             "mv_select",
             "mv_agg",
+            "json_agg",
+            "json_select",
         ]
     )
     w_p, w_d = g.pred()
@@ -475,6 +535,28 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
             f"GROUP BY label",
             f"SELECT label AS g0, {agg_d}, count(*) AS n FROM embeddings "
             f"GROUP BY label",
+            shape,
+        )
+    if shape in ("json_agg", "json_select"):
+        doc, _fields = g.json_doc()
+        n = rng.randint(1, 3)
+        exprs = [g.json_extract(doc) for _ in range(n)]
+        sel_p = ", ".join(f"{p} AS c{i}" for i, (p, _d) in enumerate(exprs))
+        sel_d = ", ".join(f"{d} AS c{i}" for i, (_p, d) in enumerate(exprs))
+        if shape == "json_select":
+            return FuzzCase(
+                f"fuzz_{idx}_jsonsel",
+                f"SELECT {sel_p}, l_orderkey AS ok FROM lineitem WHERE {w_p}",
+                f"SELECT {sel_d}, l_orderkey AS ok FROM lineitem WHERE {w_d}",
+                shape,
+            )
+        ks = ", ".join(f"c{i}" for i in range(n))
+        return FuzzCase(
+            f"fuzz_{idx}_jsonagg",
+            f"SELECT {sel_p}, count(*) AS cnt FROM lineitem WHERE {w_p} "
+            f"GROUP BY {ks}",
+            f"SELECT {sel_d}, count(*) AS cnt FROM lineitem WHERE {w_d} "
+            f"GROUP BY {ks}",
             shape,
         )
     if shape == "select":
