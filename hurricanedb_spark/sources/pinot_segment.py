@@ -711,6 +711,112 @@ def _encode_raw_sv(vals, data_type: str, compression: str) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# range index v1 (RangeIndexCreator.java:296-386 layout: int version=1 |
+# int len + dataType name UTF-8 | int numRanges | R+1 boundary values
+# (R range starts + the last range's end, big-endian, valueType width) |
+# R+1 longs (first-bitmap start offset, then each bitmap's end offset) |
+# serialized RoaringBitmaps of docIds per range. Ranges are built over
+# the value-sorted (value, docId) pairs at ~numValuesPerRange docs per
+# range, never splitting equal values (RangeIndexCreator.java:280-291).
+# For dictionary-encoded columns the indexed values are dictIds (INT).
+
+_RANGE_WIDTH = {"INT": (4, ">i"), "LONG": (8, ">q"), "FLOAT": (4, ">f"), "DOUBLE": (8, ">d")}
+
+
+def _encode_range_index(values, doc_ids, data_type: str, num_ranges: int = 20) -> bytes:
+    import numpy as np
+
+    values = np.asarray(values)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    order = np.argsort(values, kind="stable")
+    sv, sd = values[order], doc_ids[order]
+    n = len(sv)
+    per = max(1, n // num_ranges)
+    ranges = []
+    start = 0
+    for i in range(n):
+        if i > start + per and sv[i] != sv[i - 1]:
+            ranges.append((start, i - 1))
+            start = i
+    ranges.append((start, n - 1))
+    width, fmt = _RANGE_WIDTH[data_type]
+    name = data_type.encode("utf-8")
+    bitmaps = [roaring_serialize(sd[a : b + 1]) for a, b in ranges]
+    header_size = 4 + 4 + len(name) + 4 + (len(ranges) + 1) * width + (len(ranges) + 1) * 8
+    out = [struct.pack(">i", 1), struct.pack(">i", len(name)), name,
+           struct.pack(">i", len(ranges))]
+    for a, _b in ranges:
+        out.append(struct.pack(fmt, sv[a]))
+    out.append(struct.pack(fmt, sv[ranges[-1][1]]))  # last range end value
+    pos = header_size
+    out.append(struct.pack(">q", pos))  # first bitmap start
+    for bm in bitmaps:
+        pos += len(bm)
+        out.append(struct.pack(">q", pos))  # end offset per bitmap
+    return b"".join(out) + b"".join(bitmaps)
+
+
+def _parse_range_index(buf: bytes):
+    """-> (data_type, [range start values..., last end], [(bm_start, bm_end)])"""
+    (version,) = struct.unpack_from(">i", buf, 0)
+    if version != 1:
+        raise UnsupportedSegmentError(f"range index version {version}")
+    (name_len,) = struct.unpack_from(">i", buf, 4)
+    data_type = buf[8 : 8 + name_len].decode("utf-8")
+    pos = 8 + name_len
+    (num_ranges,) = struct.unpack_from(">i", buf, pos)
+    pos += 4
+    width, fmt = _RANGE_WIDTH[data_type]
+    bounds = [
+        struct.unpack_from(fmt, buf, pos + i * width)[0]
+        for i in range(num_ranges + 1)
+    ]
+    pos += (num_ranges + 1) * width
+    offs = struct.unpack_from(f">{num_ranges + 1}q", buf, pos)
+    spans = [(offs[i], offs[i + 1]) for i in range(num_ranges)]
+    return data_type, bounds, spans
+
+
+def range_index_candidates(meta: SegmentMeta, psf: bytes, col: str, lo, hi):
+    """DocId superset for `lo <= value <= hi` from the range index: the
+    union of bitmaps of every range overlapping the bound (for
+    dictionary columns lo/hi are raw values, mapped to dictIds via the
+    sorted dictionary). Exact filtering of the candidates is the
+    caller's job — same contract as the reference's range-filter
+    operator."""
+    import bisect
+
+    import numpy as np
+
+    cm = meta.columns[col]
+    if cm.has_dictionary:
+        dict_vals = _decode_dictionary(_index_buffer(meta, psf, col, "dictionary"), cm)
+        dv = list(dict_vals)
+        lo_k = bisect.bisect_left(dv, lo)
+        hi_k = bisect.bisect_right(dv, hi) - 1
+        if lo_k > hi_k:
+            return np.empty(0, dtype=np.uint32)
+        lo, hi = lo_k, hi_k
+    buf = _index_buffer(meta, psf, col, "range_index")
+    _dt, bounds, spans = _parse_range_index(buf)
+    starts, last_end = bounds[:-1], bounds[-1]
+    out = []
+    for i, (bm_start, bm_end) in enumerate(spans):
+        r_lo = starts[i]
+        if i + 1 < len(spans):
+            # equal values never split across ranges, so the next range's
+            # start strictly exceeds this range's end: exclusive bound
+            overlaps = lo < starts[i + 1] and hi >= r_lo
+        else:
+            overlaps = lo <= last_end and hi >= r_lo
+        if overlaps:
+            out.append(roaring_deserialize(buf[bm_start:bm_end]))
+    if not out:
+        return np.empty(0, dtype=np.uint32)
+    return np.unique(np.concatenate(out))
+
+
+# ---------------------------------------------------------------------------
 # guava-compatible bloom filter (BaseGuavaBloomFilterReader.java:34-40
 # layout: byte strategyOrdinal=1 | byte numHashFunctions | int numLongs |
 # numLongs big-endian longs; OnHeapGuavaBloomFilterReader.java:41-53
@@ -1084,6 +1190,7 @@ def write_segment_pandas(
     inverted_index_columns: list[str] | None = None,
     bloom_filter_columns: list[str] | None = None,
     bloom_fpp: float = 0.05,
+    range_index_columns: list[str] | None = None,
 ) -> str:
     """Write a pandas DataFrame as one v3 segment directory (SV and MV
     INT/LONG/FLOAT/DOUBLE/STRING; SV nulls become FieldSpec defaults +
@@ -1311,6 +1418,18 @@ def write_segment_pandas(
                     _group_docs_by_dict(
                         inverse, np.arange(num_docs, dtype=np.int64), cardinality
                     )
+                ),
+            )
+        if range_index_columns and col in range_index_columns:
+            # dictionary columns index dictIds (valueType INT) — dictIds
+            # are sorted by value, so value ranges map to dictId ranges
+            append_entry(
+                col,
+                "range_index",
+                _encode_range_index(
+                    inverse.astype(np.int32),
+                    np.arange(num_docs, dtype=np.int64),
+                    "INT",
                 ),
             )
         if bloom_filter_columns and col in bloom_filter_columns:

@@ -668,3 +668,47 @@ def test_bloom_rejects_float_columns(tmp_path):
             str(tmp_path / "segbad2"),
             bloom_filter_columns=["f"],
         )
+
+
+def test_range_index_layout_and_candidates(tmp_path):
+    rng = np.random.default_rng(21)
+    vals = rng.integers(0, 500, 5000).astype(np.int64)
+    pdf = pd.DataFrame({"v": vals})
+    seg = str(tmp_path / "segrange")
+    ps.write_segment_pandas(pdf, seg, range_index_columns=["v"])
+    meta = ps.read_segment_metadata(seg)
+    assert ("v", "range_index") in meta.index_map
+    with open(f"{meta.segment_dir}/columns.psf", "rb") as f:
+        psf = f.read()
+    buf = ps._index_buffer(meta, psf, "v", "range_index")
+    dt, bounds, spans = ps._parse_range_index(buf)
+    assert dt == "INT" and len(spans) >= 2
+    # boundaries ascend; bitmap spans tile the body
+    assert bounds == sorted(bounds)
+    for (a, b), (c, _d) in zip(spans, spans[1:]):
+        assert b == c
+    # candidate superset contract for a value range
+    lo, hi = 100, 140
+    cand = set(int(x) for x in ps.range_index_candidates(meta, psf, "v", lo, hi))
+    exact = {i for i, v in enumerate(vals) if lo <= v <= hi}
+    assert exact <= cand  # no false negatives
+    assert len(cand) <= len(vals)  # and it actually prunes
+    assert len(cand) < 0.5 * len(vals)
+    # empty value range -> no candidates
+    assert len(ps.range_index_candidates(meta, psf, "v", 10_000, 20_000)) == 0
+
+
+def test_range_index_equal_values_never_split(tmp_path):
+    # one value repeated far beyond numValuesPerRange must stay in one range
+    pdf = pd.DataFrame({"v": np.array([7] * 3000 + [9] * 10, dtype=np.int64)})
+    seg = str(tmp_path / "segrange2")
+    ps.write_segment_pandas(pdf, seg, range_index_columns=["v"])
+    meta = ps.read_segment_metadata(seg)
+    with open(f"{meta.segment_dir}/columns.psf", "rb") as f:
+        psf = f.read()
+    _dt, bounds, spans = ps._parse_range_index(
+        ps._index_buffer(meta, psf, "v", "range_index")
+    )
+    assert len(spans) <= 2  # 7s cannot split; at most [7s],[9s]
+    cand = ps.range_index_candidates(meta, psf, "v", 9, 9)
+    assert sorted(int(x) for x in cand) == list(range(3000, 3010))
