@@ -361,3 +361,67 @@ def q_segment_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_supp"),
         F.sum(dcol("s_acctbal")).cast("decimal(30,4)").cast("double").alias("sum_acctbal"),
     )
+
+
+@register(
+    "q_segment_pruned_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(30,4))
+                AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_custkey BETWEEN 200 AND 400
+    GROUP BY o_orderpriority
+    """,
+    doc="Segment-level pruning end-to-end (the reference's "
+    "ColumnValueSegmentPruner over metadata min/max, "
+    "SegmentPrunerService): orders is exported once to v3 segments "
+    "RANGE-PARTITIONED on o_custkey, prune_segments drops every segment "
+    "whose [min,max] misses the BETWEEN bound before any columns.psf is "
+    "opened, the survivors decode distributed, and the residual filter + "
+    "aggregate run on the pruned scan. The oracle filters the original "
+    "parquet — proving pruning loses no rows.",
+    tags=("sources", "segment-format", "pruning"),
+)
+def q_segment_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hurricanedb_spark.queries._exact import dcol
+    from hurricanedb_spark.sources import pinot_segment as ps
+
+    base = os.path.join(
+        "/tmp/hurricanedb_segments",
+        os.path.basename(os.path.normpath(sf_dir)) + "_orders_ranged",
+    )
+    marker = os.path.join(base, "_written")
+    if not os.path.isfile(marker):
+        od = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+        # range-partition on the prune key so segments carry disjoint
+        # [min,max] spans (the layout a time/key-partitioned deep store has)
+        ps.export_segments(
+            od.repartitionByRange(6, "o_custkey"), base, "orders"
+        )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    segs = sorted(
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if os.path.isdir(os.path.join(base, d))
+    )
+    kept = ps.prune_segments(segs, "o_custkey", "between", (200, 400))
+    assert len(kept) < len(segs), "pruning must drop disjoint segments"
+    df = ps.read_segments(spark, kept)
+    return (
+        df.filter(F.col("o_custkey").between(200, 400))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dcol("o_totalprice"))
+            .cast("decimal(30,4)")
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
