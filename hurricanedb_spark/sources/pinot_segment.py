@@ -320,6 +320,9 @@ class ColumnMeta:
     total_entries: int = 0  # totalNumberOfEntries (== total MV values)
     min_value: str | None = None  # raw metadata strings; typed via data_type
     max_value: str | None = None
+    partition_function: str | None = None
+    num_partitions: int = 0
+    partition_values: tuple[int, ...] = ()
 
 
 @dataclass
@@ -366,6 +369,19 @@ def read_segment_metadata(segment_dir: str) -> SegmentMeta:
                 total_entries=int(g("totalNumberOfEntries", "0")),
                 min_value=(props.get(f"column.{name}.minValue") or [None])[0],
                 max_value=(props.get(f"column.{name}.maxValue") or [None])[0],
+                partition_function=(
+                    props.get(f"column.{name}.partitionFunction") or [None]
+                )[0],
+                num_partitions=int(
+                    (props.get(f"column.{name}.numPartitions") or ["0"])[0]
+                ),
+                partition_values=tuple(
+                    int(x)
+                    for x in (props.get(f"column.{name}.partitionValues") or [""])[
+                        0
+                    ].split(",")
+                    if x.strip()
+                ),
             )
     index_map: dict[tuple[str, str], tuple[int, int]] = {}
     entries: dict[tuple[str, str], dict[str, int]] = {}
@@ -1083,6 +1099,25 @@ def prune_segments(segment_dirs: list[str], column: str, op: str, value):
         if (
             cm is not None
             and op == "="
+            and cm.partition_function
+            and cm.num_partitions > 0
+            and cm.data_type in ("STRING", "INT", "LONG")
+        ):
+            # partition metadata: the value's partition id must be among
+            # the partitions present in this segment (the broker-side
+            # ColumnPartitionMetadata prune)
+            from hurricanedb_spark.sources.partition_functions import partition_of
+
+            pid = partition_of(
+                str(value) if cm.data_type == "STRING" else int(value),
+                cm.partition_function,
+                cm.num_partitions,
+            )
+            if pid not in cm.partition_values:
+                continue
+        if (
+            cm is not None
+            and op == "="
             and (column, "bloom_filter") in meta.index_map
             and cm.data_type in ("STRING", "INT", "LONG")
         ):
@@ -1191,6 +1226,7 @@ def write_segment_pandas(
     bloom_filter_columns: list[str] | None = None,
     bloom_fpp: float = 0.05,
     range_index_columns: list[str] | None = None,
+    partition_config: dict[str, tuple[str, int]] | None = None,
 ) -> str:
     """Write a pandas DataFrame as one v3 segment directory (SV and MV
     INT/LONG/FLOAT/DOUBLE/STRING; SV nulls become FieldSpec defaults +
@@ -1420,6 +1456,31 @@ def write_segment_pandas(
                     )
                 ),
             )
+        if partition_config and col in partition_config:
+            # ColumnPartitionMetadata: the partitions actually present,
+            # under the named reference partition function — enables
+            # equality pruning by any compatible reader
+            from hurricanedb_spark.sources.partition_functions import partition_of
+
+            fn_name, n_parts = partition_config[col]
+            if data_type not in ("STRING", "INT", "LONG"):
+                raise UnsupportedSegmentError(
+                    f"partition metadata on {data_type} column {col!r}: "
+                    "float stringification is not portable"
+                )
+            pids = sorted(
+                {
+                    partition_of(
+                        v if data_type == "STRING" else int(v), fn_name, n_parts
+                    )
+                    for v in uniq
+                }
+            )
+            prop_lines += [
+                f"{ck}partitionFunction = {fn_name}",
+                f"{ck}numPartitions = {n_parts}",
+                f"{ck}partitionValues = " + ",".join(str(p) for p in pids),
+            ]
         if range_index_columns and col in range_index_columns:
             # dictionary columns index dictIds (valueType INT) — dictIds
             # are sorted by value, so value ranges map to dictId ranges
