@@ -99,3 +99,44 @@ def realtime_to_offline_segments(
     return export_segments(
         windowed, out_dir, table_name, segment_prefix=prefix, time_column=time_col
     )
+
+
+def snapshot_upsert_valid_docs(
+    segment_dirs: list[str],
+    pk_cols: list[str],
+    comparison_col: str,
+) -> dict[str, int]:
+    """Upsert snapshotting over sealed v3 segments: compute the winning
+    doc per primary key across all segments (max comparison value wins,
+    later (segment, doc) breaks ties — the reference's upsert
+    comparison semantics) and persist one `validdocids.bitmap.snapshot`
+    RoaringBitmap per segment (ImmutableSegmentImpl
+    .persistValidDocIdsSnapshot). Readers then serve exactly the live
+    rows. Returns {segment: n_valid}. Driver-side pandas — snapshots
+    are per-upsert-partition artifacts in the reference too; the
+    at-scale query path is the Spark upsert view (operators/upsert.py),
+    with this as its persistence format."""
+    import numpy as np
+    import pandas as pd
+
+    from hurricanedb_spark.sources import pinot_segment as ps
+
+    frames = []
+    for si, seg in enumerate(segment_dirs):
+        pdf = ps.read_segment_pandas(seg, apply_valid_doc_ids=False)
+        pdf["__seg"] = si
+        pdf["__doc"] = np.arange(len(pdf), dtype=np.int64)
+        frames.append(pdf)
+    allr = pd.concat(frames, ignore_index=True)
+    allr = allr.sort_values(
+        [comparison_col, "__seg", "__doc"], kind="stable"
+    )
+    winners = allr.drop_duplicates(subset=pk_cols, keep="last")
+    counts: dict[str, int] = {}
+    for si, seg in enumerate(segment_dirs):
+        docs = sorted(
+            int(x) for x in winners.loc[winners["__seg"] == si, "__doc"]
+        )
+        ps.write_valid_doc_ids(seg, docs)
+        counts[seg] = len(docs)
+    return counts

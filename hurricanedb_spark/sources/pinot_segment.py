@@ -991,8 +991,37 @@ def _encode_mv_fwd(doc_arrays, bits: int) -> bytes:
     return header + np.packbits(bitset).tobytes() + _pack_dict_ids(flat, bits)
 
 
-def read_segment_pandas(segment_dir: str, columns: list[str] | None = None):
-    """Decode one segment into a pandas DataFrame (column-pruned)."""
+def write_valid_doc_ids(segment_dir: str, doc_ids) -> str:
+    """Persist the upsert valid-docId snapshot
+    (`validdocids.bitmap.snapshot`, raw serialized RoaringBitmap —
+    ImmutableSegmentImpl.persistValidDocIdsSnapshot)."""
+    d = _resolve_dir(segment_dir)
+    path = os.path.join(d, "validdocids.bitmap.snapshot")
+    with open(path, "wb") as f:
+        f.write(roaring_serialize(doc_ids))
+    return path
+
+
+def read_valid_doc_ids(segment_dir: str):
+    """Valid docIds from the snapshot, or None when absent
+    (ImmutableSegmentImpl.loadValidDocIdsFromSnapshot)."""
+    d = _resolve_dir(segment_dir)
+    path = os.path.join(d, "validdocids.bitmap.snapshot")
+    if not os.path.isfile(path):
+        return None
+    with open(path, "rb") as f:
+        return roaring_deserialize(f.read())
+
+
+def read_segment_pandas(
+    segment_dir: str,
+    columns: list[str] | None = None,
+    apply_valid_doc_ids: bool = True,
+):
+    """Decode one segment into a pandas DataFrame (column-pruned).
+    When an upsert valid-docId snapshot is present, invalid
+    (overwritten) docs are dropped — the reference's upsert read path —
+    unless apply_valid_doc_ids=False."""
     import pandas as pd
 
     meta = read_segment_metadata(segment_dir)
@@ -1043,7 +1072,16 @@ def read_segment_pandas(segment_dir: str, columns: list[str] | None = None):
         else:
             ser = pd.Series(dict_vals[ids])
         out[name] = _apply_null_vector(ser, meta, psf, name, cm)
-    return pd.DataFrame(out)
+    pdf = pd.DataFrame(out)
+    if apply_valid_doc_ids:
+        valid = read_valid_doc_ids(segment_dir)
+        if valid is not None:
+            import numpy as np
+
+            pdf = pdf.iloc[np.asarray(valid, dtype=np.int64)].reset_index(
+                drop=True
+            )
+    return pdf
 
 
 def _apply_null_vector(ser, meta: SegmentMeta, psf: bytes, name: str, cm: ColumnMeta):

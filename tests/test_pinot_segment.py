@@ -712,3 +712,38 @@ def test_range_index_equal_values_never_split(tmp_path):
     assert len(spans) <= 2  # 7s cannot split; at most [7s],[9s]
     cand = ps.range_index_candidates(meta, psf, "v", 9, 9)
     assert sorted(int(x) for x in cand) == list(range(3000, 3010))
+
+
+def test_upsert_valid_docids_snapshot(spark, tmp_path):
+    from hurricanedb_spark.operators.compaction import (
+        snapshot_upsert_valid_docs,
+    )
+
+    # two sealed segments with overlapping primary keys; higher ts wins
+    seg_rows = [
+        pd.DataFrame(
+            {"pk": ["a", "b", "c"], "ts": np.array([1, 5, 3], dtype=np.int64),
+             "v": np.array([10, 11, 12], dtype=np.int64)}
+        ),
+        pd.DataFrame(
+            {"pk": ["b", "c", "d"], "ts": np.array([4, 9, 2], dtype=np.int64),
+             "v": np.array([20, 21, 22], dtype=np.int64)}
+        ),
+    ]
+    segs = []
+    for i, pdf in enumerate(seg_rows):
+        seg = str(tmp_path / f"ups{i}")
+        ps.write_segment_pandas(pdf, seg)
+        segs.append(seg)
+    counts = snapshot_upsert_valid_docs(segs, ["pk"], "ts")
+    # winners: a(seg0 ts1), b(seg0 ts5), c(seg1 ts9), d(seg1 ts2)
+    assert counts == {segs[0]: 2, segs[1]: 2}
+    # snapshot file is raw roaring bytes in the v3 dir
+    assert ps.read_valid_doc_ids(segs[0]).tolist() == [0, 1]
+    assert ps.read_valid_doc_ids(segs[1]).tolist() == [1, 2]
+    # default read path serves only live rows; opt-out serves everything
+    live = ps.read_segments(spark, segs)
+    got = {(r["pk"], r["v"]) for r in live.collect()}
+    assert got == {("a", 10), ("b", 11), ("c", 21), ("d", 22)}
+    raw = ps.read_segment_pandas(segs[1], apply_valid_doc_ids=False)
+    assert len(raw) == 3
