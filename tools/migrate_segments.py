@@ -55,20 +55,31 @@ def to_segments(parquet: str, store: str, table: str) -> None:
     print(f"exported {parquet} -> {len(paths)} segments under {store}")
 
 
-def bench(sf_dir: str) -> None:
+def bench(sf_dir: str, replicate: int = 1) -> None:
     """Decode-throughput: lineitem -> segments once, then timed
-    distributed decode (the migration path's scan rate)."""
+    distributed decode (the migration path's scan rate). `replicate`
+    unions the table N times first to measure scaling."""
     import json
+
+    from pyspark.sql import functions as F
 
     spark = get_spark("segment-bench")
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
         "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_linestatus"
     )
+    for i in range(replicate - 1):
+        li = li.unionAll(
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select(
+                (F.col("l_orderkey") + (i + 1) * 10**9).alias("l_orderkey"),
+                "l_partkey", "l_quantity", "l_returnflag", "l_linestatus",
+            )
+        )
     store = "/tmp/hurricanedb_segments/bench_" + os.path.basename(
         os.path.normpath(sf_dir)
-    )
+    ) + (f"_x{replicate}" if replicate > 1 else "")
     if not os.path.isdir(store) or not os.listdir(store):
-        ps.export_segments(li.repartition(16), store, "lineitem")
+        ps.export_segments(li.repartition(16 * replicate), store, "lineitem")
     segs = _segment_dirs(store)
     t0 = time.time()
     n = ps.read_segments(spark, segs).count()
@@ -88,7 +99,7 @@ def bench(sf_dir: str) -> None:
             }
         )
     )
-    assert n == n2, (n, n2)
+    assert n == n2 * replicate, (n, n2, replicate)
 
 
 if __name__ == "__main__":
@@ -101,6 +112,9 @@ if __name__ == "__main__":
             sys.argv[2], sys.argv[3], sys.argv[4] if len(sys.argv) > 4 else "table"
         )
     elif cmd == "bench":
-        bench(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1")
+        bench(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 1,
+        )
     else:
         raise SystemExit(__doc__)
