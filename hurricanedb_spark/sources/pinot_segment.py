@@ -334,6 +334,24 @@ class SegmentMeta:
     props: dict[str, list[str]] = field(default_factory=dict)
 
 
+# v1/v2 directory layout: one file per index (V1Constants.Indexes
+# extensions), no single-file container, no magic markers
+_V1_INDEX_FILES = {
+    "dictionary": (".dict",),
+    "forward_index": (
+        ".sv.sorted.fwd",
+        ".sv.unsorted.fwd",
+        ".sv.raw.fwd",
+        ".mv.fwd",
+        ".mv.raw.fwd",
+    ),
+    "inverted_index": (".bitmap.inv",),
+    "range_index": (".bitmap.range",),
+    "bloom_filter": (".bloom",),
+    "nullvalue_vector": (".bitmap.nullvalue",),
+}
+
+
 def _resolve_dir(segment_dir: str) -> str:
     v3 = os.path.join(segment_dir, V3_SUBDIR)
     if os.path.isfile(os.path.join(v3, METADATA_FILE)):
@@ -383,18 +401,28 @@ def read_segment_metadata(segment_dir: str) -> SegmentMeta:
                     if x.strip()
                 ),
             )
-    index_map: dict[tuple[str, str], tuple[int, int]] = {}
-    entries: dict[tuple[str, str], dict[str, int]] = {}
-    with open(os.path.join(d, INDEX_MAP_FILE), encoding="utf-8") as f:
-        for key, vals in parse_properties(f.read()).items():
-            # parse from the back: <column>.<indexName>.<startOffset|size>
-            # (ColumnIndexUtils.parseIndexMapKeys — column names may contain '.')
-            col_idx, _, prop_name = key.rpartition(".")
-            col, _, idx_name = col_idx.rpartition(".")
-            entries.setdefault((col, idx_name), {})[prop_name] = int(vals[0])
-    for (col, idx_name), kv in entries.items():
-        if "startOffset" in kv and "size" in kv:
-            index_map[(col, idx_name)] = (kv["startOffset"], kv["size"])
+    index_map: dict[tuple[str, str], tuple[int, int] | str] = {}
+    if os.path.isfile(os.path.join(d, INDEX_MAP_FILE)):
+        entries: dict[tuple[str, str], dict[str, int]] = {}
+        with open(os.path.join(d, INDEX_MAP_FILE), encoding="utf-8") as f:
+            for key, vals in parse_properties(f.read()).items():
+                # parse from the back: <column>.<indexName>.<startOffset|size>
+                # (ColumnIndexUtils.parseIndexMapKeys — column names may contain '.')
+                col_idx, _, prop_name = key.rpartition(".")
+                col, _, idx_name = col_idx.rpartition(".")
+                entries.setdefault((col, idx_name), {})[prop_name] = int(vals[0])
+        for (col, idx_name), kv in entries.items():
+            if "startOffset" in kv and "size" in kv:
+                index_map[(col, idx_name)] = (kv["startOffset"], kv["size"])
+    else:
+        # v1/v2 layout: per-index files named <column><extension>
+        for col in columns:
+            for idx_name, exts in _V1_INDEX_FILES.items():
+                for ext in exts:
+                    p = os.path.join(d, col + ext)
+                    if os.path.isfile(p):
+                        index_map[(col, idx_name)] = p
+                        break
     return SegmentMeta(
         segment_dir=d,
         total_docs=total_docs,
@@ -408,13 +436,26 @@ def read_segment_metadata(segment_dir: str) -> SegmentMeta:
 # reading
 
 
+def _read_psf(meta: SegmentMeta) -> bytes:
+    """columns.psf bytes (v3), or b'' for the v1/v2 per-file layout."""
+    path = os.path.join(meta.segment_dir, INDEX_FILE)
+    if not os.path.isfile(path):
+        return b""
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def _index_buffer(meta: SegmentMeta, psf: bytes, col: str, idx: str) -> bytes:
     try:
-        start, size = meta.index_map[(col, idx)]
+        entry = meta.index_map[(col, idx)]
     except KeyError:
         raise UnsupportedSegmentError(
             f"segment has no {idx} entry for column {col!r} in index_map"
         ) from None
+    if isinstance(entry, str):  # v1/v2 layout: standalone file, no marker
+        with open(entry, "rb") as f:
+            return f.read()
+    start, size = entry
     marker = struct.unpack_from(">Q", psf, start)[0]
     if marker != MAGIC_MARKER:
         raise ValueError(
@@ -1026,8 +1067,7 @@ def read_segment_pandas(
 
     meta = read_segment_metadata(segment_dir)
     want = columns if columns is not None else sorted(meta.columns)
-    with open(os.path.join(meta.segment_dir, INDEX_FILE), "rb") as f:
-        psf = f.read()
+    psf = _read_psf(meta)
     out = {}
     for name in want:
         cm = meta.columns.get(name)
@@ -1161,8 +1201,7 @@ def prune_segments(segment_dirs: list[str], column: str, op: str, value):
         ):
             # bloom filter: definite absence drops the segment even when
             # the value falls inside [min, max]
-            with open(os.path.join(meta.segment_dir, INDEX_FILE), "rb") as f:
-                psf = f.read()
+            psf = _read_psf(meta)
             probe = str(int(value)) if cm.data_type != "STRING" else str(value)
             if not bloom_might_contain(
                 _index_buffer(meta, psf, column, "bloom_filter"), probe
@@ -1265,6 +1304,7 @@ def write_segment_pandas(
     bloom_fpp: float = 0.05,
     range_index_columns: list[str] | None = None,
     partition_config: dict[str, tuple[str, int]] | None = None,
+    layout: str = "v3",
 ) -> str:
     """Write a pandas DataFrame as one v3 segment directory (SV and MV
     INT/LONG/FLOAT/DOUBLE/STRING; SV nulls become FieldSpec defaults +
@@ -1286,15 +1326,23 @@ def write_segment_pandas(
     if num_docs == 0:
         raise ValueError("cannot write an empty segment")
     segment_name = segment_name or os.path.basename(os.path.normpath(segment_dir))
-    d = os.path.join(segment_dir, V3_SUBDIR)
+    if layout not in ("v3", "v1"):
+        raise ValueError(f"unknown segment layout {layout!r}")
+    d = segment_dir if layout == "v1" else os.path.join(segment_dir, V3_SUBDIR)
     os.makedirs(d, exist_ok=True)
 
     psf_parts: list[bytes] = []
     map_lines: list[str] = []
     offset = 0
 
-    def append_entry(col: str, idx_name: str, payload: bytes):
+    def append_entry(col: str, idx_name: str, payload: bytes, ext: str | None = None):
         nonlocal offset
+        if layout == "v1":
+            # pre-v3 layout: one standalone file per index, no markers
+            ext = ext or _V1_INDEX_FILES[idx_name][0]
+            with open(os.path.join(d, col + ext), "wb") as f:
+                f.write(payload)
+            return
         size = len(payload) + 8
         map_lines.append(f"{col}.{idx_name}.startOffset = {offset}")
         map_lines.append(f"{col}.{idx_name}.size = {size}")
@@ -1304,7 +1352,7 @@ def write_segment_pandas(
     prop_lines = [
         "segment.name = " + _props_escape(segment_name),
         "segment.table.name = " + _props_escape(table_name),
-        "segment.index.version = v3",
+        f"segment.index.version = {layout}",
         f"segment.total.docs = {num_docs}",
         "segment.padding.character = \\u0000",
     ]
@@ -1372,7 +1420,10 @@ def write_segment_pandas(
             append_entry(col, "dictionary", dict_bytes)
             bounds = np.concatenate(([0], np.cumsum(lengths)))
             doc_arrays = [inverse[bounds[i] : bounds[i + 1]] for i in range(num_docs)]
-            append_entry(col, "forward_index", _encode_mv_fwd(doc_arrays, bits))
+            append_entry(
+                col, "forward_index", _encode_mv_fwd(doc_arrays, bits),
+                ext=".mv.fwd",
+            )
             if inverted_index_columns and col in inverted_index_columns:
                 doc_of_value = np.repeat(
                     np.arange(num_docs, dtype=np.int64), lengths
@@ -1439,6 +1490,7 @@ def write_segment_pandas(
                     data_type,
                     compression,
                 ),
+                ext=".sv.raw.fwd",
             )
             if null_mask.any():
                 append_entry(
@@ -1483,7 +1535,10 @@ def write_segment_pandas(
             )
         else:
             fwd = _pack_dict_ids(inverse, bits)
-        append_entry(col, "forward_index", fwd)
+        append_entry(
+            col, "forward_index", fwd,
+            ext=".sv.sorted.fwd" if is_sorted else ".sv.unsorted.fwd",
+        )
         if inverted_index_columns and col in inverted_index_columns:
             append_entry(
                 col,
@@ -1563,10 +1618,11 @@ def write_segment_pandas(
         ] + _min_max_lines(ck, data_type, uniq[0], uniq[-1])
 
     psf = b"".join(psf_parts)
-    with open(os.path.join(d, INDEX_FILE), "wb") as f:
-        f.write(psf)
-    with open(os.path.join(d, INDEX_MAP_FILE), "w", encoding="utf-8") as f:
-        f.write("\n".join(map_lines) + "\n")
+    if layout == "v3":
+        with open(os.path.join(d, INDEX_FILE), "wb") as f:
+            f.write(psf)
+        with open(os.path.join(d, INDEX_MAP_FILE), "w", encoding="utf-8") as f:
+            f.write("\n".join(map_lines) + "\n")
     with open(os.path.join(d, METADATA_FILE), "w", encoding="utf-8") as f:
         f.write("\n".join(prop_lines) + "\n")
     with open(os.path.join(d, CREATION_META_FILE), "wb") as f:

@@ -747,3 +747,47 @@ def test_upsert_valid_docids_snapshot(spark, tmp_path):
     assert got == {("a", 10), ("b", 11), ("c", 21), ("d", 22)}
     raw = ps.read_segment_pandas(segs[1], apply_valid_doc_ids=False)
     assert len(raw) == 3
+
+
+def test_v1_layout_round_trip(tmp_path):
+    # pre-v3 directory layout: standalone per-index files at segment
+    # root (V1Constants.Indexes extensions), no columns.psf/index_map
+    pdf = _sample_pdf(80, seed=9)
+    seg = str(tmp_path / "segv1")
+    ps.write_segment_pandas(
+        pdf, seg, layout="v1", inverted_index_columns=["k_str"],
+        bloom_filter_columns=["k_str"],
+    )
+    assert os.path.isfile(os.path.join(seg, "metadata.properties"))
+    assert not os.path.exists(os.path.join(seg, "columns.psf"))
+    assert not os.path.exists(os.path.join(seg, "index_map"))
+    assert os.path.isfile(os.path.join(seg, "k_str.dict"))
+    assert os.path.isfile(os.path.join(seg, "k_str.bitmap.inv"))
+    assert os.path.isfile(os.path.join(seg, "k_str.bloom"))
+    assert os.path.isfile(
+        os.path.join(seg, "k_int.sv.unsorted.fwd")
+    ) or os.path.isfile(os.path.join(seg, "k_int.sv.sorted.fwd"))
+    back = ps.read_segment_pandas(seg, columns=list(pdf.columns))
+    pd.testing.assert_frame_equal(back, pdf)
+    # index readers work off the per-file layout too
+    meta = ps.read_segment_metadata(seg)
+    inv = ps.read_inverted_index(meta, b"", "k_str")
+    assert sum(len(b) for b in inv) == len(pdf)
+
+
+def test_v1_layout_raw_and_mv(tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "m": np.arange(100, dtype=np.float64) * 1.5,
+            "tags": [[f"t{i % 4}", f"u{i % 3}"] for i in range(100)],
+        }
+    )
+    seg = str(tmp_path / "segv1b")
+    ps.write_segment_pandas(
+        pdf, seg, layout="v1", raw_columns={"m": "SNAPPY"}
+    )
+    assert os.path.isfile(os.path.join(seg, "m.sv.raw.fwd"))
+    assert os.path.isfile(os.path.join(seg, "tags.mv.fwd"))
+    back = ps.read_segment_pandas(seg)
+    assert (back["m"].to_numpy() == pdf["m"].to_numpy()).all()
+    assert [list(x) for x in back["tags"]] == [list(x) for x in pdf["tags"]]
