@@ -315,6 +315,17 @@ def q_text_match_slop3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _is_segment(ps, path: str) -> bool:
+    """Skip partially-written segment dirs left by an interrupted export."""
+    try:
+        ps.read_segment_metadata(path)
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 @register(
     "q_segment_format_roundtrip",
     oracle="""
@@ -355,6 +366,7 @@ def q_segment_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, d)
         for d in os.listdir(base)
         if os.path.isdir(os.path.join(base, d))
+        and _is_segment(ps, os.path.join(base, d))
     )
     df = ps.read_segments(spark, segs)
     return df.groupBy("s_nationkey").agg(
@@ -410,6 +422,7 @@ def q_segment_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, d)
         for d in os.listdir(base)
         if os.path.isdir(os.path.join(base, d))
+        and _is_segment(ps, os.path.join(base, d))
     )
     kept = ps.prune_segments(segs, "o_custkey", "between", (200, 400))
     assert len(kept) < len(segs), "pruning must drop disjoint segments"
