@@ -237,6 +237,42 @@ class _Gen:
         return forms[r.randrange(len(forms))]
 
     # ---------------- string expressions ----------------
+    def groovy_expr(self) -> Pair:
+        """groovy() expression-subset scripts vs their plain-SQL duck
+        equivalent (the dialect translates the script; the oracle is the
+        same arithmetic written directly)."""
+        rng = self.rng
+        a = rng.choice(SMALL_INT)
+        b = rng.choice(["l_linenumber", "l_suppkey"])
+        c1 = rng.randint(1, 9)
+        c2 = rng.randint(1, 9)
+        script, duck = rng.choice(
+            [
+                (
+                    f"arg0 * {c1} + arg1",
+                    f"CAST(({a}) * {c1} + ({b}) AS BIGINT)",
+                ),
+                (
+                    f"arg0 > {c1} ? arg0 + arg1 : arg1 - {c2}",
+                    f"CAST(CASE WHEN ({a}) > {c1} THEN ({a}) + ({b}) "
+                    f"ELSE ({b}) - {c2} END AS BIGINT)",
+                ),
+                (
+                    "Math.max(arg0, arg1)",
+                    f"CAST(GREATEST(({a}), ({b})) AS BIGINT)",
+                ),
+                (
+                    f"Math.abs(arg0 - arg1 * {c1})",
+                    f"CAST(ABS(({a}) - ({b}) * {c1}) AS BIGINT)",
+                ),
+            ]
+        )
+        pinot = (
+            "groovy('{\"returnType\":\"LONG\",\"isSingleValue\":true}', "
+            f"'{script}', {a}, {b})"
+        )
+        return pinot, duck
+
     def json_doc(self) -> tuple[Pair, dict]:
         """A per-row JSON document built by identical string
         concatenation on both engines (int columns cast explicitly:
@@ -501,6 +537,7 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
             "mv_agg",
             "json_agg",
             "json_select",
+            "groovy_agg",
         ]
     )
     w_p, w_d = g.pred()
@@ -535,6 +572,17 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
             f"GROUP BY label",
             f"SELECT label AS g0, {agg_d}, count(*) AS n FROM embeddings "
             f"GROUP BY label",
+            shape,
+        )
+    if shape == "groovy_agg":
+        gp, gd = g.groovy_expr()
+        key = rng.choice(["l_returnflag", "l_linestatus"])
+        return FuzzCase(
+            f"fuzz_{idx}_groovy",
+            f"SELECT {key} AS k, sum({gp}) AS s, max({gp}) AS m, "
+            f"count(*) AS n FROM lineitem WHERE {w_p} GROUP BY {key}",
+            f"SELECT {key} AS k, sum({gd}) AS s, max({gd}) AS m, "
+            f"count(*) AS n FROM lineitem WHERE {w_d} GROUP BY {key}",
             shape,
         )
     if shape in ("json_agg", "json_select"):
