@@ -806,6 +806,31 @@ class HurricaneSQL:
             name
         )
 
+    def register_segment_table(
+        self, name: str, segment_store_dir: str, columns: list[str] | None = None
+    ) -> None:
+        """Register a table backed by a native segment store (a
+        directory of v1/v3 segment dirs): point the dialect at existing
+        on-disk segments and query them with Pinot SQL directly — the
+        full switch-over story with zero re-ingestion. One decode task
+        per segment (sources/pinot_segment.py)."""
+        import os
+
+        from hurricanedb_spark.sources import pinot_segment as ps
+
+        segs = []
+        for entry in sorted(os.listdir(segment_store_dir)):
+            p = os.path.join(segment_store_dir, entry)
+            if os.path.isdir(p):
+                try:
+                    ps.read_segment_metadata(p)
+                except FileNotFoundError:
+                    continue
+                segs.append(p)
+        if not segs:
+            raise ValueError(f"no segments under {segment_store_dir}")
+        ps.read_segments(self.spark, segs, columns).createOrReplaceTempView(name)
+
     def sql(self, query: str, default_limit: int | None = 10) -> DataFrame:
         query, opts = extract_query_options(query)
         # Option semantics (CommonConstants.java Request.QueryOptionKey):

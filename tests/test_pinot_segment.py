@@ -791,3 +791,29 @@ def test_v1_layout_raw_and_mv(tmp_path):
     back = ps.read_segment_pandas(seg)
     assert (back["m"].to_numpy() == pdf["m"].to_numpy()).all()
     assert [list(x) for x in back["tags"]] == [list(x) for x in pdf["tags"]]
+
+
+def test_pinot_sql_over_segment_store(spark, sf_dir, tmp_path):
+    """Full switch-over story: existing segments + Pinot SQL, no
+    re-ingestion."""
+    from hurricanedb_spark.catalog.tables import load_table
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    store = str(tmp_path / "store")
+    ps.export_segments(nat.repartition(2), store, "nation")
+    hdb = HurricaneSQL(spark)
+    hdb.register_segment_table("nation_seg", store)
+    out = hdb.sql(
+        "SELECT n_regionkey, count(*) AS n, distinctcount(n_name) AS dc "
+        "FROM nation_seg GROUP BY n_regionkey ORDER BY n_regionkey",
+        default_limit=None,
+    ).collect()
+    exp = {
+        r["n_regionkey"]: r["n"]
+        for r in nat.groupBy("n_regionkey").count().withColumnRenamed("count", "n").collect()
+    }
+    assert {r["n_regionkey"]: r["n"] for r in out} == exp
+    assert all(r["dc"] == r["n"] for r in out)  # names unique per nation
