@@ -27,3 +27,14 @@ def test_fuzz_differential_300_cases(spark):
         for r in bad[:5]
     )
     assert not bad, f"{len(bad)}/300 fuzz failures:\n{msg}"
+
+
+def test_fuzz_covers_all_shapes():
+    """The 300-case seeded run must exercise every grammar shape,
+    including the round-5 json/groovy additions."""
+    shapes = {c.shape for c in gen_cases(20260814, 300)}
+    assert {
+        "select", "global_agg", "group_agg", "lookup", "join", "window",
+        "union_all", "cte", "mv_select", "mv_agg", "json_agg",
+        "json_select", "groovy_agg",
+    } <= shapes
