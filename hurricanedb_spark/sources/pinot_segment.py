@@ -1054,19 +1054,64 @@ def read_valid_doc_ids(segment_dir: str):
         return roaring_deserialize(f.read())
 
 
+def segment_filter_docs(meta: SegmentMeta, psf: bytes, where: tuple):
+    """DocIds matching `where = (col, op, value)` using the segment's
+    own index structures, the reference's filter-operator selection
+    order: inverted index for equality (exact), range index for
+    range ops (superset — caller verifies), else None (caller scans).
+    Returns (doc_ids, exact)."""
+    col, op, value = where
+    cm = meta.columns.get(col)
+    if cm is None or not cm.has_dictionary:
+        return None, False
+    if op == "=" and (col, "inverted_index") in meta.index_map:
+        import bisect
+
+        import numpy as np
+
+        dict_vals = _decode_dictionary(
+            _index_buffer(meta, psf, col, "dictionary"), cm
+        )
+        dv = list(dict_vals)
+        i = bisect.bisect_left(dv, value)
+        if i >= len(dv) or dv[i] != value:
+            return np.empty(0, dtype=np.uint32), True
+        return read_inverted_index(meta, psf, col)[i], True
+    if op in ("between", "<=", ">=") and (col, "range_index") in meta.index_map:
+        if op == "between":
+            lo, hi = value
+        elif op == "<=":
+            lo, hi = typed_min_max(cm)[0] if typed_min_max(cm) else value, value
+            lo = min(lo, value)
+        else:
+            mm = typed_min_max(cm)
+            lo, hi = value, (mm[1] if mm else value)
+            hi = max(hi, value)
+        return range_index_candidates(meta, psf, col, lo, hi), False
+    return None, False
+
+
 def read_segment_pandas(
     segment_dir: str,
     columns: list[str] | None = None,
     apply_valid_doc_ids: bool = True,
+    where: tuple | None = None,
 ):
     """Decode one segment into a pandas DataFrame (column-pruned).
     When an upsert valid-docId snapshot is present, invalid
     (overwritten) docs are dropped — the reference's upsert read path —
-    unless apply_valid_doc_ids=False."""
+    unless apply_valid_doc_ids=False. `where = (col, op, value)` filters
+    rows using the segment's own indexes where present (inverted for
+    equality, range index for ranges) with an exact verify pass, else a
+    decoded-column scan — always exact results."""
     import pandas as pd
 
     meta = read_segment_metadata(segment_dir)
     want = columns if columns is not None else sorted(meta.columns)
+    extra_col = None
+    if where is not None and where[0] not in want:
+        extra_col = where[0]
+        want = [*want, extra_col]
     psf = _read_psf(meta)
     out = {}
     for name in want:
@@ -1113,15 +1158,50 @@ def read_segment_pandas(
             ser = pd.Series(dict_vals[ids])
         out[name] = _apply_null_vector(ser, meta, psf, name, cm)
     pdf = pd.DataFrame(out)
+    import numpy as np
+
+    keep = np.ones(len(pdf), dtype=bool)
+    if where is not None:
+        col, op, value = where
+        docs, exact = segment_filter_docs(meta, psf, where)
+        if docs is not None:
+            m = np.zeros(len(pdf), dtype=bool)
+            m[np.asarray(docs, dtype=np.int64)] = True
+            keep &= m
+        if docs is None or not exact:
+            keep &= _row_predicate(pdf[col], op, value)
     if apply_valid_doc_ids:
         valid = read_valid_doc_ids(segment_dir)
         if valid is not None:
-            import numpy as np
-
-            pdf = pdf.iloc[np.asarray(valid, dtype=np.int64)].reset_index(
-                drop=True
-            )
+            m = np.zeros(len(pdf), dtype=bool)
+            m[np.asarray(valid, dtype=np.int64)] = True
+            keep &= m
+    if not keep.all():
+        pdf = pdf[keep].reset_index(drop=True)
+    if extra_col is not None:
+        pdf = pdf.drop(columns=extra_col)
     return pdf
+
+
+def _row_predicate(ser, op: str, value):
+    import numpy as np
+
+    if op == "=":
+        m = (ser == value).to_numpy()
+    elif op == "<":
+        m = (ser < value).to_numpy()
+    elif op == "<=":
+        m = (ser <= value).to_numpy()
+    elif op == ">":
+        m = (ser > value).to_numpy()
+    elif op == ">=":
+        m = (ser >= value).to_numpy()
+    elif op == "between":
+        lo, hi = value
+        m = ((ser >= lo) & (ser <= hi)).to_numpy()
+    else:
+        raise ValueError(f"unknown filter op {op!r}")
+    return np.asarray(m, dtype=bool)
 
 
 def _apply_null_vector(ser, meta: SegmentMeta, psf: bytes, name: str, cm: ColumnMeta):
@@ -1232,13 +1312,24 @@ def prune_segments(segment_dirs: list[str], column: str, op: str, value):
     return kept
 
 
-def read_segments(spark, segment_dirs: list[str], columns: list[str] | None = None):
+def read_segments(
+    spark,
+    segment_dirs: list[str],
+    columns: list[str] | None = None,
+    where: tuple | None = None,
+):
     """Segments -> Spark DataFrame, one decode task per segment
     (mapInPandas; the driver touches only metadata of the first segment
-    for the schema)."""
+    for the schema). `where = (col, op, value)` prunes whole segments
+    (metadata min/max + bloom + partition) AND filters rows inside the
+    survivors using their own indexes — exact results either way."""
     if not segment_dirs:
         raise ValueError("no segment directories given")
     schema = segment_spark_schema(segment_dirs[0], columns)
+    if where is not None:
+        segment_dirs = prune_segments(segment_dirs, *where)
+        if not segment_dirs:
+            return spark.createDataFrame([], schema)
     paths = spark.createDataFrame(
         [(p,) for p in segment_dirs], "__segment_path string"
     ).repartition(len(segment_dirs))
@@ -1246,7 +1337,7 @@ def read_segments(spark, segment_dirs: list[str], columns: list[str] | None = No
     def decode(batches):
         for pdf in batches:
             for p in pdf["__segment_path"]:
-                yield read_segment_pandas(p, columns)
+                yield read_segment_pandas(p, columns, where=where)
 
     return paths.mapInPandas(decode, schema=schema)
 

@@ -817,3 +817,56 @@ def test_pinot_sql_over_segment_store(spark, sf_dir, tmp_path):
     }
     assert {r["n_regionkey"]: r["n"] for r in out} == exp
     assert all(r["dc"] == r["n"] for r in out)  # names unique per nation
+
+
+def test_index_accelerated_row_filtering(spark, tmp_path):
+    rng = np.random.default_rng(33)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 2000).astype(np.int64),
+            "s": [f"u{i % 17}" for i in range(2000)],
+            "v": np.arange(2000, dtype=np.int64),
+        }
+    )
+    segs = []
+    for i, part in enumerate(np.array_split(pdf, 3)):
+        seg = str(tmp_path / f"f{i}")
+        ps.write_segment_pandas(
+            part.reset_index(drop=True),
+            seg,
+            inverted_index_columns=["s"],
+            range_index_columns=["k"],
+        )
+        segs.append(seg)
+    # equality via inverted index (exact, no scan verify needed)
+    meta = ps.read_segment_metadata(segs[0])
+    psf = ps._read_psf(meta)
+    docs, exact = ps.segment_filter_docs(meta, psf, ("s", "=", "u3"))
+    assert exact
+    part0 = ps.read_segment_pandas(segs[0], apply_valid_doc_ids=False)
+    assert sorted(int(d) for d in docs) == [
+        i for i, v in enumerate(part0["s"]) if v == "u3"
+    ]
+    # full distributed path: equality + range, vs plain pandas filters
+    got_eq = ps.read_segments(spark, segs, where=("s", "=", "u3"))
+    assert sorted(r["v"] for r in got_eq.collect()) == sorted(
+        pdf.loc[pdf["s"] == "u3", "v"].tolist()
+    )
+    got_rng = ps.read_segments(spark, segs, where=("k", "between", (10, 14)))
+    assert sorted(r["v"] for r in got_rng.collect()) == sorted(
+        pdf.loc[(pdf["k"] >= 10) & (pdf["k"] <= 14), "v"].tolist()
+    )
+    # filter column not in the projection still filters correctly
+    proj = ps.read_segments(spark, segs, columns=["v"], where=("s", "=", "u3"))
+    assert proj.columns == ["v"]
+    assert proj.count() == int((pdf["s"] == "u3").sum())
+    # value absent everywhere -> empty result (pruned or index-missed)
+    assert ps.read_segments(spark, segs, where=("s", "=", "zz")).count() == 0
+
+
+def test_row_filter_without_indexes_scans(tmp_path):
+    pdf = pd.DataFrame({"a": np.arange(100, dtype=np.int64)})
+    seg = str(tmp_path / "noidx")
+    ps.write_segment_pandas(pdf, seg)
+    out = ps.read_segment_pandas(seg, where=("a", ">=", 90))
+    assert out["a"].tolist() == list(range(90, 100))
