@@ -1080,13 +1080,11 @@ def segment_filter_docs(meta: SegmentMeta, psf: bytes, where: tuple):
     if op in ("between", "<=", ">=") and (col, "range_index") in meta.index_map:
         if op == "between":
             lo, hi = value
-        elif op == "<=":
-            lo, hi = typed_min_max(cm)[0] if typed_min_max(cm) else value, value
-            lo = min(lo, value)
         else:
             mm = typed_min_max(cm)
-            lo, hi = value, (mm[1] if mm else value)
-            hi = max(hi, value)
+            if mm is None:
+                return None, False  # no bound to close the range: scan
+            lo, hi = (mm[0], value) if op == "<=" else (value, mm[1])
         return range_index_candidates(meta, psf, col, lo, hi), False
     return None, False
 

@@ -870,3 +870,17 @@ def test_row_filter_without_indexes_scans(tmp_path):
     ps.write_segment_pandas(pdf, seg)
     out = ps.read_segment_pandas(seg, where=("a", ">=", 90))
     assert out["a"].tolist() == list(range(90, 100))
+
+
+def test_range_filter_via_le_ge_ops(tmp_path):
+    pdf = pd.DataFrame({"k": np.arange(500, dtype=np.int64) % 40})
+    seg = str(tmp_path / "lege")
+    ps.write_segment_pandas(pdf, seg, range_index_columns=["k"])
+    for op, val, pred in (
+        ("<=", 5, lambda s: s <= 5),
+        (">=", 35, lambda s: s >= 35),
+    ):
+        out = ps.read_segment_pandas(seg, where=("k", op, val))
+        assert sorted(out["k"].tolist()) == sorted(
+            pdf.loc[pred(pdf["k"]), "k"].tolist()
+        )
