@@ -438,3 +438,76 @@ def q_segment_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_startree_binary_agg",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_cents
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    """,
+    doc="Star-tree v2 in the reference's on-disk binary format "
+    "(StarTreeBuilderUtils.serializeTree / OffHeapStarTree layout, "
+    "sources/startree_v2.py): orders is sealed as a v3 segment with a "
+    "star-tree on (o_orderpriority, o_orderstatus) carrying count + "
+    "exact integer-cents sums, and the aggregation is answered from the "
+    "TREE's pre-aggregated records via traversal — never the raw docs. "
+    "The oracle aggregates the raw parquet, proving the tree is "
+    "lossless.",
+    tags=("sources", "segment-format", "startree"),
+)
+def q_startree_binary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import numpy as np
+
+    from hurricanedb_spark.sources import pinot_segment as ps
+    from hurricanedb_spark.sources import startree_v2 as st
+
+    base = os.path.join(
+        "/tmp/hurricanedb_segments",
+        os.path.basename(os.path.normpath(sf_dir)) + "_orders_startree",
+    )
+    seg = os.path.join(base, "orders_st")
+    marker = os.path.join(base, "_written")
+    if not os.path.isfile(marker):
+        pdf = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+            .toPandas()
+        )
+        pdf["cents"] = np.floor(pdf["o_totalprice"] * 100 + 0.5).astype(np.int64)
+        pdf = pdf.drop(columns="o_totalprice")
+        ps.write_segment_pandas(pdf, seg)
+        st.write_star_trees(
+            seg,
+            pdf,
+            [
+                st.StarTreeSpec(
+                    split_order=["o_orderpriority", "o_orderstatus"],
+                    function_column_pairs=["count__*", "sum__cents"],
+                    max_leaf_records=1,
+                )
+            ],
+        )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    out = st.star_tree_aggregate(
+        seg,
+        ["o_orderpriority", "o_orderstatus"],
+        ["count__*", "sum__cents"],
+    )
+    # decode dictIds via the segment dictionaries
+    meta = ps.read_segment_metadata(seg)
+    psf = ps._read_psf(meta)
+    for col in ("o_orderpriority", "o_orderstatus"):
+        lut = ps._decode_dictionary(
+            ps._index_buffer(meta, psf, col, "dictionary"), meta.columns[col]
+        )
+        out[col] = out[col].map(lambda i: lut[i])
+    out = out.rename(columns={"count__*": "n", "sum__cents": "sum_cents"})
+    return spark.createDataFrame(
+        out[["o_orderpriority", "o_orderstatus", "n", "sum_cents"]]
+    )

@@ -1,0 +1,541 @@
+"""Star-tree v2 index — the reference's pre-aggregation structure, in
+its on-disk binary format.
+
+The reference builds one or more star-trees per segment
+(StarTreeV2BuilderConfig: dimensionsSplitOrder, functionColumnPairs,
+maxLeafRecords) and answers matching aggregation queries from the tree
+instead of the raw docs. This module implements the PUBLIC format:
+
+  - Tree file layout (StarTreeBuilderUtils.serializeTree:88-170,
+    OffHeapStarTree.java:39-84, **little-endian**): magic
+    0xBADDA55B00DAD00D (long) | version=1 (int) | header size (int) |
+    numDimensions (int) | per dimension: dim index (int), name length
+    (int), UTF-8 name | numNodes (int); then numNodes nodes of 7 ints
+    each (OffHeapStarTreeNode.java:29-42): dimensionId, dimensionValue
+    (dictId or ALL = -1), startDocId, endDocId (exclusive),
+    aggregatedDocId, firstChildId, lastChildId — BFS order, children
+    sorted by dimension value (star child ALL=-1 first).
+  - Store layout (StarTreeV2Constants.java:29-38,
+    StarTreeIndexMapUtils.java:37-63): one `star_tree_index` file per
+    segment holding every tree's buffers back to back, and a
+    `star_tree_index_map` properties file with
+    `{treeId}.{column|null}.{STAR_TREE|FORWARD_INDEX}.{OFFSET|SIZE}`
+    entries. Dimension forward indexes are bit-packed dictIds against
+    the COLUMN's dictionary (star placeholder 0 —
+    STAR_TREE_IN_FORWARD_INDEX) and metrics are raw chunk containers.
+  - metadata.properties keys (StarTreeV2Constants.MetadataKey):
+    `startree.v2.count` and per tree `startree.v2.{i}.total.docs` /
+    `.split.order` / `.function.column.pairs` (e.g. `sum__revenue`,
+    `count__*`) / `.max.leaf.records` / `.skip.star.node.creation`.
+  - Build semantics (the single-tree builder): base records = segment
+    rows aggregated by the full split-order dimension tuple, sorted;
+    a node splitting on dimension d gets one child per distinct value
+    plus a star child whose records drop d and re-aggregate; every
+    multi-record node gets an aggregated record appended; nodes stop
+    splitting at maxLeafRecords.
+
+Queries traverse the tree: a filtered dimension follows its matching
+child, an unconstrained grouped dimension fans out over the value
+children, and any other dimension takes the star child — so the doc
+ranges visited are disjoint and pre-aggregated. Parity operator:
+`operators/startree.py` holds the Spark-side MV analog; this module is
+the binary interop (trees built here load in a real deployment and
+vice versa).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+
+MAGIC = 0xBADDA55B00DAD00D
+VERSION = 1
+ALL = -1  # StarTreeNode.ALL
+STAR_IN_FORWARD_INDEX = 0
+INDEX_FILE = "star_tree_index"
+INDEX_MAP_FILE = "star_tree_index_map"
+
+_AGGS = ("sum", "count", "min", "max")
+
+
+@dataclass
+class TreeNode:
+    dimension_id: int
+    dimension_value: int
+    start_doc: int
+    end_doc: int  # exclusive
+    aggregated_doc: int = -1
+    children: dict[int, "TreeNode"] | None = None
+
+
+@dataclass
+class StarTreeSpec:
+    split_order: list[str]
+    function_column_pairs: list[str]  # e.g. ["count__*", "sum__v"]
+    max_leaf_records: int = 10_000
+    skip_star_for: tuple[str, ...] = ()
+
+
+def _parse_pair(pair: str) -> tuple[str, str]:
+    fn, _, col = pair.partition("__")
+    fn = fn.lower()
+    if fn not in _AGGS:
+        raise ValueError(f"unsupported function column pair {pair!r}")
+    return fn, col
+
+
+def build_star_tree(pdf, spec: StarTreeSpec):
+    """Build records + tree from segment rows (pandas).
+
+    Returns (records DataFrame with dim dictId columns + metric value
+    columns, root TreeNode, num_nodes, per-dim dictionaries)."""
+    import numpy as np
+    import pandas as pd
+
+    dims = spec.split_order
+    pairs = [_parse_pair(p) for p in spec.function_column_pairs]
+    # encode dims to dictIds against per-column sorted dictionaries
+    dicts = {}
+    enc = {}
+    for d in dims:
+        uniq, inverse = np.unique(pdf[d].to_numpy(), return_inverse=True)
+        dicts[d] = uniq
+        enc[d] = inverse.astype(np.int64)
+    work = pd.DataFrame(enc)
+    for fn, col in pairs:
+        key = f"{fn}__{col}"
+        if fn == "count":
+            work[key] = np.int64(1)
+        else:
+            work[key] = pdf[col].to_numpy()
+
+    def agg_frame(frame):
+        return frame.groupby(dims, sort=True, as_index=False).agg(
+            {
+                f"{fn}__{col}": {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[fn]
+                for fn, col in pairs
+            }
+        )
+
+    records = agg_frame(work).reset_index(drop=True)
+    rows: list = [records]  # appended star/aggregated records
+    total = [len(records)]
+
+    metric_keys = [f"{fn}__{col}" for fn, col in pairs]
+
+    def append(frame) -> int:
+        start = total[0]
+        rows.append(frame.reset_index(drop=True))
+        total[0] += len(frame)
+        return start
+
+    def slice_records(start: int, end: int):
+        # records live across the appended frames; materialize lazily
+        merged = pd.concat(rows, ignore_index=True)
+        return merged.iloc[start:end]
+
+    def aggregate_rows(frame, drop_dim: int | None):
+        f = frame.copy()
+        if drop_dim is not None:
+            f[dims[drop_dim]] = ALL
+        group_cols = dims
+        gb = f.groupby(group_cols, sort=True, as_index=False)
+        return gb.agg(
+            {
+                k: {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
+                    k.partition("__")[0]
+                ]
+                for k in metric_keys
+            }
+        )
+
+    num_nodes = [1]
+
+    def construct(node: TreeNode, level: int):
+        n = node.end_doc - node.start_doc
+        if level == len(dims) or n <= spec.max_leaf_records:
+            pass
+        else:
+            dim = dims[level]
+            seg = slice_records(node.start_doc, node.end_doc)
+            node.children = {}
+            # value children: contiguous runs (records sorted by dims)
+            vals = seg[dim].to_numpy()
+            boundaries = [0] + [
+                i for i in range(1, n) if vals[i] != vals[i - 1]
+            ] + [n]
+            for bi in range(len(boundaries) - 1):
+                a, b = boundaries[bi], boundaries[bi + 1]
+                child = TreeNode(
+                    dimension_id=level,
+                    dimension_value=int(vals[a]),
+                    start_doc=node.start_doc + a,
+                    end_doc=node.start_doc + b,
+                )
+                node.children[child.dimension_value] = child
+                num_nodes[0] += 1
+            # star child: drop this dim, re-aggregate, append records
+            if dim not in spec.skip_star_for and len(node.children) > 1:
+                star_records = aggregate_rows(seg, level)
+                s = append(star_records)
+                star = TreeNode(
+                    dimension_id=level,
+                    dimension_value=ALL,
+                    start_doc=s,
+                    end_doc=s + len(star_records),
+                )
+                node.children[ALL] = star
+                num_nodes[0] += 1
+            for child in node.children.values():
+                construct(child, level + 1)
+        # aggregated record for multi-record nodes
+        if n == 1:
+            node.aggregated_doc = node.start_doc
+        else:
+            seg = slice_records(node.start_doc, node.end_doc)
+            agg = aggregate_rows(seg, None)
+            # collapse to ONE record: all dims of the node's subtree vary,
+            # so the aggregated record keeps the node path values and ALL
+            # below — aggregate everything into a single row
+            one = {}
+            for d in dims:
+                u = agg[d].unique()
+                one[d] = int(u[0]) if len(u) == 1 else ALL
+            for k in metric_keys:
+                how = k.partition("__")[0]
+                col = agg[k]
+                one[k] = (
+                    col.sum() if how in ("sum", "count") else
+                    (col.min() if how == "min" else col.max())
+                )
+            node.aggregated_doc = append(pd.DataFrame([one]))
+
+    root = TreeNode(
+        dimension_id=ALL, dimension_value=ALL, start_doc=0, end_doc=len(records)
+    )
+    construct(root, 0)
+    all_records = pd.concat(rows, ignore_index=True)
+    return all_records, root, num_nodes[0], dicts
+
+
+def serialize_tree(root: TreeNode, dims: list[str], num_nodes: int) -> bytes:
+    """Little-endian tree buffer per StarTreeBuilderUtils.serializeTree."""
+    dim_section = []
+    for i, d in enumerate(dims):
+        b = d.encode("utf-8")
+        dim_section.append(struct.pack("<ii", i, len(b)) + b)
+    header_size = 8 + 4 + 4 + 4 + sum(len(x) for x in dim_section) + 4
+    out = [
+        struct.pack("<q", MAGIC - (1 << 64)),  # magic as signed long
+        struct.pack("<i", VERSION),
+        struct.pack("<i", header_size),
+        struct.pack("<i", len(dims)),
+        *dim_section,
+        struct.pack("<i", num_nodes),
+    ]
+    # BFS with children sorted by dimension value (ALL=-1 first)
+    queue = [root]
+    order: list[TreeNode] = []
+    first_child: dict[int, int] = {}
+    last_child: dict[int, int] = {}
+    next_id = 1
+    idx = 0
+    while idx < len(queue):
+        node = queue[idx]
+        order.append(node)
+        if node.children:
+            kids = [node.children[k] for k in sorted(node.children)]
+            first_child[idx] = next_id
+            last_child[idx] = next_id + len(kids) - 1
+            queue.extend(kids)
+            next_id += len(kids)
+        idx += 1
+    assert len(order) == num_nodes, (len(order), num_nodes)
+    for i, node in enumerate(order):
+        out.append(
+            struct.pack(
+                "<7i",
+                node.dimension_id,
+                node.dimension_value,
+                node.start_doc,
+                node.end_doc,
+                node.aggregated_doc,
+                first_child.get(i, -1),
+                last_child.get(i, -1),
+            )
+        )
+    return b"".join(out)
+
+
+@dataclass
+class LoadedTree:
+    dims: list[str]
+    nodes: list[tuple[int, int, int, int, int, int, int]]
+
+
+def deserialize_tree(buf: bytes) -> LoadedTree:
+    (magic,) = struct.unpack_from("<q", buf, 0)
+    if magic & ((1 << 64) - 1) != MAGIC:
+        raise ValueError(f"bad star-tree magic {magic:#x}")
+    version, header_size, num_dims = struct.unpack_from("<iii", buf, 8)
+    if version != VERSION:
+        raise ValueError(f"unsupported star-tree version {version}")
+    pos = 20
+    names: dict[int, str] = {}
+    for _ in range(num_dims):
+        dim_id, nlen = struct.unpack_from("<ii", buf, pos)
+        pos += 8
+        names[dim_id] = buf[pos : pos + nlen].decode("utf-8")
+        pos += nlen
+    (num_nodes,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    if pos != header_size:
+        raise ValueError("star-tree header length mismatch")
+    nodes = [
+        struct.unpack_from("<7i", buf, header_size + 28 * i)
+        for i in range(num_nodes)
+    ]
+    return LoadedTree(dims=[names[i] for i in range(num_dims)], nodes=nodes)
+
+
+# ---------------------------------------------------------------------------
+# store write / load
+
+
+def write_star_trees(segment_dir: str, pdf, specs: list[StarTreeSpec]) -> None:
+    """Build + persist star-trees for a segment dir (adds
+    star_tree_index, star_tree_index_map, and metadata keys)."""
+    import numpy as np
+
+    from hurricanedb_spark.sources.pinot_segment import (
+        _encode_raw_sv,
+        _pack_dict_ids,
+        _resolve_dir,
+        bits_per_element,
+    )
+
+    d = _resolve_dir(segment_dir)
+    blob_parts: list[bytes] = []
+    map_lines: list[str] = []
+    meta_lines: list[str] = [f"startree.v2.count = {len(specs)}"]
+    offset = 0
+
+    def add(tree_id: int, column: str | None, idx_type: str, payload: bytes):
+        nonlocal offset
+        col = column if column is not None else "null"
+        map_lines.append(f"{tree_id}.{col}.{idx_type}.OFFSET = {offset}")
+        map_lines.append(f"{tree_id}.{col}.{idx_type}.SIZE = {len(payload)}")
+        blob_parts.append(payload)
+        offset += len(payload)
+
+    for tid, spec in enumerate(specs):
+        records, root, num_nodes, dicts = build_star_tree(pdf, spec)
+        add(tid, None, "STAR_TREE", serialize_tree(root, spec.split_order, num_nodes))
+        for dim in spec.split_order:
+            bits = bits_per_element(len(dicts[dim]))
+            ids = records[dim].to_numpy().copy()
+            ids[ids == ALL] = STAR_IN_FORWARD_INDEX  # star placeholder
+            add(tid, dim, "FORWARD_INDEX", _pack_dict_ids(ids, bits))
+        for pair in spec.function_column_pairs:
+            fn, col = _parse_pair(pair)
+            key = f"{fn}__{col}"
+            vals = records[key].to_numpy()
+            data_type = "LONG" if vals.dtype.kind in "iu" else "DOUBLE"
+            vals = vals.astype(np.int64 if data_type == "LONG" else np.float64)
+            add(tid, pair, "FORWARD_INDEX", _encode_raw_sv(vals, data_type, "PASS_THROUGH"))
+        prefix = f"startree.v2.{tid}"
+        meta_lines += [
+            f"{prefix}.total.docs = {len(records)}",
+            f"{prefix}.split.order = " + ",".join(spec.split_order),
+            f"{prefix}.function.column.pairs = " + ",".join(spec.function_column_pairs),
+            f"{prefix}.max.leaf.records = {spec.max_leaf_records}",
+        ]
+        if spec.skip_star_for:
+            meta_lines.append(
+                f"{prefix}.skip.star.node.creation = " + ",".join(spec.skip_star_for)
+            )
+
+    with open(os.path.join(d, INDEX_FILE), "wb") as f:
+        f.write(b"".join(blob_parts))
+    with open(os.path.join(d, INDEX_MAP_FILE), "w", encoding="utf-8") as f:
+        f.write("\n".join(map_lines) + "\n")
+    with open(os.path.join(d, "metadata.properties"), "a", encoding="utf-8") as f:
+        f.write("\n".join(meta_lines) + "\n")
+
+
+def load_star_tree(segment_dir: str, tree_id: int = 0):
+    """-> (LoadedTree, records DataFrame, spec) from the on-disk store."""
+    import numpy as np
+    import pandas as pd
+
+    from hurricanedb_spark.sources.pinot_segment import (
+        ColumnMeta,
+        _decode_raw_sv,
+        _unpack_dict_ids,
+        _resolve_dir,
+        bits_per_element,
+        parse_properties,
+        read_segment_metadata,
+    )
+
+    seg_meta = read_segment_metadata(segment_dir)
+    d = _resolve_dir(segment_dir)
+    props = seg_meta.props
+    prefix = f"startree.v2.{tree_id}"
+    total_docs = int(props[f"{prefix}.total.docs"][0])
+    split_order = props[f"{prefix}.split.order"][0].split(",")
+    pairs = props[f"{prefix}.function.column.pairs"][0].split(",")
+    max_leaf = int(props[f"{prefix}.max.leaf.records"][0])
+    skip = tuple(
+        x
+        for x in (props.get(f"{prefix}.skip.star.node.creation") or [""])[0].split(",")
+        if x
+    )
+    with open(os.path.join(d, INDEX_MAP_FILE), encoding="utf-8") as f:
+        imap_raw = parse_properties(f.read())
+    entries: dict[tuple[str, str], dict[str, int]] = {}
+    for key, vals in imap_raw.items():
+        tid_s, rest = key.split(".", 1)
+        if int(tid_s) != tree_id:
+            continue
+        body, _, suffix = rest.rpartition(".")  # suffix = OFFSET | SIZE
+        col, _, idx_type = body.rpartition(".")  # idx types contain no '.'
+        entries.setdefault((col, idx_type), {})[suffix] = int(vals[0])
+    with open(os.path.join(d, INDEX_FILE), "rb") as f:
+        blob = f.read()
+
+    def buf(col: str, idx_type: str) -> bytes:
+        e = entries[(col, idx_type)]
+        return blob[e["OFFSET"] : e["OFFSET"] + e["SIZE"]]
+
+    tree = deserialize_tree(buf("null", "STAR_TREE"))
+    data = {}
+    for dim in split_order:
+        cm = seg_meta.columns[dim]
+        bits = bits_per_element(cm.cardinality)
+        data[dim] = _unpack_dict_ids(buf(dim, "FORWARD_INDEX"), total_docs, bits)
+    for pair in pairs:
+        fn, col = _parse_pair(pair)
+        raw = buf(pair, "FORWARD_INDEX")
+        # metric type: counts are LONG; otherwise follow the source
+        # column's type (int-family -> LONG, float-family -> DOUBLE)
+        if fn == "count" or (
+            col in seg_meta.columns
+            and seg_meta.columns[col].data_type in ("INT", "LONG")
+        ):
+            dt = "LONG"
+        else:
+            dt = "DOUBLE"
+        cm = ColumnMeta(
+            name=pair, data_type=dt, cardinality=0, total_docs=total_docs,
+            bits_per_element=0, dictionary_element_size=8,
+            is_sorted=False, has_dictionary=False, is_single_value=True,
+        )
+        data[pair] = _decode_raw_sv(raw, cm, total_docs)
+    records = pd.DataFrame(data)
+    spec = StarTreeSpec(split_order, pairs, max_leaf, skip)
+    return tree, records, spec
+
+
+def star_tree_aggregate(
+    segment_dir: str,
+    group_by: list[str],
+    metrics: list[str],
+    where: tuple | None = None,
+    tree_id: int = 0,
+):
+    """Answer a group-by aggregation from the star-tree: filtered dims
+    follow their matching child, grouped dims fan out, everything else
+    takes the star child. Returns pandas with dictId group keys +
+    aggregated metrics (keys decode via the segment dictionaries)."""
+    import pandas as pd
+
+    tree, records, spec = load_star_tree(segment_dir, tree_id)
+    dims = tree.dims
+    want = set(group_by) | ({where[0]} if where else set())
+    if not want <= set(dims):
+        raise ValueError(f"dims {want - set(dims)} not in split order {dims}")
+    filt = {where[0]: where[2]} if where else {}
+    if where and where[1] != "=":
+        raise ValueError("star-tree path answers equality filters only")
+    # map filter value to dictId via the segment dictionary
+    if filt:
+        from hurricanedb_spark.sources.pinot_segment import (
+            _decode_dictionary,
+            _read_psf,
+            read_segment_metadata,
+        )
+
+        meta = read_segment_metadata(segment_dir)
+        psf = _read_psf(meta)
+        col = where[0]
+        dvals = list(
+            _decode_dictionary(_index_buffer_safe(meta, psf, col), meta.columns[col])
+        )
+        try:
+            filt[col] = dvals.index(where[2])
+        except ValueError:
+            return pd.DataFrame(columns=[*group_by, *metrics])
+
+    collected: list[int] = []
+
+    def descend(node_id: int, level: int):
+        dim_id, dim_val, start, end, agg_doc, first, last = tree.nodes[node_id]
+        # does any dim at or below this level matter?
+        relevant = any(
+            dims[i] in want for i in range(level, len(dims))
+        )
+        if not relevant:
+            collected.append(agg_doc)
+            return
+        if first == -1:  # leaf: scan its record range with residual filter
+            for doc in range(start, end):
+                ok = True
+                for fcol, fv in filt.items():
+                    if records[fcol].iloc[doc] != fv:
+                        ok = False
+                        break
+                if ok:
+                    collected.append(doc)
+            return
+        child_dim = dims[tree.nodes[first][0]]
+        child_ids = range(first, last + 1)
+        if child_dim in filt:
+            fv = filt[child_dim]
+            for cid in child_ids:
+                if tree.nodes[cid][1] == fv:
+                    descend(cid, level + 1)
+                    return
+            return  # value absent under this node
+        if child_dim in want:
+            for cid in child_ids:
+                if tree.nodes[cid][1] != ALL:
+                    descend(cid, level + 1)
+            return
+        # unconstrained: prefer the star child
+        for cid in child_ids:
+            if tree.nodes[cid][1] == ALL:
+                descend(cid, level + 1)
+                return
+        for cid in child_ids:
+            descend(cid, level + 1)
+
+    descend(0, 0)
+    sub = records.iloc[sorted(set(collected))]
+    gb = sub.groupby(group_by, as_index=False) if group_by else sub
+    aggs = {
+        m: {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
+            m.partition("__")[0]
+        ]
+        for m in metrics
+    }
+    if group_by:
+        return gb.agg(aggs).reset_index(drop=True)
+    return pd.DataFrame([{m: sub[m].agg(a) for m, a in aggs.items()}])
+
+
+def _index_buffer_safe(meta, psf, col):
+    from hurricanedb_spark.sources.pinot_segment import _index_buffer
+
+    return _index_buffer(meta, psf, col, "dictionary")
