@@ -168,3 +168,50 @@ def test_star_records_fraction_bounded(tmp_path):
     _tree, records, _spec = st.load_star_tree(seg)
     base = len(pdf.groupby(["country", "browser", "device"]))
     assert base <= len(records) <= 10 * base
+
+
+def test_multiple_trees_per_segment(tmp_path):
+    pdf = _dataset(1500)
+    seg = str(tmp_path / "seg2")
+    ps.write_segment_pandas(pdf, seg)
+    spec2 = st.StarTreeSpec(
+        split_order=["device", "country"],
+        function_column_pairs=["count__*", "sum__clicks"],
+        max_leaf_records=4,
+    )
+    st.write_star_trees(seg, pdf, [SPEC, spec2])
+    meta = ps.read_segment_metadata(seg)
+    assert meta.props["startree.v2.count"] == ["2"]
+    tree1, _r1, s1 = st.load_star_tree(seg, 0)
+    tree2, _r2, s2 = st.load_star_tree(seg, 1)
+    assert tree1.dims == SPEC.split_order
+    assert tree2.dims == spec2.split_order
+    got = st.star_tree_aggregate(seg, ["device"], ["sum__clicks"], tree_id=1)
+    lut = np.sort(pdf["device"].unique())
+    got["device"] = got["device"].map(lambda i: lut[i])
+    exp = pdf.groupby("device", as_index=False).agg(sum__clicks=("clicks", "sum"))
+    got = got.sort_values("device").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["device", "sum__clicks"]], exp.rename(columns={}), check_dtype=False
+    )
+
+
+def test_skip_star_node_creation(tmp_path):
+    pdf = _dataset(800)
+    seg = str(tmp_path / "seg3")
+    ps.write_segment_pandas(pdf, seg)
+    spec = st.StarTreeSpec(
+        split_order=["country", "browser"],
+        function_column_pairs=["count__*"],
+        max_leaf_records=1,
+        skip_star_for=("country",),
+    )
+    st.write_star_trees(seg, pdf, [spec])
+    tree, records, loaded_spec = st.load_star_tree(seg)
+    assert loaded_spec.skip_star_for == ("country",)
+    # root's children (splitting country) must have no star child
+    first, last = tree.nodes[0][5], tree.nodes[0][6]
+    assert all(tree.nodes[c][1] != -1 for c in range(first, last + 1))
+    # queries still correct: country group (no star path needed)
+    got = st.star_tree_aggregate(seg, ["country"], ["count__*"])
+    assert int(got["count__*"].sum()) == len(pdf)
