@@ -456,11 +456,11 @@ def star_tree_aggregate(
     want = set(group_by) | ({where[0]} if where else set())
     if not want <= set(dims):
         raise ValueError(f"dims {want - set(dims)} not in split order {dims}")
-    filt = {where[0]: where[2]} if where else {}
-    if where and where[1] != "=":
-        raise ValueError("star-tree path answers equality filters only")
-    # map filter value to dictId via the segment dictionary
-    if filt:
+    if where and where[1] not in ("=", "in"):
+        raise ValueError("star-tree path answers equality / IN filters only")
+    filt: dict[str, set[int]] = {}
+    if where:
+        # map filter value(s) to dictIds via the segment dictionary
         from hurricanedb_spark.sources.pinot_segment import (
             _decode_dictionary,
             _read_psf,
@@ -473,10 +473,11 @@ def star_tree_aggregate(
         dvals = list(
             _decode_dictionary(_index_buffer_safe(meta, psf, col), meta.columns[col])
         )
-        try:
-            filt[col] = dvals.index(where[2])
-        except ValueError:
+        wanted = where[2] if where[1] == "in" else [where[2]]
+        ids = {dvals.index(v) for v in wanted if v in dvals}
+        if not ids:
             return pd.DataFrame(columns=[*group_by, *metrics])
+        filt[col] = ids
 
     collected: list[int] = []
 
@@ -493,7 +494,7 @@ def star_tree_aggregate(
             for doc in range(start, end):
                 ok = True
                 for fcol, fv in filt.items():
-                    if records[fcol].iloc[doc] != fv:
+                    if records[fcol].iloc[doc] not in fv:
                         ok = False
                         break
                 if ok:
@@ -504,10 +505,9 @@ def star_tree_aggregate(
         if child_dim in filt:
             fv = filt[child_dim]
             for cid in child_ids:
-                if tree.nodes[cid][1] == fv:
+                if tree.nodes[cid][1] in fv:
                     descend(cid, level + 1)
-                    return
-            return  # value absent under this node
+            return  # only matching value children contribute
         if child_dim in want:
             for cid in child_ids:
                 if tree.nodes[cid][1] != ALL:

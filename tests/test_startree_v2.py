@@ -215,3 +215,20 @@ def test_skip_star_node_creation(tmp_path):
     # queries still correct: country group (no star path needed)
     got = st.star_tree_aggregate(seg, ["country"], ["count__*"])
     assert int(got["count__*"].sum()) == len(pdf)
+
+
+def test_in_filter(tmp_path):
+    pdf = _dataset()
+    seg = _segment_with_tree(tmp_path, pdf)
+    got = st.star_tree_aggregate(
+        seg, ["browser"], ["count__*"], where=("country", "in", ["DE", "IN"])
+    )
+    lut = np.sort(pdf["browser"].unique())
+    got["browser"] = got["browser"].map(lambda i: lut[i])
+    sub = pdf[pdf["country"].isin(["DE", "IN"])]
+    exp = sub.assign(one=1).groupby("browser", as_index=False).agg(
+        **{"count__*": ("one", "sum")}
+    )
+    got = got.sort_values("browser").reset_index(drop=True)
+    exp = exp.sort_values("browser").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
