@@ -305,7 +305,12 @@ def deserialize_tree(buf: bytes) -> LoadedTree:
 
 def write_star_trees(segment_dir: str, pdf, specs: list[StarTreeSpec]) -> None:
     """Build + persist star-trees for a segment dir (adds
-    star_tree_index, star_tree_index_map, and metadata keys)."""
+    star_tree_index, star_tree_index_map, and metadata keys).
+
+    `pdf` must hold the SAME rows the segment was written from: the
+    tree's dimension forward indexes use the segment columns'
+    dictionaries (dictIds are positions in the sorted distinct values),
+    so the value sets must match."""
     import numpy as np
 
     from hurricanedb_spark.sources.pinot_segment import (
