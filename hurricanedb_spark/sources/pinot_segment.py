@@ -1076,7 +1076,14 @@ def segment_filter_docs(meta: SegmentMeta, psf: bytes, where: tuple):
         i = bisect.bisect_left(dv, value)
         if i >= len(dv) or dv[i] != value:
             return np.empty(0, dtype=np.uint32), True
-        return read_inverted_index(meta, psf, col)[i], True
+        docs = read_inverted_index(meta, psf, col)[i]
+        # null docs are stored under the FieldSpec DEFAULT value's dictId
+        # and would match it through the index while the scan path (which
+        # nulls them first) would not — return inexact so the caller's
+        # residual predicate re-verifies against the null-applied column
+        if (col, "nullvalue_vector") in meta.index_map:
+            return docs, False
+        return docs, True
     if op in ("between", "<=", ">=") and (col, "range_index") in meta.index_map:
         if op == "between":
             lo, hi = value
@@ -1211,6 +1218,10 @@ def _apply_null_vector(ser, meta: SegmentMeta, psf: bytes, name: str, cm: Column
     if len(null_docs):
         if cm.data_type in ("INT", "LONG"):
             ser = ser.astype("Int64" if cm.data_type == "LONG" else "Int32")
+        elif cm.data_type in ("FLOAT", "DOUBLE"):
+            # nullable float dtype: a plain float series would turn the
+            # None into NaN, which Arrow/Spark keep as NaN — not NULL
+            ser = ser.astype("Float64" if cm.data_type == "DOUBLE" else "Float32")
         ser[null_docs.astype("int64")] = None
     return ser
 

@@ -124,16 +124,27 @@ def build_star_tree(pdf, spec: StarTreeSpec):
 
     metric_keys = [f"{fn}__{col}" for fn, col in pairs]
 
+    frame_starts = [0]  # global offset of each frame in `rows`
+
     def append(frame) -> int:
         start = total[0]
         rows.append(frame.reset_index(drop=True))
+        frame_starts.append(start)
         total[0] += len(frame)
         return start
 
     def slice_records(start: int, end: int):
-        # records live across the appended frames; materialize lazily
-        merged = pd.concat(rows, ignore_index=True)
-        return merged.iloc[start:end]
+        # a node's record range never spans frames: value children
+        # subdivide their parent's range (one frame) and each star /
+        # aggregated range is exactly one appended frame — so slicing
+        # is O(1) in the owning frame, not a concat of everything
+        import bisect
+
+        fi = bisect.bisect_right(frame_starts, start) - 1
+        base = frame_starts[fi]
+        if end - base > len(rows[fi]):
+            raise AssertionError("star-tree record range spans frames")
+        return rows[fi].iloc[start - base : end - base]
 
     def aggregate_rows(frame, drop_dim: int | None):
         f = frame.copy()

@@ -645,6 +645,19 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
         return sql  # ordinal keys aren't reconstructable in the CTE
     if any(it == "*" or it.endswith(".*") for it in _split_top(grp("sel"))):
         return sql  # select-star would leak the helper columns
+    # GROUP BY over a select-list alias resolves in plain Spark GROUP BY
+    # (spark.sql.groupByAliases) but NOT inside the generated CTE / join
+    # condition — fall back to the exact macro for those shapes
+    sel_aliases = set()
+    for it in _split_top(grp("sel")):
+        m_alias = re.search(r"\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it)
+        if m_alias:
+            sel_aliases.add(m_alias.group(1).lower())
+    if any(
+        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g) and g.lower() in sel_aliases
+        for g in gby
+    ):
+        return sql
 
     def _norm(s: str) -> str:
         return " ".join(s.split())

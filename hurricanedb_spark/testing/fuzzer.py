@@ -439,6 +439,7 @@ class _Gen:
                 "boolagg",
                 "withtime",
                 "filtered",
+                "histogram",
             ]
         )
         if kind == "count":

@@ -844,3 +844,28 @@ def test_mv_hll_distinct_bounded_restructure(hdb, spark):
         default_limit=None,
     ).collect()
     assert r[0].dc == 0
+
+
+def test_bounded_mv_restructure_falls_back_for_alias_group_keys():
+    """GROUP BY over a select-list alias resolves in plain Spark GROUP BY
+    but not inside the generated CTE/join — those shapes must keep the
+    exact macro instead of being restructured."""
+    from hurricanedb_spark.sql.dialect import rewrite_mv_percentile_bounded
+
+    q = (
+        "SELECT label AS l, percentileTDigestMV(embedding, 95) AS p "
+        "FROM embeddings GROUP BY l"
+    )
+    assert rewrite_mv_percentile_bounded(q) == q
+    # a plain column key still restructures
+    q2 = (
+        "SELECT label, percentileTDigestMV(embedding, 95) AS p "
+        "FROM embeddings GROUP BY label"
+    )
+    assert rewrite_mv_percentile_bounded(q2) != q2
+    # an alias that happens to equal the underlying column name is fine
+    q3 = (
+        "SELECT label AS label, percentileTDigestMV(embedding, 95) AS p "
+        "FROM embeddings GROUP BY label"
+    )
+    assert rewrite_mv_percentile_bounded(q3) == q3  # conservative fallback

@@ -884,3 +884,29 @@ def test_range_filter_via_le_ge_ops(tmp_path):
         assert sorted(out["k"].tolist()) == sorted(
             pdf.loc[pred(pdf["k"]), "k"].tolist()
         )
+
+
+def test_float_nulls_use_nullable_dtype(tmp_path):
+    pdf = pd.DataFrame({"v": [1.5, None, 2.5]})
+    seg = str(tmp_path / "fnull")
+    ps.write_segment_pandas(pdf, seg)
+    back = ps.read_segment_pandas(seg)
+    # nullable Float64, real missing value — not a NaN in a float column
+    assert str(back["v"].dtype) == "Float64"
+    assert back["v"].isna().tolist() == [False, True, False]
+
+
+def test_inverted_index_equality_excludes_null_defaults(tmp_path):
+    # nulls are stored under the FieldSpec default value ("null" for
+    # STRING); an indexed equality probe for that value must NOT return
+    # the null rows — same answer as the scan path
+    pdf = pd.DataFrame({"s": ["a", None, "null", "a", None]})
+    seg = str(tmp_path / "invnull")
+    ps.write_segment_pandas(pdf, seg, inverted_index_columns=["s"])
+    out = ps.read_segment_pandas(seg, where=("s", "=", "null"))
+    # only the REAL "null" string row (doc 2), not the null docs 1/4
+    assert len(out) == 1 and out["s"].iloc[0] == "null"
+    seg2 = str(tmp_path / "invnull2")
+    ps.write_segment_pandas(pdf, seg2)  # no index: scan path
+    out2 = ps.read_segment_pandas(seg2, where=("s", "=", "null"))
+    assert out2["s"].tolist() == out["s"].tolist()
