@@ -473,11 +473,20 @@ def q_startree_binary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = os.path.join(base, "orders_st")
     marker = os.path.join(base, "_written")
     if not os.path.isfile(marker):
-        pdf = (
-            load_table(spark, sf_dir, "orders")
-            .select("o_orderpriority", "o_orderstatus", "o_totalprice")
-            .toPandas()
+        od = load_table(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderstatus", "o_totalprice"
         )
+        # driver-side build is the interop PROOF at gate SF only; the
+        # scale path is per-segment write_star_trees inside the export
+        # tasks (trees are per-segment artifacts in the reference too)
+        n_rows = od.count()
+        if n_rows > 5_000_000:
+            raise RuntimeError(
+                f"q_startree_binary_agg: {n_rows} rows — build star-trees "
+                "per segment via export_segments + write_star_trees, not "
+                "a whole-table driver collect"
+            )
+        pdf = od.toPandas()
         pdf["cents"] = np.floor(pdf["o_totalprice"] * 100 + 0.5).astype(np.int64)
         pdf = pdf.drop(columns="o_totalprice")
         ps.write_segment_pandas(pdf, seg)
