@@ -950,3 +950,59 @@ def test_corrupt_segment_bytes_fail_loudly_not_silently(tmp_path):
     # segfaults/hangs. Require that structural errors DO surface.
     assert outcomes["error"] > 0
     assert sum(outcomes.values()) == 40
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=hst.data())
+def test_property_writer_options_and_filters(tmp_path_factory, data):
+    """Random data x random writer options (raw compression, inverted /
+    bloom / range indexes, var-length dicts) round-trips and answers
+    where= filters identically to a plain pandas filter."""
+    rng_n = data.draw(hst.integers(20, 120))
+    ints = data.draw(
+        hst.lists(hst.integers(-50, 50), min_size=rng_n, max_size=rng_n)
+    )
+    strs = data.draw(
+        hst.lists(
+            hst.sampled_from(["a", "bb", "ccc", "dd", "e", "null"]),
+            min_size=rng_n,
+            max_size=rng_n,
+        )
+    )
+    pdf = pd.DataFrame(
+        {"k": pd.array(ints, dtype="Int64"), "s": pd.Series(strs, dtype="object")}
+    )
+    opts = {}
+    if data.draw(hst.booleans()):
+        opts["inverted_index_columns"] = ["s"]
+    if data.draw(hst.booleans()):
+        opts["bloom_filter_columns"] = ["s"]
+    if data.draw(hst.booleans()):
+        opts["range_index_columns"] = ["k"]
+    if data.draw(hst.booleans()):
+        opts["var_length_string_dicts"] = True
+    comp = data.draw(
+        hst.sampled_from([None, "PASS_THROUGH", "SNAPPY", "ZSTANDARD", "LZ4"])
+    )
+    if comp and not pdf["k"].isna().any():
+        opts["raw_columns"] = {"k": comp}
+        pdf["k"] = pdf["k"].astype("int64")
+    seg = str(tmp_path_factory.mktemp("prop2") / "seg")
+    ps.write_segment_pandas(pdf, seg, **opts)
+    back = ps.read_segment_pandas(seg)
+    assert back["s"].tolist() == pdf["s"].tolist()
+    assert back["k"].isna().tolist() == pdf["k"].isna().tolist()
+    assert back["k"].dropna().tolist() == pdf["k"].dropna().tolist()
+    # where= equality on s matches pandas exactly (incl. the 'null'
+    # literal colliding with the FieldSpec default)
+    probe = data.draw(hst.sampled_from(["a", "null", "zz"]))
+    got = ps.read_segment_pandas(seg, where=("s", "=", probe))
+    exp = pdf[pdf["s"] == probe].reset_index(drop=True)
+    assert got["s"].tolist() == exp["s"].tolist()
+    # range filter on k
+    lo = data.draw(hst.integers(-50, 40))
+    got_r = ps.read_segment_pandas(seg, where=("k", "between", (lo, lo + 10)))
+    exp_r = pdf[(pdf["k"] >= lo) & (pdf["k"] <= lo + 10)]
+    assert sorted(got_r["k"].dropna().tolist()) == sorted(
+        exp_r["k"].dropna().tolist()
+    )
