@@ -349,6 +349,7 @@ _V1_INDEX_FILES = {
     "range_index": (".bitmap.range",),
     "bloom_filter": (".bloom",),
     "nullvalue_vector": (".bitmap.nullvalue",),
+    "json_index": (".json.idx",),
 }
 
 
@@ -1404,6 +1405,7 @@ def write_segment_pandas(
     bloom_fpp: float = 0.05,
     range_index_columns: list[str] | None = None,
     partition_config: dict[str, tuple[str, int]] | None = None,
+    json_index_columns: list[str] | None = None,
     layout: str = "v3",
 ) -> str:
     """Write a pandas DataFrame as one v3 segment directory (SV and MV
@@ -1674,6 +1676,21 @@ def write_segment_pandas(
                 f"{ck}numPartitions = {n_parts}",
                 f"{ck}partitionValues = " + ",".join(str(p) for p in pids),
             ]
+        if json_index_columns and col in json_index_columns:
+            if data_type != "STRING":
+                raise UnsupportedSegmentError(
+                    f"json index on non-STRING column {col!r}"
+                )
+            from hurricanedb_spark.sources.json_index import encode_json_index
+
+            append_entry(
+                col,
+                "json_index",
+                encode_json_index(
+                    None if null_mask[i] else vals[i] for i in range(num_docs)
+                ),
+                ext=".json.idx",
+            )
         if range_index_columns and col in range_index_columns:
             # dictionary columns index dictIds (valueType INT) — dictIds
             # are sorted by value, so value ranges map to dictId ranges
