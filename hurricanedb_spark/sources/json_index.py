@@ -156,6 +156,11 @@ class JsonIndex:
         self._offsets = struct.unpack_from(
             f">{self._n_keys + 1}i", self._dict_buf, data_off
         )
+        # parse the inverted-index offset table once: lookups would
+        # otherwise re-unpack O(n_keys) ints per posting access
+        self._inv_offsets = struct.unpack_from(
+            f">{self._n_keys + 1}i", self._inv_buf, 0
+        )
 
     def _key_at(self, i: int) -> str:
         return self._dict_buf[self._offsets[i] : self._offsets[i + 1]].decode(
@@ -183,7 +188,7 @@ class JsonIndex:
         i = self._dict_id(key)
         if i < 0:
             return np.empty(0, dtype=np.uint32)
-        offs = struct.unpack_from(f">{self._n_keys + 1}i", self._inv_buf, 0)
+        offs = self._inv_offsets
         return roaring_deserialize(self._inv_buf[offs[i] : offs[i + 1]])
 
     def matching_flattened(self, key: str, value: str | None):

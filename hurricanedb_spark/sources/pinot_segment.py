@@ -1114,11 +1114,17 @@ def read_segment_pandas(
 
     meta = read_segment_metadata(segment_dir)
     want = columns if columns is not None else sorted(meta.columns)
-    extra_col = None
-    if where is not None and where[0] not in want:
-        extra_col = where[0]
-        want = [*want, extra_col]
     psf = _read_psf(meta)
+    extra_col = None
+    filter_docs = filter_exact = None
+    if where is not None:
+        filter_docs, filter_exact = segment_filter_docs(meta, psf, where)
+        # decode the filter column only when a residual verify is needed
+        # (index miss or inexact candidates) — an exact index hit never
+        # evaluates the predicate against decoded values
+        if (filter_docs is None or not filter_exact) and where[0] not in want:
+            extra_col = where[0]
+            want = [*want, extra_col]
     out = {}
     for name in want:
         cm = meta.columns.get(name)
@@ -1169,12 +1175,11 @@ def read_segment_pandas(
     keep = np.ones(len(pdf), dtype=bool)
     if where is not None:
         col, op, value = where
-        docs, exact = segment_filter_docs(meta, psf, where)
-        if docs is not None:
+        if filter_docs is not None:
             m = np.zeros(len(pdf), dtype=bool)
-            m[np.asarray(docs, dtype=np.int64)] = True
+            m[np.asarray(filter_docs, dtype=np.int64)] = True
             keep &= m
-        if docs is None or not exact:
+        if filter_docs is None or not filter_exact:
             keep &= _row_predicate(pdf[col], op, value)
     if apply_valid_doc_ids:
         valid = read_valid_doc_ids(segment_dir)
@@ -1191,23 +1196,35 @@ def read_segment_pandas(
 
 def _row_predicate(ser, op: str, value):
     import numpy as np
+    import pandas as pd
 
+    if len(ser) and isinstance(ser.iloc[0], (list, tuple, np.ndarray)):
+        # multi-value column: equality means any-element match (the
+        # reference's MV filter semantics, same as the inverted index)
+        if op != "=":
+            raise ValueError(
+                f"MV column filter supports '=' (any-element), not {op!r}"
+            )
+        return np.array(
+            [v is not None and value in v for v in ser], dtype=bool
+        )
     if op == "=":
-        m = (ser == value).to_numpy()
+        m = ser == value
     elif op == "<":
-        m = (ser < value).to_numpy()
+        m = ser < value
     elif op == "<=":
-        m = (ser <= value).to_numpy()
+        m = ser <= value
     elif op == ">":
-        m = (ser > value).to_numpy()
+        m = ser > value
     elif op == ">=":
-        m = (ser >= value).to_numpy()
+        m = ser >= value
     elif op == "between":
         lo, hi = value
-        m = ((ser >= lo) & (ser <= hi)).to_numpy()
+        m = (ser >= lo) & (ser <= hi)
     else:
         raise ValueError(f"unknown filter op {op!r}")
-    return np.asarray(m, dtype=bool)
+    # nullable dtypes produce pd.NA in the mask: null never matches
+    return pd.Series(m).fillna(False).to_numpy(dtype=bool)
 
 
 def _apply_null_vector(ser, meta: SegmentMeta, psf: bytes, name: str, cm: ColumnMeta):

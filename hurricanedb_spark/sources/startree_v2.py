@@ -483,11 +483,15 @@ def star_tree_aggregate(
             read_segment_metadata,
         )
 
+        from hurricanedb_spark.sources.pinot_segment import _index_buffer
+
         meta = read_segment_metadata(segment_dir)
         psf = _read_psf(meta)
         col = where[0]
         dvals = list(
-            _decode_dictionary(_index_buffer_safe(meta, psf, col), meta.columns[col])
+            _decode_dictionary(
+                _index_buffer(meta, psf, col, "dictionary"), meta.columns[col]
+            )
         )
         wanted = where[2] if where[1] == "in" else [where[2]]
         ids = {dvals.index(v) for v in wanted if v in dvals}
@@ -551,7 +555,3 @@ def star_tree_aggregate(
     return pd.DataFrame([{m: sub[m].agg(a) for m, a in aggs.items()}])
 
 
-def _index_buffer_safe(meta, psf, col):
-    from hurricanedb_spark.sources.pinot_segment import _index_buffer
-
-    return _index_buffer(meta, psf, col, "dictionary")

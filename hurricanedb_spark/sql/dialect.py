@@ -837,7 +837,7 @@ class HurricaneSQL:
             if os.path.isdir(p):
                 try:
                     ps.read_segment_metadata(p)
-                except FileNotFoundError:
+                except Exception:  # noqa: BLE001 — skip any unreadable dir
                     continue
                 segs.append(p)
         if not segs:

@@ -1006,3 +1006,44 @@ def test_property_writer_options_and_filters(tmp_path_factory, data):
     assert sorted(got_r["k"].dropna().tolist()) == sorted(
         exp_r["k"].dropna().tolist()
     )
+
+
+def test_where_filter_on_nullable_numeric_column(tmp_path):
+    # the residual-verify path over a nullable numeric column (regression:
+    # pd.NA in the predicate mask raised TypeError)
+    pdf = pd.DataFrame({"k": pd.array([1, None, 3, 1, None], dtype="Int64")})
+    seg = str(tmp_path / "segnullnum")
+    ps.write_segment_pandas(pdf, seg)
+    out = ps.read_segment_pandas(seg, where=("k", "=", 1))
+    assert out["k"].tolist() == [1, 1]
+    out2 = ps.read_segment_pandas(seg, where=("k", ">=", 2))
+    assert out2["k"].tolist() == [3]
+
+
+def test_where_equality_on_mv_column_is_contains(tmp_path):
+    pdf = pd.DataFrame({"m": [[1, 2], [3], [2, 4], [5]]})
+    seg = str(tmp_path / "segmvwhere")
+    ps.write_segment_pandas(pdf, seg)
+    # scan path: any-element semantics (the reference's MV filter)
+    out = ps.read_segment_pandas(seg, where=("m", "=", 2))
+    assert [list(map(int, x)) for x in out["m"]] == [[1, 2], [2, 4]]
+    # with an inverted index: same answer, index path
+    seg2 = str(tmp_path / "segmvwhere2")
+    ps.write_segment_pandas(pdf, seg2, inverted_index_columns=["m"])
+    out2 = ps.read_segment_pandas(seg2, where=("m", "=", 2))
+    assert [list(map(int, x)) for x in out2["m"]] == [[1, 2], [2, 4]]
+    with pytest.raises(ValueError, match="any-element"):
+        ps.read_segment_pandas(seg, where=("m", ">=", 2))
+
+
+def test_corrupt_store_is_skipped_by_register_segment_table(spark, tmp_path):
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    good = str(tmp_path / "good")
+    ps.write_segment_pandas(pd.DataFrame({"a": [1, 2]}), good)
+    bad = tmp_path / "bad" / "v3"
+    bad.mkdir(parents=True)
+    (bad / "metadata.properties").write_text("segment.name = broken\n")
+    hdb = HurricaneSQL(spark)
+    hdb.register_segment_table("t_mixed", str(tmp_path))
+    assert hdb.sql("SELECT count(*) AS n FROM t_mixed").collect()[0]["n"] == 2
