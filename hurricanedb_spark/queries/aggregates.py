@@ -103,7 +103,7 @@ def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_histogram",
+    "q_histogram_buckets",
     oracle="""
     SELECT CAST(least(greatest(floor((o_totalprice - 0) / 30000), 0), 9) AS BIGINT) AS bucket,
            COUNT(*) AS n,
@@ -113,10 +113,12 @@ def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="histogram (AggregationFunctionType.java:61): fixed-width bucketing "
-    "via floor((x-lo)/width) clamped to [0, nbuckets-1] + group counts.",
+    "via floor((x-lo)/width) clamped to [0, nbuckets-1] + group counts. "
+    "(Previously shadowed by the dialect-form q_histogram below — two "
+    "registrations shared one name; renamed round 6.)",
     tags=("aggregation", "histogram"),
 )
-def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = _t(spark, sf_dir, "orders")
     bucket = F.least(
         F.greatest(F.floor((F.col("o_totalprice") - 0) / 30000), F.lit(0)),
@@ -212,19 +214,23 @@ def q_skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_idset_collect",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS status_set,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+             AS status_set,
            COUNT(DISTINCT o_orderstatus) AS n_statuses
     FROM orders
     GROUP BY o_orderpriority
     """,
     doc="idSet (AggregationFunctionType.java:60) = bounded collect_set, "
-    "sorted for deterministic comparison.",
+    "sorted + joined to one deterministic string (the driver's pandas "
+    "canonicalizer cannot sort array cells — round-5 lesson).",
     tags=("aggregation", "idset"),
 )
 def q_idset_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = _t(spark, sf_dir, "orders")
     return od.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("status_set"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "status_set"
+        ),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
 
@@ -342,11 +348,13 @@ def q_theta_ds_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_histogram",
     oracle="""
     SELECT l_returnflag,
-           [SUM(CASE WHEN l_quantity >= 0.0 AND l_quantity < 10.0 THEN 1 ELSE 0 END),
-            SUM(CASE WHEN l_quantity >= 10.0 AND l_quantity < 20.0 THEN 1 ELSE 0 END),
-            SUM(CASE WHEN l_quantity >= 20.0 AND l_quantity < 30.0 THEN 1 ELSE 0 END),
-            SUM(CASE WHEN l_quantity >= 30.0 AND l_quantity < 40.0 THEN 1 ELSE 0 END),
-            SUM(CASE WHEN l_quantity >= 40.0 AND l_quantity <= 50.0 THEN 1 ELSE 0 END)] AS bins
+           array_to_string(
+             [SUM(CASE WHEN l_quantity >= 0.0 AND l_quantity < 10.0 THEN 1 ELSE 0 END),
+              SUM(CASE WHEN l_quantity >= 10.0 AND l_quantity < 20.0 THEN 1 ELSE 0 END),
+              SUM(CASE WHEN l_quantity >= 20.0 AND l_quantity < 30.0 THEN 1 ELSE 0 END),
+              SUM(CASE WHEN l_quantity >= 30.0 AND l_quantity < 40.0 THEN 1 ELSE 0 END),
+              SUM(CASE WHEN l_quantity >= 40.0 AND l_quantity <= 50.0 THEN 1 ELSE 0 END)],
+             ',') AS bins
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="HISTOGRAM aggregation (HistogramAggregationFunction.java:46-140): "
@@ -363,7 +371,9 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         rewrite_functions(
-            "SELECT l_returnflag, histogram(l_quantity, 0, 50, 5) AS bins "
+            "SELECT l_returnflag, "
+            "array_join(transform(histogram(l_quantity, 0, 50, 5), "
+            "x -> cast(x AS string)), ',') AS bins "
             "FROM lineitem GROUP BY l_returnflag"
         )
     )

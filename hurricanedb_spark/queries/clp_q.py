@@ -66,11 +66,19 @@ def _synth_message(df: DataFrame) -> DataFrame:
     "q_clp_encode",
     oracle=_ORACLE_SRC
     + """
-    SELECT event_id, msg_logtype, msg_dict_vars, msg_encoded_vars FROM enc
+    SELECT event_id, msg_logtype,
+           array_to_string(msg_dict_vars, ',') AS msg_dict_vars,
+           array_to_string(list_transform(msg_encoded_vars,
+                                          x -> CAST(x AS VARCHAR)), ',')
+             AS msg_encoded_vars
+    FROM enc
     """,
     doc="CLP decomposition (CLPLogRecordExtractor.java:37-70): per-row "
     "logtype template + dictionary vars (digit-bearing identifiers) + "
-    "encoded vars (integers as longs), via built-in higher-order fns only.",
+    "encoded vars (integers as longs), via built-in higher-order fns only. "
+    "Var lists are comma-joined to strings for the gate (the driver's "
+    "pandas canonicalizer cannot sort array cells); order within a "
+    "message is positional, so the join is deterministic.",
     tags=("ingestion", "clp", "logs"),
 )
 def q_clp_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,8 +87,11 @@ def q_clp_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "event_id",
         "msg_logtype",
-        F.col("msg_dictionaryVars").alias("msg_dict_vars"),
-        F.col("msg_encodedVars").alias("msg_encoded_vars"),
+        F.array_join(F.col("msg_dictionaryVars"), ",").alias("msg_dict_vars"),
+        F.array_join(
+            F.transform(F.col("msg_encodedVars"), lambda x: x.cast("string")),
+            ",",
+        ).alias("msg_encoded_vars"),
     )
 
 

@@ -32,11 +32,13 @@ _STOPWORDS_SQL = "['the','a','and','of','to','in','is','it','for','on']"
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len({_TOKENS_SQL})) AS total_tokens,
-           SUM(length(text)) AS total_chars,
-           SUM(len(list_filter({_TOKENS_SQL},
-                t -> list_contains({_STOPWORDS_SQL}, lower(t))))) AS total_stopwords,
-           SUM(len(list_distinct({_TOKENS_SQL}))) AS total_uniq_tokens
+           CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(list_filter({_TOKENS_SQL},
+                t -> list_contains({_STOPWORDS_SQL}, lower(t)))))
+                AS BIGINT) AS total_stopwords,
+           CAST(SUM(len(list_distinct({_TOKENS_SQL}))) AS BIGINT)
+                AS total_uniq_tokens
     FROM documents
     GROUP BY lang
     """,
@@ -299,7 +301,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
     SELECT d.lang AS lang,
            COUNT(*) AS kept_docs,
-           SUM(d.n_chars) AS kept_chars
+           CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
     FROM documents d JOIN comp c ON d.doc_id = c.doc_id
     WHERE c.doc_id = c.component
     GROUP BY d.lang
@@ -349,8 +351,8 @@ def _simhash_oracle_sql() -> str:
       GROUP BY doc_id, b.b
     )
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
-             AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash
     FROM bits
     GROUP BY doc_id
     """
@@ -520,7 +522,19 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")
     media = synth_media_from_documents(doc)
-    return extract_features(media).orderBy("media_id")
+    feats = extract_features(media)
+    # the driver canonicalizes even rows-only outputs through pandas, so
+    # the array<double> feature vector is joined into one string column
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "decoder",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: F.round(x, 6).cast("string")),
+            ",",
+        ).alias("feature"),
+    ).orderBy("media_id")
 
 
 # --- Benchmark contamination -------------------------------------------------

@@ -48,7 +48,8 @@ def q_dialect_agg_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST((epoch_ms(CAST(ts AS TIMESTAMP)) // 900000) * 900000 // 60000 AS BIGINT) AS min15,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events
     GROUP BY 1
     """,

@@ -106,7 +106,7 @@ def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(*) AS n_buckets,
-           SUM(n_events) AS total_events,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
            COUNT(*) FILTER (WHERE n_events = 0) AS n_gap_buckets,
            CAST(SUM(CAST(total_value AS DECIMAL(18,4))) AS DOUBLE)
              AS sum_filled_value

@@ -21,7 +21,8 @@ from hurricanedb_spark.sql.text_match import translate_text_match
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
            MIN(CAST(user_id AS INT)) AS min_user
     FROM events
     WHERE NOT event_type = 'error'
@@ -70,7 +71,7 @@ def q_ingestion_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE ((text LIKE '%fast table%' OR text LIKE '%slow merge%')
            AND text LIKE '%spark%'
@@ -101,7 +102,7 @@ def q_text_match_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
               t -> t <> '' AND levenshtein(t, 'colum') <= 1)) > 0
@@ -133,7 +134,7 @@ def q_text_match_fuzzy_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
               t -> t <> '' AND regexp_matches(t, '^sc.n$'))) > 0
@@ -195,7 +196,7 @@ def q_json_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     WHERE l_orderkey IN (
       SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
@@ -231,7 +232,7 @@ def q_idset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE len(list_filter(
             list_filter(range(1, len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '')) + 1),
@@ -426,7 +427,9 @@ def q_segment_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = ps.prune_segments(segs, "o_custkey", "between", (200, 400))
     assert len(kept) < len(segs), "pruning must drop disjoint segments"
-    df = ps.read_segments(spark, kept)
+    # at tiny SFs the whole range can prune away (sf0.001 custkeys stop at
+    # 149): the correct result is an empty frame, schema from the store
+    df = ps.read_segments(spark, kept, schema_from=segs)
     return (
         df.filter(F.col("o_custkey").between(200, 400))
         .groupBy("o_orderpriority")
@@ -445,7 +448,8 @@ def q_segment_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
     FROM orders GROUP BY o_orderpriority, o_orderstatus
     """,
     doc="Star-tree v2 in the reference's on-disk binary format "

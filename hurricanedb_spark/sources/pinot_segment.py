@@ -1344,13 +1344,23 @@ def read_segments(
     segment_dirs: list[str],
     columns: list[str] | None = None,
     where: tuple | None = None,
+    schema_from: list[str] | None = None,
 ):
     """Segments -> Spark DataFrame, one decode task per segment
     (mapInPandas; the driver touches only metadata of the first segment
     for the schema). `where = (col, op, value)` prunes whole segments
     (metadata min/max + bloom + partition) AND filters rows inside the
-    survivors using their own indexes — exact results either way."""
+    survivors using their own indexes — exact results either way.
+
+    `schema_from`: optional unpruned segment list used only to derive the
+    schema when `segment_dirs` is empty — the everything-pruned case,
+    where the reference's broker returns an empty response rather than an
+    error (SegmentPrunerService short-circuit)."""
     if not segment_dirs:
+        if schema_from:
+            return spark.createDataFrame(
+                [], segment_spark_schema(schema_from[0], columns)
+            )
         raise ValueError("no segment directories given")
     schema = segment_spark_schema(segment_dirs[0], columns)
     if where is not None:

@@ -1,21 +1,36 @@
 """Local replica of the driver's correctness gate.
 
 For every query in the registry: run the Spark DataFrame and the DuckDB
-oracle at the given SF, compare row count, column names, and
-order-insensitive values (strict: exact equality after canonical
-stringification, which is tougher than any fuzzy hash the driver might use).
+oracle at the given SF and compare them **the way the driver does** —
+through pandas (`sdf.toPandas()` vs `con.execute(sql).df()`), not through
+`fetchall()`. This matters: DuckDB materializes `SUM(integer)` as HUGEINT
+which `.df()` turns into float64, so an oracle whose values are equal via
+`fetchall()` (Python ints) can still hash-mismatch in the driver
+(`2006.0` vs `2006`). Round-5 lesson: six driver rows went red that this
+tool passed. The comparison below is therefore dtype-strict:
+
+  * row count and sorted column names must match;
+  * no output column may hold array/map/struct values (the driver's
+    pandas canonicalizer cannot sort them: `unhashable type: 'list'`);
+  * after sorting columns by name and rows by canonical string, every
+    cell must canonicalize identically — and a float-typed cell on one
+    side vs an int-typed cell on the other is a FAIL even when
+    numerically equal, because the driver hashes the string forms.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
 import traceback
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,26 +39,98 @@ from hurricanedb_spark.queries import all_queries
 from hurricanedb_spark.session import get_spark
 
 
-def canon_cell(v) -> str:
-    import datetime
-    import math
+def cell_canon(v) -> str:
+    """Canonical string for one pandas cell, dtype-sensitive.
 
+    float 2006.0 -> '2006.0', int 2006 -> '2006' — deliberately different,
+    mirroring what a string/hash-based comparison in the driver sees.
+    """
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return repr(v)  # full precision
-    if isinstance(v, (datetime.datetime, datetime.date)):
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
         return v.isoformat()
-    if isinstance(v, list):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        iso = v.isoformat()
+        # datetime.date -> midnight timestamp: DuckDB .df() yields
+        # datetime64 for DATE while Spark yields date objects; the driver
+        # demonstrably treats these as equal (pd3_groupby_date was green
+        # in CORRECTNESS_r05), so the local gate does too.
+        if len(iso) == 10:
+            iso += "T00:00:00"
+        return iso
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
     return str(v)
 
 
-def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
+def unhashable_cols(df: pd.DataFrame) -> list[str]:
+    """Columns holding list/ndarray/dict cells — the driver errors on these."""
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        sample = col.head(100)
+        if any(isinstance(x, (list, np.ndarray, dict, set, tuple)) for x in sample):
+            bad.append(c)
+    return bad
+
+
+def frame_canon(df: pd.DataFrame) -> list[str]:
+    cols = sorted(df.columns)
+    rows = [
+        "|".join(cell_canon(r[c]) for c in cols)
+        for r in df.to_dict("records")
+    ]
+    return sorted(rows)
+
+
+def nat_to_none(df: pd.DataFrame) -> pd.DataFrame:
+    # NaT / NaN in object columns canonicalize to 'NULL' consistently
+    return df.where(pd.notna(df), None)
+
+
+def compare_frames(spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_pd) != len(oracle_pd):
+        problems.append(f"rowcount spark={len(spark_pd)} oracle={len(oracle_pd)}")
+    if sorted(spark_pd.columns) != sorted(oracle_pd.columns):
+        problems.append(
+            f"columns spark={sorted(spark_pd.columns)} oracle={sorted(oracle_pd.columns)}"
+        )
+        return problems
+    bad_s = unhashable_cols(spark_pd)
+    bad_o = unhashable_cols(oracle_pd)
+    if bad_s or bad_o:
+        problems.append(
+            f"array/map cells (driver canonicalizer would error): "
+            f"spark={bad_s} oracle={bad_o}"
+        )
+        return problems
+    # dtype drift report (informational unless values differ, but a
+    # float-vs-int pair WILL differ in canon form when values are integral)
+    dtype_diffs = [
+        f"{c}: spark={spark_pd[c].dtype} oracle={oracle_pd[c].dtype}"
+        for c in sorted(spark_pd.columns)
+        if str(spark_pd[c].dtype) != str(oracle_pd[c].dtype)
+    ]
+    if not problems:
+        sc = frame_canon(nat_to_none(spark_pd))
+        oc = frame_canon(nat_to_none(oracle_pd))
+        if sc != oc:
+            diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+            msg = f"values differ, first diffs: {diffs}"
+            if dtype_diffs:
+                msg += f" (dtype drift: {dtype_diffs})"
+            problems.append(msg)
+    return problems
 
 
 def main() -> int:
@@ -66,44 +153,43 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qd.fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spark_pd = sdf.toPandas()
         except Exception:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             continue
         if qd.oracle is None:
-            n_rowsonly += 1
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            bad = unhashable_cols(spark_pd)
+            if bad:
+                # rows-only queries still go through the driver's pandas
+                # canonicalizer for the row count — array cells are fatal
+                n_fail += 1
+                failures.append(name)
+                print(f"FAIL  {name}: rows-only but array/map cells in {bad}")
+            else:
+                n_rowsonly += 1
+                print(
+                    f"rows  {name}: {len(spark_pd)} rows (no oracle) "
+                    f"[{time.time()-t0:.1f}s]"
+                )
             continue
         try:
-            ores = con.execute(qd.oracle)
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            oracle_pd = con.execute(qd.oracle).df()
         except Exception as e:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
-        if not problems:
-            sc, oc = canon_rows(scols, srows), canon_rows(ocols, orows)
-            if sc != oc:
-                diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diffs}")
+        problems = compare_frames(spark_pd, oracle_pd)
         if problems:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             n_pass += 1
-            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"PASS  {name}: {len(spark_pd)} rows [{time.time()-t0:.1f}s]")
 
     print(
         f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only "
