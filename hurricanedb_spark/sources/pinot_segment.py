@@ -678,10 +678,74 @@ def _parse_chunk_container(buf: bytes):
     return version, docs_per_chunk, size_of_entry, total_docs, comp, bounds
 
 
+def _iter_var_byte_entries(buf: bytes, num_docs: int):
+    """Yield per-doc value bytes from a v2/v3 var-byte chunk container
+    (VarByteChunkSVForwardIndexWriter layout: each chunk starts with
+    numDocsPerChunk big-endian int row offsets, rows packed after)."""
+    _, docs_per_chunk, _, total_docs, comp, bounds = _parse_chunk_container(buf)
+    remaining = total_docs or num_docs
+    for start, end in bounds:
+        docs_here = min(docs_per_chunk, remaining)
+        chunk = _decompress_chunk(buf[start:end], comp, None)
+        row_offsets = struct.unpack_from(f">{docs_per_chunk}i", chunk, 0)
+        for j in range(docs_here):
+            lo = row_offsets[j]
+            hi = row_offsets[j + 1] if j + 1 < docs_here else len(chunk)
+            yield chunk[lo:hi]
+        remaining -= docs_here
+
+
+def _iter_var_byte_entries_v4(buf: bytes):
+    """Yield per-doc value bytes from a V4 var-byte container
+    (VarByteChunkSVForwardIndexWriterV4.java): big-endian header
+    [version, targetChunkSize, compressionId, chunksStart], then 8-byte
+    LITTLE-endian metadata pairs (docIdOffset | hugeFlag<<31, chunkOffset)
+    up to chunksStart, then compressed chunks. A regular decompressed
+    chunk is LE [numDocs][offset_0..offset_{n-1}][bytes] with value i in
+    [offset_i, offset_{i+1}) (last value to chunk end); a huge chunk
+    (metadata MSB set) is one value's raw bytes with no header."""
+    version, _target, comp_id, chunks_start = struct.unpack_from(">iiii", buf, 0)
+    if version < 4:
+        raise ValueError(f"not a V4 container (version {version})")
+    comp = _COMPRESSION.get(comp_id)
+    if comp is None:
+        raise UnsupportedSegmentError(f"unknown compression id {comp_id}")
+    n_chunks = (chunks_start - 16) // 8
+    metas = [
+        struct.unpack_from("<iI", buf, 16 + 8 * i) for i in range(n_chunks)
+    ]
+    for i, (doc_id_word, chunk_off) in enumerate(metas):
+        huge = bool(doc_id_word & -0x80000000)
+        start = chunks_start + chunk_off
+        end = (
+            chunks_start + metas[i + 1][1] if i + 1 < n_chunks else len(buf)
+        )
+        chunk = _decompress_chunk(buf[start:end], comp, None)
+        if huge:
+            yield chunk
+            continue
+        (n_docs,) = struct.unpack_from("<i", chunk, 0)
+        offsets = struct.unpack_from(f"<{n_docs}i", chunk, 4)
+        for j in range(n_docs):
+            hi = offsets[j + 1] if j + 1 < n_docs else len(chunk)
+            yield chunk[offsets[j] : hi]
+
+
 def _decode_raw_sv(buf: bytes, cm: ColumnMeta, num_docs: int):
     """Raw SV forward index -> numpy array / list[str]."""
     import numpy as np
 
+    (container_version,) = struct.unpack_from(">i", buf, 0)
+    if container_version >= 4:
+        # V4 stores var-byte types only (STRING/BYTES/BIG_DECIMAL)
+        if cm.data_type == "STRING":
+            return [e.decode("utf-8") for e in _iter_var_byte_entries_v4(buf)]
+        if cm.data_type == "BYTES":
+            return list(_iter_var_byte_entries_v4(buf))
+        raise UnsupportedSegmentError(
+            f"V4 chunk container with fixed-width type {cm.data_type} "
+            f"for column {cm.name}"
+        )
     _, docs_per_chunk, size_of_entry, total_docs, comp, bounds = (
         _parse_chunk_container(buf)
     )
@@ -766,6 +830,162 @@ def _encode_raw_sv(vals, data_type: str, compression: str) -> bytes:
         out.append(struct.pack(">q", pos))
         pos += len(c)
     return b"".join(out) + b"".join(compressed)
+
+
+def _mv_entry_bytes(values, data_type: str) -> bytes:
+    """One MV cell -> its var-byte entry (FixedByteChunkMVForwardIndexReader
+    / VarByteChunkMVForwardIndexReader layouts, big-endian): numeric =
+    [numValues][values...]; STRING = [numValues][len_i...][contents]."""
+    import numpy as np
+
+    if data_type in _FIXED_WIDTH:
+        arr = np.asarray(values).astype(_NP_BE[data_type])
+        return struct.pack(">i", len(arr)) + arr.tobytes()
+    enc = [v.encode("utf-8") for v in values]
+    return (
+        struct.pack(f">{len(enc) + 1}i", len(enc), *(len(b) for b in enc))
+        + b"".join(enc)
+    )
+
+
+def _parse_mv_entry(entry: bytes, data_type: str):
+    import numpy as np
+
+    (n_values,) = struct.unpack_from(">i", entry, 0)
+    if data_type in _FIXED_WIDTH:
+        arr = np.frombuffer(entry, dtype=_NP_BE[data_type], count=n_values, offset=4)
+        return arr.astype(arr.dtype.newbyteorder("="))
+    lengths = struct.unpack_from(f">{n_values}i", entry, 4)
+    pos = 4 * (n_values + 1)
+    out = []
+    for ln in lengths:
+        out.append(entry[pos : pos + ln].decode("utf-8"))
+        pos += ln
+    return out
+
+
+def _decode_raw_mv(buf: bytes, cm: ColumnMeta, num_docs: int):
+    """Raw (noDictionary) MV forward index -> list of per-doc arrays.
+    Both fixed-byte (numeric) and var-byte (STRING) MV forms store each
+    doc as one var-byte entry in the chunk container
+    (FixedByteChunkMVForwardIndexReader.java:39-42 — maxChunkSize =
+    numDocsPerChunk * (ROW_OFFSET_SIZE + lengthOfLongestEntry), i.e. the
+    row-offset chunk layout — and VarByteChunkMVForwardIndexReader)."""
+    (container_version,) = struct.unpack_from(">i", buf, 0)
+    entries = (
+        _iter_var_byte_entries_v4(buf)
+        if container_version >= 4
+        else _iter_var_byte_entries(buf, num_docs)
+    )
+    return [_parse_mv_entry(e, cm.data_type) for e in entries]
+
+
+def _encode_raw_mv(doc_values, data_type: str, compression: str) -> bytes:
+    """Per-doc value arrays -> raw MV chunk container (version 3)."""
+    entries = [_mv_entry_bytes(v, data_type) for v in doc_values]
+    return _encode_var_byte_entries(entries, compression)
+
+
+def _encode_var_byte_entries(entries: list[bytes], compression: str) -> bytes:
+    """Var-byte entries -> version-3 chunk container (row-offset header)."""
+    n = len(entries)
+    size_of_entry = max((len(e) for e in entries), default=0)
+    docs_per_chunk = max(1, (1 << 20) // (4 + max(size_of_entry, 1)))
+    chunks: list[bytes] = []
+    for i in range(0, n, docs_per_chunk):
+        rows = entries[i : i + docs_per_chunk]
+        header_len = 4 * docs_per_chunk
+        offs, pos = [], header_len
+        for b in rows:
+            offs.append(pos)
+            pos += len(b)
+        offs += [0] * (docs_per_chunk - len(rows))
+        chunks.append(struct.pack(f">{docs_per_chunk}i", *offs) + b"".join(rows))
+    num_chunks = len(chunks)
+    header_size = 28 + 8 * num_chunks
+    out = [
+        struct.pack(
+            ">iiiiiii",
+            3,
+            num_chunks,
+            docs_per_chunk,
+            size_of_entry,
+            n,
+            _COMPRESSION_IDS[compression],
+            28,
+        )
+    ]
+    compressed = [_compress_chunk(c, compression) for c in chunks]
+    pos = header_size
+    for c in compressed:
+        out.append(struct.pack(">q", pos))
+        pos += len(c)
+    return b"".join(out) + b"".join(compressed)
+
+
+def _encode_raw_sv_v4(
+    vals,
+    compression: str,
+    target_chunk_size: int = 1 << 20,
+) -> bytes:
+    """STRING values -> V4 var-byte container
+    (VarByteChunkSVForwardIndexWriterV4.java): values pack into chunks of
+    at most target_chunk_size decompressed bytes; a value that cannot fit
+    in an empty chunk becomes its own huge chunk (raw bytes, MSB-flagged
+    metadata). The writer upgrades LZ4 to LZ4_LENGTH_PREFIXED
+    (ChunkCompressorFactory.getCompressor(type, true)) so readers know
+    decompressed sizes."""
+    if compression == "LZ4":
+        compression = "LZ4_LENGTH_PREFIXED"
+    enc = [
+        v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+        for v in vals
+    ]
+    # (chunk_payload_bytes, huge, n_docs) in doc order
+    plan: list[tuple[bytes, bool, int]] = []
+    cur: list[bytes] = []
+    cur_size = 4  # numDocs slot
+    for b in enc:
+        need = 4 + len(b)
+        if cur and cur_size + need > target_chunk_size:
+            plan.append((_pack_v4_chunk(cur), False, len(cur)))
+            cur, cur_size = [], 4
+        if need > target_chunk_size - 4:
+            if cur:
+                plan.append((_pack_v4_chunk(cur), False, len(cur)))
+                cur, cur_size = [], 4
+            plan.append((bytes(b), True, 1))
+            continue
+        cur.append(bytes(b))
+        cur_size += need
+    if cur:
+        plan.append((_pack_v4_chunk(cur), False, len(cur)))
+    metadata = []
+    chunks = []
+    doc_id = 0
+    chunk_off = 0
+    for payload, huge, n_docs in plan:
+        comp = _compress_chunk(payload, compression)
+        metadata.append(
+            struct.pack("<iI", doc_id | (-0x80000000 if huge else 0), chunk_off)
+        )
+        chunks.append(comp)
+        doc_id += n_docs
+        chunk_off += len(comp)
+    chunks_start = 16 + 8 * len(plan)
+    header = struct.pack(
+        ">iiii", 4, target_chunk_size, _COMPRESSION_IDS[compression], chunks_start
+    )
+    return header + b"".join(metadata) + b"".join(chunks)
+
+
+def _pack_v4_chunk(rows: list[bytes]) -> bytes:
+    n = len(rows)
+    offs, pos = [], 4 * (n + 1)
+    for b in rows:
+        offs.append(pos)
+        pos += len(b)
+    return struct.pack(f"<{n + 1}i", n, *offs) + b"".join(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -1132,9 +1352,15 @@ def read_segment_pandas(
             raise KeyError(f"column {name!r} not in segment {segment_dir}")
         if not cm.has_dictionary:
             if not cm.is_single_value:
-                raise UnsupportedSegmentError(
-                    f"column {name!r} is raw multi-value — outside reader scope"
+                out[name] = pd.Series(
+                    _decode_raw_mv(
+                        _index_buffer(meta, psf, name, "forward_index"),
+                        cm,
+                        meta.total_docs,
+                    ),
+                    dtype="object",
                 )
+                continue
             raw = _decode_raw_sv(
                 _index_buffer(meta, psf, name, "forward_index"), cm, meta.total_docs
             )
@@ -1427,6 +1653,7 @@ def write_segment_pandas(
     time_column: str | None = None,
     var_length_string_dicts: bool = False,
     raw_columns: dict[str, str] | None = None,
+    raw_writer_versions: dict[str, int] | None = None,
     inverted_index_columns: list[str] | None = None,
     bloom_filter_columns: list[str] | None = None,
     bloom_fpp: float = 0.05,
@@ -1439,8 +1666,13 @@ def write_segment_pandas(
     INT/LONG/FLOAT/DOUBLE/STRING; SV nulls become FieldSpec defaults +
     a null-value vector). `raw_columns` maps column name -> chunk
     compression (PASS_THROUGH, SNAPPY, ZSTANDARD, LZ4,
-    LZ4_LENGTH_PREFIXED) to store that SV column as a raw
-    (noDictionary) chunk container instead of dictionary-encoded.
+    LZ4_LENGTH_PREFIXED) to store that SV or MV column as a raw
+    (noDictionary) chunk container instead of dictionary-encoded (MV
+    cells become [numValues][values...] var-byte entries, the
+    Fixed/VarByteChunkMVForwardIndexReader layouts).
+    `raw_writer_versions` maps a raw STRING SV column to a chunk
+    container version (2/3 classic, 4 =
+    VarByteChunkSVForwardIndexWriterV4's LE relocated-offset layout).
     `inverted_index_columns` additionally writes a bitmap inverted
     index (one RoaringBitmap of docIds per dictId) for those
     dictionary-encoded columns. `bloom_filter_columns` writes a
@@ -1539,6 +1771,38 @@ def write_segment_pandas(
                 flat = flat.astype(str)
             else:
                 data_type = _elem_type(flat)
+            if raw_columns and col in raw_columns:
+                # raw (noDictionary) MV forward index
+                if data_type == "STRING":
+                    cells = [[str(x) for x in a] for a in ser]
+                    entry_len = max(
+                        len(_mv_entry_bytes(c, "STRING")) for c in cells
+                    )
+                else:
+                    cells = [np.asarray(a) for a in ser]
+                    entry_len = 4 + int(lengths.max()) * _FIXED_WIDTH[data_type]
+                append_entry(
+                    col,
+                    "forward_index",
+                    _encode_raw_mv(cells, data_type, raw_columns[col]),
+                    ext=".mv.raw.fwd",
+                )
+                uniq = np.unique(flat)
+                prop_lines += [
+                    f"{ck}cardinality = {len(uniq)}",
+                    f"{ck}totalDocs = {num_docs}",
+                    f"{ck}dataType = {data_type}",
+                    f"{ck}bitsPerElement = 0",
+                    f"{ck}lengthOfEachEntry = {entry_len}",
+                    f"{ck}columnType = DIMENSION",
+                    f"{ck}isSorted = false",
+                    f"{ck}hasDictionary = false",
+                    f"{ck}isSingleValues = false",
+                    f"{ck}maxNumberOfMultiValues = {int(lengths.max())}",
+                    f"{ck}totalNumberOfEntries = {int(lengths.sum())}",
+                    f"{ck}isAutoGenerated = false",
+                ] + _min_max_lines(ck, data_type, uniq[0], uniq[-1])
+                continue
             uniq, inverse = np.unique(flat, return_inverse=True)
             bits = bits_per_element(len(uniq))
             dict_bytes, entry_len = _encode_dictionary(
@@ -1611,16 +1875,21 @@ def write_segment_pandas(
                 if data_type == "STRING"
                 else _FIXED_WIDTH[data_type]
             )
-            append_entry(
-                col,
-                "forward_index",
-                _encode_raw_sv(
+            writer_version = (raw_writer_versions or {}).get(col, 3)
+            if writer_version >= 4:
+                if data_type != "STRING":
+                    raise UnsupportedSegmentError(
+                        f"V4 chunk writer is var-byte only; column {col!r} "
+                        f"is {data_type}"
+                    )
+                fwd_bytes = _encode_raw_sv_v4(vals.tolist(), compression)
+            else:
+                fwd_bytes = _encode_raw_sv(
                     vals.tolist() if data_type == "STRING" else vals,
                     data_type,
                     compression,
-                ),
-                ext=".sv.raw.fwd",
-            )
+                )
+            append_entry(col, "forward_index", fwd_bytes, ext=".sv.raw.fwd")
             if null_mask.any():
                 append_entry(
                     col,
