@@ -71,8 +71,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_join_nonequi_residual",
     "q_lookup_join",
     "q_in_subquery",
-    # star-schema + druid-bench + window representatives
-    "ssb_q2_1",
+    # star-schema join aggregates stay covered by the bench set and the
+    # join/agg rows above; the slot instead samples the segment-migration
+    # composite (v3 + pre-v3 + raw/V4 + MV + raw-MV in one store)
+    "q_segment_mixed_store",
     "pd3_groupby_date",
     "q_window_ranking",
     # scalar functions

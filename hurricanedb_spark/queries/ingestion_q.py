@@ -524,3 +524,103 @@ def q_startree_binary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out[["o_orderpriority", "o_orderstatus", "n", "sum_cents"]]
     )
+
+
+@register(
+    "q_segment_mixed_store",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id % 10 + doc_id % 7 + n_chars % 13) AS BIGINT)
+             AS mv_sum,
+           CAST(SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spark
+    FROM documents GROUP BY lang
+    """,
+    doc="Segment-migration composite: ONE store whose five segments each "
+    "use a different on-disk encoding a migrating deployment would "
+    "actually contain — v3 dictionary-encoded (+ inverted/bloom on "
+    "lang), pre-v3 per-file layout, v3 raw SV chunks with the text "
+    "column in the V4 relocated-offset container "
+    "(VarByteChunkSVForwardIndexWriterV4.java), dictionary-encoded MV "
+    "with var-length string dicts, and raw (noDictionary) MV "
+    "(Fixed/VarByteChunkMVForwardIndexReader layouts). read_segments "
+    "decodes all five in one distributed scan (one task per segment) "
+    "and the aggregate must equal the parquet oracle — proving the "
+    "migration path as a composite, not per-feature tests.",
+    tags=("sources", "segment-format", "migration"),
+)
+def q_segment_mixed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import numpy as np
+
+    from hurricanedb_spark.sources import pinot_segment as ps
+
+    base = os.path.join(
+        "/tmp/hurricanedb_segments",
+        os.path.basename(os.path.normpath(sf_dir)) + "_mixed_store",
+    )
+    marker = os.path.join(base, "_written")
+    if not os.path.isfile(marker):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text", "n_chars"
+        )
+        n_rows = docs.count()
+        if n_rows > 5_000_000:
+            raise RuntimeError(
+                f"q_segment_mixed_store: {n_rows} rows — build the mixed "
+                "store per-partition via export_segments, not a driver "
+                "collect"
+            )
+        pdf = docs.toPandas()
+        # deterministic MV column so the parquet oracle can recompute it
+        pdf["mv"] = [
+            np.array([d % 10, d % 7, c % 13], dtype=np.int64)
+            for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+        ]
+        os.makedirs(base, exist_ok=True)
+        slices = [
+            pdf[pdf["doc_id"] % 5 == i].reset_index(drop=True) for i in range(5)
+        ]
+        configs = [
+            # v3 dictionary-encoded with auxiliary indexes
+            dict(inverted_index_columns=["lang"], bloom_filter_columns=["lang"]),
+            # pre-v3 per-file layout
+            dict(layout="v1"),
+            # raw SV chunks; text in the V4 container
+            dict(
+                raw_columns={"text": "LZ4", "n_chars": "ZSTANDARD"},
+                raw_writer_versions={"text": 4},
+            ),
+            # dictionary MV + var-length string dictionaries
+            dict(var_length_string_dicts=True),
+            # raw (noDictionary) MV
+            dict(raw_columns={"mv": "SNAPPY"}),
+        ]
+        for i, (sl, cfg) in enumerate(zip(slices, configs)):
+            ps.write_segment_pandas(
+                sl, os.path.join(base, f"segment_{i:02d}"), **cfg
+            )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    segs = sorted(
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if os.path.isdir(os.path.join(base, d))
+        and _is_segment(ps, os.path.join(base, d))
+    )
+    assert len(segs) == 5, f"expected 5 mixed segments, found {len(segs)}"
+    df = ps.read_segments(spark, segs)
+    mv_sum = F.aggregate(
+        "mv", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(mv_sum).alias("mv_sum"),
+        F.sum(
+            F.when(F.col("text").contains("spark"), 1).otherwise(0)
+        ).alias("n_spark"),
+    )
