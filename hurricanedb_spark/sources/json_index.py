@@ -251,3 +251,116 @@ def read_json_index(segment_dir: str, col: str) -> JsonIndex:
 
     meta = read_segment_metadata(segment_dir)
     return JsonIndex(_index_buffer(meta, _read_psf(meta), col, "json_index"))
+
+
+# ---------------------------------------------------------------------------
+# JSON_MATCH acceleration over segment stores
+
+import re as _re
+
+_IDX_TERM = _re.compile(
+    r"""^\s*"(?P<path>\$[^"]*)"\s*
+    (?:
+        (?P<notnull>IS\s+NOT\s+NULL)
+      | =\s*'(?P<lit>(?:[^']|'')*)'
+    )\s*$""",
+    _re.IGNORECASE | _re.VERBOSE,
+)
+
+
+def index_supported_conjunction(condition: str):
+    """Parse a JSON_MATCH condition into index-answerable (key, value)
+    predicates, or None when any part needs expression evaluation.
+
+    Supported: a top-level AND conjunction of `"$.path" = 'string'` and
+    `"$.path" IS NOT NULL` terms — exactly what the posting lists store.
+    Numeric comparisons are deliberately NOT index-answerable here: the
+    index stores Jackson-stringified values, so `"$.k" = 5` must match a
+    document holding 5.0 under the expression semantics (CAST AS DOUBLE)
+    while the posting for '5' would miss it — pruning may never drop a
+    row the exact filter would keep. OR / NOT / ranges fall back too
+    (BaseJsonIndexReader evaluates those by dictionary scan; the
+    expression path is our equivalent)."""
+    cond = condition.strip()
+    if cond.startswith("'") and cond.endswith("'"):
+        cond = cond[1:-1].replace("''", "'")
+    if "(" in cond or ")" in cond:
+        return None
+    if _re.search(r"\bOR\b", cond, _re.IGNORECASE):
+        return None
+    preds: list[tuple[str, str | None]] = []
+    for term in _re.split(r"\bAND\b", cond, flags=_re.IGNORECASE):
+        m = _IDX_TERM.match(term)
+        if not m:
+            return None
+        path = m.group("path")
+        if "[*]" in path:
+            # a [*] equality is answerable (flatten covers every element)
+            # but the expression residual uses exists() — keep it, prune ok
+            pass
+        if m.group("notnull"):
+            preds.append((path, None))
+        else:
+            preds.append((path, m.group("lit").replace("''", "'")))
+    return preds or None
+
+
+def read_segments_json_match(
+    spark,
+    segment_dirs: list[str],
+    col: str,
+    condition: str,
+    columns: list[str] | None = None,
+):
+    """JSON_MATCH-accelerated distributed segment scan.
+
+    For an index-supported conjunction, each segment's `.json.idx`
+    resolves the posting intersection up front: segments with zero
+    matching docs are skipped entirely (never decoded), and survivors
+    ship their roaring-serialized docId allowlist into the decode task,
+    which drops non-matching rows before they ever leave the segment.
+    The exact translated expression still applies as a residual filter,
+    so results are identical to the pure expression path whether or not
+    an index exists (segments without a json index decode fully and rely
+    on the residual alone).
+
+    Scale shape: the index lookups are O(#segments) driver-side metadata
+    reads (same cost class as min/max pruning); per-segment masks travel
+    with the task, not through a shuffle."""
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.sources import pinot_segment as ps
+    from hurricanedb_spark.sql.json_match import translate_json_match
+
+    preds = index_supported_conjunction(condition)
+    plans: list[tuple[str, bytes | None]] = []
+    for s in segment_dirs:
+        if preds is None:
+            plans.append((s, None))
+            continue
+        try:
+            idx = read_json_index(s, col)
+        except Exception:  # noqa: BLE001 — no/unreadable index: full decode
+            plans.append((s, None))
+            continue
+        docs = idx.matching_docs(preds)
+        if len(docs) == 0:
+            continue  # whole segment pruned
+        plans.append((s, ps.roaring_serialize(docs)))
+    expr = F.expr(translate_json_match(col, condition))
+    if not plans:
+        return ps.read_segments(
+            spark, [], columns, schema_from=segment_dirs
+        ).filter(expr)
+    schema = ps.segment_spark_schema(plans[0][0], columns)
+    paths = spark.createDataFrame(
+        plans, "__segment_path string, __docids binary"
+    ).repartition(len(plans))
+
+    def decode(batches):
+        for pdf in batches:
+            for p, db in zip(pdf["__segment_path"], pdf["__docids"]):
+                ids = None if db is None else ps.roaring_deserialize(bytes(db))
+                yield ps.read_segment_pandas(p, columns, doc_ids=ids)
+
+    return paths.mapInPandas(decode, schema=schema).filter(expr)

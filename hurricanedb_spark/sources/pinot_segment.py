@@ -1322,6 +1322,7 @@ def read_segment_pandas(
     columns: list[str] | None = None,
     apply_valid_doc_ids: bool = True,
     where: tuple | None = None,
+    doc_ids=None,
 ):
     """Decode one segment into a pandas DataFrame (column-pruned).
     When an upsert valid-docId snapshot is present, invalid
@@ -1372,15 +1373,19 @@ def read_segment_pandas(
         )
         fwd = _index_buffer(meta, psf, name, "forward_index")
         if not cm.is_single_value:
-            doc_ids = _decode_mv_fwd(
+            # careful: must not shadow the doc_ids PARAMETER (allowlist)
+            mv_dict_ids = _decode_mv_fwd(
                 fwd, meta.total_docs, cm.total_entries, cm.bits_per_element
             )
             if cm.data_type == "STRING":
                 col = pd.Series(
-                    [[dict_vals[i] for i in ids] for ids in doc_ids], dtype="object"
+                    [[dict_vals[i] for i in ids] for ids in mv_dict_ids],
+                    dtype="object",
                 )
             else:
-                col = pd.Series([dict_vals[ids] for ids in doc_ids], dtype="object")
+                col = pd.Series(
+                    [dict_vals[ids] for ids in mv_dict_ids], dtype="object"
+                )
             out[name] = col
             continue
         if cm.is_sorted and len(fwd) == cm.cardinality * 8:
@@ -1399,6 +1404,12 @@ def read_segment_pandas(
     import numpy as np
 
     keep = np.ones(len(pdf), dtype=bool)
+    if doc_ids is not None:
+        # caller-supplied docId allowlist (e.g. a JSON-index posting);
+        # applied in docId space, so it composes with valid-docids below
+        m = np.zeros(len(pdf), dtype=bool)
+        m[np.asarray(doc_ids, dtype=np.int64)] = True
+        keep &= m
     if where is not None:
         col, op, value = where
         if filter_docs is not None:

@@ -743,6 +743,21 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
 
 _LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
 _EXPLAIN_RE = re.compile(r"^\s*explain\s+plan\s+for\s+", re.IGNORECASE)
+_JSON_MATCH_CALL = re.compile(
+    r"JSON_MATCH\(\s*(\w+)\s*,\s*'((?:[^']|'')*)'\s*\)", re.IGNORECASE
+)
+
+
+def rewrite_json_match(query: str) -> str:
+    """JSON_MATCH(col, '<condition>') -> the translated path-predicate
+    expression (sql/json_match.py). The condition literal uses Pinot's
+    ''-escaped quoting."""
+    from hurricanedb_spark.sql.json_match import translate_json_match
+
+    def sub(m: re.Match) -> str:
+        return translate_json_match(m.group(1), m.group(2).replace("''", "'"))
+
+    return _JSON_MATCH_CALL.sub(sub, query)
 _SET_RE = re.compile(
     r"^\s*set\s+(\w+)\s*=\s*('[^']*'|\"[^\"]*\"|[\w.\-]+)\s*;", re.IGNORECASE
 )
@@ -804,6 +819,9 @@ class HurricaneSQL:
     ):
         self.spark = spark
         self.last_query_options: dict[str, str] = {}
+        # segment-backed views: name -> (segment_dirs, columns); lets
+        # sql() route JSON_MATCH filters through each segment's .json.idx
+        self._segment_tables: dict[str, tuple[list[str], list[str] | None]] = {}
         register_all(spark)
         if sf_dir:
             tables = register_views(spark, sf_dir)
@@ -843,6 +861,54 @@ class HurricaneSQL:
         if not segs:
             raise ValueError(f"no segments under {segment_store_dir}")
         ps.read_segments(self.spark, segs, columns).createOrReplaceTempView(name)
+        self._segment_tables[name] = (segs, columns)
+
+    def _json_match_rebind(self, query: str):
+        """JSON index access path for segment-backed tables: when the
+        query is `... FROM <segment table> ... JSON_MATCH(col, '...')`,
+        rebind the view (for this query's ANALYSIS only — the caller
+        restores it right after spark.sql binds the plan) to the
+        index-accelerated scan — segments whose `.json.idx` proves zero
+        matches are skipped, survivors decode only their posting's docs
+        (sources/json_index.py:read_segments_json_match). The FULL
+        predicate still runs in SQL afterwards, so pre-pruning can only
+        remove work, never change results; unsupported conditions
+        (numeric / OR / ranges) leave the plain scan in place. This is
+        the reference's JsonMatchFilterOperator index path re-expressed:
+        the index is an access-path optimization under unchanged
+        semantics. Returns a restore callback (no-op when not bound)."""
+        restore = lambda: None  # noqa: E731
+        if not self._segment_tables:
+            return restore
+        calls = _JSON_MATCH_CALL.findall(query)
+        if len(calls) != 1:  # only the unambiguous single-call shape
+            return restore
+        col, cond = calls[0][0], calls[0][1].replace("''", "'")
+        for name, (segs, columns) in self._segment_tables.items():
+            if not re.search(
+                rf"\bFROM\s+{re.escape(name)}\b", query, re.IGNORECASE
+            ):
+                continue
+            view = self.spark.table(name)
+            if col not in view.columns:
+                continue  # the predicate targets some other table
+            from hurricanedb_spark.sources.json_index import (
+                read_segments_json_match,
+            )
+
+            read_segments_json_match(
+                self.spark, segs, col, cond, columns
+            ).createOrReplaceTempView(name)
+
+            def restore(name=name, segs=segs, columns=columns):
+                from hurricanedb_spark.sources import pinot_segment as ps
+
+                ps.read_segments(self.spark, segs, columns).createOrReplaceTempView(
+                    name
+                )
+
+            return restore
+        return restore
 
     def sql(self, query: str, default_limit: int | None = 10) -> DataFrame:
         query, opts = extract_query_options(query)
@@ -859,10 +925,18 @@ class HurricaneSQL:
         if explain:
             query = _EXPLAIN_RE.sub("", query)
         q = rewrite_mv_percentile_bounded(query)
+        restore_view = self._json_match_rebind(q)
+        q = rewrite_json_match(q)
         q = rewrite_functions(q)
         if default_limit is not None and not explain:
             q = apply_default_limit(q, default_limit)
-        df = self.spark.sql(q)
+        try:
+            # spark.sql analyzes eagerly: the (possibly index-accelerated)
+            # view is inlined into the plan here, so restoring right after
+            # cannot affect this query's execution
+            df = self.spark.sql(q)
+        finally:
+            restore_view()
         if explain:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"

@@ -74,9 +74,9 @@ def _range_expr(col: str, tok: str) -> str:
     return f"exists({_tokens(col)}, t -> {body})"
 
 
-def _positions(col: str, word: str) -> str:
-    """1-based positions of `word` among the analyzed tokens of col."""
-    toks = _tokens(col)
+def _positions(toks: str, word: str) -> str:
+    """1-based positions of `word` among the analyzed tokens (`toks` is
+    an expression or bound lambda variable holding the token array)."""
     return (
         f"filter(sequence(1, size({toks})), "
         f"i -> element_at({toks}, i) = {_sql_quote(word)})"
@@ -92,7 +92,14 @@ def _slop_expr(col: str, words: list[str], slop: int) -> str:
     reduces to the familiar costs: in-order gap j-i-1, reversed adjacent
     pair i-j+1 (= 2 for a transposition). Nested `exists` over the
     per-term position arrays — O(prod of term frequencies) per row, all
-    inside codegen."""
+    inside codegen.
+
+    The tokenization is hoisted into ONE binding via a single-element
+    `exists(array(<tokens>), __toks -> ...)` wrapper: the naive form
+    inlines the split/filter expression 2k times, which ballooned
+    whole-stage codegen to ~6s of one-time compile at k = 3 (round-5
+    perf watch item); with the binding the first run compiles in well
+    under a second."""
     k = len(words)
     adjusted = [f"(p{m} - {m})" for m in range(k)]
     conds = [
@@ -105,8 +112,8 @@ def _slop_expr(col: str, words: list[str], slop: int) -> str:
                 conds.append(f"p{a} <> p{b}")
     expr = "(" + " AND ".join(conds) + ")"
     for m in reversed(range(k)):
-        expr = f"exists({_positions(col, words[m])}, p{m} -> {expr})"
-    return expr
+        expr = f"exists({_positions('__toks', words[m])}, p{m} -> {expr})"
+    return f"exists(array({_tokens(col)}), __toks -> {expr})"
 
 
 def _wildcard_token_regex(word: str) -> str:
