@@ -26,6 +26,46 @@ threadsafety = 1  # threads may share the module, not connections
 paramstyle = "qmark"
 
 
+class DBAPITypeObject:
+    """PEP 249 type object: compares equal to each member type-name the
+    broker reports in dataSchema.columnDataTypes (server._type_name),
+    so `cur.description[i][1] == NUMBER` works the standard way."""
+
+    def __init__(self, *names: str):
+        self._names = frozenset(names)
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, DBAPITypeObject):
+            return self._names == other._names
+        return other in self._names
+
+    def __hash__(self) -> int:
+        return hash(self._names)
+
+    def __repr__(self) -> str:
+        return f"DBAPITypeObject({', '.join(sorted(self._names))})"
+
+
+STRING = DBAPITypeObject("STRING", "JSON")
+NUMBER = DBAPITypeObject("INT", "LONG", "FLOAT", "DOUBLE", "BIG_DECIMAL", "BOOLEAN")
+DATETIME = DBAPITypeObject("TIMESTAMP", "DATE")
+BINARY = DBAPITypeObject("BYTES")
+ARRAY = DBAPITypeObject(
+    "INT_ARRAY", "LONG_ARRAY", "FLOAT_ARRAY", "DOUBLE_ARRAY", "STRING_ARRAY",
+    "BOOLEAN_ARRAY", "TIMESTAMP_ARRAY", "BYTES_ARRAY",
+)
+ROWID = DBAPITypeObject()  # no rowid concept
+
+_ALL_TYPES = (STRING, NUMBER, DATETIME, BINARY, ARRAY)
+
+
+def _type_code(name: str) -> DBAPITypeObject:
+    for t in _ALL_TYPES:
+        if name == t:
+            return t
+    return STRING if not name.endswith("_ARRAY") else ARRAY
+
+
 class Error(Exception):
     pass
 
@@ -100,14 +140,31 @@ class Cursor:
         if head.get("exceptions"):
             raise DatabaseError(head["exceptions"])
         schema = head["dataSchema"]
+        # 7-tuples per PEP 249: (name, type_code, display_size,
+        # internal_size, precision, scale, null_ok); type_code is a
+        # module type object comparing equal to the broker's type name
         self.description = [
-            (name, typ, None, None, None, None, None)
+            (name, _type_code(typ), None, None, None, None, None)
             for name, typ in zip(schema["columnNames"], schema["columnDataTypes"])
         ]
+        self._type_names = list(schema["columnDataTypes"])
         self._buffer.clear()
         self._exhausted = False
         self.rowcount = -1
         return self
+
+    def executemany(self, operation: str, seq_of_parameters) -> "Cursor":
+        """Run the operation once per parameter set. The engine is
+        read-only (no DML), so each execution's result is simply
+        consumed; the cursor is left positioned on the LAST result set,
+        matching common driver behavior for a SELECT executemany."""
+        params = list(seq_of_parameters)
+        if not params:
+            raise ProgrammingError("executemany with an empty parameter sequence")
+        for p in params[:-1]:
+            self.execute(operation, p)
+            self.fetchall()  # drain so the stream closes cleanly
+        return self.execute(operation, params[-1])
 
     def _pull_block(self) -> None:
         line = self._resp.readline()

@@ -174,3 +174,47 @@ def test_dbapi_wrapper_end_to_end(endpoint):
             cur.execute("SELECT * FROM no_such_table")
             cur.fetchall()
         cur.close()
+
+
+def test_dbapi_type_codes_and_executemany(endpoint):
+    """Round-6 DB-API parity polish: description type codes compare
+    equal to module type objects (PEP 249 DBAPITypeObject pattern),
+    executemany runs per parameter set, and a >1-chunk result streams
+    through bounded fetch calls."""
+    from hurricanedb_spark.sql import dbapi
+
+    with dbapi.connect(endpoint) as conn:
+        cur = conn.cursor()
+        cur.execute(
+            "SELECT r_name, r_regionkey, CAST(r_regionkey AS DOUBLE) AS d "
+            "FROM region"
+        )
+        codes = [d[1] for d in cur.description]
+        assert codes[0] == dbapi.STRING
+        assert codes[1] == dbapi.NUMBER and codes[2] == dbapi.NUMBER
+        assert codes[0] != dbapi.NUMBER
+        cur.fetchall()
+
+        # executemany: last result set is live on the cursor
+        cur.executemany(
+            "SELECT count(*) AS n FROM region WHERE r_regionkey = ?",
+            [(0,), (1,), (2,)],
+        )
+        assert cur.fetchone() == (1,)
+
+        # streaming over >1 chunk: arraysize 2 over 25 nations means the
+        # client holds at most one 2-row block between fetch calls
+        cur.arraysize = 2
+        # explicit LIMIT: the endpoint applies Pinot's default LIMIT 10
+        cur.execute(
+            "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 25"
+        )
+        seen = []
+        while True:
+            block = cur.fetchmany()
+            if not block:
+                break
+            assert len(cur._buffer) <= 2
+            seen.extend(r[0] for r in block)
+        assert seen == list(range(25)) and cur.rowcount == 25
+        cur.close()
