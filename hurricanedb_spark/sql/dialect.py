@@ -743,6 +743,82 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
 
 _LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
 _EXPLAIN_RE = re.compile(r"^\s*explain\s+plan\s+for\s+", re.IGNORECASE)
+_EXPLAIN_IMPL_RE = re.compile(
+    r"^\s*explain\s+implementation\s+plan\s+for\s+", re.IGNORECASE
+)
+
+
+def explain_implementation_plan(df: DataFrame) -> str:
+    """The V2 engine's `EXPLAIN IMPLEMENTATION PLAN` analog
+    (pinot-query-planner ExplainPlanStageVisitor.java:92-181): one line
+    per physical operator as `[stage]@host NODE`, with every Spark
+    Exchange rendered as the reference's MAIL_SEND -> MAIL_RECEIVE pair
+    between stages (`MAIL_SEND(DIST)->{[recvStage]@host}`). Stages are
+    Spark's real shuffle-bounded stages; the host annotation is the
+    driver host (local mode runs every stage in one JVM — on a cluster
+    the per-stage task set is what the reference's per-server fan-out
+    corresponds to)."""
+    import socket
+
+    host = socket.gethostname()
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    lines = [
+        ln
+        for ln in simple.splitlines()
+        if ln.strip() and not ln.startswith("==")
+    ]
+    # parse the +- indent tree into (depth, text)
+    parsed: list[tuple[int, str]] = []
+    for ln in lines:
+        stripped = ln.lstrip(" :+-*")
+        depth = (len(ln) - len(ln.lstrip(" :+-"))) // 3
+        parsed.append((depth, stripped.strip()))
+
+    def dist_of(text: str) -> str:
+        low = text.lower()
+        if "broadcast" in low:
+            return "BROADCAST"
+        if "singlepartition" in low:
+            return "SINGLETON"
+        if "rangepartitioning" in low:
+            return "RANGE"
+        return "HASH"
+
+    # indent tree -> (text, children) nodes via a depth stack
+    root: list = []  # top-level sequence (normally one root)
+    stack: list[tuple[int, list]] = [(-1, root)]
+    for depth, text in parsed:
+        node = (text, [])
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        stack[-1][1].append(node)
+        stack.append((depth, node[1]))
+
+    out: list[str] = []
+    counter = [0]
+
+    def emit(node, stage: int) -> None:
+        text, children = node
+        if text.startswith(("Exchange", "BroadcastExchange")):
+            counter[0] += 1
+            child_stage = counter[0]
+            dist = dist_of(text)
+            out.append(f"[{stage}]@{host} MAIL_RECEIVE({dist})")
+            out.append(
+                f"[{child_stage}]@{host} MAIL_SEND({dist})->{{[{stage}]@{host}}}"
+            )
+            for c in children:
+                emit(c, child_stage)
+            return
+        out.append(f"[{stage}]@{host} {text}")
+        for c in children:
+            emit(c, stage)
+
+    for node in root:
+        emit(node, 0)
+    return "\n".join(out)
 _JSON_MATCH_CALL = re.compile(
     r"JSON_MATCH\(\s*(\w+)\s*,\s*'((?:[^']|'')*)'\s*\)", re.IGNORECASE
 )
@@ -921,6 +997,9 @@ class HurricaneSQL:
         #   timeoutMs — advisory; recorded for the caller/server layer.
         #   limit via SET — not a Pinot option; LIMIT stays in the query.
         self.last_query_options = opts
+        explain_impl = bool(_EXPLAIN_IMPL_RE.match(query))
+        if explain_impl:
+            query = _EXPLAIN_IMPL_RE.sub("", query)
         explain = bool(_EXPLAIN_RE.match(query))
         if explain:
             query = _EXPLAIN_RE.sub("", query)
@@ -928,7 +1007,7 @@ class HurricaneSQL:
         restore_view = self._json_match_rebind(q)
         q = rewrite_json_match(q)
         q = rewrite_functions(q)
-        if default_limit is not None and not explain:
+        if default_limit is not None and not explain and not explain_impl:
             q = apply_default_limit(q, default_limit)
         try:
             # spark.sql analyzes eagerly: the (possibly index-accelerated)
@@ -937,6 +1016,10 @@ class HurricaneSQL:
             df = self.spark.sql(q)
         finally:
             restore_view()
+        if explain_impl:
+            return self.spark.createDataFrame(
+                [(explain_implementation_plan(df),)], "plan string"
+            )
         if explain:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"

@@ -869,3 +869,32 @@ def test_bounded_mv_restructure_falls_back_for_alias_group_keys():
         "FROM embeddings GROUP BY label"
     )
     assert rewrite_mv_percentile_bounded(q3) == q3  # conservative fallback
+
+
+def test_explain_implementation_plan(spark, sf_dir):
+    """V2 `EXPLAIN IMPLEMENTATION PLAN` analog
+    (ExplainPlanStageVisitor.java): stage-annotated [k]@host lines with
+    MAIL_SEND/MAIL_RECEIVE pairs at every exchange, distribution kinds
+    named, and broadcast joins visible as BROADCAST mailboxes."""
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hdb = HurricaneSQL(spark, sf_dir=sf_dir)
+    plan = hdb.sql(
+        "EXPLAIN IMPLEMENTATION PLAN FOR "
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_returnflag ORDER BY n DESC"
+    ).collect()[0]["plan"]
+    lines = plan.splitlines()
+    assert all(l.startswith("[") and "]@" in l for l in lines)
+    sends = [l for l in lines if "MAIL_SEND" in l]
+    recvs = [l for l in lines if "MAIL_RECEIVE" in l]
+    assert len(sends) == len(recvs) >= 2  # agg shuffle + broadcast at least
+    assert any("MAIL_SEND(HASH)" in l for l in sends)
+    assert any("MAIL_SEND(BROADCAST)" in l for l in sends)
+    # every send names its receiver stage: MAIL_SEND(..)->{[k]@host}
+    assert all("->{[" in l for l in sends)
+    # stage ids increase from the root; the final aggregate's partial
+    # phase lives in a deeper stage than its final phase
+    stages = [int(l[1 : l.index("]")]) for l in lines]
+    assert stages[0] == 0 and max(stages) >= 2
