@@ -2060,10 +2060,20 @@ def export_segments(
     table_name: str = "segment_export",
     segment_prefix: str = "segment",
     time_column: str | None = None,
+    **writer_options,
 ) -> list[str]:
     """Spark DataFrame -> one v3 segment per partition (shuffle-free;
     each task writes its own segment to shared storage). Returns the
-    written segment paths."""
+    written segment paths.
+
+    `writer_options` pass through to write_segment_pandas in every task
+    (raw_columns / raw_writer_versions / inverted_index_columns /
+    bloom_filter_columns / range_index_columns / json_index_columns /
+    partition_config / var_length_string_dicts / layout) — the
+    reference's SegmentGeneratorConfig applies per segment on the server
+    building it, and the same holds here: each task builds its own
+    segment's dictionaries and indexes from its partition alone, so the
+    distributed build stays shuffle-free at any table size."""
     from pyspark.sql import functions as F
 
     def write_part(batches):
@@ -2084,6 +2094,7 @@ def export_segments(
                 table_name,
                 name,
                 time_column=time_column,
+                **writer_options,
             )
             yield pd.DataFrame({"segment": [os.path.join(out_dir, name)]})
 

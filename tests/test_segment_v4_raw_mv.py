@@ -161,3 +161,42 @@ def test_raw_mv_spark_read(spark, tmp_path):
     df = ps.read_segments(spark, [seg])
     rows = {r["doc"]: list(r["mv"]) for r in df.collect()}
     assert rows == {i: list(cells[i]) for i in range(300)}
+
+
+def test_export_segments_writer_options_distributed(spark, sf_dir, tmp_path):
+    """export_segments passes the full writer-config surface into every
+    task (the reference's per-segment SegmentGeneratorConfig): distributed
+    build with bloom + inverted + json-free config, raw V4 text, then one
+    distributed read over the result."""
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.catalog.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    out = str(tmp_path / "export_opts")
+    segs = ps.export_segments(
+        docs.repartition(3),
+        out,
+        raw_columns={"text": "LZ4"},
+        raw_writer_versions={"text": 4},
+        inverted_index_columns=["lang"],
+        bloom_filter_columns=["lang"],
+    )
+    assert len(segs) == 3
+    for s in segs:
+        meta = ps.read_segment_metadata(s)
+        assert not meta.columns["text"].has_dictionary
+        assert (("lang", "inverted_index") in meta.index_map
+                and ("lang", "bloom_filter") in meta.index_map)
+        with open(f"{meta.segment_dir}/columns.psf", "rb") as f:
+            psf = f.read()
+        fwd = ps._index_buffer(meta, psf, "text", "forward_index")
+        assert struct.unpack_from(">i", fwd, 0)[0] == 4
+    back = ps.read_segments(spark, segs)
+    assert back.count() == docs.count()
+    assert (
+        back.agg(F.sum("n_chars")).collect()[0][0]
+        == docs.agg(F.sum("n_chars")).collect()[0][0]
+    )
