@@ -1275,6 +1275,17 @@ def read_valid_doc_ids(segment_dir: str):
         return roaring_deserialize(f.read())
 
 
+def _normalize_where(where) -> list[tuple]:
+    """`where` accepts one (col, op, value) tuple or a list of them
+    (AND conjunction — the reference's FilterOperator AND of leaf
+    predicates). Returns the conjunct list."""
+    if where is None:
+        return []
+    if isinstance(where, tuple):
+        return [where]
+    return list(where)
+
+
 def segment_filter_docs(meta: SegmentMeta, psf: bytes, where: tuple):
     """DocIds matching `where = (col, op, value)` using the segment's
     own index structures, the reference's filter-operator selection
@@ -1327,7 +1338,8 @@ def read_segment_pandas(
     """Decode one segment into a pandas DataFrame (column-pruned).
     When an upsert valid-docId snapshot is present, invalid
     (overwritten) docs are dropped — the reference's upsert read path —
-    unless apply_valid_doc_ids=False. `where = (col, op, value)` filters
+    unless apply_valid_doc_ids=False. `where` = one (col, op, value)
+    tuple or a list of them (AND conjunction); each conjunct filters
     rows using the segment's own indexes where present (inverted for
     equality, range index for ranges) with an exact verify pass, else a
     decoded-column scan — always exact results."""
@@ -1336,16 +1348,17 @@ def read_segment_pandas(
     meta = read_segment_metadata(segment_dir)
     want = columns if columns is not None else sorted(meta.columns)
     psf = _read_psf(meta)
-    extra_col = None
-    filter_docs = filter_exact = None
-    if where is not None:
-        filter_docs, filter_exact = segment_filter_docs(meta, psf, where)
+    conjuncts = _normalize_where(where)
+    extra_cols: list[str] = []
+    # per-conjunct (docs, exact) index answers
+    answers = [segment_filter_docs(meta, psf, c) for c in conjuncts]
+    for c, (docs, exact) in zip(conjuncts, answers):
         # decode the filter column only when a residual verify is needed
         # (index miss or inexact candidates) — an exact index hit never
         # evaluates the predicate against decoded values
-        if (filter_docs is None or not filter_exact) and where[0] not in want:
-            extra_col = where[0]
-            want = [*want, extra_col]
+        if (docs is None or not exact) and c[0] not in want and c[0] not in extra_cols:
+            extra_cols.append(c[0])
+    want = [*want, *extra_cols]
     out = {}
     for name in want:
         cm = meta.columns.get(name)
@@ -1410,13 +1423,12 @@ def read_segment_pandas(
         m = np.zeros(len(pdf), dtype=bool)
         m[np.asarray(doc_ids, dtype=np.int64)] = True
         keep &= m
-    if where is not None:
-        col, op, value = where
-        if filter_docs is not None:
+    for (col, op, value), (docs, exact) in zip(conjuncts, answers):
+        if docs is not None:
             m = np.zeros(len(pdf), dtype=bool)
-            m[np.asarray(filter_docs, dtype=np.int64)] = True
+            m[np.asarray(docs, dtype=np.int64)] = True
             keep &= m
-        if filter_docs is None or not filter_exact:
+        if docs is None or not exact:
             keep &= _row_predicate(pdf[col], op, value)
     if apply_valid_doc_ids:
         valid = read_valid_doc_ids(segment_dir)
@@ -1426,8 +1438,8 @@ def read_segment_pandas(
             keep &= m
     if not keep.all():
         pdf = pdf[keep].reset_index(drop=True)
-    if extra_col is not None:
-        pdf = pdf.drop(columns=extra_col)
+    if extra_cols:
+        pdf = pdf.drop(columns=extra_cols)
     return pdf
 
 
@@ -1600,8 +1612,8 @@ def read_segments(
             )
         raise ValueError("no segment directories given")
     schema = segment_spark_schema(segment_dirs[0], columns)
-    if where is not None:
-        segment_dirs = prune_segments(segment_dirs, *where)
+    for conjunct in _normalize_where(where):
+        segment_dirs = prune_segments(segment_dirs, *conjunct)
         if not segment_dirs:
             return spark.createDataFrame([], schema)
     paths = spark.createDataFrame(

@@ -1047,3 +1047,52 @@ def test_corrupt_store_is_skipped_by_register_segment_table(spark, tmp_path):
     hdb = HurricaneSQL(spark)
     hdb.register_segment_table("t_mixed", str(tmp_path))
     assert hdb.sql("SELECT count(*) AS n FROM t_mixed").collect()[0]["n"] == 2
+
+
+def test_conjunctive_where_pushdown(spark, tmp_path):
+    """`where` as a list of conjuncts (round 6): each predicate resolves
+    through its own index (inverted equality exact, range-index superset
+    with residual verify, plain scan fallback) and the masks AND —
+    results must equal pandas filtering on every combination."""
+    rng = np.random.default_rng(21)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n).astype(np.int64),
+            "cat": rng.choice(["a", "b", "c", "d"], n),
+            "v": rng.normal(size=n),
+        }
+    )
+    seg = str(tmp_path / "conj")
+    ps.write_segment_pandas(
+        pdf,
+        seg,
+        inverted_index_columns=["cat"],
+        range_index_columns=["k"],
+    )
+    cases = [
+        [("cat", "=", "b"), ("k", "between", (10, 30))],
+        [("cat", "=", "b"), ("k", ">=", 40), ("v", "<=", 0.0)],
+        [("k", "between", (0, 5)), ("cat", "=", "zzz")],  # empty
+    ]
+    for conj in cases:
+        got = ps.read_segment_pandas(seg, columns=["k", "cat"], where=conj)
+        mask = np.ones(n, dtype=bool)
+        for col, op, val in conj:
+            if op == "=":
+                mask &= (pdf[col] == val).to_numpy()
+            elif op == "between":
+                mask &= pdf[col].between(*val).to_numpy()
+            elif op == ">=":
+                mask &= (pdf[col] >= val).to_numpy()
+            elif op == "<=":
+                mask &= (pdf[col] <= val).to_numpy()
+        want = pdf.loc[mask, ["k", "cat"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+    # distributed path + segment pruning with a conjunct list
+    df = ps.read_segments(
+        spark, [seg], where=[("cat", "=", "b"), ("k", "between", (10, 30))]
+    )
+    assert df.count() == int(
+        ((pdf["cat"] == "b") & pdf["k"].between(10, 30)).sum()
+    )
