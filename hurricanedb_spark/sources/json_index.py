@@ -272,36 +272,41 @@ def index_supported_conjunction(condition: str):
     """Parse a JSON_MATCH condition into index-answerable (key, value)
     predicates, or None when any part needs expression evaluation.
 
-    Supported: a top-level AND conjunction of `"$.path" = 'string'` and
-    `"$.path" IS NOT NULL` terms — exactly what the posting lists store.
-    Numeric comparisons are deliberately NOT index-answerable here: the
-    index stores Jackson-stringified values, so `"$.k" = 5` must match a
-    document holding 5.0 under the expression semantics (CAST AS DOUBLE)
-    while the posting for '5' would miss it — pruning may never drop a
-    row the exact filter would keep. OR / NOT / ranges fall back too
-    (BaseJsonIndexReader evaluates those by dictionary scan; the
-    expression path is our equivalent)."""
+    Supported: a top-level AND conjunction of `"$.path" = 'string'`
+    terms — exactly what the posting lists store. Everything else falls
+    back to the expression path, because pruning may NEVER drop a row
+    the exact filter would keep:
+
+      * numeric comparisons: the index stores Jackson-stringified
+        values, so `"$.k" = 5` must match a document holding 5.0 under
+        expression semantics (CAST AS DOUBLE) while the posting for '5'
+        would miss it;
+      * `IS NOT NULL`: the bare-key posting exists only for SCALAR
+        leaves (flatten posts '.nested.city', never '.nested'), while
+        get_json_object returns the serialized object/array for
+        non-leaf paths — an object-valued path would be wrongly pruned
+        (round-6 review finding, reproduced);
+      * equality with a literal that is itself JSON-object/array text:
+        same non-leaf mismatch (the expression can match the serialized
+        form, the index has no such posting);
+      * OR / NOT / ranges (BaseJsonIndexReader evaluates those by
+        dictionary scan; the expression path is our equivalent)."""
     cond = condition.strip()
     if cond.startswith("'") and cond.endswith("'"):
         cond = cond[1:-1].replace("''", "'")
     if "(" in cond or ")" in cond:
         return None
-    if _re.search(r"\bOR\b", cond, _re.IGNORECASE):
+    if _re.search(r"\bOR\b|\bNOT\b", cond, _re.IGNORECASE):
         return None
     preds: list[tuple[str, str | None]] = []
     for term in _re.split(r"\bAND\b", cond, flags=_re.IGNORECASE):
         m = _IDX_TERM.match(term)
-        if not m:
+        if not m or m.group("notnull"):
             return None
-        path = m.group("path")
-        if "[*]" in path:
-            # a [*] equality is answerable (flatten covers every element)
-            # but the expression residual uses exists() — keep it, prune ok
-            pass
-        if m.group("notnull"):
-            preds.append((path, None))
-        else:
-            preds.append((path, m.group("lit").replace("''", "'")))
+        lit = m.group("lit").replace("''", "'")
+        if lit.lstrip()[:1] in ("{", "["):
+            return None  # may target a non-leaf path's serialized form
+        preds.append((m.group("path"), lit))
     return preds or None
 
 

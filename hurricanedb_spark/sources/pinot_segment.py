@@ -762,20 +762,7 @@ def _decode_raw_sv(buf: bytes, cm: ColumnMeta, num_docs: int):
         arr = np.concatenate(parts)[:n]
         return arr.astype(arr.dtype.newbyteorder("="))
     if cm.data_type == "STRING":
-        out: list[str] = []
-        remaining = n
-        for start, end in bounds:
-            docs_here = min(docs_per_chunk, remaining)
-            chunk = _decompress_chunk(buf[start:end], comp, None)
-            # the in-chunk offset header always holds numDocsPerChunk
-            # slots; missing rows of the final partial chunk stay 0
-            row_offsets = struct.unpack_from(f">{docs_per_chunk}i", chunk, 0)
-            for j in range(docs_here):
-                lo = row_offsets[j]
-                hi = row_offsets[j + 1] if j + 1 < docs_here else len(chunk)
-                out.append(chunk[lo:hi].decode("utf-8"))
-            remaining -= docs_here
-        return out
+        return [e.decode("utf-8") for e in _iter_var_byte_entries(buf, n)]
     raise UnsupportedSegmentError(
         f"raw data type {cm.data_type} for column {cm.name}"
     )

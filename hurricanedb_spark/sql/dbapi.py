@@ -147,7 +147,6 @@ class Cursor:
             (name, _type_code(typ), None, None, None, None, None)
             for name, typ in zip(schema["columnNames"], schema["columnDataTypes"])
         ]
-        self._type_names = list(schema["columnDataTypes"])
         self._buffer.clear()
         self._exhausted = False
         self.rowcount = -1

@@ -939,31 +939,60 @@ class HurricaneSQL:
         ps.read_segments(self.spark, segs, columns).createOrReplaceTempView(name)
         self._segment_tables[name] = (segs, columns)
 
-    def _json_match_rebind(self, query: str):
-        """JSON index access path for segment-backed tables: when the
-        query is `... FROM <segment table> ... JSON_MATCH(col, '...')`,
-        rebind the view (for this query's ANALYSIS only — the caller
-        restores it right after spark.sql binds the plan) to the
-        index-accelerated scan — segments whose `.json.idx` proves zero
-        matches are skipped, survivors decode only their posting's docs
-        (sources/json_index.py:read_segments_json_match). The FULL
-        predicate still runs in SQL afterwards, so pre-pruning can only
-        remove work, never change results; unsupported conditions
-        (numeric / OR / ranges) leave the plain scan in place. This is
-        the reference's JsonMatchFilterOperator index path re-expressed:
-        the index is an access-path optimization under unchanged
-        semantics. Returns a restore callback (no-op when not bound)."""
-        restore = lambda: None  # noqa: E731
+    def _json_match_rewrite(self, query: str):
+        """JSON index access path for segment-backed tables.
+
+        When the query has the safe shape — a single-table `FROM
+        <segment table>` (no JOIN), exactly one JSON_MATCH call sitting
+        inside the WHERE clause as a top-level conjunct (no OR / NOT
+        anywhere in the WHERE, no parenthesized boolean structure), and
+        the predicate column belongs to that table — the table
+        reference is rewritten to a UNIQUE temp view bound to the
+        index-accelerated scan (sources/json_index.py:
+        read_segments_json_match): zero-match segments are skipped,
+        survivors decode only their posting's docs, and the FULL
+        predicate still runs in SQL, so pre-pruning can only remove
+        work, never change results. Any other placement (NOT/OR,
+        projection position, multiple calls, joins) leaves the plain
+        scan: those shapes could lose rows if the pre-filtered source
+        replaced the table. The shared view named `name` is NEVER
+        mutated, so concurrent queries on other threads are unaffected
+        (round-6 review finding).
+
+        Returns (possibly rewritten query, cleanup callable)."""
+        noop = (query, lambda: None)
         if not self._segment_tables:
-            return restore
+            return noop
         calls = _JSON_MATCH_CALL.findall(query)
         if len(calls) != 1:  # only the unambiguous single-call shape
-            return restore
+            return noop
+        if re.search(r"\bJOIN\b", query, re.IGNORECASE):
+            return noop
+        # the call must be inside the WHERE clause...
+        wm = re.search(
+            r"\bWHERE\b(?P<span>.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b"
+            r"|\bHAVING\b|\bLIMIT\b|$)",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not wm:
+            return noop
+        span = wm.group("span")
+        if not _JSON_MATCH_CALL.search(span):
+            return noop  # projection/HAVING placement: not a conjunct
+        # ...and the WHERE must be a plain AND conjunction: any OR/NOT
+        # (or boolean parens beyond the call's own) makes the
+        # pre-filtered source unsound
+        span_wo_call = _JSON_MATCH_CALL.sub("", span)
+        if re.search(r"\bOR\b|\bNOT\b|[()]", span_wo_call, re.IGNORECASE):
+            return noop
         col, cond = calls[0][0], calls[0][1].replace("''", "'")
         for name, (segs, columns) in self._segment_tables.items():
-            if not re.search(
-                rf"\bFROM\s+{re.escape(name)}\b", query, re.IGNORECASE
-            ):
+            from_ref = re.compile(
+                rf"(\bFROM\s+){re.escape(name)}\b", re.IGNORECASE
+            )
+            refs = from_ref.findall(query)
+            if len(refs) != 1:
                 continue
             view = self.spark.table(name)
             if col not in view.columns:
@@ -972,19 +1001,18 @@ class HurricaneSQL:
                 read_segments_json_match,
             )
 
+            self._jm_view_seq = getattr(self, "_jm_view_seq", 0) + 1
+            uniq = f"__jm_accel_{id(self):x}_{self._jm_view_seq}"
             read_segments_json_match(
                 self.spark, segs, col, cond, columns
-            ).createOrReplaceTempView(name)
+            ).createOrReplaceTempView(uniq)
+            rewritten = from_ref.sub(rf"\g<1>{uniq}", query)
 
-            def restore(name=name, segs=segs, columns=columns):
-                from hurricanedb_spark.sources import pinot_segment as ps
+            def cleanup(uniq=uniq):
+                self.spark.catalog.dropTempView(uniq)
 
-                ps.read_segments(self.spark, segs, columns).createOrReplaceTempView(
-                    name
-                )
-
-            return restore
-        return restore
+            return rewritten, cleanup
+        return noop
 
     def sql(self, query: str, default_limit: int | None = 10) -> DataFrame:
         query, opts = extract_query_options(query)
@@ -1004,18 +1032,18 @@ class HurricaneSQL:
         if explain:
             query = _EXPLAIN_RE.sub("", query)
         q = rewrite_mv_percentile_bounded(query)
-        restore_view = self._json_match_rebind(q)
+        q, drop_accel_view = self._json_match_rewrite(q)
         q = rewrite_json_match(q)
         q = rewrite_functions(q)
         if default_limit is not None and not explain and not explain_impl:
             q = apply_default_limit(q, default_limit)
         try:
-            # spark.sql analyzes eagerly: the (possibly index-accelerated)
-            # view is inlined into the plan here, so restoring right after
-            # cannot affect this query's execution
+            # spark.sql analyzes eagerly: the accelerated temp view (if
+            # any) is inlined into the plan here, so dropping it right
+            # after cannot affect this query's execution
             df = self.spark.sql(q)
         finally:
-            restore_view()
+            drop_accel_view()
         if explain_impl:
             return self.spark.createDataFrame(
                 [(explain_implementation_plan(df),)], "plan string"

@@ -121,8 +121,8 @@ def test_dialect_sql_uses_index_for_segment_tables(spark, store, tmp_path):
         .count()
     )
     assert res[0]["n"] == expected
-    # the view is restored after the query: a different predicate on the
-    # same view still sees the full table
+    # the shared view is never mutated (unique accel views per query):
+    # a different predicate on the same view still sees the full table
     res2 = hdb.sql(
         "SELECT COUNT(*) AS n FROM jdocs "
         "WHERE JSON_MATCH(props, '\"$.tag\" = ''beta''')",
@@ -138,3 +138,132 @@ def test_dialect_sql_uses_index_for_segment_tables(spark, store, tmp_path):
     assert hdb.sql(
         "SELECT COUNT(*) AS n FROM jdocs", default_limit=None
     ).collect()[0]["n"] == 360
+
+
+def test_not_null_object_path_never_index_answered(tmp_path):
+    """Round-6 review finding (reproduced): flatten posts only scalar
+    leaves, so '$.nested' IS NOT NULL has no bare-key posting while the
+    expression path matches the serialized object — therefore IS NOT
+    NULL (and JSON-looking literals) must never be index-answered."""
+    assert ji.index_supported_conjunction('"$.nested" IS NOT NULL') is None
+    assert ji.index_supported_conjunction('"$.k" = \'{"a": 1}\'') is None
+    assert ji.index_supported_conjunction('"$.k" = \'[1,2]\'') is None
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        "SELECT COUNT(*) AS n FROM {t} WHERE NOT JSON_MATCH(props, {c})",
+        "SELECT COUNT(*) AS n FROM {t} "
+        "WHERE JSON_MATCH(props, {c}) OR id < 1090",
+        "SELECT COUNT(*) AS n FROM {t} "
+        "WHERE id >= 0 AND (JSON_MATCH(props, {c}) OR id < 1090)",
+    ],
+)
+def test_dialect_unsafe_shapes_fall_back_correctly(spark, store, shape):
+    """NOT / OR / parenthesized placements must NOT use the pre-filtered
+    source (they would lose rows) — results must equal the expression
+    path over the full table."""
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hdb = HurricaneSQL(spark)
+    base = os.path.dirname(store[0])
+    hdb.register_segment_table("jdocs_u", base)
+    cond_sql = "'\"$.tag\" = ''alpha''')".rstrip(")")
+    q = shape.format(t="jdocs_u", c=cond_sql)
+    got = hdb.sql(q, default_limit=None).collect()[0]["n"]
+    full = ps.read_segments(spark, store)
+    expr = F.expr(translate_json_match("props", '"$.tag" = \'alpha\''))
+    if "NOT JSON_MATCH" in q:
+        want = full.filter(~expr).count()
+    elif "OR id < 1090" in q:
+        want = full.filter(expr | (F.col("id") < 1090)).count()
+    assert got == want
+
+
+def test_dialect_projection_placement_falls_back(spark, store):
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hdb = HurricaneSQL(spark)
+    base = os.path.dirname(store[0])
+    hdb.register_segment_table("jdocs_p", base)
+    rows = hdb.sql(
+        "SELECT id, JSON_MATCH(props, '\"$.tag\" = ''alpha''') AS flag "
+        "FROM jdocs_p",
+        default_limit=None,
+    ).collect()
+    assert len(rows) == 360  # every row survives; flag marks matches
+    n_true = sum(1 for r in rows if r["flag"])
+    expr = F.expr(translate_json_match("props", '"$.tag" = \'alpha\''))
+    assert n_true == ps.read_segments(spark, store).filter(expr).count()
+
+
+def test_dialect_concurrent_queries_never_see_filtered_view(spark, store):
+    """The accelerated scan binds to a UNIQUE temp view; the shared view
+    is never mutated, so a concurrent plain query can never observe the
+    filtered source (round-6 review finding)."""
+    import threading
+
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hdb = HurricaneSQL(spark)
+    base = os.path.dirname(store[0])
+    hdb.register_segment_table("jdocs_c", base)
+    errors = []
+
+    def plain_counts():
+        try:
+            for _ in range(5):
+                n = hdb.sql(
+                    "SELECT COUNT(*) AS n FROM jdocs_c", default_limit=None
+                ).collect()[0]["n"]
+                assert n == 360, n
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def accelerated():
+        try:
+            for _ in range(5):
+                hdb.sql(
+                    "SELECT COUNT(*) AS n FROM jdocs_c "
+                    "WHERE JSON_MATCH(props, '\"$.tag\" = ''alpha''')",
+                    default_limit=None,
+                ).collect()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=plain_counts) for _ in range(2)] + [
+        threading.Thread(target=accelerated) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+
+def test_object_path_not_null_equivalence_end_to_end(spark, tmp_path):
+    """The reproduced round-6 divergence: '$.nested' IS NOT NULL over a
+    doc holding an object — the accelerated scan must now fall back and
+    match the expression path exactly."""
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(6, dtype=np.int64),
+            "props": [
+                json.dumps({"nested": {"city": f"c{i}"}})
+                if i % 2
+                else json.dumps({"flat": i})
+                for i in range(6)
+            ],
+        }
+    )
+    seg = str(tmp_path / "objseg")
+    ps.write_segment_pandas(pdf, seg, json_index_columns=["props"])
+    cond = '"$.nested" IS NOT NULL'
+    fast = ji.read_segments_json_match(spark, [seg], "props", cond)
+    slow = ps.read_segments(spark, [seg]).filter(
+        F.expr(translate_json_match("props", cond))
+    )
+    got = sorted(r["id"] for r in fast.collect())
+    want = sorted(r["id"] for r in slow.collect())
+    assert got == want == [1, 3, 5]

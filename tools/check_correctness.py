@@ -73,12 +73,15 @@ def cell_canon(v) -> str:
 
 
 def unhashable_cols(df: pd.DataFrame) -> list[str]:
-    """Columns holding list/ndarray/dict cells — the driver errors on these."""
+    """Columns holding list/ndarray/dict cells — the driver errors on
+    these. All rows are scanned: a column whose early rows are null but
+    later rows hold arrays must still be flagged (gate results are a few
+    thousand rows at most, so the full scan is cheap)."""
     bad = []
     for c in df.columns:
-        col = df[c]
-        sample = col.head(100)
-        if any(isinstance(x, (list, np.ndarray, dict, set, tuple)) for x in sample):
+        if df[c].dtype == object and any(
+            isinstance(x, (list, np.ndarray, dict, set, tuple)) for x in df[c]
+        ):
             bad.append(c)
     return bad
 
