@@ -769,9 +769,15 @@ def _decode_raw_sv(buf: bytes, cm: ColumnMeta, num_docs: int):
 
 
 def _encode_raw_sv(vals, data_type: str, compression: str) -> bytes:
-    """Values -> raw SV chunk container (version 3, long chunk offsets)."""
+    """Values -> raw SV chunk container (version 3, long chunk offsets).
+    STRING columns upgrade plain LZ4 to LZ4_LENGTH_PREFIXED (see
+    _encode_var_byte_entries — var-byte chunks carry no decompressed
+    size, and the prefix keeps reads on the vectorized pyarrow path);
+    fixed-width chunks keep plain LZ4 (size derivable: docs x width)."""
     import numpy as np
 
+    if compression == "LZ4" and data_type not in _FIXED_WIDTH:
+        compression = "LZ4_LENGTH_PREFIXED"
     n = len(vals)
     chunks: list[bytes] = []
     if data_type in _FIXED_WIDTH:
@@ -857,14 +863,59 @@ def _decode_raw_mv(buf: bytes, cm: ColumnMeta, num_docs: int):
     doc as one var-byte entry in the chunk container
     (FixedByteChunkMVForwardIndexReader.java:39-42 — maxChunkSize =
     numDocsPerChunk * (ROW_OFFSET_SIZE + lengthOfLongestEntry), i.e. the
-    row-offset chunk layout — and VarByteChunkMVForwardIndexReader)."""
+    row-offset chunk layout — and VarByteChunkMVForwardIndexReader).
+
+    Numeric entries are gathered vectorized per chunk (one byte-index
+    fanout + one frombuffer + np.split) instead of per-row struct
+    unpacks — the entries sit consecutively, so only the count headers
+    need skipping."""
     (container_version,) = struct.unpack_from(">i", buf, 0)
+    if cm.data_type in _FIXED_WIDTH and container_version < 4:
+        return _decode_raw_mv_numeric_vec(buf, cm, num_docs)
     entries = (
         _iter_var_byte_entries_v4(buf)
         if container_version >= 4
         else _iter_var_byte_entries(buf, num_docs)
     )
     return [_parse_mv_entry(e, cm.data_type) for e in entries]
+
+
+def _decode_raw_mv_numeric_vec(buf: bytes, cm: ColumnMeta, num_docs: int):
+    import numpy as np
+
+    width = _FIXED_WIDTH[cm.data_type]
+    _, docs_per_chunk, _, total_docs, comp, bounds = _parse_chunk_container(buf)
+    remaining = total_docs or num_docs
+    out = []
+    for start, end in bounds:
+        docs_here = min(docs_per_chunk, remaining)
+        chunk = _decompress_chunk(buf[start:end], comp, None)
+        lows = np.array(
+            struct.unpack_from(f">{docs_here}i", chunk, 0), dtype=np.int64
+        )
+        b = np.frombuffer(chunk, dtype=np.uint8)
+        hdr = b[lows[:, None] + np.arange(4)]
+        counts = (
+            (hdr[:, 0].astype(np.int64) << 24)
+            | (hdr[:, 1].astype(np.int64) << 16)
+            | (hdr[:, 2].astype(np.int64) << 8)
+            | hdr[:, 3].astype(np.int64)
+        )
+        lens = counts * width
+        starts = lows + 4
+        total = int(lens.sum())
+        # gather all value bytes, skipping the 4-byte count headers
+        seg_starts = np.repeat(starts, lens)
+        within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        )
+        values = np.frombuffer(
+            b[seg_starts + within].tobytes(), dtype=_NP_BE[cm.data_type]
+        )
+        values = values.astype(values.dtype.newbyteorder("="))
+        out.extend(np.split(values, np.cumsum(counts)[:-1]))
+        remaining -= docs_here
+    return out
 
 
 def _encode_raw_mv(doc_values, data_type: str, compression: str) -> bytes:
@@ -874,7 +925,16 @@ def _encode_raw_mv(doc_values, data_type: str, compression: str) -> bytes:
 
 
 def _encode_var_byte_entries(entries: list[bytes], compression: str) -> bytes:
-    """Var-byte entries -> version-3 chunk container (row-offset header)."""
+    """Var-byte entries -> version-3 chunk container (row-offset header).
+
+    Plain LZ4 is upgraded to LZ4_LENGTH_PREFIXED (the reference's
+    ChunkCompressorFactory.getCompressor(type, upgrade=true) pattern):
+    var-byte chunks have no derivable decompressed size, so a plain LZ4
+    block forces the sequential pure-Python decoder on read, while the
+    length prefix keeps the vectorized pyarrow path. Migrated reference
+    segments with plain-LZ4 var-byte chunks still decode (slow path)."""
+    if compression == "LZ4":
+        compression = "LZ4_LENGTH_PREFIXED"
     n = len(entries)
     size_of_entry = max((len(e) for e in entries), default=0)
     docs_per_chunk = max(1, (1 << 20) // (4 + max(size_of_entry, 1)))
