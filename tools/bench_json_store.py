@@ -34,21 +34,33 @@ from hurricanedb_spark.sql.json_match import translate_json_match
 
 
 def bench_json_index(spark, sf_dir: str, base: str) -> None:
-    store = os.path.join(base, "events_json_ranged")
+    # SPARK_GRAFT_JSON_REPS=N replicates events N-fold (and scales the
+    # segment count to keep ~62k rows/segment) to show the skip ratio is
+    # the scaling lever while index lookups stay O(#segments)
+    reps = int(os.environ.get("SPARK_GRAFT_JSON_REPS", "1"))
+    n_segs = 16 * reps
+    store = os.path.join(base, f"events_json_ranged_x{reps}")
     if not os.path.isdir(store):
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "props"
         )
+        if reps > 1:
+            ev = ev.crossJoin(
+                spark.range(reps).select(F.col("id").alias("__rep"))
+            ).drop("__rep")
         keyed = ev.withColumn(
             "__k", F.expr("CAST(get_json_object(props, '$.k') AS INT)")
         )
         t0 = time.perf_counter()
         ps.export_segments(
-            keyed.repartitionByRange(16, "__k").drop("__k"),
+            keyed.repartitionByRange(n_segs, "__k").drop("__k"),
             store,
             json_index_columns=["props"],
         )
-        print(f"build: 16 json-indexed segments in {time.perf_counter()-t0:.1f}s")
+        print(
+            f"build: {n_segs} json-indexed segments "
+            f"in {time.perf_counter()-t0:.1f}s"
+        )
     segs = sorted(
         os.path.join(store, d)
         for d in os.listdir(store)
@@ -67,14 +79,15 @@ def bench_json_index(spark, sf_dir: str, base: str) -> None:
 
     n_scan, t_scan = timed(
         lambda: ps.read_segments(spark, segs).filter(expr).count(),
-        "expression scan (all 16 segments decode)",
+        f"expression scan (all {len(segs)} segments decode)",
     )
     accel = read_segments_json_match(spark, segs, "props", cond)
     n_idx, t_idx = timed(lambda: accel.count(), "json-index path")
     surviving = accel.rdd.getNumPartitions()
     assert n_scan == n_idx, (n_scan, n_idx)
     print(
-        f"segments decoded: 16 -> {surviving}; speedup {t_scan / t_idx:.1f}x"
+        f"segments decoded: {len(segs)} -> {surviving}; "
+        f"speedup {t_scan / t_idx:.1f}x"
     )
 
 
