@@ -1,0 +1,434 @@
+"""Native text index — the reference's `.nativetext.idx` binary format.
+
+Container (NativeTextIndexCreator.java:54-60, 165-181; read back by
+NativeTextIndexReader.java:73-99): a 24-byte big-endian header
+(int FST_MAGIC | int version=1 | int fstDataLength |
+long invertedIndexLength | int numBitmaps), then the serialized FST,
+then a BitmapInvertedIndexWriter section ((n+1) int offsets + one
+serialized RoaringBitmap posting list per token, token order = sorted
+TreeMap order).
+
+FST (FSTHeader.java + ImmutableFST.java — Morfologik FSA version 5, a
+public format; the reader in the reference defines the byte contract):
+
+  '\\fsa' magic (4 bytes) | version byte = 5 | filler byte '_' |
+  annotation byte '+' | hgtl byte (high nibble nodeDataLength, low
+  nibble gotoLength) | [outputs: big-endian int length + the Java
+  Map.toString() text "{arcOffset=output, ...}" (FST.buildMap:378-398)]
+  | arc bytes.
+
+Arc layout (ImmutableFST.java:115-133, 283-379): byte 0 = label; bytes
+1..gotoLength = little-endian goto field whose LOW THREE BITS are flags
+(BIT_FINAL_ARC=1, BIT_LAST_ARC=2, BIT_TARGET_NEXT=4) and whose value
+>> 3 is the destination node offset (0 = terminal). getRootNode():
+skip the dummy arc at offset 0, follow the single epsilon arc's
+destination. This writer emits fixed-size arcs (no TARGET_NEXT
+compression, no NUMBERS node headers — both optional per the reader's
+flag handling), which every conforming reader accepts.
+
+Analyzer: the reference tokenizes through Lucene's StandardAnalyzer
+with its 35-word English stop set (LuceneTextIndexCreator.java:62-67).
+Here: lowercase `[a-z0-9]+` runs minus the same stop set — identical
+for ASCII alphanumeric text; UAX-29 edge cases (apostrophes, CJK)
+diverge and are documented engine semantics, enforced identically on
+the index AND the residual expression so results never depend on the
+index.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+FST_MAGIC = (ord("\\") << 24) | (ord("f") << 16) | (ord("s") << 8) | ord("a")
+FST_VERSION = 5
+CONTAINER_VERSION = 1
+HEADER_LENGTH = 24
+DEFAULT_FILLER = ord("_")
+DEFAULT_ANNOTATION = ord("+")
+BIT_FINAL_ARC = 1
+BIT_LAST_ARC = 2
+BIT_TARGET_NEXT = 4
+_GTL = 4  # goto field bytes (fixed, absolute addressing)
+
+# LuceneTextIndexCreator.getDefaultEnglishStopWordsSet (exact list)
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then than there these they this to was will "
+    "with those".split()
+)
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def analyze(text: str | None) -> list[str]:
+    """StandardAnalyzer-equivalent for ASCII alnum text: lowercase token
+    runs minus the English stop set. Duplicates kept (posting adds the
+    same docId once; the bitmap dedups)."""
+    if text is None:
+        return []
+    return [t for t in _TOKEN_RE.findall(text.lower()) if t not in ENGLISH_STOP_WORDS]
+
+
+# ---------------------------------------------------------------------------
+# FSA5 writer
+
+
+class _TrieNode:
+    __slots__ = ("children", "final_output")
+
+    def __init__(self):
+        self.children: dict[int, _TrieNode] = {}
+        self.final_output: int | None = None
+
+
+def serialize_fst(terms_with_outputs: list[tuple[str, int]]) -> bytes:
+    """Sorted (term, output) pairs -> ImmutableFST version-5 bytes
+    (including the '\\fsa' header and the outputs map section)."""
+    root = _TrieNode()
+    for term, out in terms_with_outputs:
+        node = root
+        for b in term.encode("utf-8"):
+            node = node.children.setdefault(b, _TrieNode())
+        node.final_output = out
+
+    arc_size = 1 + _GTL
+    preamble = 2 * arc_size  # dummy node arc + epsilon node arc
+
+    # assign offsets to every node that has arcs (leaves are terminal
+    # gotos, never serialized); root first so the epsilon arc can always
+    # target it, then DFS order
+    order: list[_TrieNode] = []
+
+    def collect(node: _TrieNode) -> None:
+        if node.children:
+            order.append(node)
+            for b in sorted(node.children):
+                collect(node.children[b])
+
+    if not root.children:
+        # empty vocabulary: a root with one never-matching arc keeps the
+        # reader's linear scan well-formed
+        fsa = bytearray()
+        fsa += bytes([0]) + ((0 << 3) | BIT_LAST_ARC).to_bytes(_GTL, "little")
+        fsa += bytes([0]) + ((preamble << 3) | BIT_LAST_ARC).to_bytes(_GTL, "little")
+        fsa += bytes([0]) + ((0 << 3) | BIT_LAST_ARC).to_bytes(_GTL, "little")
+        return _fst_with_header(bytes(fsa), {})
+
+    collect(root)
+    offsets: dict[int, int] = {}
+    pos = preamble
+    for node in order:
+        offsets[id(node)] = pos
+        pos += len(node.children) * arc_size
+
+    outputs: dict[int, int] = {}
+    fsa = bytearray()
+    # dummy terminating node at offset 0 (ImmutableFST.getRootNode skips it)
+    fsa += bytes([0]) + ((0 << 3) | BIT_LAST_ARC).to_bytes(_GTL, "little")
+    # epsilon node: single arc to the root node
+    root_off = offsets[id(root)]
+    fsa += bytes([0]) + ((root_off << 3) | BIT_LAST_ARC).to_bytes(_GTL, "little")
+    for node in order:
+        labels = sorted(node.children)
+        arc_off = offsets[id(node)]
+        for i, label in enumerate(labels):
+            child = node.children[label]
+            flags = BIT_LAST_ARC if i == len(labels) - 1 else 0
+            if child.final_output is not None:
+                flags |= BIT_FINAL_ARC
+                outputs[arc_off] = child.final_output
+            dest = offsets[id(child)] if child.children else 0
+            fsa += bytes([label]) + ((dest << 3) | flags).to_bytes(_GTL, "little")
+            arc_off += arc_size
+    return _fst_with_header(bytes(fsa), outputs)
+
+
+def _fst_with_header(fsa: bytes, outputs: dict[int, int]) -> bytes:
+    # Java HashMap.toString(): "{k=v, k=v}" — buildMap splits on ',' / '='
+    # with trim, so separator spacing is flexible; order is irrelevant
+    out_str = "{" + ", ".join(f"{k}={v}" for k, v in sorted(outputs.items())) + "}"
+    out_bytes = out_str.encode("utf-8")
+    hgtl = (0 << 4) | _GTL  # no NUMBERS node headers
+    return (
+        struct.pack(">i", FST_MAGIC)
+        + bytes([FST_VERSION, DEFAULT_FILLER, DEFAULT_ANNOTATION, hgtl])
+        + struct.pack(">i", len(out_bytes))
+        + out_bytes
+        + fsa
+    )
+
+
+# ---------------------------------------------------------------------------
+# FSA5 reader (mirrors ImmutableFST.java traversal semantics)
+
+
+class ImmutableFst:
+    def __init__(self, buf: bytes):
+        (magic,) = struct.unpack_from(">i", buf, 0)
+        if magic != FST_MAGIC:
+            raise ValueError(f"not an FST (magic {magic:#x})")
+        version = buf[4]
+        if version != FST_VERSION:
+            raise ValueError(f"unsupported FST version {version}")
+        self.filler, self.annotation, hgtl = buf[5], buf[6], buf[7]
+        self.node_data_length = (hgtl >> 4) & 0x0F
+        self.goto_length = hgtl & 0x0F
+        (out_len,) = struct.unpack_from(">i", buf, 8)
+        out_str = buf[12 : 12 + out_len].decode("utf-8")
+        self.outputs: dict[int, int] = {}
+        body = out_str[1:-1]
+        if body:
+            for pair in body.split(","):
+                k, v = pair.split("=")
+                self.outputs[int(k.strip())] = int(v.strip())
+        self.arcs = buf[12 + out_len :]
+
+    # --- ImmutableFST accessor mirrors ---
+    def _goto_field(self, arc: int) -> int:
+        g = self.goto_length
+        return int.from_bytes(self.arcs[arc + 1 : arc + 1 + g], "little")
+
+    def _flags(self, arc: int) -> int:
+        return self.arcs[arc + 1] & 0x07
+
+    def skip_arc(self, arc: int) -> int:
+        if self._flags(arc) & BIT_TARGET_NEXT:
+            return arc + 2  # label + flags byte only
+        return arc + 1 + self.goto_length
+
+    def first_arc(self, node: int) -> int:
+        return self.node_data_length + node
+
+    def next_arc(self, arc: int) -> int:
+        return 0 if self._flags(arc) & BIT_LAST_ARC else self.skip_arc(arc)
+
+    def destination(self, arc: int) -> int:
+        if self._flags(arc) & BIT_TARGET_NEXT:
+            return self.skip_arc(arc)
+        return self._goto_field(arc) >> 3
+
+    def root_node(self) -> int:
+        epsilon = self.skip_arc(self.first_arc(0))
+        return self.destination(self.first_arc(epsilon))
+
+    def is_final(self, arc: int) -> bool:
+        return bool(self._flags(arc) & BIT_FINAL_ARC)
+
+    def lookup(self, term: str) -> int | None:
+        """term -> output (dictId), or None."""
+        node = self.root_node()
+        arc = 0
+        for b in term.encode("utf-8"):
+            arc = self.first_arc(node)
+            while True:
+                if self.arcs[arc] == b:
+                    break
+                arc = self.next_arc(arc)
+                if arc == 0:
+                    return None
+            node = self.destination(arc)
+            last = arc
+        if term and self.is_final(last):
+            return self.outputs.get(last)
+        return None
+
+    def terms(self):
+        """DFS enumeration of (term, output) in lexicographic-ish arc
+        order (the writer sorts labels, so reference-written automata
+        enumerate in their own serialized order — callers must not rely
+        on ordering, postings are addressed by output id)."""
+        out: list[tuple[str, int]] = []
+        stack: list[tuple[int, bytes]] = [(self.root_node(), b"")]
+        while stack:
+            node, prefix = stack.pop()
+            arc = self.first_arc(node)
+            while arc != 0:
+                label = self.arcs[arc : arc + 1]
+                word = prefix + label
+                if self.is_final(arc):
+                    out.append((word.decode("utf-8", "replace"), self.outputs.get(arc)))
+                dest = self.destination(arc)
+                if dest != 0:
+                    stack.append((dest, word))
+                arc = self.next_arc(arc)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# container
+
+
+def encode_native_text_index(documents) -> bytes:
+    """Iterable of document strings (None allowed) -> `.nativetext.idx`
+    bytes. Posting map in sorted-token order, dictIds 0..n-1
+    (NativeTextIndexCreator.seal:118-130)."""
+    from hurricanedb_spark.sources.pinot_segment import _encode_inverted_index
+
+    postings: dict[str, set[int]] = {}
+    for doc_id, text in enumerate(documents):
+        for token in analyze(text):
+            postings.setdefault(token, set()).add(doc_id)
+    tokens = sorted(postings)
+    fst_bytes = serialize_fst([(t, i) for i, t in enumerate(tokens)])
+    inv_bytes = _encode_inverted_index([sorted(postings[t]) for t in tokens])
+    header = struct.pack(
+        ">iiiqi",
+        FST_MAGIC,
+        CONTAINER_VERSION,
+        len(fst_bytes),
+        len(inv_bytes),
+        len(tokens),
+    )
+    return header + fst_bytes + inv_bytes
+
+
+class NativeTextIndex:
+    """Parsed `.nativetext.idx` with the reader's query semantics
+    (NativeTextIndexReader.getDocIds: matched tokens' postings OR'd)."""
+
+    def __init__(self, buf: bytes):
+        magic, version, fst_len, inv_len, n_bitmaps = struct.unpack_from(
+            ">iiiqi", buf, 0
+        )
+        if magic != FST_MAGIC:
+            raise ValueError(f"invalid native text index magic {magic:#x}")
+        if version != CONTAINER_VERSION:
+            raise ValueError(f"unsupported native text index version {version}")
+        pos = HEADER_LENGTH
+        self.fst = ImmutableFst(buf[pos : pos + fst_len])
+        self._inv = buf[pos + fst_len : pos + fst_len + inv_len]
+        self.n_tokens = n_bitmaps
+        self._offsets = struct.unpack_from(f">{n_bitmaps + 1}i", self._inv, 0)
+
+    def posting(self, dict_id: int):
+        from hurricanedb_spark.sources.pinot_segment import roaring_deserialize
+
+        lo, hi = self._offsets[dict_id], self._offsets[dict_id + 1]
+        return roaring_deserialize(self._inv[lo:hi])
+
+    def doc_ids_for_term(self, term: str):
+        import numpy as np
+
+        d = self.fst.lookup(term)
+        if d is None:
+            return np.empty(0, dtype=np.uint32)
+        return self.posting(d)
+
+    def doc_ids_matching(self, predicate):
+        """OR of postings for every vocabulary term where
+        predicate(term) is true — the RegexpMatcher.regexMatch shape."""
+        import numpy as np
+
+        parts = [
+            self.posting(out)
+            for term, out in self.fst.terms()
+            if out is not None and predicate(term)
+        ]
+        if not parts:
+            return np.empty(0, dtype=np.uint32)
+        return np.unique(np.concatenate(parts))
+
+
+def read_native_text_index(segment_dir: str, col: str) -> NativeTextIndex:
+    from hurricanedb_spark.sources.pinot_segment import (
+        _index_buffer,
+        _read_psf,
+        read_segment_metadata,
+    )
+
+    meta = read_segment_metadata(segment_dir)
+    return NativeTextIndex(_index_buffer(meta, _read_psf(meta), col, "text_index"))
+
+
+# ---------------------------------------------------------------------------
+# TEXT_CONTAINS acceleration over segment stores
+
+
+def analyzed_contains_expr(col: str, pattern: str) -> str:
+    """Spark boolean expression: does any ANALYZED token of `col` match
+    the anchored Java regex `pattern`? This is the authoritative
+    TEXT_CONTAINS semantics (tokens = lowercase [a-z0-9]+ runs minus the
+    English stop set) — identical whether or not an index exists."""
+    stop = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    esc = pattern.replace("'", "''")
+    return (
+        f"exists(filter(split(lower({col}), '[^a-z0-9]+'), "
+        f"t -> t != '' AND NOT t IN ({stop})), "
+        f"t -> t rlike '^({esc})$')"
+    )
+
+
+_SAFE_TERM = re.compile(r"^[a-z0-9]+$")
+_SAFE_PREFIX = re.compile(r"^([a-z0-9]+)\.\*$")
+
+
+def _index_predicate(pattern: str):
+    """Pattern shapes where Python-side term enumeration provably agrees
+    with the Java-regex residual: a bare literal token and a trailing
+    `.*` prefix. Anything else (full regex) returns None -> scan +
+    residual only, so a Java/Python regex-dialect divergence can never
+    change results."""
+    m = _SAFE_TERM.match(pattern)
+    if m:
+        return lambda t, p=pattern: t == p
+    m = _SAFE_PREFIX.match(pattern)
+    if m:
+        return lambda t, p=m.group(1): t.startswith(p)
+    return None
+
+
+def read_segments_text_contains(
+    spark,
+    segment_dirs: list[str],
+    col: str,
+    pattern: str,
+    columns: list[str] | None = None,
+):
+    """TEXT_CONTAINS-accelerated distributed segment scan, the
+    JSON-index pattern applied to the native text index: for safe
+    pattern shapes, each segment's `.nativetext.idx` resolves the token
+    posting up front — zero-match segments are skipped, survivors ship
+    a roaring docId allowlist — and the analyzed-token residual
+    expression ALWAYS re-applies, so results equal the pure expression
+    path in every case (index absent, unsafe pattern, stop-word query)."""
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.sources import pinot_segment as ps
+
+    predicate = _index_predicate(pattern)
+    plans: list[tuple[str, bytes | None]] = []
+    for s in segment_dirs:
+        if predicate is None:
+            plans.append((s, None))
+            continue
+        try:
+            idx = read_native_text_index(s, col)
+        except Exception:  # noqa: BLE001 — no/unreadable index: full decode
+            plans.append((s, None))
+            continue
+        docs = (
+            idx.doc_ids_for_term(pattern)
+            if _SAFE_TERM.match(pattern)
+            else idx.doc_ids_matching(predicate)
+        )
+        if len(docs) == 0:
+            continue
+        plans.append((s, ps.roaring_serialize(docs)))
+    expr = F.expr(analyzed_contains_expr(col, pattern))
+    if not plans:
+        return ps.read_segments(
+            spark, [], columns, schema_from=segment_dirs
+        ).filter(expr)
+    schema = ps.segment_spark_schema(plans[0][0], columns)
+    paths = spark.createDataFrame(
+        plans, "__segment_path string, __docids binary"
+    ).repartition(len(plans))
+
+    def decode(batches):
+        for pdf in batches:
+            for p, db in zip(pdf["__segment_path"], pdf["__docids"]):
+                ids = None if db is None else ps.roaring_deserialize(bytes(db))
+                yield ps.read_segment_pandas(p, columns, doc_ids=ids)
+
+    return paths.mapInPandas(decode, schema=schema).filter(expr)

@@ -350,6 +350,7 @@ _V1_INDEX_FILES = {
     "bloom_filter": (".bloom",),
     "nullvalue_vector": (".bitmap.nullvalue",),
     "json_index": (".json.idx",),
+    "text_index": (".nativetext.idx",),
 }
 
 
@@ -1730,6 +1731,7 @@ def write_segment_pandas(
     range_index_columns: list[str] | None = None,
     partition_config: dict[str, tuple[str, int]] | None = None,
     json_index_columns: list[str] | None = None,
+    text_index_columns: list[str] | None = None,
     layout: str = "v3",
 ) -> str:
     """Write a pandas DataFrame as one v3 segment directory (SV and MV
@@ -1829,6 +1831,12 @@ def write_segment_pandas(
         is_mv = isinstance(first, (list, tuple, np.ndarray))
         ck = f"column.{col}."
         if is_mv:
+            if text_index_columns and col in text_index_columns:
+                # NativeTextIndexCreator.add(String[], int) throws:
+                # "Native text index is not supported on MV column"
+                raise UnsupportedSegmentError(
+                    f"native text index is not supported on MV column {col!r}"
+                )
             if ser.isna().any() or any(len(a) == 0 for a in ser):
                 raise ValueError(
                     f"MV column {col!r} has null/empty cells — the reference "
@@ -2056,6 +2064,25 @@ def write_segment_pandas(
                     None if null_mask[i] else vals[i] for i in range(num_docs)
                 ),
                 ext=".json.idx",
+            )
+        if text_index_columns and col in text_index_columns:
+            # native text index: FSA5 FST + posting lists
+            # (NativeTextIndexCreator.java; MV rejected like the reference)
+            if data_type != "STRING":
+                raise UnsupportedSegmentError(
+                    f"native text index on non-STRING column {col!r}"
+                )
+            from hurricanedb_spark.sources.native_text_index import (
+                encode_native_text_index,
+            )
+
+            append_entry(
+                col,
+                "text_index",
+                encode_native_text_index(
+                    None if null_mask[i] else vals[i] for i in range(num_docs)
+                ),
+                ext=".nativetext.idx",
             )
         if range_index_columns and col in range_index_columns:
             # dictionary columns index dictIds (valueType INT) — dictIds
