@@ -87,6 +87,7 @@ Spark partition, shuffle-free.
 from __future__ import annotations
 
 import os
+import re
 import struct
 import time
 import zlib
@@ -351,6 +352,7 @@ _V1_INDEX_FILES = {
     "nullvalue_vector": (".bitmap.nullvalue",),
     "json_index": (".json.idx",),
     "text_index": (".nativetext.idx",),
+    "fst_index": (".lucene.fst",),
 }
 
 
@@ -1373,6 +1375,43 @@ def segment_filter_docs(meta: SegmentMeta, psf: bytes, where: tuple):
                 return None, False  # no bound to close the range: scan
             lo, hi = (mm[0], value) if op == "<=" else (value, mm[1])
         return range_index_candidates(meta, psf, col, lo, hi), False
+    if op == "regexp_like" and (col, "fst_index") in meta.index_map:
+        import numpy as np
+
+        from hurricanedb_spark.sources.native_text_index import ImmutableFst
+
+        fst = ImmutableFst(_index_buffer(meta, psf, col, "fst_index"))
+        rx = re.compile(value)
+        dict_ids = np.array(
+            sorted(
+                out
+                for term, out in fst.terms()
+                if out is not None and rx.search(term) is not None
+            ),
+            dtype=np.int64,
+        )
+        # null docs hold the FieldSpec default ('null' for STRING), which
+        # the pattern may match — inexact when a null vector exists, so
+        # the caller's residual re-verifies against the null-applied
+        # column (same rule as the inverted-index equality path)
+        exact = (col, "nullvalue_vector") not in meta.index_map
+        if len(dict_ids) == 0:
+            return np.empty(0, dtype=np.uint32), exact
+        if (col, "inverted_index") in meta.index_map:
+            postings = read_inverted_index(meta, psf, col)
+            docs = np.unique(
+                np.concatenate([postings[i] for i in dict_ids])
+            )
+            return docs, exact
+        # membership over the forward dictIds (FSTBasedRegexpPredicate-
+        # Evaluator's shape: matching dictId set, evaluated per doc)
+        fwd = _index_buffer(meta, psf, col, "forward_index")
+        if cm.is_sorted and len(fwd) == cm.cardinality * 8:
+            ids = _decode_sorted_fwd(fwd, cm)
+        else:
+            ids = _unpack_dict_ids(fwd, meta.total_docs, cm.bits_per_element)
+        docs = np.nonzero(np.isin(ids, dict_ids))[0]
+        return docs, exact
     return None, False
 
 
@@ -1518,6 +1557,15 @@ def _row_predicate(ser, op: str, value):
     elif op == "between":
         lo, hi = value
         m = (ser >= lo) & (ser <= hi)
+    elif op == "regexp_like":
+        # REGEXP_LIKE over the whole value (RegexpLikePredicateEvaluator
+        # uses Matcher.find, i.e. UNANCHORED search) — Python re on both
+        # this residual and the FST-index enumeration, so index answers
+        # and scans always agree
+        rx = re.compile(value)
+        m = pd.Series(
+            [v is not None and rx.search(str(v)) is not None for v in ser]
+        )
     else:
         raise ValueError(f"unknown filter op {op!r}")
     # nullable dtypes produce pd.NA in the mask: null never matches
@@ -1732,6 +1780,7 @@ def write_segment_pandas(
     partition_config: dict[str, tuple[str, int]] | None = None,
     json_index_columns: list[str] | None = None,
     text_index_columns: list[str] | None = None,
+    fst_index_columns: list[str] | None = None,
     layout: str = "v3",
 ) -> str:
     """Write a pandas DataFrame as one v3 segment directory (SV and MV
@@ -2083,6 +2132,24 @@ def write_segment_pandas(
                     None if null_mask[i] else vals[i] for i in range(num_docs)
                 ),
                 ext=".nativetext.idx",
+            )
+        if fst_index_columns and col in fst_index_columns:
+            # FST index over the sorted dictionary values, dictId outputs
+            # (NativeFSTIndexCreator.java:49-60 — entries MUST arrive in
+            # sorted dictionary order, which uniq already is)
+            if data_type != "STRING":
+                raise UnsupportedSegmentError(
+                    f"FST index on non-STRING column {col!r}"
+                )
+            from hurricanedb_spark.sources.native_text_index import (
+                serialize_fst,
+            )
+
+            append_entry(
+                col,
+                "fst_index",
+                serialize_fst([(v, i) for i, v in enumerate(uniq)]),
+                ext=".lucene.fst",
             )
         if range_index_columns and col in range_index_columns:
             # dictionary columns index dictIds (valueType INT) — dictIds

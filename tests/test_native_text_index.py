@@ -213,3 +213,82 @@ def test_text_contains_segment_pruning_observable(spark, text_store):
     fast = nti.read_segments_text_contains(spark, text_store, "text", "delta")
     # 'delta' exists only in segment 1; segment 2 (no index) always survives
     assert fast.rdd.getNumPartitions() == 2
+
+
+# --- FST index (regexp acceleration over dictionary values) ---------------
+
+
+def test_fst_index_write_and_regexp_filter(tmp_path):
+    """NativeFSTIndexCreator analog: FST over sorted dictionary values
+    with dictId outputs, used by the regexp_like where-pushdown.
+    Index answers must equal the scan path for every pattern (both
+    sides evaluate Python re.search — unanchored, like the reference's
+    Matcher.find)."""
+    rng = np.random.default_rng(11)
+    cats = np.array(["alpha", "beta", "gamma", "alphabet", "betamax", "zeta"])
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(3000, dtype=np.int64),
+            "cat": cats[rng.integers(0, len(cats), 3000)],
+        }
+    )
+    seg_i = str(tmp_path / "with_idx")
+    seg_n = str(tmp_path / "no_idx")
+    ps.write_segment_pandas(
+        pdf, seg_i, fst_index_columns=["cat"], inverted_index_columns=["cat"]
+    )
+    ps.write_segment_pandas(pdf, seg_n)
+    meta = ps.read_segment_metadata(seg_i)
+    assert ("cat", "fst_index") in meta.index_map
+    for pattern in ("^alpha$", "beta", "a.*x", "q", "^(ga|ze)"):
+        got_i = ps.read_segment_pandas(
+            seg_i, columns=["id"], where=("cat", "regexp_like", pattern)
+        )
+        got_n = ps.read_segment_pandas(
+            seg_n, columns=["id"], where=("cat", "regexp_like", pattern)
+        )
+        import re as _re
+
+        rx = _re.compile(pattern)
+        want = pdf.loc[[rx.search(c) is not None for c in pdf["cat"]], ["id"]]
+        assert got_i["id"].tolist() == want["id"].tolist(), pattern
+        assert got_n["id"].tolist() == want["id"].tolist(), pattern
+
+
+def test_fst_index_exact_hit_skips_value_decode(tmp_path):
+    # with FST + inverted index and no null vector, the answer is exact:
+    # segment_filter_docs returns (docs, True)
+    pdf = pd.DataFrame({"cat": ["aa", "ab", "ba", "aa"]})
+    seg = str(tmp_path / "exact")
+    ps.write_segment_pandas(
+        pdf, seg, fst_index_columns=["cat"], inverted_index_columns=["cat"]
+    )
+    meta = ps.read_segment_metadata(seg)
+    psf = ps._read_psf(meta)
+    docs, exact = ps.segment_filter_docs(meta, psf, ("cat", "regexp_like", "^a"))
+    assert exact and list(docs) == [0, 1, 3]
+    # without inverted index: forward-membership path, still exact
+    seg2 = str(tmp_path / "fwd")
+    ps.write_segment_pandas(pdf, seg2, fst_index_columns=["cat"])
+    meta2 = ps.read_segment_metadata(seg2)
+    docs2, exact2 = ps.segment_filter_docs(
+        meta2, ps._read_psf(meta2), ("cat", "regexp_like", "^a")
+    )
+    assert exact2 and list(docs2) == [0, 1, 3]
+
+
+def test_fst_index_null_vector_forces_residual(tmp_path):
+    # STRING nulls become the FieldSpec default 'null'; a pattern matching
+    # it must stay inexact so the residual drops the null docs
+    pdf = pd.DataFrame({"cat": ["null-ish", None, "other"]})
+    seg = str(tmp_path / "nulls")
+    ps.write_segment_pandas(
+        pdf, seg, fst_index_columns=["cat"], inverted_index_columns=["cat"]
+    )
+    meta = ps.read_segment_metadata(seg)
+    docs, exact = ps.segment_filter_docs(
+        meta, ps._read_psf(meta), ("cat", "regexp_like", "null")
+    )
+    assert not exact  # candidates include the null doc; residual re-checks
+    got = ps.read_segment_pandas(seg, where=("cat", "regexp_like", "null"))
+    assert got["cat"].tolist() == ["null-ish"]  # the real null never matches
