@@ -352,20 +352,10 @@ def read_segments_json_match(
         if len(docs) == 0:
             continue  # whole segment pruned
         plans.append((s, ps.roaring_serialize(docs)))
-    expr = F.expr(translate_json_match(col, condition))
-    if not plans:
-        return ps.read_segments(
-            spark, [], columns, schema_from=segment_dirs
-        ).filter(expr)
-    schema = ps.segment_spark_schema(plans[0][0], columns)
-    paths = spark.createDataFrame(
-        plans, "__segment_path string, __docids binary"
-    ).repartition(len(plans))
-
-    def decode(batches):
-        for pdf in batches:
-            for p, db in zip(pdf["__segment_path"], pdf["__docids"]):
-                ids = None if db is None else ps.roaring_deserialize(bytes(db))
-                yield ps.read_segment_pandas(p, columns, doc_ids=ids)
-
-    return paths.mapInPandas(decode, schema=schema).filter(expr)
+    return ps.read_segments_allowlist(
+        spark,
+        plans,
+        columns,
+        segment_dirs,
+        F.expr(translate_json_match(col, condition)),
+    )

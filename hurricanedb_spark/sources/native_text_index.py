@@ -97,23 +97,36 @@ def serialize_fst(terms_with_outputs: list[tuple[str, int]]) -> bytes:
 
     # assign offsets to every node that has arcs (leaves are terminal
     # gotos, never serialized); root first so the epsilon arc can always
-    # target it, then DFS order
+    # target it. Explicit stack — terms can exceed Python's recursion
+    # limit (round-6 review finding: a 2000-byte dictionary value).
     order: list[_TrieNode] = []
 
-    def collect(node: _TrieNode) -> None:
-        if node.children:
-            order.append(node)
-            for b in sorted(node.children):
-                collect(node.children[b])
+    def collect(start: _TrieNode) -> None:
+        stack = [start]
+        while stack:
+            node = stack.pop()
+            if node.children:
+                order.append(node)
+                for b in sorted(node.children, reverse=True):
+                    stack.append(node.children[b])
+
+    # the empty term ('' is a legal dictionary value) is carried by the
+    # FINAL flag on the epsilon arc, with its output keyed by that arc's
+    # offset — the Morfologik convention for the empty sequence
+    eps_flags = BIT_LAST_ARC
+    eps_outputs: dict[int, int] = {}
+    if root.final_output is not None:
+        eps_flags |= BIT_FINAL_ARC
+        eps_outputs[arc_size] = root.final_output
 
     if not root.children:
-        # empty vocabulary: a root with one never-matching arc keeps the
-        # reader's linear scan well-formed
+        # no non-empty terms: a root with one never-matching arc keeps
+        # the reader's linear scan well-formed
         fsa = bytearray()
         fsa += bytes([0]) + ((0 << 3) | BIT_LAST_ARC).to_bytes(_GTL, "little")
-        fsa += bytes([0]) + ((preamble << 3) | BIT_LAST_ARC).to_bytes(_GTL, "little")
+        fsa += bytes([0]) + ((preamble << 3) | eps_flags).to_bytes(_GTL, "little")
         fsa += bytes([0]) + ((0 << 3) | BIT_LAST_ARC).to_bytes(_GTL, "little")
-        return _fst_with_header(bytes(fsa), {})
+        return _fst_with_header(bytes(fsa), eps_outputs)
 
     collect(root)
     offsets: dict[int, int] = {}
@@ -122,13 +135,13 @@ def serialize_fst(terms_with_outputs: list[tuple[str, int]]) -> bytes:
         offsets[id(node)] = pos
         pos += len(node.children) * arc_size
 
-    outputs: dict[int, int] = {}
+    outputs: dict[int, int] = dict(eps_outputs)
     fsa = bytearray()
     # dummy terminating node at offset 0 (ImmutableFST.getRootNode skips it)
     fsa += bytes([0]) + ((0 << 3) | BIT_LAST_ARC).to_bytes(_GTL, "little")
     # epsilon node: single arc to the root node
     root_off = offsets[id(root)]
-    fsa += bytes([0]) + ((root_off << 3) | BIT_LAST_ARC).to_bytes(_GTL, "little")
+    fsa += bytes([0]) + ((root_off << 3) | eps_flags).to_bytes(_GTL, "little")
     for node in order:
         labels = sorted(node.children)
         arc_off = offsets[id(node)]
@@ -204,6 +217,10 @@ class ImmutableFst:
         return 0 if self._flags(arc) & BIT_LAST_ARC else self.skip_arc(arc)
 
     def destination(self, arc: int) -> int:
+        # NEXT-flagged arcs: destination = the byte right after THIS arc,
+        # exactly ImmutableFST.getDestinationNodeOffset:363-374 ("The
+        # destination node follows this arc in the array" -> skipArc(arc))
+        # — serializers therefore only set NEXT on a node's last arc
         if self._flags(arc) & BIT_TARGET_NEXT:
             return self.skip_arc(arc)
         return self._goto_field(arc) >> 3
@@ -215,11 +232,20 @@ class ImmutableFst:
     def is_final(self, arc: int) -> bool:
         return bool(self._flags(arc) & BIT_FINAL_ARC)
 
+    def _epsilon_arc(self) -> int:
+        return self.skip_arc(self.first_arc(0))
+
     def lookup(self, term: str) -> int | None:
-        """term -> output (dictId), or None."""
+        """term -> output (dictId), or None. The empty term is carried
+        by the FINAL flag on the epsilon arc."""
+        if term == "":
+            eps = self.first_arc(self._epsilon_arc())
+            return self.outputs.get(eps) if self.is_final(eps) else None
         node = self.root_node()
-        arc = 0
+        last = 0
         for b in term.encode("utf-8"):
+            if node == 0:
+                return None  # previous arc was terminal; term too long
             arc = self.first_arc(node)
             while True:
                 if self.arcs[arc] == b:
@@ -229,7 +255,7 @@ class ImmutableFst:
                     return None
             node = self.destination(arc)
             last = arc
-        if term and self.is_final(last):
+        if self.is_final(last):
             return self.outputs.get(last)
         return None
 
@@ -239,20 +265,54 @@ class ImmutableFst:
         enumerate in their own serialized order — callers must not rely
         on ordering, postings are addressed by output id)."""
         out: list[tuple[str, int]] = []
-        stack: list[tuple[int, bytes]] = [(self.root_node(), b"")]
+        eps = self.first_arc(self._epsilon_arc())
+        if self.is_final(eps):
+            out.append(("", self.outputs.get(eps)))
+        self._enumerate(self.root_node(), b"", out)
+        return out
+
+    def terms_with_prefix(self, prefix: str):
+        """(term, output) pairs for terms starting with `prefix`: walks
+        the prefix path once, then enumerates only that subtree —
+        O(|prefix| + matching subtree), not O(vocabulary) (round-6
+        review efficiency finding)."""
+        out: list[tuple[str, int]] = []
+        if prefix == "":
+            return self.terms()
+        node = self.root_node()
+        last = 0
+        for b in prefix.encode("utf-8"):
+            if node == 0:
+                return out
+            arc = self.first_arc(node)
+            while True:
+                if self.arcs[arc] == b:
+                    break
+                arc = self.next_arc(arc)
+                if arc == 0:
+                    return out
+            node = self.destination(arc)
+            last = arc
+        if self.is_final(last):
+            out.append((prefix, self.outputs.get(last)))
+        if node != 0:
+            self._enumerate(node, prefix.encode("utf-8"), out)
+        return out
+
+    def _enumerate(self, start_node: int, prefix: bytes, out: list) -> None:
+        stack: list[tuple[int, bytes]] = [(start_node, prefix)]
         while stack:
-            node, prefix = stack.pop()
+            node, pre = stack.pop()
             arc = self.first_arc(node)
             while arc != 0:
                 label = self.arcs[arc : arc + 1]
-                word = prefix + label
+                word = pre + label
                 if self.is_final(arc):
                     out.append((word.decode("utf-8", "replace"), self.outputs.get(arc)))
                 dest = self.destination(arc)
                 if dest != 0:
                     stack.append((dest, word))
                 arc = self.next_arc(arc)
-        return out
 
 
 # ---------------------------------------------------------------------------
@@ -318,13 +378,25 @@ class NativeTextIndex:
     def doc_ids_matching(self, predicate):
         """OR of postings for every vocabulary term where
         predicate(term) is true — the RegexpMatcher.regexMatch shape."""
-        import numpy as np
-
-        parts = [
-            self.posting(out)
+        return self._union(
+            out
             for term, out in self.fst.terms()
             if out is not None and predicate(term)
-        ]
+        )
+
+    def doc_ids_with_prefix(self, prefix: str):
+        """OR of postings over the prefix subtree only (never walks the
+        full vocabulary)."""
+        return self._union(
+            out
+            for _, out in self.fst.terms_with_prefix(prefix)
+            if out is not None
+        )
+
+    def _union(self, dict_ids):
+        import numpy as np
+
+        parts = [self.posting(out) for out in dict_ids]
         if not parts:
             return np.empty(0, dtype=np.uint32)
         return np.unique(np.concatenate(parts))
@@ -351,7 +423,10 @@ def analyzed_contains_expr(col: str, pattern: str) -> str:
     TEXT_CONTAINS semantics (tokens = lowercase [a-z0-9]+ runs minus the
     English stop set) — identical whether or not an index exists."""
     stop = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
-    esc = pattern.replace("'", "''")
+    # Spark SQL string literals consume backslash escapes, so regex
+    # classes like \d must be doubled or they silently become 'd'
+    # (round-6 review finding, reproduced)
+    esc = pattern.replace("\\", "\\\\").replace("'", "''")
     return (
         f"exists(filter(split(lower({col}), '[^a-z0-9]+'), "
         f"t -> t != '' AND NOT t IN ({stop})), "
@@ -397,6 +472,7 @@ def read_segments_text_contains(
     from hurricanedb_spark.sources import pinot_segment as ps
 
     predicate = _index_predicate(pattern)
+    prefix_m = _SAFE_PREFIX.match(pattern)
     plans: list[tuple[str, bytes | None]] = []
     for s in segment_dirs:
         if predicate is None:
@@ -407,28 +483,17 @@ def read_segments_text_contains(
         except Exception:  # noqa: BLE001 — no/unreadable index: full decode
             plans.append((s, None))
             continue
-        docs = (
-            idx.doc_ids_for_term(pattern)
-            if _SAFE_TERM.match(pattern)
-            else idx.doc_ids_matching(predicate)
-        )
+        if _SAFE_TERM.match(pattern):
+            docs = idx.doc_ids_for_term(pattern)
+        else:  # prefix shape: subtree walk, not a vocabulary scan
+            docs = idx.doc_ids_with_prefix(prefix_m.group(1))
         if len(docs) == 0:
             continue
         plans.append((s, ps.roaring_serialize(docs)))
-    expr = F.expr(analyzed_contains_expr(col, pattern))
-    if not plans:
-        return ps.read_segments(
-            spark, [], columns, schema_from=segment_dirs
-        ).filter(expr)
-    schema = ps.segment_spark_schema(plans[0][0], columns)
-    paths = spark.createDataFrame(
-        plans, "__segment_path string, __docids binary"
-    ).repartition(len(plans))
-
-    def decode(batches):
-        for pdf in batches:
-            for p, db in zip(pdf["__segment_path"], pdf["__docids"]):
-                ids = None if db is None else ps.roaring_deserialize(bytes(db))
-                yield ps.read_segment_pandas(p, columns, doc_ids=ids)
-
-    return paths.mapInPandas(decode, schema=schema).filter(expr)
+    return ps.read_segments_allowlist(
+        spark,
+        plans,
+        columns,
+        segment_dirs,
+        F.expr(analyzed_contains_expr(col, pattern)),
+    )

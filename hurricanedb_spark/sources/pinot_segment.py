@@ -1563,8 +1563,10 @@ def _row_predicate(ser, op: str, value):
         # this residual and the FST-index enumeration, so index answers
         # and scans always agree
         rx = re.compile(value)
+        # pd.isna, not `is not None`: nullable-dtype nulls are pd.NA/NaN
+        # and would stringify to '<NA>'/'nan' — null never matches
         m = pd.Series(
-            [v is not None and rx.search(str(v)) is not None for v in ser]
+            [not pd.isna(v) and rx.search(str(v)) is not None for v in ser]
         )
     else:
         raise ValueError(f"unknown filter op {op!r}")
@@ -1677,6 +1679,10 @@ def prune_segments(segment_dirs: list[str], column: str, op: str, value):
         elif op == "between":
             vlo, vhi = value
             match = not (hi < vlo or lo > vhi)
+        elif op == "regexp_like":
+            # min/max metadata cannot prune a regex; keep the segment
+            # (row-level answers come from the FST index / scan instead)
+            match = True
         else:
             raise ValueError(f"unknown prune op {op!r}")
         if match:
@@ -1722,6 +1728,37 @@ def read_segments(
                 yield read_segment_pandas(p, columns, where=where)
 
     return paths.mapInPandas(decode, schema=schema)
+
+
+def read_segments_allowlist(
+    spark,
+    plans: list[tuple[str, bytes | None]],
+    columns: list[str] | None,
+    schema_from: list[str],
+    residual_expr,
+):
+    """Shared index-accelerated scan shape (JSON index / native text
+    index): `plans` holds surviving (segment_dir, roaring-serialized
+    docId allowlist | None-for-full-decode) pairs — pruned segments are
+    simply absent — and `residual_expr` is the exact Spark predicate
+    that ALWAYS re-applies, so an index can only remove work, never
+    change results. One decode task per surviving segment."""
+    if not plans:
+        return read_segments(spark, [], columns, schema_from=schema_from).filter(
+            residual_expr
+        )
+    schema = segment_spark_schema(plans[0][0], columns)
+    paths = spark.createDataFrame(
+        plans, "__segment_path string, __docids binary"
+    ).repartition(len(plans))
+
+    def decode(batches):
+        for pdf in batches:
+            for p, db in zip(pdf["__segment_path"], pdf["__docids"]):
+                ids = None if db is None else roaring_deserialize(bytes(db))
+                yield read_segment_pandas(p, columns, doc_ids=ids)
+
+    return paths.mapInPandas(decode, schema=schema).filter(residual_expr)
 
 
 # ---------------------------------------------------------------------------
@@ -1879,12 +1916,24 @@ def write_segment_pandas(
         first = ser.dropna().iloc[0] if ser.notna().any() else None
         is_mv = isinstance(first, (list, tuple, np.ndarray))
         ck = f"column.{col}."
+        requested_value_indexes = [
+            name
+            for name, cols in (
+                ("text", text_index_columns),
+                ("fst", fst_index_columns),
+                ("json", json_index_columns),
+            )
+            if cols and col in cols
+        ]
         if is_mv:
-            if text_index_columns and col in text_index_columns:
+            if requested_value_indexes:
                 # NativeTextIndexCreator.add(String[], int) throws:
-                # "Native text index is not supported on MV column"
+                # "Native text index is not supported on MV column";
+                # fst/json likewise require SV STRING — fail loudly
+                # instead of silently writing no index (round-6 review)
                 raise UnsupportedSegmentError(
-                    f"native text index is not supported on MV column {col!r}"
+                    f"{'/'.join(requested_value_indexes)} index is not "
+                    f"supported on MV column {col!r}"
                 )
             if ser.isna().any() or any(len(a) == 0 for a in ser):
                 raise ValueError(
@@ -1996,6 +2045,16 @@ def write_segment_pandas(
             }[data_type]
             vals = ser.to_numpy(dtype=np_t)
         if raw_columns and col in raw_columns:
+            if requested_value_indexes:
+                # these indexes attach to the dictionary path (the
+                # reference's creators consume dictionary values /
+                # analyzed docs); a raw column would silently get none —
+                # fail loudly instead (round-6 review finding)
+                raise UnsupportedSegmentError(
+                    f"{'/'.join(requested_value_indexes)} index requested "
+                    f"for raw (noDictionary) column {col!r} — store the "
+                    "column dictionary-encoded to index it"
+                )
             compression = raw_columns[col]
             entry_len = (
                 max((len(v.encode("utf-8")) for v in vals), default=0)

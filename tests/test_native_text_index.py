@@ -292,3 +292,97 @@ def test_fst_index_null_vector_forces_residual(tmp_path):
     assert not exact  # candidates include the null doc; residual re-checks
     got = ps.read_segment_pandas(seg, where=("cat", "regexp_like", "null"))
     assert got["cat"].tolist() == ["null-ish"]  # the real null never matches
+
+
+# --- round-6 second-review regression tests --------------------------------
+
+
+def test_empty_string_dictionary_value_round_trips(tmp_path):
+    """'' is a legal dictionary value; it rides the FINAL flag on the
+    epsilon arc. An fst_index answer must not drop its rows."""
+    fst = nti.ImmutableFst(nti.serialize_fst([("", 0), ("a", 1)]))
+    assert fst.lookup("") == 0 and fst.lookup("a") == 1
+    assert sorted(fst.terms()) == [("", 0), ("a", 1)]
+    # only term is '': no-children branch
+    fst2 = nti.ImmutableFst(nti.serialize_fst([("", 5)]))
+    assert fst2.lookup("") == 5 and fst2.terms() == [("", 5)]
+    # end to end: pattern 'z*' matches '' under re.search
+    pdf = pd.DataFrame({"cat": ["", "a", "zz", ""]})
+    seg = str(tmp_path / "empty")
+    ps.write_segment_pandas(
+        pdf, seg, fst_index_columns=["cat"], inverted_index_columns=["cat"]
+    )
+    got = ps.read_segment_pandas(seg, where=("cat", "regexp_like", "z*"))
+    assert got["cat"].tolist() == ["", "a", "zz", ""]  # z* matches everything
+
+
+def test_read_segments_regexp_like_distributed(spark, tmp_path):
+    """prune_segments must pass regexp_like through (it previously
+    raised 'unknown prune op' on the main distributed entry point)."""
+    pdf = pd.DataFrame({"cat": ["alpha", "beta", "gamma"] * 20})
+    seg = str(tmp_path / "dist")
+    ps.write_segment_pandas(pdf, seg, fst_index_columns=["cat"])
+    df = ps.read_segments(spark, [seg], where=("cat", "regexp_like", "^a"))
+    assert df.count() == 20
+
+
+def test_backslash_classes_survive_sql_literal():
+    """\\d must reach rlike as \\d, not 'd' (Spark literal escaping)."""
+    expr = nti.analyzed_contains_expr("text", r"v\d+")
+    assert "\\\\d" in expr
+
+
+def test_backslash_pattern_end_to_end(spark, tmp_path):
+    pdf = pd.DataFrame({"id": [0, 1], "text": ["token v7 here", "vd here"]})
+    seg = str(tmp_path / "bs")
+    ps.write_segment_pandas(pdf, seg, text_index_columns=["text"])
+    fast = nti.read_segments_text_contains(spark, [seg], "text", r"v\d")
+    assert [r["id"] for r in fast.collect()] == [0]
+
+
+def test_regexp_residual_never_matches_null(tmp_path):
+    pdf = pd.DataFrame({"n": pd.array([1, None, 23], dtype="Int64")})
+    seg = str(tmp_path / "nullnum")
+    ps.write_segment_pandas(pdf, seg)
+    got = ps.read_segment_pandas(seg, where=("n", "regexp_like", "."))
+    assert got["n"].tolist() == [1, 23]  # '<NA>' must not match '.'
+
+
+def test_long_dictionary_value_no_recursion_error(tmp_path):
+    pdf = pd.DataFrame({"t": ["x" * 5000, "short"]})
+    seg = str(tmp_path / "long")
+    ps.write_segment_pandas(pdf, seg, fst_index_columns=["t"])
+    meta = ps.read_segment_metadata(seg)
+    docs, exact = ps.segment_filter_docs(
+        meta, ps._read_psf(meta), ("t", "regexp_like", "^x{5000}$")
+    )
+    assert exact and list(docs) == [0]
+
+
+def test_index_on_raw_or_mv_column_fails_loudly(tmp_path):
+    pdf = pd.DataFrame({"t": ["a", "b"]})
+    with pytest.raises(ps.UnsupportedSegmentError, match="raw"):
+        ps.write_segment_pandas(
+            pdf,
+            str(tmp_path / "rawidx"),
+            raw_columns={"t": "LZ4"},
+            fst_index_columns=["t"],
+        )
+    with pytest.raises(ps.UnsupportedSegmentError):
+        ps.write_segment_pandas(
+            pd.DataFrame({"mv": [["a"], ["b"]]}),
+            str(tmp_path / "mvidx"),
+            json_index_columns=["mv"],
+        )
+
+
+def test_prefix_subtree_enumeration():
+    fst = nti.ImmutableFst(
+        nti.serialize_fst(
+            [("alpha", 0), ("alphabet", 1), ("beta", 2), ("betamax", 3)]
+        )
+    )
+    assert sorted(fst.terms_with_prefix("alpha")) == [("alpha", 0), ("alphabet", 1)]
+    assert fst.terms_with_prefix("alphabe") == [("alphabet", 1)]
+    assert fst.terms_with_prefix("zz") == []
+    assert sorted(fst.terms_with_prefix("")) == sorted(fst.terms())
