@@ -624,3 +624,116 @@ def q_segment_mixed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("text").contains("spark"), 1).otherwise(0)
         ).alias("n_spark"),
     )
+
+
+@register(
+    "q_segment_text_index_scan",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE len(list_filter(
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        t -> t <> ''),
+            t -> t = 'spark')) > 0
+    GROUP BY lang
+    """,
+    doc="Native text index end to end (NativeTextIndexCreator /"
+    "ImmutableFST FSA5 binary + posting lists, "
+    "sources/native_text_index.py): documents sealed as v3 segments "
+    "with a .nativetext.idx on text, TEXT_CONTAINS 'spark' answered "
+    "through the index (segment skip + docId allowlist + analyzed-token "
+    "residual). The oracle evaluates the same token predicate over the "
+    "raw parquet — proving the index path is lossless.",
+    tags=("sources", "segment-format", "text"),
+)
+def q_segment_text_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hurricanedb_spark.sources import native_text_index as nti
+    from hurricanedb_spark.sources import pinot_segment as ps
+
+    base = os.path.join(
+        "/tmp/hurricanedb_segments",
+        os.path.basename(os.path.normpath(sf_dir)) + "_docs_textidx",
+    )
+    marker = os.path.join(base, "_written")
+    if not os.path.isfile(marker):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text", "n_chars"
+        )
+        ps.export_segments(
+            docs.repartition(4), base, text_index_columns=["text"]
+        )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    segs = sorted(
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if os.path.isdir(os.path.join(base, d))
+        and _is_segment(ps, os.path.join(base, d))
+    )
+    hits = nti.read_segments_text_contains(spark, segs, "text", "spark")
+    return hits.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "q_segment_fst_regexp",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE regexp_matches(o_orderpriority, '^[12]-')
+    GROUP BY o_orderstatus
+    """,
+    doc="Native FST index end to end (NativeFSTIndexCreator's "
+    ".lucene.fst FSA5 over sorted dictionary values): orders sealed "
+    "with an FST index on o_orderpriority, REGEXP_LIKE '^[12]-' pushed "
+    "into the segment read (automaton enumeration -> dictIds -> "
+    "inverted postings, exact). The oracle regexp-filters the raw "
+    "parquet (both engines use unanchored search semantics).",
+    tags=("sources", "segment-format", "fst"),
+)
+def q_segment_fst_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hurricanedb_spark.sources import pinot_segment as ps
+
+    base = os.path.join(
+        "/tmp/hurricanedb_segments",
+        os.path.basename(os.path.normpath(sf_dir)) + "_orders_fstidx",
+    )
+    marker = os.path.join(base, "_written")
+    if not os.path.isfile(marker):
+        od = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        ps.export_segments(
+            od.repartition(4),
+            base,
+            fst_index_columns=["o_orderpriority"],
+            inverted_index_columns=["o_orderpriority"],
+        )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    segs = sorted(
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if os.path.isdir(os.path.join(base, d))
+        and _is_segment(ps, os.path.join(base, d))
+    )
+    df = ps.read_segments(
+        spark, segs, where=("o_orderpriority", "regexp_like", "^[12]-")
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        ).alias("sum_cents"),
+    )
