@@ -358,4 +358,5 @@ def read_segments_json_match(
         columns,
         segment_dirs,
         F.expr(translate_json_match(col, condition)),
+        predicate_columns=[col],
     )

@@ -496,4 +496,5 @@ def read_segments_text_contains(
         columns,
         segment_dirs,
         F.expr(analyzed_contains_expr(col, pattern)),
+        predicate_columns=[col],
     )

@@ -1736,18 +1736,29 @@ def read_segments_allowlist(
     columns: list[str] | None,
     schema_from: list[str],
     residual_expr,
+    predicate_columns: list[str] | None = None,
 ):
     """Shared index-accelerated scan shape (JSON index / native text
     index): `plans` holds surviving (segment_dir, roaring-serialized
     docId allowlist | None-for-full-decode) pairs — pruned segments are
     simply absent — and `residual_expr` is the exact Spark predicate
     that ALWAYS re-applies, so an index can only remove work, never
-    change results. One decode task per surviving segment."""
+    change results. One decode task per surviving segment.
+
+    `predicate_columns`: columns the residual references. Any not in
+    `columns` are decoded as extras and dropped after the filter, so a
+    projection that excludes the predicate column still works (matching
+    read_segments(where=...)'s extra-column handling)."""
+    extras = [
+        c for c in (predicate_columns or []) if columns is not None and c not in columns
+    ]
+    decode_cols = columns if not extras else [*columns, *extras]
     if not plans:
-        return read_segments(spark, [], columns, schema_from=schema_from).filter(
+        df = read_segments(spark, [], decode_cols, schema_from=schema_from).filter(
             residual_expr
         )
-    schema = segment_spark_schema(plans[0][0], columns)
+        return df.drop(*extras) if extras else df
+    schema = segment_spark_schema(plans[0][0], decode_cols)
     paths = spark.createDataFrame(
         plans, "__segment_path string, __docids binary"
     ).repartition(len(plans))
@@ -1756,9 +1767,10 @@ def read_segments_allowlist(
         for pdf in batches:
             for p, db in zip(pdf["__segment_path"], pdf["__docids"]):
                 ids = None if db is None else roaring_deserialize(bytes(db))
-                yield read_segment_pandas(p, columns, doc_ids=ids)
+                yield read_segment_pandas(p, decode_cols, doc_ids=ids)
 
-    return paths.mapInPandas(decode, schema=schema).filter(residual_expr)
+    out = paths.mapInPandas(decode, schema=schema).filter(residual_expr)
+    return out.drop(*extras) if extras else out
 
 
 # ---------------------------------------------------------------------------
@@ -1949,6 +1961,14 @@ def write_segment_pandas(
                 data_type = _elem_type(flat)
             if raw_columns and col in raw_columns:
                 # raw (noDictionary) MV forward index
+                if (raw_writer_versions or {}).get(col, 3) >= 4:
+                    # VarByteChunkForwardIndexWriterV4 MV layout is not
+                    # implemented — fail loudly instead of silently
+                    # writing a v3 container (round-6 advice)
+                    raise UnsupportedSegmentError(
+                        f"raw MV column {col!r}: writer version 4 is not "
+                        "implemented for MV forward indexes (v3 only)"
+                    )
                 if data_type == "STRING":
                     cells = [[str(x) for x in a] for a in ser]
                     entry_len = max(

@@ -18,6 +18,7 @@ Spark SQL bodies, innermost-first, so nesting like
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -1001,8 +1002,10 @@ class HurricaneSQL:
                 read_segments_json_match,
             )
 
-            self._jm_view_seq = getattr(self, "_jm_view_seq", 0) + 1
-            uniq = f"__jm_accel_{id(self):x}_{self._jm_view_seq}"
+            # uuid view name: collision-free across the threaded query
+            # server's concurrent sql() calls without shared mutable
+            # state (round-6 advice — a shared counter raced)
+            uniq = f"__jm_accel_{uuid.uuid4().hex}"
             read_segments_json_match(
                 self.spark, segs, col, cond, columns
             ).createOrReplaceTempView(uniq)

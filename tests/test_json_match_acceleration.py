@@ -267,3 +267,20 @@ def test_object_path_not_null_equivalence_end_to_end(spark, tmp_path):
     got = sorted(r["id"] for r in fast.collect())
     want = sorted(r["id"] for r in slow.collect())
     assert got == want == [1, 3, 5]
+
+
+def test_projection_excluding_predicate_column(spark, store):
+    # columns=["id"] excludes "props": the predicate column is decoded as
+    # an extra and dropped after the residual (round-6 advice), matching
+    # read_segments(where=...)'s extra-column handling
+    cond = '"$.tag" = \'alpha\''
+    fast = ji.read_segments_json_match(spark, store, "props", cond, columns=["id"])
+    assert fast.columns == ["id"]
+    slow = (
+        ps.read_segments(spark, store)
+        .filter(F.expr(translate_json_match("props", cond)))
+        .select("id")
+    )
+    assert sorted(r["id"] for r in fast.collect()) == sorted(
+        r["id"] for r in slow.collect()
+    )

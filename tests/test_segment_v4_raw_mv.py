@@ -200,3 +200,16 @@ def test_export_segments_writer_options_distributed(spark, sf_dir, tmp_path):
         back.agg(F.sum("n_chars")).collect()[0][0]
         == docs.agg(F.sum("n_chars")).collect()[0][0]
     )
+
+
+def test_raw_mv_v4_writer_version_rejected(tmp_path):
+    # V4 MV layout is unimplemented: requesting it must fail loudly, not
+    # silently write a v3 container (round-6 advice)
+    cells = [np.array(["a", "bb"]), np.array(["c"])]
+    with pytest.raises(ps.UnsupportedSegmentError, match="version 4"):
+        ps.write_segment_pandas(
+            pd.DataFrame({"mv": cells}),
+            str(tmp_path / "v4mv"),
+            raw_columns={"mv": "LZ4"},
+            raw_writer_versions={"mv": 4},
+        )
