@@ -82,7 +82,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_fn_array",
     # gapfill
     "q_gapfill_daily",
-    "q_gapfill_aggregate",
     # upsert / stream dedup / hybrid
     "q_upsert_latest",
     "q_partial_upsert",
@@ -100,11 +99,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_contamination_ngram",
     # sketches
     "q_theta_sketch_distinct",
-    "q_theta_sketch_setops",
     # aggregate extras
     "q_percentile_exact",
     "q_mode",
-    "q_bool_aggregates",
     "q_idset_collect",
     # MV semantics
     "q_mv_distinct_aggregates",
@@ -121,8 +118,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ingestion_transform_chain",
     # text / json match
     "q_text_match_lucene",
-    "q_text_match_slop",
     "q_json_match_filter",
+    # segment binary indexes (round 6/7): native text index, FST regexp
+    # pushdown, star-tree binary store + transparent SQL redirect
+    "q_segment_text_index_scan",
+    "q_segment_fst_regexp",
+    "q_startree_binary_agg",
+    "q_startree_sql_redirect",
     # CLP logs
     "q_clp_encode",
     # sampling

@@ -443,6 +443,66 @@ def q_segment_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_startree_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Seal orders as a native v3 segment carrying a star-tree on
+    (o_orderpriority, o_orderstatus) with count + exact integer-cents
+    sum/min/max pairs; cached per sf_dir under /tmp. Shared by the
+    binary-interop query and the SQL-redirect gate query."""
+    import os
+
+    import numpy as np
+
+    from hurricanedb_spark.sources import pinot_segment as ps
+    from hurricanedb_spark.sources import startree_v2 as st
+
+    base = os.path.join(
+        "/tmp/hurricanedb_segments",
+        os.path.basename(os.path.normpath(sf_dir)) + "_orders_startree",
+    )
+    seg = os.path.join(base, "orders_st")
+    marker = os.path.join(base, "_written_v2")
+    if not os.path.isfile(marker):
+        od = load_table(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderstatus", "o_totalprice"
+        )
+        # driver-side build is the interop PROOF at gate SF only; the
+        # scale path is per-segment write_star_trees inside the export
+        # tasks (trees are per-segment artifacts in the reference too)
+        n_rows = od.count()
+        if n_rows > 5_000_000:
+            raise RuntimeError(
+                f"orders star-tree store: {n_rows} rows — build star-trees "
+                "per segment via export_segments + write_star_trees, not "
+                "a whole-table driver collect"
+            )
+        pdf = od.toPandas()
+        pdf["cents"] = np.floor(pdf["o_totalprice"] * 100 + 0.5).astype(np.int64)
+        pdf = pdf.drop(columns="o_totalprice")
+        import shutil
+
+        shutil.rmtree(seg, ignore_errors=True)
+        ps.write_segment_pandas(pdf, seg)
+        st.write_star_trees(
+            seg,
+            pdf,
+            [
+                st.StarTreeSpec(
+                    split_order=["o_orderpriority", "o_orderstatus"],
+                    function_column_pairs=[
+                        "count__*",
+                        "sum__cents",
+                        "min__cents",
+                        "max__cents",
+                    ],
+                    max_leaf_records=1,
+                )
+            ],
+        )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    return base, seg
+
+
 @register(
     "q_startree_binary_agg",
     oracle="""
@@ -463,50 +523,10 @@ def q_segment_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sources", "segment-format", "startree"),
 )
 def q_startree_binary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    import numpy as np
-
     from hurricanedb_spark.sources import pinot_segment as ps
     from hurricanedb_spark.sources import startree_v2 as st
 
-    base = os.path.join(
-        "/tmp/hurricanedb_segments",
-        os.path.basename(os.path.normpath(sf_dir)) + "_orders_startree",
-    )
-    seg = os.path.join(base, "orders_st")
-    marker = os.path.join(base, "_written")
-    if not os.path.isfile(marker):
-        od = load_table(spark, sf_dir, "orders").select(
-            "o_orderpriority", "o_orderstatus", "o_totalprice"
-        )
-        # driver-side build is the interop PROOF at gate SF only; the
-        # scale path is per-segment write_star_trees inside the export
-        # tasks (trees are per-segment artifacts in the reference too)
-        n_rows = od.count()
-        if n_rows > 5_000_000:
-            raise RuntimeError(
-                f"q_startree_binary_agg: {n_rows} rows — build star-trees "
-                "per segment via export_segments + write_star_trees, not "
-                "a whole-table driver collect"
-            )
-        pdf = od.toPandas()
-        pdf["cents"] = np.floor(pdf["o_totalprice"] * 100 + 0.5).astype(np.int64)
-        pdf = pdf.drop(columns="o_totalprice")
-        ps.write_segment_pandas(pdf, seg)
-        st.write_star_trees(
-            seg,
-            pdf,
-            [
-                st.StarTreeSpec(
-                    split_order=["o_orderpriority", "o_orderstatus"],
-                    function_column_pairs=["count__*", "sum__cents"],
-                    max_leaf_records=1,
-                )
-            ],
-        )
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
+    base, seg = _orders_startree_store(spark, sf_dir)
     out = st.star_tree_aggregate(
         seg,
         ["o_orderpriority", "o_orderstatus"],
@@ -524,6 +544,58 @@ def q_startree_binary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out[["o_orderpriority", "o_orderstatus", "n", "sum_cents"]]
     )
+
+
+@register(
+    "q_startree_sql_redirect",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Transparent star-tree redirect in the SQL path "
+    "(StarTreeUtils.java:144 isFitForStarTree + AggregationPlanNode "
+    "analog, sql/dialect.py:_star_tree_rewrite): orders is sealed as a "
+    "native segment with a serialized star-tree, registered via "
+    "register_segment_table, and plain Pinot SQL is answered from the "
+    "TREE's pre-aggregated records — the query raises if the redirect "
+    "did not fire, so this row proves the rewrite, not just the result. "
+    "The oracle aggregates the raw parquet, proving tree-path results "
+    "identical to a scan.",
+    tags=("sources", "segment-format", "startree", "dialect"),
+)
+def q_startree_sql_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    base, _seg = _orders_startree_store(spark, sf_dir)
+    hq = HurricaneSQL(spark)
+    hq.register_segment_table("orders_startree_sql", base)
+    df = hq.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(cents) AS sum_cents,
+               MAX(cents) AS max_cents
+        FROM orders_startree_sql
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        LIMIT 100
+        """
+    )
+    if hq.last_star_tree_redirect is None:
+        raise RuntimeError(
+            "star-tree redirect did not fire — gate row would silently "
+            "test the scan path"
+        )
+    return df
 
 
 @register(

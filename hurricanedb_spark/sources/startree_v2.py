@@ -499,6 +499,29 @@ def star_tree_aggregate(
             return pd.DataFrame(columns=[*group_by, *metrics])
         filt[col] = ids
 
+    collected = _collect_docs(tree, records, want, filt)
+    sub = records.iloc[collected]
+    gb = sub.groupby(group_by, as_index=False) if group_by else sub
+    aggs = {
+        m: {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
+            m.partition("__")[0]
+        ]
+        for m in metrics
+    }
+    if group_by:
+        return gb.agg(aggs).reset_index(drop=True)
+    return pd.DataFrame([{m: sub[m].agg(a) for m, a in aggs.items()}])
+
+
+def _collect_docs(
+    tree: LoadedTree, records, want: set[str], filt: dict[str, set[int]]
+) -> list[int]:
+    """Tree traversal core: filtered dims follow matching value
+    children, grouped dims fan out, everything else takes the star
+    child; leaves scan their record range with the residual dictId
+    filter. Returns sorted record indices whose union is exactly the
+    (pre-aggregated) answer set — disjoint ranges by construction."""
+    dims = tree.dims
     collected: list[int] = []
 
     def descend(node_id: int, level: int):
@@ -542,16 +565,226 @@ def star_tree_aggregate(
             descend(cid, level + 1)
 
     descend(0, 0)
-    sub = records.iloc[sorted(set(collected))]
-    gb = sub.groupby(group_by, as_index=False) if group_by else sub
+    return sorted(set(collected))
+
+
+
+
+# ---------------------------------------------------------------------------
+# SQL redirect support: per-segment fit check + distributed pre-agg scan
+
+
+def pair_out_col(pair: str) -> str:
+    """Output column name for a function-column pair in the accelerated
+    pre-agg frame: count__* -> __st_count_star, sum__x -> __st_sum_x."""
+    fn, col = _parse_pair(pair)
+    return f"__st_{fn}_star" if col == "*" else f"__st_{fn}_{col}"
+
+
+def fitting_tree_id(
+    segment_dir: str,
+    group_cols: list[str],
+    pairs: list[str],
+    filter_cols: list[str],
+) -> int | None:
+    """The reference's isFitForStarTree check
+    (pinot-core/.../startree/StarTreeUtils.java:144): a tree fits when
+    every group-by and predicate dimension is in its split order and
+    every aggregation is among its function-column pairs. Additionally
+    (reader-side soundness): no involved column may carry a null-value
+    vector — the tree was built from stored (default-filled) values
+    while the scan path restores NULLs, so such segments must take the
+    scan fallback for exact SQL null semantics. Returns the first
+    fitting tree id or None."""
+    from hurricanedb_spark.sources.pinot_segment import read_segment_metadata
+
+    meta = read_segment_metadata(segment_dir)
+    props = meta.props
+    count = int((props.get("startree.v2.count") or ["0"])[0])
+    if not count:
+        return None
+    metric_cols = [c for _, c in (_parse_pair(p) for p in pairs) if c != "*"]
+    for col in {*group_cols, *filter_cols, *metric_cols}:
+        if col not in meta.columns:
+            return None
+        if (col, "nullvalue_vector") in meta.index_map:
+            return None
+        if col in metric_cols and meta.columns[col].data_type not in (
+            "INT",
+            "LONG",
+            "FLOAT",
+            "DOUBLE",
+        ):
+            return None
+    need_dims = set(group_cols) | set(filter_cols)
+    for tid in range(count):
+        split = props[f"startree.v2.{tid}.split.order"][0].split(",")
+        fps = set(props[f"startree.v2.{tid}.function.column.pairs"][0].split(","))
+        if need_dims <= set(split) and set(pairs) <= fps:
+            return tid
+    return None
+
+
+def _segment_dictionary(segment_dir: str, col: str) -> list:
+    from hurricanedb_spark.sources.pinot_segment import (
+        _decode_dictionary,
+        _index_buffer,
+        _read_psf,
+        read_segment_metadata,
+    )
+
+    meta = read_segment_metadata(segment_dir)
+    psf = _read_psf(meta)
+    return list(
+        _decode_dictionary(_index_buffer(meta, psf, col, "dictionary"), meta.columns[col])
+    )
+
+
+def star_tree_visit_pandas(
+    segment_dir: str,
+    tree_id: int,
+    key_cols: list[str],
+    pairs: list[str],
+    conjuncts: list[tuple[str, tuple]] | None = None,
+):
+    """Traverse one segment's star-tree and return its contribution as
+    a pre-aggregated pandas frame: decoded key columns (group-by +
+    predicate dims — always concrete values, never the star
+    placeholder, because wanted dims fan out over value children) plus
+    one metric column per pair (pair_out_col names). `conjuncts` are
+    (col, values) equality/IN filters used for PRUNING only — the SQL
+    residual re-applies them on the returned keys, so missing a value
+    here can only cost work, never rows."""
+    import pandas as pd
+
+    tree, records, _spec = load_star_tree(segment_dir, tree_id)
+    want = set(key_cols)
+    filt: dict[str, set[int]] = {}
+    for col, values in conjuncts or []:
+        dvals = _segment_dictionary(segment_dir, col)
+        ids = {dvals.index(v) for v in values if v in dvals}
+        if not ids:  # no dictionary hit: the segment contributes nothing
+            return pd.DataFrame(
+                columns=[*key_cols, *[pair_out_col(p) for p in pairs]]
+            )
+        filt[col] = ids
+    sub = records.iloc[_collect_docs(tree, records, want, filt)]
     aggs = {
-        m: {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
-            m.partition("__")[0]
+        p: {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
+            _parse_pair(p)[0]
         ]
-        for m in metrics
+        for p in pairs
     }
-    if group_by:
-        return gb.agg(aggs).reset_index(drop=True)
-    return pd.DataFrame([{m: sub[m].agg(a) for m, a in aggs.items()}])
+    if key_cols:
+        out = sub.groupby(key_cols, as_index=False, sort=False).agg(aggs)
+    else:
+        out = pd.DataFrame([{p: sub[p].agg(a) for p, a in aggs.items()}])
+    for col in key_cols:  # dictIds -> values via the column dictionary
+        lut = _segment_dictionary(segment_dir, col)
+        out[col] = out[col].map(lambda i: lut[i])
+    return out.rename(columns={p: pair_out_col(p) for p in pairs})[
+        [*key_cols, *[pair_out_col(p) for p in pairs]]
+    ]
 
 
+def _segment_prearg_fallback_pandas(
+    segment_dir: str,
+    key_cols: list[str],
+    pairs: list[str],
+    conjuncts: list[tuple[str, tuple]] | None = None,
+):
+    """Raw-scan fallback for a segment without a fitting tree: decode
+    the needed columns, apply the equality/IN conjuncts, and emit the
+    SAME pre-agg frame shape the tree path emits (count -> 1 per doc,
+    sum/min/max -> the doc value), so the union re-aggregates exactly.
+    Mirrors the reference's per-segment plan choice: each segment
+    independently answers from its tree or scans
+    (AggregationPlanNode.java)."""
+    import numpy as np
+    import pandas as pd
+
+    from hurricanedb_spark.sources.pinot_segment import read_segment_pandas
+
+    parsed = [_parse_pair(p) for p in pairs]
+    metric_cols = [c for _, c in parsed if c != "*"]
+    base_cols = list(dict.fromkeys([*key_cols, *metric_cols]))
+    pdf = read_segment_pandas(segment_dir, base_cols or None)
+    mask = pd.Series(True, index=pdf.index)
+    for col, values in conjuncts or []:
+        mask &= pdf[col].isin(values)
+    pdf = pdf[mask]
+    out = pdf[key_cols].copy() if key_cols else pd.DataFrame(index=pdf.index)
+    for (fn, col), pair in zip(parsed, pairs):
+        name = pair_out_col(pair)
+        if fn == "count":
+            out[name] = np.int64(1)
+        else:
+            src = pdf[col]
+            out[name] = (
+                src.astype(np.int64)
+                if src.dtype.kind in "iu"
+                else src.astype(np.float64)
+            )
+    aggs = {
+        pair_out_col(p): {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
+            _parse_pair(p)[0]
+        ]
+        for p in pairs
+    }
+    if key_cols:
+        return out.groupby(key_cols, as_index=False, sort=False).agg(aggs)
+    if not len(out):
+        return out.iloc[0:0]
+    return pd.DataFrame([{k: out[k].agg(a) for k, a in aggs.items()}])
+
+
+def read_segments_star_tree(
+    spark,
+    segment_dirs: list[str],
+    key_cols: list[str],
+    pairs: list[str],
+    conjuncts: list[tuple[str, tuple]] | None = None,
+):
+    """Distributed star-tree pre-agg scan over a segment store: one
+    task per segment; each task answers from its segment's FITTING tree
+    (fitting_tree_id) or falls back to a raw scan of that segment —
+    both emit the same (key columns + __st_* metric columns) pre-agg
+    shape, and Spark's partial/final HashAggregate re-aggregates the
+    union. This is the scale shape: tree records are tiny
+    (pre-aggregated), the union never materializes on the driver, and
+    the final group-by shuffles only pre-aggregated rows."""
+    from hurricanedb_spark.sources.pinot_segment import (
+        read_segment_metadata,
+        segment_spark_schema,
+    )
+
+    meta0 = read_segment_metadata(segment_dirs[0])
+    parts = []
+    if key_cols:
+        parts = [segment_spark_schema(segment_dirs[0], key_cols)]
+    for p in pairs:
+        fn, col = _parse_pair(p)
+        if fn == "count" or (
+            col in meta0.columns and meta0.columns[col].data_type in ("INT", "LONG")
+        ):
+            t = "bigint"
+        else:
+            t = "double"
+        parts.append(f"`{pair_out_col(p)}` {t}")
+    schema = ", ".join(parts)
+    paths = spark.createDataFrame(
+        [(p,) for p in segment_dirs], "__segment_path string"
+    ).repartition(len(segment_dirs))
+
+    def scan(batches):
+        for pdf in batches:
+            for seg in pdf["__segment_path"]:
+                tid = fitting_tree_id(seg, key_cols, pairs, [])
+                if tid is not None:
+                    yield star_tree_visit_pandas(seg, tid, key_cols, pairs, conjuncts)
+                else:
+                    yield _segment_prearg_fallback_pandas(
+                        seg, key_cols, pairs, conjuncts
+                    )
+
+    return paths.mapInPandas(scan, schema=schema)

@@ -1017,6 +1017,222 @@ class HurricaneSQL:
             return rewritten, cleanup
         return noop
 
+    # -- transparent star-tree redirect -----------------------------------
+    # Restricted-shape parser: the redirect fires ONLY on queries it can
+    # prove equivalent; everything else scans. Mirrors the reference's
+    # plan-time choice (AggregationPlanNode + StarTreeUtils.isFitForStarTree,
+    # pinot-core/.../startree/StarTreeUtils.java:144).
+    _ST_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    _ST_AGG = re.compile(
+        r"^(SUM|COUNT|MIN|MAX)\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+        r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$",
+        re.IGNORECASE,
+    )
+    _ST_LITERAL = re.compile(r"^(?:'(?:[^']|'')*'|-?\d+(?:\.\d+)?)$")
+
+    @staticmethod
+    def _st_parse_literal(tok: str):
+        tok = tok.strip()
+        if tok.startswith("'"):
+            return tok[1:-1].replace("''", "'")
+        return float(tok) if "." in tok else int(tok)
+
+    def _st_parse_shape(self, query: str):
+        """Parse the star-tree-eligible query shape:
+        SELECT {dim | AGG(col) AS alias}... FROM t [WHERE =/IN AND-chain]
+        GROUP BY dims [ORDER BY dims/aliases] [LIMIT n]. Returns a dict
+        of pieces or None (None => leave the scan plan alone)."""
+        q = query.strip().rstrip(";")
+        if re.search(
+            r"\bJOIN\b|\bHAVING\b|\bDISTINCT\b|\bUNION\b|\bWITH\b|\bOR\b|\bNOT\b",
+            q,
+            re.IGNORECASE,
+        ):
+            return None
+        m = re.match(
+            r"SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<tbl>[A-Za-z_][A-Za-z0-9_]*)"
+            r"(?P<rest>\s.*)?$",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return None
+        sel, tbl, rest = m.group("sel"), m.group("tbl"), m.group("rest") or ""
+        rm = re.match(
+            r"\s*(?:WHERE\s+(?P<w>.*?)\s*)?"
+            r"(?:GROUP\s+BY\s+(?P<g>[A-Za-z0-9_,\s]+?)\s*)?"
+            r"(?P<tail>(?:ORDER\s+BY|LIMIT)\b[A-Za-z0-9_,\s]*)?$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not rm:
+            return None
+        group_cols = [
+            c.strip() for c in (rm.group("g") or "").split(",") if c.strip()
+        ]
+        if not all(self._ST_IDENT.match(c) for c in group_cols):
+            return None
+        tail = (rm.group("tail") or "").strip()
+        if tail and not re.fullmatch(
+            r"(?:ORDER\s+BY\s+[A-Za-z0-9_\s,]+?)?\s*(?:LIMIT\s+\d+)?",
+            tail,
+            re.IGNORECASE,
+        ):
+            return None
+        items = []  # (kind, payload) per select item, in output order
+        pairs: list[str] = []
+        for raw in sel.split(","):
+            item = raw.strip()
+            if self._ST_IDENT.match(item):
+                if item not in group_cols:
+                    return None
+                items.append(("dim", item))
+                continue
+            am = self._ST_AGG.match(item)
+            if not am:
+                return None
+            fn, arg, alias = am.group(1).lower(), am.group(2), am.group(3)
+            if arg == "*":
+                if fn != "count":
+                    return None
+            elif fn == "count":
+                return None  # COUNT(col) has null semantics a tree can't prove
+            pair = f"{fn}__{arg}"
+            pairs.append(pair)
+            items.append(("agg", (pair, alias)))
+        if not pairs:
+            return None
+        conjuncts: list[tuple[str, tuple]] = []
+        where_txt = (rm.group("w") or "").strip()
+        if where_txt:
+            for part in re.split(r"\bAND\b", where_txt, flags=re.IGNORECASE):
+                part = part.strip()
+                em = re.match(
+                    r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", part, re.DOTALL
+                )
+                im = re.match(
+                    r"^([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\(([^()]+)\)$",
+                    part,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if em and self._ST_LITERAL.match(em.group(2).strip()):
+                    conjuncts.append(
+                        (em.group(1), (self._st_parse_literal(em.group(2)),))
+                    )
+                elif im:
+                    toks = [t.strip() for t in im.group(2).split(",")]
+                    if not all(self._ST_LITERAL.match(t) for t in toks):
+                        return None
+                    conjuncts.append(
+                        (im.group(1), tuple(self._st_parse_literal(t) for t in toks))
+                    )
+                else:
+                    return None
+        return {
+            "table": tbl,
+            "items": items,
+            "pairs": pairs,
+            "group_cols": group_cols,
+            "conjuncts": conjuncts,
+            "where_txt": where_txt,
+            "tail": tail,
+        }
+
+    def _star_tree_rewrite(self, query: str):
+        """Transparent star-tree access path: when a fitting aggregation
+        (shape above) targets a segment-backed table whose segments
+        carry serialized star-trees, rebind the table to a pre-agg view
+        fed by read_segments_star_tree — per segment, the fitting tree's
+        records or a raw-scan fallback — and rewrite each aggregate to
+        re-aggregate the pre-agg metric (SUM(x)->SUM(__st_sum_x),
+        COUNT(*)->SUM(__st_count_star), MIN/MAX likewise). The WHERE
+        clause re-applies verbatim on the view (dims survive decode), so
+        tree pruning can only skip work, never change results; any
+        involved column carrying a null-value vector in ANY segment
+        disables the redirect entirely (the tree pre-aggregated
+        default-filled values; exact NULL semantics need the scan).
+
+        Returns (query, cleanup, info|None); info feeds
+        last_star_tree_redirect for observability/tests."""
+        noop = (query, lambda: None, None)
+        if not self._segment_tables:
+            return noop
+        shape = self._st_parse_shape(query)
+        if not shape:
+            return noop
+        entry = self._segment_tables.get(shape["table"])
+        if not entry:
+            return noop
+        segs, _columns = entry
+        from hurricanedb_spark.sources import startree_v2 as st
+        from hurricanedb_spark.sources.pinot_segment import (
+            read_segment_metadata,
+        )
+
+        filter_cols = [c for c, _ in shape["conjuncts"]]
+        metric_cols = [
+            p.partition("__")[2] for p in shape["pairs"] if not p.endswith("__*")
+        ]
+        involved = {*shape["group_cols"], *filter_cols, *metric_cols}
+        n_fit = 0
+        for seg in segs:
+            try:
+                meta = read_segment_metadata(seg)
+            except Exception:  # noqa: BLE001 — unreadable: no redirect
+                return noop
+            for col in involved:
+                if col not in meta.columns:
+                    return noop
+                if (col, "nullvalue_vector") in meta.index_map:
+                    return noop  # NULL semantics: scan path only
+            if (
+                st.fitting_tree_id(
+                    seg, shape["group_cols"], shape["pairs"], filter_cols
+                )
+                is not None
+            ):
+                n_fit += 1
+        if n_fit == 0:
+            return noop
+        key_cols = list(dict.fromkeys([*shape["group_cols"], *filter_cols]))
+        uniq = f"__st_accel_{uuid.uuid4().hex}"
+        st.read_segments_star_tree(
+            self.spark, segs, key_cols, shape["pairs"], shape["conjuncts"]
+        ).createOrReplaceTempView(uniq)
+        out_items = []
+        for kind, payload in shape["items"]:
+            if kind == "dim":
+                out_items.append(payload)
+                continue
+            pair, alias = payload
+            fn = pair.partition("__")[0]
+            src = st.pair_out_col(pair)
+            if fn == "count":
+                out_items.append(f"COALESCE(SUM(`{src}`), 0) AS {alias}")
+            elif fn == "sum":
+                out_items.append(f"SUM(`{src}`) AS {alias}")
+            else:
+                out_items.append(f"{fn.upper()}(`{src}`) AS {alias}")
+        parts = [f"SELECT {', '.join(out_items)} FROM {uniq}"]
+        if shape["where_txt"]:
+            parts.append(f"WHERE {shape['where_txt']}")
+        if shape["group_cols"]:
+            parts.append(f"GROUP BY {', '.join(shape['group_cols'])}")
+        if shape["tail"]:
+            parts.append(shape["tail"])
+        rewritten = " ".join(parts)
+
+        def cleanup(uniq=uniq):
+            self.spark.catalog.dropTempView(uniq)
+
+        info = {
+            "view": uniq,
+            "pairs": shape["pairs"],
+            "segments_tree": n_fit,
+            "segments_scan": len(segs) - n_fit,
+        }
+        return rewritten, cleanup, info
+
     def sql(self, query: str, default_limit: int | None = 10) -> DataFrame:
         query, opts = extract_query_options(query)
         # Option semantics (CommonConstants.java Request.QueryOptionKey):
@@ -1036,6 +1252,8 @@ class HurricaneSQL:
             query = _EXPLAIN_RE.sub("", query)
         q = rewrite_mv_percentile_bounded(query)
         q, drop_accel_view = self._json_match_rewrite(q)
+        q, drop_st_view, st_info = self._star_tree_rewrite(q)
+        self.last_star_tree_redirect = st_info
         q = rewrite_json_match(q)
         q = rewrite_functions(q)
         if default_limit is not None and not explain and not explain_impl:
@@ -1047,6 +1265,7 @@ class HurricaneSQL:
             df = self.spark.sql(q)
         finally:
             drop_accel_view()
+            drop_st_view()
         if explain_impl:
             return self.spark.createDataFrame(
                 [(explain_implementation_plan(df),)], "plan string"

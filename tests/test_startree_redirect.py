@@ -1,0 +1,165 @@
+"""Transparent star-tree redirect in the SQL path (round-7 item 1).
+
+The reference redirects fitting aggregations to the star-tree at plan
+time (pinot-core/.../startree/StarTreeUtils.java:144 isFitForStarTree,
+plan/AggregationPlanNode.java, StarTreeFilterOperator.java:63-82). Here
+`HurricaneSQL.sql()` rebinds a fitting aggregate over a segment-backed
+table to a pre-agg view fed by per-segment tree traversal
+(sources/startree_v2.py:read_segments_star_tree), with a raw-scan
+fallback per segment and a fall-back-to-scan default for every shape it
+cannot prove equivalent. Every test asserts EXACT equality with the
+plain scan path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hurricanedb_spark.sources import pinot_segment as ps
+from hurricanedb_spark.sources import startree_v2 as st
+from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+SPEC = st.StarTreeSpec(
+    split_order=["city", "status"],
+    function_column_pairs=["count__*", "sum__cents", "min__cents", "max__cents"],
+    max_leaf_records=2,
+)
+
+
+def _seg_frame(rng, n=400):
+    return pd.DataFrame(
+        {
+            "city": rng.choice(["nyc", "sf", "la", "chi"], n),
+            "status": rng.choice(["A", "B", "C"], n),
+            "cents": rng.integers(0, 10_000, n).astype(np.int64),
+            "other": rng.integers(0, 5, n).astype(np.int64),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    """Three segments; segment 2 carries NO star-tree (per-segment
+    scan-fallback path)."""
+    base = tmp_path_factory.mktemp("st_store")
+    rng = np.random.default_rng(11)
+    for si in range(3):
+        pdf = _seg_frame(rng)
+        seg = str(base / f"seg_{si}")
+        ps.write_segment_pandas(pdf, seg)
+        if si != 2:
+            st.write_star_trees(seg, pdf, [SPEC])
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def hq(spark, store):
+    h = HurricaneSQL(spark)
+    h.register_segment_table("st_metrics", store)
+    return h
+
+
+REDIRECTED = [
+    "SELECT city, status, COUNT(*) AS n, SUM(cents) AS s, MIN(cents) AS mn, "
+    "MAX(cents) AS mx FROM st_metrics GROUP BY city, status "
+    "ORDER BY city, status LIMIT 100",
+    "SELECT city, SUM(cents) AS s FROM st_metrics WHERE status = 'A' "
+    "GROUP BY city ORDER BY city LIMIT 100",
+    "SELECT status, COUNT(*) AS n FROM st_metrics "
+    "WHERE city IN ('nyc', 'sf') AND status = 'B' GROUP BY status LIMIT 100",
+    "SELECT COUNT(*) AS n, SUM(cents) AS s FROM st_metrics WHERE city = 'la'",
+    "SELECT COUNT(*) AS n FROM st_metrics WHERE city = 'nowhere'",  # empty
+]
+
+
+@pytest.mark.parametrize("q", REDIRECTED)
+def test_redirect_equals_scan_path(spark, hq, q):
+    fast = [tuple(r) for r in hq.sql(q).collect()]
+    assert hq.last_star_tree_redirect is not None, "redirect did not fire"
+    assert hq.last_star_tree_redirect["segments_tree"] == 2
+    assert hq.last_star_tree_redirect["segments_scan"] == 1
+    slow = [tuple(r) for r in spark.sql(q).collect()]
+    key = lambda rows: sorted(rows, key=str)  # noqa: E731
+    assert key(fast) == key(slow)
+
+
+UNFIT = [
+    # AVG is not a function-column pair
+    "SELECT city, AVG(cents) AS a FROM st_metrics GROUP BY city LIMIT 100",
+    # COUNT(col): NULL semantics a tree cannot prove
+    "SELECT city, COUNT(cents) AS n FROM st_metrics GROUP BY city LIMIT 100",
+    # group-by dim outside the split order
+    "SELECT other, SUM(cents) AS s FROM st_metrics GROUP BY other LIMIT 100",
+    # predicate column outside the split order
+    "SELECT city, SUM(cents) AS s FROM st_metrics WHERE other = 3 "
+    "GROUP BY city LIMIT 100",
+    # range predicate: tree answers =/IN only
+    "SELECT city, SUM(cents) AS s FROM st_metrics WHERE cents > 100 "
+    "GROUP BY city LIMIT 100",
+    # OR / HAVING / unaliased aggregate: shape parser refuses
+    "SELECT city, SUM(cents) AS s FROM st_metrics "
+    "WHERE status = 'A' OR status = 'B' GROUP BY city LIMIT 100",
+    "SELECT city, SUM(cents) AS s FROM st_metrics GROUP BY city "
+    "HAVING SUM(cents) > 0 LIMIT 100",
+    "SELECT city, SUM(cents) FROM st_metrics GROUP BY city LIMIT 100",
+]
+
+
+@pytest.mark.parametrize("q", UNFIT)
+def test_unfit_shapes_fall_back_to_scan(spark, hq, q):
+    fast = [tuple(r) for r in hq.sql(q).collect()]
+    assert hq.last_star_tree_redirect is None
+    slow = [tuple(r) for r in spark.sql(q).collect()]
+    assert sorted(fast, key=str) == sorted(slow, key=str)
+
+
+def test_redirect_plan_reads_tree_not_parquet(hq):
+    df = hq.sql(
+        "SELECT city, SUM(cents) AS s FROM st_metrics GROUP BY city LIMIT 100"
+    )
+    assert hq.last_star_tree_redirect is not None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the accelerated source is the mapInPandas pre-agg scan, not the
+    # shared segment view's decode
+    assert "MapInPandas" in plan
+
+
+def test_tree_records_are_preaggregated(store):
+    # the tree path ships pre-aggregated records: for a full group-by it
+    # visits at most one record per (city, status) combination, never
+    # the 400 raw docs
+    seg = f"{store}/seg_0"
+    tid = st.fitting_tree_id(seg, ["city", "status"], ["count__*"], [])
+    assert tid is not None
+    out = st.star_tree_visit_pandas(seg, tid, ["city", "status"], ["count__*"])
+    assert len(out) <= 12  # 4 cities x 3 statuses
+    assert out["__st_count_star"].sum() == 400
+
+
+def test_null_vector_disables_redirect(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    pdf = _seg_frame(rng, 100)
+    pdf.loc[::7, "cents"] = None  # null-value vector on the metric column
+    seg = str(tmp_path / "null_seg")
+    ps.write_segment_pandas(pdf, seg)
+    filled = pdf.copy()
+    filled["cents"] = filled["cents"].fillna(ps.NULL_DEFAULTS["LONG"]).astype(np.int64)
+    st.write_star_trees(seg, filled, [SPEC])
+    h = HurricaneSQL(spark)
+    h.register_segment_table("st_nulls", str(tmp_path))
+    q = "SELECT city, SUM(cents) AS s FROM st_nulls GROUP BY city LIMIT 100"
+    fast = [tuple(r) for r in h.sql(q).collect()]
+    assert h.last_star_tree_redirect is None  # exact NULL semantics: scan
+    slow = [tuple(r) for r in spark.sql(q).collect()]
+    assert sorted(fast, key=str) == sorted(slow, key=str)
+
+
+def test_non_segment_table_untouched(spark, hq):
+    spark.createDataFrame(
+        [("x", 1), ("y", 2)], "city string, cents bigint"
+    ).createOrReplaceTempView("plain_tbl")
+    out = hq.sql("SELECT city, SUM(cents) AS s FROM plain_tbl GROUP BY city LIMIT 10")
+    assert hq.last_star_tree_redirect is None
+    assert {tuple(r) for r in out.collect()} == {("x", 1), ("y", 2)}
