@@ -698,6 +698,32 @@ def q_segment_mixed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_text_store(spark: SparkSession, sf_dir: str) -> str:
+    """documents sealed as v3 segments with a .nativetext.idx on text;
+    cached per sf_dir under /tmp. Shared by the TEXT_CONTAINS and
+    dialect-TEXT_MATCH gate queries."""
+    import os
+
+    from hurricanedb_spark.sources import pinot_segment as ps
+
+    base = os.path.join(
+        "/tmp/hurricanedb_segments",
+        os.path.basename(os.path.normpath(sf_dir)) + "_docs_textidx",
+    )
+    marker = os.path.join(base, "_written")
+    if not os.path.isfile(marker):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text", "n_chars"
+        )
+        ps.export_segments(
+            docs.repartition(4), base, text_index_columns=["text"]
+        )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    return base
+
+
+
 @register(
     "q_segment_text_index_scan",
     oracle="""
@@ -726,20 +752,7 @@ def q_segment_text_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hurricanedb_spark.sources import native_text_index as nti
     from hurricanedb_spark.sources import pinot_segment as ps
 
-    base = os.path.join(
-        "/tmp/hurricanedb_segments",
-        os.path.basename(os.path.normpath(sf_dir)) + "_docs_textidx",
-    )
-    marker = os.path.join(base, "_written")
-    if not os.path.isfile(marker):
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "text", "n_chars"
-        )
-        ps.export_segments(
-            docs.repartition(4), base, text_index_columns=["text"]
-        )
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
+    base = _docs_text_store(spark, sf_dir)
     segs = sorted(
         os.path.join(base, d)
         for d in os.listdir(base)
@@ -751,6 +764,57 @@ def q_segment_text_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "q_segment_textmatch_accel",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE contains(text, 'spark') AND contains(text, 'merge')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="TEXT_MATCH boolean query answered through the native text "
+    "index from plain dialect SQL (TextMatchFilterOperator.java + "
+    "NativeTextIndexReader.getDocIds analog, sql/dialect.py:"
+    "_text_match_rewrite -> sources/native_text_index.py:"
+    "read_segments_text_match): the segment store registers as a table, "
+    "TEXT_MATCH(text, 'spark AND merge') prunes via AND-intersected "
+    "postings (substring-superset unions, so 'spark' also reaches "
+    "'sparkly'), and the exact translated residual re-applies. The "
+    "query raises if the rewrite did not fire. The oracle evaluates "
+    "raw-substring containment over the parquet — the translator's "
+    "authoritative TEXT_MATCH term semantics.",
+    tags=("sources", "segment-format", "text", "dialect"),
+)
+def q_segment_textmatch_accel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hurricanedb_spark.sources import pinot_segment as ps
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    base = _docs_text_store(spark, sf_dir)
+    hq = HurricaneSQL(spark)
+    hq.register_segment_table("documents_textidx", base)
+    df = hq.sql(
+        """
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents_textidx
+        WHERE TEXT_MATCH(text, 'spark AND merge')
+        GROUP BY lang
+        ORDER BY lang
+        LIMIT 1000
+        """
+    )
+    if not hq.last_text_match_accel:
+        raise RuntimeError(
+            "TEXT_MATCH rewrite did not fire — gate row would silently "
+            "test the expression path"
+        )
+    return df
 
 
 @register(

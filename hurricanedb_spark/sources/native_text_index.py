@@ -498,3 +498,279 @@ def read_segments_text_contains(
         F.expr(analyzed_contains_expr(col, pattern)),
         predicate_columns=[col],
     )
+
+
+# ---------------------------------------------------------------------------
+# TEXT_MATCH (boolean / phrase) acceleration over segment stores
+
+
+_ALNUM = re.compile(r"^[a-z0-9]+$")
+
+
+def _substring_unsafe(sub: str) -> bool:
+    """A substring that can occur inside a stop word is index-invisible
+    (analyze() drops stop tokens, so a doc whose only occurrence of the
+    substring is in a stop token has no posting) -> must not prune."""
+    return any(sub in w for w in ENGLISH_STOP_WORDS)
+
+
+def _prefix_unsafe(prefix: str) -> bool:
+    return any(w.startswith(prefix) for w in ENGLISH_STOP_WORDS)
+
+
+def _atom_docs(idx: NativeTextIndex, term: str):
+    """docId superset for one Lucene clause, or None = unknown (cannot
+    bound from postings; the caller treats it as 'all docs'). Each case
+    mirrors sql/text_match.py:_term_expr's residual EXACTLY and returns
+    a provable superset of it:
+
+      plain term   residual contains(col, lit) is raw substring match,
+                   so the superset is the union of postings of every
+                   vocabulary token CONTAINING lower(lit) — not just the
+                   exact posting ('spark' must also reach 'sparkly').
+      "a b"        residual contains(col, 'a b'): any raw occurrence
+                   puts each word inside SOME token, so intersect the
+                   per-word substring unions.
+      "a b"~k      residual matches analyzed tokens by EQUALITY, so
+                   intersect exact postings of the non-stop words (the
+                   residual's token array keeps stop words; postings
+                   don't, so stop words are excluded from the
+                   intersection, which can only widen the superset).
+      term*        residual is a word-boundary regex: prefix-subtree
+                   union of lower(prefix).
+      te?t / s*k   residual tests each analyzed token against an
+                   anchored wildcard regex: vocabulary scan with the
+                   Python-compiled equivalent (escape + . + .* only, so
+                   the Java/Python dialects provably agree).
+      [a TO b]     residual is a token-range exists(): vocabulary range
+                   union (exact, not just a superset).
+      /re/, x~n    regex may span token boundaries / fuzzy needs edit
+                   distance over the full vocabulary -> None.
+
+    Any clause whose literal can hide inside a stop word returns None:
+    stop tokens have no postings, so pruning on them could drop rows."""
+    import numpy as np
+
+    if not (term.startswith("/") and term.endswith("/")):
+        boost = re.match(r"^(.+?)\^[\d.]+$", term)
+        if boost:
+            term = boost.group(1)
+    if term.startswith('"'):
+        m = re.match(r'^"([^"]*)"(?:~(\d+))?$', term)
+        if not m:
+            return None
+        phrase, slop = m.group(1), m.group(2)
+        words = [w for w in re.split(r"[^a-zA-Z0-9]+", phrase.lower()) if w]
+        if not words:
+            return None
+        if slop is not None and len(words) >= 2:
+            keep = [w for w in words if w not in ENGLISH_STOP_WORDS]
+            if not keep:
+                return None
+            parts = [idx.doc_ids_for_term(w) for w in keep]
+        else:
+            if any(_substring_unsafe(w) for w in words):
+                return None
+            parts = [idx.doc_ids_matching(lambda t, w=w: w in t) for w in words]
+        out = parts[0]
+        for p in parts[1:]:
+            out = np.intersect1d(out, p)
+        return out
+    if term.startswith("/") and term.endswith("/"):
+        return None
+    if re.match(r"^([^~\s]+)~(\d*)$", term):
+        return None  # fuzzy: scan
+    if term.endswith("*") and "*" not in term[:-1] and "?" not in term:
+        prefix = term[:-1].lower()
+        if not _ALNUM.match(prefix) or _prefix_unsafe(prefix):
+            return None
+        return idx.doc_ids_with_prefix(prefix)
+    if "*" in term or "?" in term:
+        body = term.lower()
+        if not _ALNUM.match(body.replace("*", "").replace("?", "")):
+            return None
+        rx = re.compile(
+            "^"
+            + "".join(
+                ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in body
+            )
+            + "$"
+        )
+        # wildcard equality over analyzed tokens can still land on a stop
+        # word in the residual's (stopword-keeping) token array
+        if any(rx.match(w) for w in ENGLISH_STOP_WORDS):
+            return None
+        return idx.doc_ids_matching(lambda t: bool(rx.match(t)))
+    rm = re.match(r"^[\[{]\s*(\S+)\s+TO\s+(\S+)\s*[\]}]$", term)
+    if rm:
+        lo, hi = rm.group(1).lower(), rm.group(2).lower()
+        lo_op = (lambda t: t >= lo) if term[0] == "[" else (lambda t: t > lo)
+        hi_op = (lambda t: t <= hi) if term[-1] == "]" else (lambda t: t < hi)
+        in_range = lambda t: (lo == "*" or lo_op(t)) and (hi == "*" or hi_op(t))  # noqa: E731
+        if any(in_range(w) for w in ENGLISH_STOP_WORDS):
+            return None
+        return idx.doc_ids_matching(in_range)
+    sub = term.lower()
+    if not _ALNUM.match(sub) or _substring_unsafe(sub):
+        return None
+    return idx.doc_ids_matching(lambda t: sub in t)
+
+
+def text_match_allowlist(idx: NativeTextIndex, lucene_query: str):
+    """Evaluate the boolean structure of a TEXT_MATCH Lucene query
+    against the postings: AND -> intersect, OR -> union, adjacency ->
+    OR, NOT/unknown clauses -> None, with the same operator insertion
+    and SQL precedence as sql/text_match.py:translate_text_match (the
+    residual). Three-valued algebra over (docs | None=unknown):
+    AND(a, None) = a (still a superset of the conjunction),
+    OR(a, None) = None, NOT(_) = None. Returns a docId superset of the
+    residual's matches, or None = decode the whole segment.
+
+    Reference: NativeTextIndexReader.getDocIds +
+    TextMatchFilterOperator.java answer boolean queries from postings
+    the same way."""
+    import numpy as np
+
+    from hurricanedb_spark.sql.text_match import _TOKENIZER
+
+    q = lucene_query.strip()
+    if q.startswith("'") and q.endswith("'"):
+        q = q[1:-1]
+    # token stream with the SAME implicit-operator insertion as the
+    # residual translator (adjacency = OR; operand-then-NOT = AND NOT)
+    items: list[tuple[str, str]] = []
+    pos = 0
+    prev_operand = False
+    while pos < len(q):
+        m = _TOKENIZER.match(q, pos)
+        if not m:
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "lparen":
+            if prev_operand:
+                items.append(("op", "OR"))
+            items.append(("lparen", "("))
+            prev_operand = False
+        elif kind == "rparen":
+            items.append(("rparen", ")"))
+            prev_operand = True
+        elif kind == "and":
+            items.append(("op", "AND"))
+            prev_operand = False
+        elif kind == "or":
+            items.append(("op", "OR"))
+            prev_operand = False
+        elif kind == "not":
+            if prev_operand:
+                items.append(("op", "AND"))
+            items.append(("not", "NOT"))
+            prev_operand = False
+        elif kind == "field":
+            continue
+        else:
+            if prev_operand:
+                items.append(("op", "OR"))
+            items.append(("atom", m.group(0).strip()))
+            prev_operand = True
+
+    def _and(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return np.intersect1d(a, b)
+
+    def _or(a, b):
+        if a is None or b is None:
+            return None
+        return np.union1d(a, b)
+
+    idx_pos = [0]
+
+    def peek():
+        return items[idx_pos[0]] if idx_pos[0] < len(items) else ("end", "")
+
+    def parse_or():
+        left = parse_and()
+        while peek() == ("op", "OR"):
+            idx_pos[0] += 1
+            left = _or(left, parse_and())
+        return left
+
+    def parse_and():
+        left = parse_unary()
+        while peek() == ("op", "AND"):
+            idx_pos[0] += 1
+            left = _and(left, parse_unary())
+        return left
+
+    def parse_unary():
+        kind, _ = peek()
+        if kind == "not":
+            idx_pos[0] += 1
+            parse_unary()  # evaluated only for stream position
+            return None
+        if kind == "lparen":
+            idx_pos[0] += 1
+            inner = parse_or()
+            if peek()[0] == "rparen":
+                idx_pos[0] += 1
+            return inner
+        if kind == "atom":
+            idx_pos[0] += 1
+            return _atom_docs(idx, items[idx_pos[0] - 1][1])
+        idx_pos[0] += 1  # stray token: treat as unknown
+        return None
+
+    if not items:
+        return None
+    out = parse_or()
+    if idx_pos[0] != len(items):
+        return None  # malformed / unparsed tail: never prune
+    return out
+
+
+def read_segments_text_match(
+    spark,
+    segment_dirs: list[str],
+    col: str,
+    lucene_query: str,
+    columns: list[str] | None = None,
+):
+    """TEXT_MATCH-accelerated distributed scan: per segment, the
+    `.nativetext.idx` postings bound the boolean/phrase query
+    (text_match_allowlist) — zero-match segments are skipped, survivors
+    ship a roaring docId allowlist — and the exact
+    translate_text_match() residual ALWAYS re-applies, so results equal
+    the pure expression path whether the index exists, the query has
+    un-indexable clauses (fuzzy/regex/NOT), or the pruning is a strict
+    superset (substring terms, position-blind phrases)."""
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.sources import pinot_segment as ps
+    from hurricanedb_spark.sql.text_match import translate_text_match
+
+    plans: list[tuple[str, bytes | None]] = []
+    for s in segment_dirs:
+        try:
+            idx = read_native_text_index(s, col)
+        except Exception:  # noqa: BLE001 — no/unreadable index: full decode
+            plans.append((s, None))
+            continue
+        docs = text_match_allowlist(idx, lucene_query)
+        if docs is None:
+            plans.append((s, None))
+            continue
+        if len(docs) == 0:
+            continue  # whole segment pruned
+        plans.append((s, ps.roaring_serialize(docs)))
+    return ps.read_segments_allowlist(
+        spark,
+        plans,
+        columns,
+        segment_dirs,
+        F.expr(translate_text_match(col, lucene_query)),
+        predicate_columns=[col],
+    )

@@ -823,6 +823,9 @@ def explain_implementation_plan(df: DataFrame) -> str:
 _JSON_MATCH_CALL = re.compile(
     r"JSON_MATCH\(\s*(\w+)\s*,\s*'((?:[^']|'')*)'\s*\)", re.IGNORECASE
 )
+_TEXT_MATCH_CALL = re.compile(
+    r"TEXT_MATCH\(\s*(\w+)\s*,\s*'((?:[^']|'')*)'\s*\)", re.IGNORECASE
+)
 
 
 def rewrite_json_match(query: str) -> str:
@@ -961,10 +964,47 @@ class HurricaneSQL:
         (round-6 review finding).
 
         Returns (possibly rewritten query, cleanup callable)."""
+        def build(segs, columns, col, cond):
+            from hurricanedb_spark.sources.json_index import (
+                read_segments_json_match,
+            )
+
+            return read_segments_json_match(self.spark, segs, col, cond, columns)
+
+        out = self._conjunct_accel_rewrite(query, _JSON_MATCH_CALL, "jm", build)
+        self.last_json_match_accel = out[0] is not query
+        return out
+
+    def _text_match_rewrite(self, query: str):
+        """TEXT_MATCH access path for segment-backed tables: the same
+        safe-shape conditions as _json_match_rewrite, with the table
+        rebound to the native-text-index-accelerated scan
+        (sources/native_text_index.py:read_segments_text_match —
+        AND/OR posting algebra with the exact translate_text_match
+        residual always re-applied). Reference:
+        pinot-core/.../filter/TextMatchFilterOperator.java +
+        NativeTextIndexReader.getDocIds."""
+
+        def build(segs, columns, col, lucene):
+            from hurricanedb_spark.sources.native_text_index import (
+                read_segments_text_match,
+            )
+
+            return read_segments_text_match(self.spark, segs, col, lucene, columns)
+
+        out = self._conjunct_accel_rewrite(query, _TEXT_MATCH_CALL, "tm", build)
+        self.last_text_match_accel = out[0] is not query
+        return out
+
+    def _conjunct_accel_rewrite(self, query: str, call_re, tag: str, build):
+        """Shared rebind machinery for single-conjunct index
+        accelerations (JSON_MATCH / TEXT_MATCH): validate the safe
+        shape, create a uuid-named temp view over the accelerated scan,
+        and splice it into the FROM clause. Returns (query, cleanup)."""
         noop = (query, lambda: None)
         if not self._segment_tables:
             return noop
-        calls = _JSON_MATCH_CALL.findall(query)
+        calls = call_re.findall(query)
         if len(calls) != 1:  # only the unambiguous single-call shape
             return noop
         if re.search(r"\bJOIN\b", query, re.IGNORECASE):
@@ -979,12 +1019,12 @@ class HurricaneSQL:
         if not wm:
             return noop
         span = wm.group("span")
-        if not _JSON_MATCH_CALL.search(span):
+        if not call_re.search(span):
             return noop  # projection/HAVING placement: not a conjunct
         # ...and the WHERE must be a plain AND conjunction: any OR/NOT
         # (or boolean parens beyond the call's own) makes the
         # pre-filtered source unsound
-        span_wo_call = _JSON_MATCH_CALL.sub("", span)
+        span_wo_call = call_re.sub("", span)
         if re.search(r"\bOR\b|\bNOT\b|[()]", span_wo_call, re.IGNORECASE):
             return noop
         col, cond = calls[0][0], calls[0][1].replace("''", "'")
@@ -998,17 +1038,11 @@ class HurricaneSQL:
             view = self.spark.table(name)
             if col not in view.columns:
                 continue  # the predicate targets some other table
-            from hurricanedb_spark.sources.json_index import (
-                read_segments_json_match,
-            )
-
             # uuid view name: collision-free across the threaded query
             # server's concurrent sql() calls without shared mutable
             # state (round-6 advice — a shared counter raced)
-            uniq = f"__jm_accel_{uuid.uuid4().hex}"
-            read_segments_json_match(
-                self.spark, segs, col, cond, columns
-            ).createOrReplaceTempView(uniq)
+            uniq = f"__{tag}_accel_{uuid.uuid4().hex}"
+            build(segs, columns, col, cond).createOrReplaceTempView(uniq)
             rewritten = from_ref.sub(rf"\g<1>{uniq}", query)
 
             def cleanup(uniq=uniq):
@@ -1252,6 +1286,7 @@ class HurricaneSQL:
             query = _EXPLAIN_RE.sub("", query)
         q = rewrite_mv_percentile_bounded(query)
         q, drop_accel_view = self._json_match_rewrite(q)
+        q, drop_tm_view = self._text_match_rewrite(q)
         q, drop_st_view, st_info = self._star_tree_rewrite(q)
         self.last_star_tree_redirect = st_info
         q = rewrite_json_match(q)
@@ -1265,6 +1300,7 @@ class HurricaneSQL:
             df = self.spark.sql(q)
         finally:
             drop_accel_view()
+            drop_tm_view()
             drop_st_view()
         if explain_impl:
             return self.spark.createDataFrame(
