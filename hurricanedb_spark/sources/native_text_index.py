@@ -774,3 +774,159 @@ def read_segments_text_match(
         F.expr(translate_text_match(col, lucene_query)),
         predicate_columns=[col],
     )
+
+
+# ---------------------------------------------------------------------------
+# rebuild-on-migrate: regenerate native text/FST indexes for a migrated
+# segment whose Lucene-format indexes cannot be decoded
+
+
+def lucene_text_index_columns(segment_dir: str) -> list[str]:
+    """Columns a migrated reference segment declares Lucene-text-indexed:
+    a `{col}.lucene.index` directory (or file) beside the segment files
+    (V1Constants.Indexes.LUCENE_TEXT_INDEX_FILE_EXTENSION,
+    SegmentDirectoryPaths.findTextIndexIndexFile checks both the segment
+    root and the v3 subdirectory)."""
+    import os
+
+    from hurricanedb_spark.sources.pinot_segment import (
+        _resolve_dir,
+        read_segment_metadata,
+    )
+
+    meta = read_segment_metadata(segment_dir)
+    cols = []
+    for d in {segment_dir, _resolve_dir(segment_dir)}:
+        for name in os.listdir(d):
+            if name.endswith(".lucene.index"):
+                col = name[: -len(".lucene.index")]
+                if col in meta.columns:
+                    cols.append(col)
+    return sorted(set(cols))
+
+
+def _unreadable_fst_columns(segment_dir: str) -> list[str]:
+    """Columns whose fst_index entry is not our FSA5 container (a
+    migrated Lucene-codec FST): the accelerated regexp path silently
+    falls back to scan for these until rebuilt."""
+    from hurricanedb_spark.sources.pinot_segment import (
+        _index_buffer,
+        _read_psf,
+        read_segment_metadata,
+    )
+
+    meta = read_segment_metadata(segment_dir)
+    psf = _read_psf(meta)
+    out = []
+    for (col, idx_name) in meta.index_map:
+        if idx_name != "fst_index":
+            continue
+        try:
+            ImmutableFst(_index_buffer(meta, psf, col, "fst_index"))
+        except Exception:  # noqa: BLE001 — any parse failure: rebuild
+            out.append(col)
+    return sorted(out)
+
+
+def rebuild_text_indexes(
+    segment_dir: str,
+    text_columns: list[str] | None = None,
+    fst_columns: list[str] | None = None,
+) -> dict[str, list[str]]:
+    """Regenerate `.nativetext.idx` (from the decoded forward index) and
+    `.lucene.fst` (from the sorted dictionary) for one segment, so a
+    migrated Lucene-indexed deployment regains accelerated
+    TEXT_CONTAINS/TEXT_MATCH/regexp without re-ingesting.
+
+    Defaults: text_columns = columns with a `{col}.lucene.index`
+    directory; fst_columns = columns whose fst_index bytes are not FSA5.
+    v3 stores append to columns.psf and rewrite the affected index_map
+    lines (exactly how the reference's index rebuild works — old bytes
+    become dead space); pre-v3 stores write the per-index files. The
+    creation.meta CRC is refreshed. Returns {"text": [...], "fst":
+    [...]} actually rebuilt."""
+    import os
+    import struct
+    import time
+    import zlib
+
+    from hurricanedb_spark.sources.pinot_segment import (
+        CREATION_META_FILE,
+        INDEX_FILE,
+        INDEX_MAP_FILE,
+        MAGIC_MARKER,
+        UnsupportedSegmentError,
+        _decode_dictionary,
+        _index_buffer,
+        _read_psf,
+        _resolve_dir,
+        read_segment_metadata,
+        read_segment_pandas,
+    )
+
+    if text_columns is None:
+        text_columns = lucene_text_index_columns(segment_dir)
+    if fst_columns is None:
+        fst_columns = _unreadable_fst_columns(segment_dir)
+    meta = read_segment_metadata(segment_dir)
+    new_entries: list[tuple[str, str, str, bytes]] = []  # col, idx, ext, payload
+    for col in text_columns:
+        cm = meta.columns.get(col)
+        if cm is None or cm.data_type != "STRING" or not cm.is_single_value:
+            raise UnsupportedSegmentError(
+                f"text index rebuild needs an SV STRING column; {col!r} is not"
+            )
+        values = read_segment_pandas(segment_dir, [col])[col]
+        payload = encode_native_text_index(
+            None if v is None else str(v) for v in values
+        )
+        new_entries.append((col, "text_index", ".nativetext.idx", payload))
+    if fst_columns:
+        psf = _read_psf(meta)
+        for col in fst_columns:
+            cm = meta.columns.get(col)
+            if cm is None or not cm.has_dictionary or cm.data_type != "STRING":
+                raise UnsupportedSegmentError(
+                    f"FST rebuild needs a dictionary STRING column; {col!r} is not"
+                )
+            dvals = list(
+                _decode_dictionary(_index_buffer(meta, psf, col, "dictionary"), cm)
+            )
+            payload = serialize_fst([(v, i) for i, v in enumerate(dvals)])
+            new_entries.append((col, "fst_index", ".lucene.fst", payload))
+    if not new_entries:
+        return {"text": [], "fst": []}
+    d = _resolve_dir(segment_dir)
+    if os.path.isfile(os.path.join(d, INDEX_MAP_FILE)):  # v3 single-file store
+        psf_path = os.path.join(d, INDEX_FILE)
+        with open(os.path.join(d, INDEX_MAP_FILE), encoding="utf-8") as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        replaced = {
+            f"{col}.{idx}.{suffix}"
+            for col, idx, _, _ in new_entries
+            for suffix in ("startOffset", "size")
+        }
+        lines = [
+            ln for ln in lines if ln.split("=", 1)[0].strip() not in replaced
+        ]
+        offset = os.path.getsize(psf_path)
+        with open(psf_path, "ab") as f:
+            for col, idx, _, payload in new_entries:
+                lines.append(f"{col}.{idx}.startOffset = {offset}")
+                lines.append(f"{col}.{idx}.size = {len(payload) + 8}")
+                f.write(struct.pack(">Q", MAGIC_MARKER) + payload)
+                offset += len(payload) + 8
+        with open(os.path.join(d, INDEX_MAP_FILE), "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        with open(psf_path, "rb") as f:
+            crc = zlib.crc32(f.read())
+        with open(os.path.join(d, CREATION_META_FILE), "wb") as f:
+            f.write(struct.pack(">qq", crc, int(time.time() * 1000)))
+    else:  # pre-v3 per-file layout
+        for col, _, ext, payload in new_entries:
+            with open(os.path.join(d, col + ext), "wb") as f:
+                f.write(payload)
+    return {
+        "text": [c for c, i, _, _ in new_entries if i == "text_index"],
+        "fst": [c for c, i, _, _ in new_entries if i == "fst_index"],
+    }

@@ -9,7 +9,16 @@ per partition (sources/pinot_segment.py).
 Usage:
   python tools/migrate_segments.py to-parquet  <segment_store_dir> <out.parquet> [col,col,...]
   python tools/migrate_segments.py to-segments <in.parquet> <out_segment_store_dir> [table_name]
+  python tools/migrate_segments.py rebuild-text-index <segment_store_dir> [col,col,...]
   python tools/migrate_segments.py bench <sf_dir>   # decode-throughput measurement
+
+rebuild-text-index regenerates `.nativetext.idx` (from the decoded
+forward index) for every column a migrated segment declares
+Lucene-text-indexed (a `{col}.lucene.index` directory — the one index
+family whose binary format migration cannot decode) plus `.lucene.fst`
+for dictionary columns whose fst_index bytes are not FSA5, so the
+deployment regains accelerated TEXT_CONTAINS/TEXT_MATCH/regexp without
+re-ingesting. Pass an explicit column list to force specific columns.
 """
 
 from __future__ import annotations
@@ -53,6 +62,21 @@ def to_segments(parquet: str, store: str, table: str) -> None:
     df = spark.read.parquet(parquet)
     paths = ps.export_segments(df, store, table, segment_prefix=table)
     print(f"exported {parquet} -> {len(paths)} segments under {store}")
+
+
+def rebuild_text_index(store: str, columns: list[str] | None) -> None:
+    from hurricanedb_spark.sources.native_text_index import rebuild_text_indexes
+
+    total_text, total_fst = 0, 0
+    for seg in _segment_dirs(store):
+        # explicit columns force the TEXT rebuild; FST stays auto-detected
+        # (unreadable fst_index bytes only)
+        done = rebuild_text_indexes(seg, text_columns=columns)
+        total_text += len(done["text"])
+        total_fst += len(done["fst"])
+        if done["text"] or done["fst"]:
+            print(f"{seg}: text={done['text']} fst={done['fst']}")
+    print(f"rebuilt {total_text} text + {total_fst} fst indexes")
 
 
 def bench(sf_dir: str, replicate: int = 1) -> None:
@@ -110,6 +134,10 @@ if __name__ == "__main__":
     elif cmd == "to-segments":
         to_segments(
             sys.argv[2], sys.argv[3], sys.argv[4] if len(sys.argv) > 4 else "table"
+        )
+    elif cmd == "rebuild-text-index":
+        rebuild_text_index(
+            sys.argv[2], sys.argv[3].split(",") if len(sys.argv) > 3 else None
         )
     elif cmd == "bench":
         bench(
