@@ -1339,14 +1339,16 @@ def _normalize_where(where) -> list[tuple]:
 def segment_filter_docs(meta: SegmentMeta, psf: bytes, where: tuple):
     """DocIds matching `where = (col, op, value)` using the segment's
     own index structures, the reference's filter-operator selection
-    order: inverted index for equality (exact), range index for
-    range ops (superset — caller verifies), else None (caller scans).
+    order (FilterOperatorUtils.java:183-220): inverted index for
+    equality / IN posting union / NOT_IN complement (exact unless a
+    null vector exists), range index for range ops (superset — caller
+    verifies), FST for regexp, else None (caller scans).
     Returns (doc_ids, exact)."""
     col, op, value = where
     cm = meta.columns.get(col)
     if cm is None or not cm.has_dictionary:
         return None, False
-    if op == "=" and (col, "inverted_index") in meta.index_map:
+    if op in ("=", "in", "not_in") and (col, "inverted_index") in meta.index_map:
         import bisect
 
         import numpy as np
@@ -1355,17 +1357,38 @@ def segment_filter_docs(meta: SegmentMeta, psf: bytes, where: tuple):
             _index_buffer(meta, psf, col, "dictionary"), cm
         )
         dv = list(dict_vals)
-        i = bisect.bisect_left(dv, value)
-        if i >= len(dv) or dv[i] != value:
-            return np.empty(0, dtype=np.uint32), True
-        docs = read_inverted_index(meta, psf, col)[i]
+        wanted = [value] if op == "=" else list(value)
+        hit_ids = []
+        for v in wanted:
+            i = bisect.bisect_left(dv, v)
+            if i < len(dv) and dv[i] == v:
+                hit_ids.append(i)
         # null docs are stored under the FieldSpec DEFAULT value's dictId
         # and would match it through the index while the scan path (which
         # nulls them first) would not — return inexact so the caller's
         # residual predicate re-verifies against the null-applied column
-        if (col, "nullvalue_vector") in meta.index_map:
-            return docs, False
-        return docs, True
+        exact = (col, "nullvalue_vector") not in meta.index_map
+        if op == "not_in":
+            # complement of the posting union (NotInPredicateEvaluator /
+            # FilterOperatorUtils); nulls make it inexact as above
+            if not hit_ids:
+                return np.arange(meta.total_docs, dtype=np.uint32), exact
+            postings = read_inverted_index(meta, psf, col)
+            union = np.unique(np.concatenate([postings[i] for i in hit_ids]))
+            return (
+                np.setdiff1d(
+                    np.arange(meta.total_docs, dtype=np.uint32),
+                    union.astype(np.uint32),
+                ),
+                exact,
+            )
+        if not hit_ids:
+            return np.empty(0, dtype=np.uint32), True
+        postings = read_inverted_index(meta, psf, col)
+        # IN-list / OR-of-equalities: posting union, sorted+deduped
+        # (BitmapBasedFilterOperator's OR of per-value bitmaps)
+        docs = np.unique(np.concatenate([postings[i] for i in hit_ids]))
+        return docs, exact
     if op in ("between", "<=", ">=") and (col, "range_index") in meta.index_map:
         if op == "between":
             lo, hi = value
@@ -1428,8 +1451,10 @@ def read_segment_pandas(
     unless apply_valid_doc_ids=False. `where` = one (col, op, value)
     tuple or a list of them (AND conjunction); each conjunct filters
     rows using the segment's own indexes where present (inverted for
-    equality, range index for ranges) with an exact verify pass, else a
-    decoded-column scan — always exact results."""
+    equality / IN-list / NOT_IN complement, range index for ranges)
+    with an exact verify pass, else a decoded-column scan — always
+    exact results. An OR-of-equalities on one column is the IN-list op
+    ("col", "in", [v1, v2, ...])."""
     import pandas as pd
 
     meta = read_segment_metadata(segment_dir)
@@ -1535,17 +1560,29 @@ def _row_predicate(ser, op: str, value):
     import pandas as pd
 
     if len(ser) and isinstance(ser.iloc[0], (list, tuple, np.ndarray)):
-        # multi-value column: equality means any-element match (the
+        # multi-value column: equality/IN mean any-element match (the
         # reference's MV filter semantics, same as the inverted index)
-        if op != "=":
-            raise ValueError(
-                f"MV column filter supports '=' (any-element), not {op!r}"
+        if op == "=":
+            return np.array(
+                [v is not None and value in v for v in ser], dtype=bool
             )
-        return np.array(
-            [v is not None and value in v for v in ser], dtype=bool
+        if op == "in":
+            vs = set(value)
+            return np.array(
+                [v is not None and any(x in vs for x in v) for v in ser],
+                dtype=bool,
+            )
+        raise ValueError(
+            f"MV column filter supports '='/'in' (any-element), not {op!r}"
         )
     if op == "=":
         m = ser == value
+    elif op == "in":
+        m = ser.isin(list(value))
+    elif op == "not_in":
+        # NULL never matches NOT_IN (SQL three-valued logic); isin gives
+        # False for nulls, so mask them out explicitly before negating
+        m = ~ser.isin(list(value)) & ser.notna()
     elif op == "<":
         m = ser < value
     elif op == "<=":
@@ -1625,40 +1662,49 @@ def prune_segments(segment_dirs: list[str], column: str, op: str, value):
     segment's [min, max] range drops the whole segment without opening
     columns.psf. Unknown/invalid min-max keeps the segment (safe)."""
     kept = []
+    # an IN-list (or OR-of-equalities collapsed to one) prunes when EVERY
+    # value independently misses the segment — same per-value checks as
+    # equality, OR'd (the broker's ColumnPartitionMetadata / bloom prune
+    # over InPredicate values)
+    eq_values = list(value) if op == "in" else [value] if op == "=" else None
     for seg in segment_dirs:
         meta = read_segment_metadata(seg)
         cm = meta.columns.get(column)
         if (
             cm is not None
-            and op == "="
+            and eq_values is not None
             and cm.partition_function
             and cm.num_partitions > 0
             and cm.data_type in ("STRING", "INT", "LONG")
         ):
-            # partition metadata: the value's partition id must be among
-            # the partitions present in this segment (the broker-side
-            # ColumnPartitionMetadata prune)
             from hurricanedb_spark.sources.partition_functions import partition_of
 
-            pid = partition_of(
-                str(value) if cm.data_type == "STRING" else int(value),
-                cm.partition_function,
-                cm.num_partitions,
-            )
-            if pid not in cm.partition_values:
+            pids = {
+                partition_of(
+                    str(v) if cm.data_type == "STRING" else int(v),
+                    cm.partition_function,
+                    cm.num_partitions,
+                )
+                for v in eq_values
+            }
+            if not pids & set(cm.partition_values):
                 continue
         if (
             cm is not None
-            and op == "="
+            and eq_values is not None
             and (column, "bloom_filter") in meta.index_map
             and cm.data_type in ("STRING", "INT", "LONG")
         ):
-            # bloom filter: definite absence drops the segment even when
-            # the value falls inside [min, max]
+            # bloom filter: definite absence of EVERY value drops the
+            # segment even when some fall inside [min, max]
             psf = _read_psf(meta)
-            probe = str(int(value)) if cm.data_type != "STRING" else str(value)
-            if not bloom_might_contain(
-                _index_buffer(meta, psf, column, "bloom_filter"), probe
+            blm = _index_buffer(meta, psf, column, "bloom_filter")
+            if not any(
+                bloom_might_contain(
+                    blm,
+                    str(int(v)) if cm.data_type != "STRING" else str(v),
+                )
+                for v in eq_values
             ):
                 continue
         rng = typed_min_max(cm) if cm else None
@@ -1668,6 +1714,11 @@ def prune_segments(segment_dirs: list[str], column: str, op: str, value):
         lo, hi = rng
         if op == "=":
             match = lo <= value <= hi
+        elif op == "in":
+            match = any(lo <= v <= hi for v in value)
+        elif op == "not_in":
+            # min/max cannot prove every row is in the list; keep
+            match = True
         elif op == "<":
             match = lo < value
         elif op == "<=":

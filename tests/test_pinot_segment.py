@@ -1006,6 +1006,24 @@ def test_property_writer_options_and_filters(tmp_path_factory, data):
     assert sorted(got_r["k"].dropna().tolist()) == sorted(
         exp_r["k"].dropna().tolist()
     )
+    # IN / NOT_IN on s (posting union / complement when the inverted
+    # index exists, scan otherwise; nulls never match either way)
+    in_list = data.draw(
+        hst.lists(
+            hst.sampled_from(["a", "bb", "ccc", "null", "zz"]),
+            min_size=1,
+            max_size=4,
+            unique=True,
+        )
+    )
+    got_in = ps.read_segment_pandas(seg, where=("s", "in", in_list))
+    assert got_in["s"].tolist() == pdf.loc[
+        pdf["s"].isin(in_list), "s"
+    ].tolist()
+    got_ni = ps.read_segment_pandas(seg, where=("s", "not_in", in_list))
+    assert got_ni["s"].tolist() == pdf.loc[
+        ~pdf["s"].isin(in_list), "s"
+    ].tolist()
 
 
 def test_where_filter_on_nullable_numeric_column(tmp_path):
@@ -1096,3 +1114,107 @@ def test_conjunctive_where_pushdown(spark, tmp_path):
     assert df.count() == int(
         ((pdf["cat"] == "b") & pdf["k"].between(10, 30)).sum()
     )
+
+
+def test_in_list_posting_union(spark, tmp_path):
+    """IN-list / OR-of-equalities via inverted-index posting union
+    (BitmapBasedFilterOperator / InPredicateEvaluator — round-7 item 5),
+    plus NOT_IN complement, exactness flags, and null interaction."""
+    rng = np.random.default_rng(44)
+    pdf = pd.DataFrame(
+        {
+            "s": [f"u{i % 11}" for i in range(1200)],
+            "v": np.arange(1200, dtype=np.int64),
+        }
+    )
+    segs = []
+    for i, part in enumerate(np.array_split(pdf, 3)):
+        seg = str(tmp_path / f"in{i}")
+        ps.write_segment_pandas(
+            part.reset_index(drop=True), seg, inverted_index_columns=["s"]
+        )
+        segs.append(seg)
+    meta = ps.read_segment_metadata(segs[0])
+    psf = ps._read_psf(meta)
+    # exact posting union, sorted + deduped
+    docs, exact = ps.segment_filter_docs(meta, psf, ("s", "in", ["u3", "u7", "zz"]))
+    assert exact
+    part0 = ps.read_segment_pandas(segs[0], apply_valid_doc_ids=False)
+    assert sorted(int(d) for d in docs) == [
+        i for i, x in enumerate(part0["s"]) if x in ("u3", "u7")
+    ]
+    # NOT_IN is the complement
+    nd, nexact = ps.segment_filter_docs(meta, psf, ("s", "not_in", ["u3", "u7"]))
+    assert nexact
+    assert sorted(int(d) for d in nd) == [
+        i for i, x in enumerate(part0["s"]) if x not in ("u3", "u7")
+    ]
+    # distributed equivalence vs pandas
+    got = ps.read_segments(spark, segs, where=("s", "in", ["u3", "u7"]))
+    assert sorted(r["v"] for r in got.collect()) == sorted(
+        pdf.loc[pdf["s"].isin(["u3", "u7"]), "v"].tolist()
+    )
+    got_n = ps.read_segments(spark, segs, where=("s", "not_in", ["u3", "u7"]))
+    assert sorted(r["v"] for r in got_n.collect()) == sorted(
+        pdf.loc[~pdf["s"].isin(["u3", "u7"]), "v"].tolist()
+    )
+    # no value present anywhere -> empty
+    assert ps.read_segments(spark, segs, where=("s", "in", ["zz", "qq"])).count() == 0
+
+
+def test_in_list_prunes_segments_via_minmax_and_bloom(spark, tmp_path):
+    # three segments with disjoint value ranges; an IN-list touching only
+    # one range keeps one segment
+    segs = []
+    for i in range(3):
+        pdf = pd.DataFrame(
+            {
+                "k": np.arange(100, dtype=np.int64) + 1000 * i,
+                "s": [f"g{i}_{j % 5}" for j in range(100)],
+            }
+        )
+        seg = str(tmp_path / f"pr{i}")
+        ps.write_segment_pandas(pdf, seg, bloom_filter_columns=["s"])
+        segs.append(seg)
+    kept = ps.prune_segments(segs, "k", "in", [5, 42])
+    assert kept == [segs[0]]
+    kept2 = ps.prune_segments(segs, "k", "in", [5, 1042, 9999])
+    assert kept2 == [segs[0], segs[1]]
+    # bloom: values absent from every segment's filter drop all
+    kept3 = ps.prune_segments(segs, "s", "in", ["zz_1", "zz_2"])
+    assert kept3 == []
+    kept4 = ps.prune_segments(segs, "s", "in", ["g1_2", "zz"])
+    assert kept4 == [segs[1]]
+    # not_in never prunes on min/max
+    assert ps.prune_segments(segs, "k", "not_in", [5]) == segs
+    # end-to-end: one decode task per surviving segment
+    got = ps.read_segments(spark, segs, where=("k", "in", [5, 1042]))
+    assert got.rdd.getNumPartitions() == 2
+    assert sorted(r["k"] for r in got.collect()) == [5, 1042]
+
+
+def test_in_list_null_interaction(tmp_path):
+    # nullable column: nulls are stored under the FieldSpec default and
+    # must never match IN or NOT_IN (SQL three-valued logic) even when
+    # the index answers the predicate
+    pdf = pd.DataFrame({"s": ["a", None, "b", "null", None, "c"] * 20})
+    seg = str(tmp_path / "null_in")
+    ps.write_segment_pandas(pdf, seg, inverted_index_columns=["s"])
+    meta = ps.read_segment_metadata(seg)
+    psf = ps._read_psf(meta)
+    # the 'null' STRING default collides with real nulls -> inexact
+    _, exact = ps.segment_filter_docs(meta, psf, ("s", "in", ["null", "a"]))
+    assert not exact
+    got = ps.read_segment_pandas(seg, where=("s", "in", ["null", "a"]))
+    # only the LITERAL 'null' rows and 'a' rows; true nulls excluded
+    assert got["s"].tolist() == ["a", "null"] * 20
+    got_n = ps.read_segment_pandas(seg, where=("s", "not_in", ["a", "b"]))
+    assert got_n["s"].tolist() == ["null", "c"] * 20  # nulls excluded
+
+
+def test_in_list_on_mv_column_any_element(tmp_path):
+    pdf = pd.DataFrame({"mv": [["a", "b"], ["c"], ["b", "d"], ["e"]] * 10})
+    seg = str(tmp_path / "mv_in")
+    ps.write_segment_pandas(pdf, seg)
+    got = ps.read_segment_pandas(seg, where=("mv", "in", ["b", "e"]))
+    assert [list(x) for x in got["mv"]] == [["a", "b"], ["b", "d"], ["e"]] * 10
