@@ -1,4 +1,9 @@
-"""Measure the round-6 segment-store additions at bench scale.
+"""Measure the segment-store index access paths at bench scale.
+
+Emits ONE JSON line `{"metric": "segment_store_bench", "queries":
+{...}, "sf": ...}` so per-round tracking uses the same 3-run-minima
+method as the headline set (tools/bench_minima.py; BENCH.md table
+"Segment-store index paths").
 
 1. JSON-index access path: events (sf0.1, 1M rows) exported to 16
    segments RANGE-PARTITIONED on the json value `$.k` with a `.json.idx`
@@ -33,7 +38,7 @@ from hurricanedb_spark.sources.json_index import read_segments_json_match
 from hurricanedb_spark.sql.json_match import translate_json_match
 
 
-def bench_json_index(spark, sf_dir: str, base: str) -> None:
+def bench_json_index(spark, sf_dir: str, base: str) -> dict:
     # SPARK_GRAFT_JSON_REPS=N replicates events N-fold (and scales the
     # segment count to keep ~62k rows/segment) to show the skip ratio is
     # the scaling lever while index lookups stay O(#segments)
@@ -89,9 +94,10 @@ def bench_json_index(spark, sf_dir: str, base: str) -> None:
         f"segments decoded: {len(segs)} -> {surviving}; "
         f"speedup {t_scan / t_idx:.1f}x"
     )
+    return {"json_scan": round(t_scan, 4), "json_index": round(t_idx, 4)}
 
 
-def bench_raw_mv_v4(spark, sf_dir: str, base: str) -> None:
+def bench_raw_mv_v4(spark, sf_dir: str, base: str) -> dict:
     store = os.path.join(base, "docs_raw_v4")
     reps = 100
     if not os.path.isdir(store):
@@ -140,14 +146,157 @@ def bench_raw_mv_v4(spark, sf_dir: str, base: str) -> None:
         f"raw-V4+MV decode: {row['n']} rows / {size_mb:.0f} MB on disk in "
         f"{dt:.2f}s = {row['n']/dt/1e6:.2f}M rows/s"
     )
+    return {"rawv4_decode": round(dt, 4)}
+
+
+def bench_text_match(spark, sf_dir: str, base: str) -> dict:
+    """TEXT_MATCH boolean query: expression scan vs native-text-index
+    path (AND posting intersect + residual) over a 16-segment store."""
+    import json as _json
+
+    from hurricanedb_spark.sources.native_text_index import (
+        read_segments_text_match,
+    )
+    from hurricanedb_spark.sql.text_match import translate_text_match
+
+    store = os.path.join(base, "docs_text_idx")
+    if not os.path.isdir(store):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text", "n_chars"
+        )
+        t0 = time.perf_counter()
+        ps.export_segments(
+            docs.repartition(16), store, text_index_columns=["text"]
+        )
+        print(f"build: 16 text-indexed segments in {time.perf_counter()-t0:.1f}s")
+    segs = sorted(
+        os.path.join(store, d)
+        for d in os.listdir(store)
+        if os.path.isdir(os.path.join(store, d))
+    )
+    lucene = "spark AND merge"
+    expr = F.expr(translate_text_match("text", lucene))
+
+    def timed(fn, label):
+        fn()
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        print(f"{label}: {dt:.2f}s ({n} rows)")
+        return n, dt
+
+    n_scan, t_scan = timed(
+        lambda: ps.read_segments(spark, segs).filter(expr).count(),
+        f"TEXT_MATCH expression scan ({len(segs)} segments decode)",
+    )
+    accel = read_segments_text_match(spark, segs, "text", lucene)
+    n_idx, t_idx = timed(lambda: accel.count(), "TEXT_MATCH text-index path")
+    assert n_scan == n_idx, (n_scan, n_idx)
+    return {"textmatch_scan": round(t_scan, 4), "textmatch_index": round(t_idx, 4)}
+
+
+def bench_startree(spark, sf_dir: str, base: str) -> dict:
+    """Fitting aggregation: raw-doc scan+agg vs the star-tree pre-agg
+    path (read_segments_star_tree) over a 4-segment orders store."""
+    import numpy as np
+
+    from hurricanedb_spark.sources import startree_v2 as st
+
+    store = os.path.join(base, "orders_st")
+    if not os.path.isdir(store):
+        od = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+        ).withColumn(
+            "cents",
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
+        ).drop("o_totalprice")
+        t0 = time.perf_counter()
+        ps.export_segments(od.repartition(4), store)
+        # per-segment trees, the reference's build unit
+        for seg in sorted(os.listdir(store)):
+            p = os.path.join(store, seg)
+            if not os.path.isdir(p):
+                continue
+            pdf = ps.read_segment_pandas(p)
+            st.write_star_trees(
+                p,
+                pdf,
+                [
+                    st.StarTreeSpec(
+                        split_order=["o_orderpriority", "o_orderstatus"],
+                        function_column_pairs=["count__*", "sum__cents"],
+                        max_leaf_records=100,
+                    )
+                ],
+            )
+        print(f"build: 4 star-tree segments in {time.perf_counter()-t0:.1f}s")
+    segs = sorted(
+        os.path.join(store, d)
+        for d in os.listdir(store)
+        if os.path.isdir(os.path.join(store, d))
+    )
+
+    def scan():
+        return (
+            ps.read_segments(spark, segs, ["o_orderpriority", "o_orderstatus", "cents"])
+            .groupBy("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+            .collect()
+        )
+
+    def tree():
+        return (
+            st.read_segments_star_tree(
+                spark, segs, ["o_orderpriority", "o_orderstatus"],
+                ["count__*", "sum__cents"],
+            )
+            .groupBy("o_orderpriority", "o_orderstatus")
+            .agg(
+                F.sum("__st_count_star").alias("n"),
+                F.sum("__st_sum_cents").alias("s"),
+            )
+            .collect()
+        )
+
+    scan_rows = {tuple(r)[:2]: tuple(r)[2:] for r in scan()}
+    t0 = time.perf_counter()
+    scan_rows = {tuple(r)[:2]: tuple(r)[2:] for r in scan()}
+    t_scan = time.perf_counter() - t0
+    tree_rows = {tuple(r)[:2]: tuple(r)[2:] for r in tree()}
+    t0 = time.perf_counter()
+    tree_rows = {tuple(r)[:2]: tuple(r)[2:] for r in tree()}
+    t_tree = time.perf_counter() - t0
+    assert scan_rows == tree_rows
+    print(
+        f"star-tree agg: scan {t_scan:.2f}s vs tree {t_tree:.2f}s "
+        f"({t_scan / t_tree:.1f}x)"
+    )
+    return {"startree_scan": round(t_scan, 4), "startree_tree": round(t_tree, 4)}
 
 
 def main() -> int:
+    import json as _json
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     base = "/tmp/hurricanedb_segments/bench_r6"
     spark = get_spark("bench-json-store")
-    bench_json_index(spark, sf_dir, base)
-    bench_raw_mv_v4(spark, sf_dir, base)
+    timings = {}
+    timings.update(bench_json_index(spark, sf_dir, base))
+    timings.update(bench_raw_mv_v4(spark, sf_dir, base))
+    timings.update(bench_text_match(spark, sf_dir, base))
+    timings.update(bench_startree(spark, sf_dir, base))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        _json.dumps(
+            {
+                "metric": "segment_store_bench",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
     return 0
 
 
