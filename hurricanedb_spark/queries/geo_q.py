@@ -180,3 +180,68 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_nearby"))
     )
+
+
+@register(
+    "q_geo_index_radius",
+    oracle=None,  # haversine uses libm trig; equality with the expression
+    # path is asserted INSIDE the query, so the rows-only check still
+    # proves the index path end to end
+    doc="Geo grid index end to end (H3IndexFilterOperator.java:100-160 "
+    "analog, sources/geo_index.py): customer points sealed as v3 "
+    "segments with a .h3.idx on the WKT column, ST_Distance < r "
+    "answered via candidate-cell posting union + exact haversine "
+    "residual; the query raises unless the accelerated result equals "
+    "the expression scan.",
+    tags=("geo", "sources", "segment-format"),
+)
+def q_geo_index_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hurricanedb_spark.sources import geo_index as gi
+    from hurricanedb_spark.sources import pinot_segment as ps
+
+    base = os.path.join(
+        "/tmp/hurricanedb_segments",
+        os.path.basename(os.path.normpath(sf_dir)) + "_customer_geoidx",
+    )
+    marker = os.path.join(base, "_written")
+    if not os.path.isfile(marker):
+        pts = _points(spark, sf_dir).select(
+            "c_custkey",
+            "c_mktsegment",
+            F.concat(
+                F.lit("POINT ("),
+                F.col("pt.lon").cast("string"),
+                F.lit(" "),
+                F.col("pt.lat").cast("string"),
+                F.lit(")"),
+            ).alias("loc"),
+        )
+        ps.export_segments(
+            pts.repartition(4), base, geo_index_columns={"loc": 10}
+        )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    segs = sorted(
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if os.path.isdir(os.path.join(base, d))
+    )
+    lon, lat, r = 10.0, 47.0, 800_000.0
+    fast = gi.read_segments_geo_radius(spark, segs, "loc", lon, lat, r)
+    slow = ps.read_segments(spark, segs).filter(
+        F.expr(gi.radius_residual_expr("loc", lon, lat, r))
+    )
+    fk = sorted(x["c_custkey"] for x in fast.collect())
+    sk = sorted(x["c_custkey"] for x in slow.collect())
+    if fk != sk:
+        raise RuntimeError(
+            f"geo index path diverged from expression path: "
+            f"{len(fk)} vs {len(sk)} rows"
+        )
+    return (
+        fast.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+        .orderBy("c_mktsegment")
+    )

@@ -353,6 +353,7 @@ _V1_INDEX_FILES = {
     "json_index": (".json.idx",),
     "text_index": (".nativetext.idx",),
     "fst_index": (".lucene.fst",),
+    "h3_index": (".h3.idx",),
 }
 
 
@@ -1881,6 +1882,7 @@ def write_segment_pandas(
     json_index_columns: list[str] | None = None,
     text_index_columns: list[str] | None = None,
     fst_index_columns: list[str] | None = None,
+    geo_index_columns: dict[str, int] | None = None,
     layout: str = "v3",
 ) -> str:
     """Write a pandas DataFrame as one v3 segment directory (SV and MV
@@ -1985,6 +1987,7 @@ def write_segment_pandas(
                 ("text", text_index_columns),
                 ("fst", fst_index_columns),
                 ("json", json_index_columns),
+                ("geo", geo_index_columns),
             )
             if cols and col in cols
         ]
@@ -2280,6 +2283,24 @@ def write_segment_pandas(
                 "fst_index",
                 serialize_fst([(v, i) for i, v in enumerate(uniq)]),
                 ext=".lucene.fst",
+            )
+        if geo_index_columns and col in geo_index_columns:
+            # geo grid index over WKT points — the H3 index analog
+            # (H3IndexCreator; sources/geo_index.py documents the layout)
+            if data_type != "STRING":
+                raise UnsupportedSegmentError(
+                    f"geo index on non-STRING (WKT) column {col!r}"
+                )
+            from hurricanedb_spark.sources.geo_index import encode_geo_index
+
+            append_entry(
+                col,
+                "h3_index",
+                encode_geo_index(
+                    (None if null_mask[i] else vals[i] for i in range(num_docs)),
+                    int(geo_index_columns[col]),
+                ),
+                ext=".h3.idx",
             )
         if range_index_columns and col in range_index_columns:
             # dictionary columns index dictIds (valueType INT) — dictIds
