@@ -207,23 +207,24 @@ def read_segments_geo_radius(
 
     from hurricanedb_spark.sources import pinot_segment as ps
 
-    plans: list[tuple[str, bytes | None]] = []
-    for s in segment_dirs:
+    def plan_for(s):
         try:
             idx = read_geo_index(s, col)
         except Exception:  # noqa: BLE001 — no/unreadable index: full decode
-            plans.append((s, None))
-            continue
+            return (s, None)
         wanted = radius_candidate_cells(
             center_lon, center_lat, radius_m, idx.resolution
         )
         if wanted is None:
-            plans.append((s, None))
-            continue
+            return (s, None)
         docs = idx.doc_ids_in_cells(wanted)
         if len(docs) == 0:
-            continue  # whole segment pruned
-        plans.append((s, ps.roaring_serialize(docs)))
+            return None  # whole segment pruned
+        return (s, ps.roaring_serialize(docs))
+
+    plans = [
+        p for p in ps.parallel_segment_map(plan_for, segment_dirs) if p is not None
+    ]
     return ps.read_segments_allowlist(
         spark,
         plans,

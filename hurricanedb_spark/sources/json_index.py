@@ -338,20 +338,22 @@ def read_segments_json_match(
     from hurricanedb_spark.sql.json_match import translate_json_match
 
     preds = index_supported_conjunction(condition)
-    plans: list[tuple[str, bytes | None]] = []
-    for s in segment_dirs:
+
+    def plan_for(s):
         if preds is None:
-            plans.append((s, None))
-            continue
+            return (s, None)
         try:
             idx = read_json_index(s, col)
         except Exception:  # noqa: BLE001 — no/unreadable index: full decode
-            plans.append((s, None))
-            continue
+            return (s, None)
         docs = idx.matching_docs(preds)
         if len(docs) == 0:
-            continue  # whole segment pruned
-        plans.append((s, ps.roaring_serialize(docs)))
+            return None  # whole segment pruned
+        return (s, ps.roaring_serialize(docs))
+
+    plans = [
+        p for p in ps.parallel_segment_map(plan_for, segment_dirs) if p is not None
+    ]
     return ps.read_segments_allowlist(
         spark,
         plans,

@@ -473,23 +473,25 @@ def read_segments_text_contains(
 
     predicate = _index_predicate(pattern)
     prefix_m = _SAFE_PREFIX.match(pattern)
-    plans: list[tuple[str, bytes | None]] = []
-    for s in segment_dirs:
+
+    def plan_for(s):
         if predicate is None:
-            plans.append((s, None))
-            continue
+            return (s, None)
         try:
             idx = read_native_text_index(s, col)
         except Exception:  # noqa: BLE001 — no/unreadable index: full decode
-            plans.append((s, None))
-            continue
+            return (s, None)
         if _SAFE_TERM.match(pattern):
             docs = idx.doc_ids_for_term(pattern)
         else:  # prefix shape: subtree walk, not a vocabulary scan
             docs = idx.doc_ids_with_prefix(prefix_m.group(1))
         if len(docs) == 0:
-            continue
-        plans.append((s, ps.roaring_serialize(docs)))
+            return None
+        return (s, ps.roaring_serialize(docs))
+
+    plans = [
+        p for p in ps.parallel_segment_map(plan_for, segment_dirs) if p is not None
+    ]
     return ps.read_segments_allowlist(
         spark,
         plans,
@@ -752,20 +754,21 @@ def read_segments_text_match(
     from hurricanedb_spark.sources import pinot_segment as ps
     from hurricanedb_spark.sql.text_match import translate_text_match
 
-    plans: list[tuple[str, bytes | None]] = []
-    for s in segment_dirs:
+    def plan_for(s):
         try:
             idx = read_native_text_index(s, col)
         except Exception:  # noqa: BLE001 — no/unreadable index: full decode
-            plans.append((s, None))
-            continue
+            return (s, None)
         docs = text_match_allowlist(idx, lucene_query)
         if docs is None:
-            plans.append((s, None))
-            continue
+            return (s, None)
         if len(docs) == 0:
-            continue  # whole segment pruned
-        plans.append((s, ps.roaring_serialize(docs)))
+            return None  # whole segment pruned
+        return (s, ps.roaring_serialize(docs))
+
+    plans = [
+        p for p in ps.parallel_segment_map(plan_for, segment_dirs) if p is not None
+    ]
     return ps.read_segments_allowlist(
         spark,
         plans,

@@ -2407,3 +2407,19 @@ def export_segments(
         write_part, schema="segment string"
     )
     return [r["segment"] for r in manifest.collect()]
+
+
+def parallel_segment_map(fn, items, max_workers: int = 16):
+    """Order-preserving threaded map for driver-side per-segment
+    metadata/index lookups (IO-bound, GIL released in file reads). Every
+    index access path funnels its O(#segments) driver-side planning
+    through this, so large stores overlap the lookups instead of paying
+    them sequentially — the first scale lever SCALE.md names for
+    >100k-segment deployments."""
+    items = list(items)
+    if len(items) <= 1:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(items))) as ex:
+        return list(ex.map(fn, items))

@@ -1208,24 +1208,31 @@ class HurricaneSQL:
             p.partition("__")[2] for p in shape["pairs"] if not p.endswith("__*")
         ]
         involved = {*shape["group_cols"], *filter_cols, *metric_cols}
-        n_fit = 0
-        for seg in segs:
+        from hurricanedb_spark.sources.pinot_segment import parallel_segment_map
+
+        def seg_verdict(seg):
+            """'block' = redirect unsound for the whole store; else
+            whether this segment has a fitting tree."""
             try:
                 meta = read_segment_metadata(seg)
             except Exception:  # noqa: BLE001 — unreadable: no redirect
-                return noop
+                return "block"
             for col in involved:
                 if col not in meta.columns:
-                    return noop
+                    return "block"
                 if (col, "nullvalue_vector") in meta.index_map:
-                    return noop  # NULL semantics: scan path only
-            if (
+                    return "block"  # NULL semantics: scan path only
+            return (
                 st.fitting_tree_id(
                     seg, shape["group_cols"], shape["pairs"], filter_cols
                 )
                 is not None
-            ):
-                n_fit += 1
+            )
+
+        verdicts = parallel_segment_map(seg_verdict, segs)
+        if "block" in verdicts:
+            return noop
+        n_fit = sum(1 for v in verdicts if v is True)
         if n_fit == 0:
             return noop
         key_cols = list(dict.fromkeys([*shape["group_cols"], *filter_cols]))
