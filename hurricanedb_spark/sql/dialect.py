@@ -826,6 +826,9 @@ _JSON_MATCH_CALL = re.compile(
 _TEXT_MATCH_CALL = re.compile(
     r"TEXT_MATCH\(\s*(\w+)\s*,\s*'((?:[^']|'')*)'\s*\)", re.IGNORECASE
 )
+_TEXT_CONTAINS_CALL = re.compile(
+    r"TEXT_CONTAINS\(\s*(\w+)\s*,\s*'([A-Za-z0-9]+)'\s*\)", re.IGNORECASE
+)
 
 
 def rewrite_json_match(query: str) -> str:
@@ -994,6 +997,28 @@ class HurricaneSQL:
 
         out = self._conjunct_accel_rewrite(query, _TEXT_MATCH_CALL, "tm", build)
         self.last_text_match_accel = out[0] is not query
+        return out
+
+    def _text_contains_rewrite(self, query: str):
+        """TEXT_CONTAINS access path: the dialect macro translates
+        TEXT_CONTAINS(col, 'lit') to raw contains(col, 'lit'), and for a
+        plain alphanumeric literal that is exactly the TEXT_MATCH
+        plain-term shape — so the rebind reuses read_segments_text_match
+        (substring-superset vocabulary union, stop-word guards, exact
+        residual). Only bare [A-Za-z0-9]+ literals qualify; anything
+        else keeps the scan."""
+
+        def build(segs, columns, col, lit):
+            from hurricanedb_spark.sources.native_text_index import (
+                read_segments_text_match,
+            )
+
+            return read_segments_text_match(self.spark, segs, col, lit, columns)
+
+        out = self._conjunct_accel_rewrite(
+            query, _TEXT_CONTAINS_CALL, "tc", build
+        )
+        self.last_text_contains_accel = out[0] is not query
         return out
 
     def _conjunct_accel_rewrite(self, query: str, call_re, tag: str, build):
@@ -1294,6 +1319,7 @@ class HurricaneSQL:
         q = rewrite_mv_percentile_bounded(query)
         q, drop_accel_view = self._json_match_rewrite(q)
         q, drop_tm_view = self._text_match_rewrite(q)
+        q, drop_tc_view = self._text_contains_rewrite(q)
         q, drop_st_view, st_info = self._star_tree_rewrite(q)
         self.last_star_tree_redirect = st_info
         q = rewrite_json_match(q)
@@ -1308,6 +1334,7 @@ class HurricaneSQL:
         finally:
             drop_accel_view()
             drop_tm_view()
+            drop_tc_view()
             drop_st_view()
         if explain_impl:
             return self.spark.createDataFrame(

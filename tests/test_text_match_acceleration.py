@@ -200,3 +200,42 @@ def test_dialect_text_match_unsafe_placement_falls_back(spark, tm_store):
     assert sorted(r["id"] for r in fast.collect()) == sorted(
         r["id"] for r in slow.collect()
     )
+
+
+def test_dialect_text_contains_rewrite(spark, tm_store):
+    import os
+
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hq = HurricaneSQL(spark)
+    hq.register_segment_table("tc_docs", os.path.dirname(tm_store[0]))
+    q = (
+        "SELECT id FROM tc_docs WHERE TEXT_CONTAINS(text, 'columnar') "
+        "ORDER BY id LIMIT 1000"
+    )
+    fast = hq.sql(q)
+    assert hq.last_text_contains_accel
+    # the macro's semantics are raw substring containment
+    slow = (
+        ps.read_segments(spark, tm_store)
+        .filter(F.col("text").contains("columnar"))
+        .select("id")
+    )
+    assert sorted(r["id"] for r in fast.collect()) == sorted(
+        r["id"] for r in slow.collect()
+    )
+    # non-bare literal (space) keeps the scan
+    q2 = (
+        "SELECT id FROM tc_docs WHERE TEXT_CONTAINS(text, 'merge conflicts') "
+        "ORDER BY id LIMIT 1000"
+    )
+    fast2 = hq.sql(q2)
+    assert not hq.last_text_contains_accel
+    slow2 = (
+        ps.read_segments(spark, tm_store)
+        .filter(F.col("text").contains("merge conflicts"))
+        .select("id")
+    )
+    assert sorted(r["id"] for r in fast2.collect()) == sorted(
+        r["id"] for r in slow2.collect()
+    )
