@@ -1883,6 +1883,7 @@ def write_segment_pandas(
     text_index_columns: list[str] | None = None,
     fst_index_columns: list[str] | None = None,
     geo_index_columns: dict[str, int] | None = None,
+    star_tree_specs: list | None = None,
     layout: str = "v3",
 ) -> str:
     """Write a pandas DataFrame as one v3 segment directory (SV and MV
@@ -2355,6 +2356,38 @@ def write_segment_pandas(
         f.write("\n".join(prop_lines) + "\n")
     with open(os.path.join(d, CREATION_META_FILE), "wb") as f:
         f.write(struct.pack(">qq", zlib.crc32(psf), int(time.time() * 1000)))
+    if star_tree_specs:
+        # per-segment star-trees built in the SAME task as the segment —
+        # the reference's build unit (StarTreeV2BuilderConfig applies on
+        # the server building each segment), and the scale path for
+        # export_segments: no driver-side pdf round trip
+        if layout != "v3":
+            raise UnsupportedSegmentError(
+                "star-tree build requires the v3 layout"
+            )
+        from hurricanedb_spark.sources.startree_v2 import _parse_pair, write_star_trees
+
+        for spec in star_tree_specs:
+            involved = set(spec.split_order) | {
+                c for _, c in map(_parse_pair, spec.function_column_pairs)
+                if c != "*"
+            }
+            for c in involved:
+                if c not in pdf.columns:
+                    raise UnsupportedSegmentError(
+                        f"star-tree spec references missing column {c!r}"
+                    )
+                if pdf[c].isna().any():
+                    # tree dictIds must equal the column dictionary built
+                    # from default-filled values; a null column would
+                    # diverge (and the SQL redirect refuses null-vector
+                    # columns anyway) — fill first
+                    raise UnsupportedSegmentError(
+                        f"star-tree column {c!r} has nulls — fill before "
+                        "building (the redirect requires exact NULL "
+                        "semantics from the scan path)"
+                    )
+        write_star_trees(segment_dir, pdf, star_tree_specs)
     return segment_dir
 
 

@@ -163,3 +163,58 @@ def test_non_segment_table_untouched(spark, hq):
     out = hq.sql("SELECT city, SUM(cents) AS s FROM plain_tbl GROUP BY city LIMIT 10")
     assert hq.last_star_tree_redirect is None
     assert {tuple(r) for r in out.collect()} == {("x", 1), ("y", 2)}
+
+
+def test_distributed_export_builds_trees_in_tasks(spark, tmp_path):
+    """export_segments(star_tree_specs=...) builds each segment's trees
+    inside its own write task — the scale path (no driver-side pdf) —
+    and the SQL redirect answers from them."""
+    rng = np.random.default_rng(23)
+    pdf = _seg_frame(rng, 2000).drop(columns="other")
+    df = spark.createDataFrame(pdf)
+    store = str(tmp_path / "dist_store")
+    ps.export_segments(df.repartition(4), store, star_tree_specs=[SPEC])
+    import os
+
+    segs = [
+        os.path.join(store, d)
+        for d in sorted(os.listdir(store))
+        if os.path.isdir(os.path.join(store, d))
+    ]
+    assert len(segs) == 4
+    for seg in segs:
+        assert st.fitting_tree_id(seg, ["city", "status"], ["count__*"], []) == 0
+    h = HurricaneSQL(spark)
+    h.register_segment_table("st_dist", store)
+    q = (
+        "SELECT city, COUNT(*) AS n, SUM(cents) AS s FROM st_dist "
+        "WHERE status = 'B' GROUP BY city ORDER BY city LIMIT 100"
+    )
+    fast = [tuple(r) for r in h.sql(q).collect()]
+    assert h.last_star_tree_redirect is not None
+    assert h.last_star_tree_redirect["segments_tree"] == 4
+    grp = (
+        pdf[pdf["status"] == "B"]
+        .groupby("city")
+        .agg(n=("cents", "size"), s=("cents", "sum"))
+        .reset_index()
+        .sort_values("city")
+    )
+    want = [(r.city, int(r.n), int(r.s)) for r in grp.itertuples()]
+    assert fast == want
+
+
+def test_star_tree_spec_null_column_rejected(tmp_path):
+    pdf = pd.DataFrame(
+        {"city": ["a", None, "b"], "cents": np.arange(3, dtype=np.int64)}
+    )
+    with pytest.raises(ps.UnsupportedSegmentError, match="nulls"):
+        ps.write_segment_pandas(
+            pdf,
+            str(tmp_path / "null_tree"),
+            star_tree_specs=[
+                st.StarTreeSpec(
+                    split_order=["city"], function_column_pairs=["count__*"]
+                )
+            ],
+        )

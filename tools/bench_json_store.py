@@ -211,24 +211,18 @@ def bench_startree(spark, sf_dir: str, base: str) -> dict:
             F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
         ).drop("o_totalprice")
         t0 = time.perf_counter()
-        ps.export_segments(od.repartition(4), store)
-        # per-segment trees, the reference's build unit
-        for seg in sorted(os.listdir(store)):
-            p = os.path.join(store, seg)
-            if not os.path.isdir(p):
-                continue
-            pdf = ps.read_segment_pandas(p)
-            st.write_star_trees(
-                p,
-                pdf,
-                [
-                    st.StarTreeSpec(
-                        split_order=["o_orderpriority", "o_orderstatus"],
-                        function_column_pairs=["count__*", "sum__cents"],
-                        max_leaf_records=100,
-                    )
-                ],
-            )
+        # trees built inside each export task — the scale path
+        ps.export_segments(
+            od.repartition(4),
+            store,
+            star_tree_specs=[
+                st.StarTreeSpec(
+                    split_order=["o_orderpriority", "o_orderstatus"],
+                    function_column_pairs=["count__*", "sum__cents"],
+                    max_leaf_records=100,
+                )
+            ],
+        )
         print(f"build: 4 star-tree segments in {time.perf_counter()-t0:.1f}s")
     segs = sorted(
         os.path.join(store, d)
@@ -278,7 +272,11 @@ def main() -> int:
     import json as _json
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    base = "/tmp/hurricanedb_segments/bench_r6"
+    # key the store cache by sf so runs at different scale factors never
+    # reuse each other's segments
+    base = "/tmp/hurricanedb_segments/bench_store_" + os.path.basename(
+        os.path.normpath(sf_dir)
+    )
     spark = get_spark("bench-json-store")
     timings = {}
     timings.update(bench_json_index(spark, sf_dir, base))
