@@ -1337,9 +1337,28 @@ class HurricaneSQL:
             drop_tc_view()
             drop_st_view()
         if explain_impl:
-            return self.spark.createDataFrame(
-                [(explain_implementation_plan(df),)], "plan string"
-            )
+            plan = explain_implementation_plan(df)
+            # access-path annotations: the reference's explain names the
+            # chosen filter operator (FILTER_JSON_INDEX /
+            # FILTER_TEXT_INDEX / StarTreeFilterOperator); surface which
+            # index rewrite actually bound this query's source
+            notes = []
+            if getattr(self, "last_json_match_accel", False):
+                notes.append("accessPath: JSON_INDEX (segment skip + docId allowlist + residual)")
+            if getattr(self, "last_text_match_accel", False):
+                notes.append("accessPath: TEXT_INDEX (posting algebra + residual)")
+            if getattr(self, "last_text_contains_accel", False):
+                notes.append("accessPath: TEXT_INDEX (term posting + residual)")
+            if st_info:
+                notes.append(
+                    "accessPath: STAR_TREE "
+                    f"(segments from tree: {st_info['segments_tree']}, "
+                    f"scan fallback: {st_info['segments_scan']}, "
+                    f"pairs: {','.join(st_info['pairs'])})"
+                )
+            if notes:
+                plan = "\n".join(notes) + "\n" + plan
+            return self.spark.createDataFrame([(plan,)], "plan string")
         if explain:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"

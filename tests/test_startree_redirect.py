@@ -218,3 +218,19 @@ def test_star_tree_spec_null_column_rejected(tmp_path):
                 )
             ],
         )
+
+
+def test_explain_impl_names_access_path(hq):
+    out = hq.sql(
+        "EXPLAIN IMPLEMENTATION PLAN FOR "
+        "SELECT city, SUM(cents) AS s FROM st_metrics GROUP BY city LIMIT 100"
+    )
+    plan = out.collect()[0]["plan"]
+    assert "accessPath: STAR_TREE" in plan
+    assert "scan fallback: 1" in plan
+    # unfit shape: no annotation
+    out2 = hq.sql(
+        "EXPLAIN IMPLEMENTATION PLAN FOR "
+        "SELECT city, AVG(cents) AS a FROM st_metrics GROUP BY city LIMIT 100"
+    )
+    assert "accessPath" not in out2.collect()[0]["plan"]
