@@ -1223,6 +1223,10 @@ class HurricaneSQL:
         if not entry:
             return noop
         segs, _columns = entry
+        # a projected registration (columns=[...]) must stay authoritative:
+        # a query referencing an unprojected column fails on the scan path
+        # and must not silently succeed through the tree
+        view_cols = set(self.spark.table(shape["table"]).columns)
         from hurricanedb_spark.sources import startree_v2 as st
         from hurricanedb_spark.sources.pinot_segment import (
             read_segment_metadata,
@@ -1233,6 +1237,8 @@ class HurricaneSQL:
             p.partition("__")[2] for p in shape["pairs"] if not p.endswith("__*")
         ]
         involved = {*shape["group_cols"], *filter_cols, *metric_cols}
+        if not involved <= view_cols:
+            return noop
         from hurricanedb_spark.sources.pinot_segment import parallel_segment_map
 
         def seg_verdict(seg):

@@ -234,3 +234,32 @@ def test_explain_impl_names_access_path(hq):
         "SELECT city, AVG(cents) AS a FROM st_metrics GROUP BY city LIMIT 100"
     )
     assert "accessPath" not in out2.collect()[0]["plan"]
+
+
+def test_projected_registration_stays_authoritative(spark, store):
+    # table registered with columns=["city", "cents"]: a query touching
+    # the unprojected 'status' must NOT succeed through the tree when the
+    # scan path would reject it
+    h = HurricaneSQL(spark)
+    h.register_segment_table("st_proj", store, columns=["city", "cents"])
+    import pyspark.sql.utils as _u
+
+    with pytest.raises(Exception):
+        h.sql(
+            "SELECT status, SUM(cents) AS s FROM st_proj "
+            "GROUP BY status LIMIT 100"
+        ).collect()
+    assert h.last_star_tree_redirect is None
+    # projected columns still redirect fine
+    out = h.sql(
+        "SELECT city, SUM(cents) AS s FROM st_proj GROUP BY city "
+        "ORDER BY city LIMIT 100"
+    )
+    assert h.last_star_tree_redirect is not None
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT city, SUM(cents) AS s FROM st_proj GROUP BY city "
+            "ORDER BY city LIMIT 100"
+        ).collect()
+    ]
