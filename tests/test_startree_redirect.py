@@ -263,3 +263,40 @@ def test_projected_registration_stays_authoritative(spark, store):
             "ORDER BY city LIMIT 100"
         ).collect()
     ]
+
+
+def test_numeric_dims_through_redirect(spark, tmp_path):
+    # INT and LONG dimensions decode through segment dictionaries and the
+    # Arrow schema cast; IN filter on a LONG dim maps to dictIds per
+    # segment
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {
+            "bucket": rng.integers(0, 7, 600).astype(np.int32),
+            "day": rng.integers(19000, 19010, 600).astype(np.int64),
+            "cents": rng.integers(0, 1000, 600).astype(np.int64),
+        }
+    )
+    base = str(tmp_path / "numdim")
+    ps.write_segment_pandas(
+        pdf,
+        f"{base}/s0",
+        star_tree_specs=[
+            st.StarTreeSpec(
+                split_order=["bucket", "day"],
+                function_column_pairs=["count__*", "sum__cents"],
+                max_leaf_records=1,
+            )
+        ],
+    )
+    h = HurricaneSQL(spark)
+    h.register_segment_table("st_numdim", base)
+    q = (
+        "SELECT bucket, day, COUNT(*) AS n, SUM(cents) AS s FROM st_numdim "
+        "WHERE day IN (19001, 19003) GROUP BY bucket, day "
+        "ORDER BY bucket, day LIMIT 1000"
+    )
+    fast = [tuple(r) for r in h.sql(q).collect()]
+    assert h.last_star_tree_redirect is not None
+    slow = [tuple(r) for r in spark.sql(q).collect()]
+    assert fast == slow
