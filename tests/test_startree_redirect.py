@@ -300,3 +300,41 @@ def test_numeric_dims_through_redirect(spark, tmp_path):
     assert h.last_star_tree_redirect is not None
     slow = [tuple(r) for r in spark.sql(q).collect()]
     assert fast == slow
+
+
+def test_multi_tree_selection(spark, tmp_path):
+    # two trees with different split orders in ONE segment: the fit check
+    # must pick whichever covers the query's dims (tree 1 here)
+    rng = np.random.default_rng(7)
+    pdf = _seg_frame(rng, 500)
+    base = str(tmp_path / "multi")
+    seg = f"{base}/s0"
+    ps.write_segment_pandas(
+        pdf,
+        seg,
+        star_tree_specs=[
+            st.StarTreeSpec(
+                split_order=["city"],
+                function_column_pairs=["count__*"],
+                max_leaf_records=1,
+            ),
+            st.StarTreeSpec(
+                split_order=["status", "other"],
+                function_column_pairs=["count__*", "sum__cents"],
+                max_leaf_records=1,
+            ),
+        ],
+    )
+    assert st.fitting_tree_id(seg, ["city"], ["count__*"], []) == 0
+    assert st.fitting_tree_id(seg, ["status"], ["sum__cents"], ["other"]) == 1
+    assert st.fitting_tree_id(seg, ["city"], ["sum__cents"], []) is None
+    h = HurricaneSQL(spark)
+    h.register_segment_table("st_multi", base)
+    q = (
+        "SELECT status, SUM(cents) AS s FROM st_multi WHERE other = 3 "
+        "GROUP BY status ORDER BY status LIMIT 100"
+    )
+    fast = [tuple(r) for r in h.sql(q).collect()]
+    assert h.last_star_tree_redirect is not None
+    slow = [tuple(r) for r in spark.sql(q).collect()]
+    assert fast == slow
