@@ -124,6 +124,75 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
         "(named_struct('lon', a.lon + 0.0D, 'lat', a.lat + 0.0D) = "
         "named_struct('lon', b.lon + 0.0D, 'lat', b.lat + 0.0D))",
     ),
+    # ST_Distance on geographies: haversine meters over struct points,
+    # identical to functions/geo.py:st_distance (StDistanceFunction sphere
+    # model) — trig expressions, codegen'd
+    "stdistance": (
+        ["a", "b"],
+        "(2 * 6371008.8 * asin(sqrt("
+        "pow(sin(radians(b.lat - a.lat) / 2), 2) + "
+        "cos(radians(a.lat)) * cos(radians(b.lat)) * "
+        "pow(sin(radians(b.lon - a.lon) / 2), 2))))",
+    ),
+    # ST_GeomFromText / ST_GeogFromText for POINT WKT -> struct<lon,lat>
+    # (StGeomFromTextFunction; POLYGON WKT goes through stpolygon — the
+    # SQL surface models the two geometry kinds with distinct types)
+    "stgeomfromtext": (
+        ["w"],
+        "named_struct("
+        "'lon', CAST(regexp_extract(w, 'POINT \\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 1) AS DOUBLE), "
+        "'lat', CAST(regexp_extract(w, 'POINT \\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 2) AS DOUBLE))",
+    ),
+    "stgeogfromtext": (
+        ["w"],
+        "named_struct("
+        "'lon', CAST(regexp_extract(w, 'POINT \\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 1) AS DOUBLE), "
+        "'lat', CAST(regexp_extract(w, 'POINT \\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 2) AS DOUBLE))",
+    ),
+    # ST_Polygon: 'POLYGON ((lon lat, ...))' outer ring ->
+    # array<struct<lon,lat>> (StPolygonFunction via JTS; expression twin
+    # of functions/geo.py:st_polygon_from_text)
+    "stpolygon": (
+        ["w"],
+        "transform("
+        "split(regexp_extract(w, 'POLYGON\\\\s*\\\\(\\\\s*\\\\(([^)]*)\\\\)', 1), ','), "
+        "v -> named_struct("
+        "'lon', CAST(element_at(split(trim(v), ' '), 1) AS DOUBLE), "
+        "'lat', CAST(element_at(split(trim(v), ' '), 2) AS DOUBLE)))",
+    ),
+    # ST_Contains(polygon, point) / ST_Within(point, polygon): ray-casting
+    # crossings count over the ring, the exact expression form of
+    # functions/geo.py:st_within_polygon — aggregate() keeps it in codegen
+    "stcontains": (
+        ["g", "p"],
+        "((aggregate(sequence(1, size(g) - 1), 0, (acc, i) -> acc + "
+        "(CASE WHEN ((element_at(g, i).lat > p.lat) != (element_at(g, i + 1).lat > p.lat)) "
+        "AND (p.lon < (element_at(g, i + 1).lon - element_at(g, i).lon) * "
+        "(p.lat - element_at(g, i).lat) / (element_at(g, i + 1).lat - element_at(g, i).lat) "
+        "+ element_at(g, i).lon) THEN 1 ELSE 0 END)) % 2) = 1)",
+    ),
+    "stwithin": (
+        ["p", "g"],
+        "((aggregate(sequence(1, size(g) - 1), 0, (acc, i) -> acc + "
+        "(CASE WHEN ((element_at(g, i).lat > p.lat) != (element_at(g, i + 1).lat > p.lat)) "
+        "AND (p.lon < (element_at(g, i + 1).lon - element_at(g, i).lon) * "
+        "(p.lat - element_at(g, i).lat) / (element_at(g, i + 1).lat - element_at(g, i).lat) "
+        "+ element_at(g, i).lon) THEN 1 ELSE 0 END)) % 2) = 1)",
+    ),
+    # ST_AsBinary over struct points: delegates to the registered WKB
+    # emit kernel with scalar args (StAsBinaryFunction / JTS WKBWriter LE)
+    "stasbinary": (["p"], "_st_point_wkb(p.lon, p.lat)"),
+    # ST_Area for a spherical polygon in m^2
+    # (Chamberlain-Duquette spherical excess; R^2/2 = 6371008.8^2 / 2;
+    # expression twin of functions/geo.py:st_area_spherical)
+    "starea": (
+        ["g"],
+        "(abs(aggregate(sequence(1, size(g) - 1), CAST(0.0 AS DOUBLE), "
+        "(acc, i) -> acc + (radians(element_at(g, i + 1).lon) - "
+        "radians(element_at(g, i).lon)) * (2.0 + "
+        "sin(radians(element_at(g, i).lat)) + "
+        "sin(radians(element_at(g, i + 1).lat))))) * 20294876564838.72)",
+    ),
     # ST_GeometryType over raw WKB: reads only the 5-byte header (endian
     # byte + uint32 type code), stays in codegen (StGeometryTypeFunction)
     "stgeometrytype": (
@@ -247,3 +316,53 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_distance_haversine", _haversine_m, T.DoubleType())
     spark.udf.register("issubnetof", _is_subnet_of, T.BooleanType())
     spark.udf.register("geotoh3", _geo_to_grid, T.LongType())
+    # WKB parse/emit kernels (binary reinterpret has no Spark expression;
+    # Arrow-batched, cold path): ST_GeomFromWKB/ST_GeogFromWKB for point
+    # geometries, ST_AsBinary for points, plus the polygon reader under
+    # its explicit name — the SQL surface models the two geometry kinds
+    # with distinct types (struct vs ring array), as with the WKT forms
+    import pandas as _pd
+
+    from hurricanedb_spark.functions.geo import (
+        parse_wkb as _parse_wkb,
+        wkb_point_bytes as _wkb_point_bytes,
+    )
+
+    def _wkb_to_point(col):
+        out = []
+        for b in col:
+            p = _parse_wkb(bytes(b)) if b is not None else None
+            out.append(p[1] if p and p[0] == "Point" else (None, None))
+        return _pd.DataFrame(out, columns=["lon", "lat"])
+
+    def _wkb_to_ring(col):
+        out = []
+        for b in col:
+            p = _parse_wkb(bytes(b)) if b is not None else None
+            if p and p[0] == "Polygon" and p[1]:
+                out.append([{"lon": x, "lat": y} for x, y in p[1][0]])
+            else:
+                out.append(None)
+        return _pd.Series(out)
+
+    def _point_to_wkb(lon, lat):
+        return _pd.Series(
+            [
+                None if _pd.isna(lo) else _wkb_point_bytes(float(lo), float(la))
+                for lo, la in zip(lon, lat)
+            ]
+        )
+
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    spark.udf.register(
+        "stgeomfromwkb", _pudf(_wkb_to_point, "lon double, lat double")
+    )
+    spark.udf.register(
+        "stgeogfromwkb", _pudf(_wkb_to_point, "lon double, lat double")
+    )
+    spark.udf.register(
+        "stpolygonfromwkb",
+        _pudf(_wkb_to_ring, "array<struct<lon:double,lat:double>>"),
+    )
+    spark.udf.register("_st_point_wkb", _pudf(_point_to_wkb, "binary"))

@@ -343,3 +343,71 @@ def test_st_equals_pinch_ring_repeated_min_vertex(spark):
         ).alias("eq")
     ).collect()
     assert rows[0].eq is True and rows[1].eq is False
+
+
+def test_st_sql_surface_matches_python_api(spark):
+    """Round 7: every TransformFunctionType ST_* name resolves on the
+    SQL surface (previously only stpoint/stastext/stequals/
+    stgeometrytype did) and agrees with the functions/geo.py Python
+    API."""
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hq = HurricaneSQL(spark)
+    row = hq.sql(
+        "SELECT "
+        "STDISTANCE(STPOINT(2.35, 48.85), STPOINT(-0.13, 51.51)) AS d, "
+        "STGEOMFROMTEXT('POINT (2.5 48.8)') AS pt, "
+        "STGEOGFROMTEXT('POINT (2.5 48.8)') AS pg, "
+        "STCONTAINS(STPOLYGON('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'), "
+        "           STPOINT(2.0, 2.0)) AS inside, "
+        "STWITHIN(STPOINT(9.0, 2.0), "
+        "         STPOLYGON('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS outside, "
+        "STAREA(STPOLYGON('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')) AS a",
+        default_limit=None,
+    ).collect()[0]
+    # Paris -> London ~343-344 km on the sphere model
+    assert 340_000 < row["d"] < 348_000
+    assert (row["pt"]["lon"], row["pt"]["lat"]) == (2.5, 48.8)
+    assert (row["pg"]["lon"], row["pg"]["lat"]) == (2.5, 48.8)
+    assert row["inside"] is True and row["outside"] is False
+    # 1x1 degree cell at the equator ~ (111.195 km)^2
+    assert 1.2e10 < row["a"] < 1.28e10
+    # python-API parity on the same inputs
+    df = spark.range(1).select(
+        geo.st_distance(
+            geo.st_point(F.lit(2.35), F.lit(48.85)),
+            geo.st_point(F.lit(-0.13), F.lit(51.51)),
+        ).alias("d")
+    )
+    assert abs(df.collect()[0]["d"] - row["d"]) < 1e-6
+
+
+def test_st_wkb_sql_surface(spark):
+    import base64
+
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hq = HurricaneSQL(spark)
+    wkb = geo.wkb_point_bytes(2.5, 48.8)
+    b64 = base64.b64encode(wkb).decode()
+    row = hq.sql(
+        f"SELECT STGEOMFROMWKB(unbase64('{b64}')) AS p, "
+        f"STGEOGFROMWKB(unbase64('{b64}')) AS g",
+        default_limit=None,
+    ).collect()[0]
+    assert (row["p"]["lon"], row["p"]["lat"]) == (2.5, 48.8)
+    assert (row["g"]["lon"], row["g"]["lat"]) == (2.5, 48.8)
+    # emit side round-trips bit for bit
+    out = hq.sql(
+        "SELECT STASBINARY(STPOINT(2.5, 48.8)) AS b", default_limit=None
+    ).collect()[0]
+    assert bytes(out["b"]) == wkb
+    # polygon WKB through its explicit reader name
+    pwkb = geo.wkb_polygon_bytes([(0, 0), (4, 0), (4, 4), (0, 0)])
+    pb64 = base64.b64encode(pwkb).decode()
+    ring = hq.sql(
+        f"SELECT STPOLYGONFROMWKB(unbase64('{pb64}')) AS r", default_limit=None
+    ).collect()[0]["r"]
+    assert [(v["lon"], v["lat"]) for v in ring] == [
+        (0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)
+    ]
