@@ -366,3 +366,15 @@ def register_all(spark: SparkSession) -> None:
         _pudf(_wkb_to_ring, "array<struct<lon:double,lat:double>>"),
     )
     spark.udf.register("_st_point_wkb", _pudf(_point_to_wkb, "binary"))
+    # underscore spellings (Pinot canonicalizes ST_GeomFromWKB etc. by
+    # dropping underscores; Spark UDF lookup does not, so register both)
+    spark.udf.register(
+        "st_geomfromwkb", _pudf(_wkb_to_point, "lon double, lat double")
+    )
+    spark.udf.register(
+        "st_geogfromwkb", _pudf(_wkb_to_point, "lon double, lat double")
+    )
+    spark.udf.register(
+        "st_polygonfromwkb",
+        _pudf(_wkb_to_ring, "array<struct<lon:double,lat:double>>"),
+    )

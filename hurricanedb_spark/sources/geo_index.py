@@ -195,6 +195,7 @@ def read_segments_geo_radius(
     center_lat: float,
     radius_m: float,
     columns: list[str] | None = None,
+    apply_residual: bool = True,
 ):
     """Geo-index-accelerated distance filter: per segment, the `.h3.idx`
     postings of the radius's candidate cells bound the docs — zero-match
@@ -202,7 +203,12 @@ def read_segments_geo_radius(
     exact haversine residual ALWAYS re-applies (every candidate cell is
     treated as the reference's partial match). No/unreadable index, or
     a radius past the cell cap / pole / antimeridian, falls back to the
-    full decode of that segment."""
+    full decode of that segment.
+
+    `apply_residual=False` returns the candidate superset WITHOUT the
+    internal filter — for callers (the dialect rewrite) whose own query
+    keeps the distance predicate, so exactly one residual expression
+    decides the rows."""
     from pyspark.sql import functions as F
 
     from hurricanedb_spark.sources import pinot_segment as ps
@@ -225,11 +231,16 @@ def read_segments_geo_radius(
     plans = [
         p for p in ps.parallel_segment_map(plan_for, segment_dirs) if p is not None
     ]
+    residual = (
+        radius_residual_expr(col, center_lon, center_lat, radius_m)
+        if apply_residual
+        else "true"
+    )
     return ps.read_segments_allowlist(
         spark,
         plans,
         columns,
         segment_dirs,
-        F.expr(radius_residual_expr(col, center_lon, center_lat, radius_m)),
+        F.expr(residual),
         predicate_columns=[col],
     )

@@ -471,6 +471,16 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
            "datetimeconvert", "groovy", "jsonextractscalar", "histogram",
            "regexpextract"}
     )
+    # Pinot's FunctionRegistry canonicalizes by dropping underscores, so
+    # ST_Distance == STDISTANCE. Alias ONLY the st* family — a global
+    # strip would capture Spark builtins (split_part) into Pinot-semantic
+    # macros and silently change their behavior.
+    st_alias = {
+        f"st_{k[2:]}": k
+        for k in (set(macros) | set(_AGG_REWRITES))
+        if k.startswith("st") and not k.startswith("st_")
+    }
+    names |= set(st_alias)
     for _ in range(max_passes):
         calls = _find_calls(sql, names)
         if not calls:
@@ -479,6 +489,7 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
         parts, pos = [], 0
         for start, end, name, args in calls:
             parts.append(sql[pos:start])
+            name = st_alias.get(name, name)
             if name in _AGG_REWRITES:
                 body = _AGG_REWRITES[name]
                 for idx, a in enumerate(args, 1):
@@ -829,6 +840,12 @@ _TEXT_MATCH_CALL = re.compile(
 _TEXT_CONTAINS_CALL = re.compile(
     r"TEXT_CONTAINS\(\s*(\w+)\s*,\s*'([A-Za-z0-9]+)'\s*\)", re.IGNORECASE
 )
+_NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_GEO_RADIUS_CALL = re.compile(
+    r"ST_?DISTANCE\(\s*ST_?GEO[GM]_?FROM_?TEXT\(\s*(\w+)\s*\)\s*,\s*"
+    rf"ST_?POINT\(\s*({_NUM})\s*,\s*({_NUM})\s*\)\s*\)\s*<\s*({_NUM})",
+    re.IGNORECASE,
+)
 
 
 def rewrite_json_match(query: str) -> str:
@@ -1021,7 +1038,40 @@ class HurricaneSQL:
         self.last_text_contains_accel = out[0] is not query
         return out
 
-    def _conjunct_accel_rewrite(self, query: str, call_re, tag: str, build):
+    def _geo_radius_rewrite(self, query: str):
+        """Geo grid index access path: a sole-conjunct
+        `ST_Distance(ST_GeomFromText(col), ST_Point(lon, lat)) < r` over
+        a segment-backed table rebinds to the candidate-cell superset
+        scan (sources/geo_index.py:read_segments_geo_radius with
+        apply_residual=False — the query KEEPS its own distance
+        predicate, so exactly one residual expression decides the rows;
+        the index can only skip segments/docs outside the radius's bbox
+        cells). Reference: H3IndexFilterOperator.java:100-160."""
+
+        def build(segs, columns, col, lonlatr):
+            lon, lat, r = lonlatr
+            from hurricanedb_spark.sources.geo_index import (
+                read_segments_geo_radius,
+            )
+
+            return read_segments_geo_radius(
+                self.spark, segs, col, lon, lat, r, columns,
+                apply_residual=False,
+            )
+
+        out = self._conjunct_accel_rewrite(
+            query,
+            _GEO_RADIUS_CALL,
+            "geo",
+            build,
+            parse_groups=lambda g: (g[0], (float(g[1]), float(g[2]), float(g[3]))),
+        )
+        self.last_geo_radius_accel = out[0] is not query
+        return out
+
+    def _conjunct_accel_rewrite(
+        self, query: str, call_re, tag: str, build, parse_groups=None
+    ):
         """Shared rebind machinery for single-conjunct index
         accelerations (JSON_MATCH / TEXT_MATCH): validate the safe
         shape, create a uuid-named temp view over the accelerated scan,
@@ -1052,7 +1102,10 @@ class HurricaneSQL:
         span_wo_call = call_re.sub("", span)
         if re.search(r"\bOR\b|\bNOT\b|[()]", span_wo_call, re.IGNORECASE):
             return noop
-        col, cond = calls[0][0], calls[0][1].replace("''", "'")
+        if parse_groups is not None:
+            col, cond = parse_groups(calls[0])
+        else:
+            col, cond = calls[0][0], calls[0][1].replace("''", "'")
         for name, (segs, columns) in self._segment_tables.items():
             from_ref = re.compile(
                 rf"(\bFROM\s+){re.escape(name)}\b", re.IGNORECASE
@@ -1326,6 +1379,7 @@ class HurricaneSQL:
         q, drop_accel_view = self._json_match_rewrite(q)
         q, drop_tm_view = self._text_match_rewrite(q)
         q, drop_tc_view = self._text_contains_rewrite(q)
+        q, drop_geo_view = self._geo_radius_rewrite(q)
         q, drop_st_view, st_info = self._star_tree_rewrite(q)
         self.last_star_tree_redirect = st_info
         q = rewrite_json_match(q)
@@ -1341,6 +1395,7 @@ class HurricaneSQL:
             drop_accel_view()
             drop_tm_view()
             drop_tc_view()
+            drop_geo_view()
             drop_st_view()
         if explain_impl:
             plan = explain_implementation_plan(df)
@@ -1355,6 +1410,8 @@ class HurricaneSQL:
                 notes.append("accessPath: TEXT_INDEX (posting algebra + residual)")
             if getattr(self, "last_text_contains_accel", False):
                 notes.append("accessPath: TEXT_INDEX (term posting + residual)")
+            if getattr(self, "last_geo_radius_accel", False):
+                notes.append("accessPath: H3_INDEX (candidate cells + residual)")
             if st_info:
                 notes.append(
                     "accessPath: STAR_TREE "

@@ -156,3 +156,48 @@ def test_geo_index_requires_wkt_string(tmp_path):
         ps.write_segment_pandas(
             pdf2, str(tmp_path / "g2"), geo_index_columns={"s": 8}
         )
+
+
+def test_dialect_geo_radius_rewrite(spark, geo_store):
+    import os
+
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hq = HurricaneSQL(spark)
+    hq.register_segment_table("geo_docs", os.path.dirname(geo_store[0]))
+    # scan-path truth: the SAME rows as a plain (non-segment) view, so
+    # hq.sql translates the macros but never rebinds the source
+    ps.read_segments(spark, geo_store).createOrReplaceTempView("geo_plain")
+
+    def run(q, accel_expected):
+        fast = [r["id"] for r in hq.sql(q).collect()]
+        assert hq.last_geo_radius_accel is accel_expected
+        slow = [
+            r["id"]
+            for r in hq.sql(q.replace("geo_docs", "geo_plain")).collect()
+        ]
+        assert not hq.last_geo_radius_accel
+        assert fast == slow
+        return fast
+
+    rows = run(
+        "SELECT id FROM geo_docs "
+        "WHERE STDISTANCE(STGEOMFROMTEXT(loc), STPOINT(2.35, 48.85)) < 20000 "
+        "ORDER BY id LIMIT 10000",
+        True,
+    )
+    assert len(rows) > 0
+    # underscore spelling
+    run(
+        "SELECT id FROM geo_docs "
+        "WHERE ST_DISTANCE(ST_GEOMFROMTEXT(loc), ST_POINT(139.69, 35.68)) < 50000 "
+        "ORDER BY id LIMIT 10000",
+        True,
+    )
+    # > comparison: not the supported shape -> scan, same results
+    run(
+        "SELECT id FROM geo_docs "
+        "WHERE STDISTANCE(STGEOMFROMTEXT(loc), STPOINT(2.35, 48.85)) > 20000 "
+        "ORDER BY id LIMIT 10000",
+        False,
+    )
