@@ -245,3 +245,62 @@ def q_geo_index_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nearby"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_fn_geo_sql",
+    oracle="""
+    WITH pts AS (
+      SELECT c_mktsegment,
+             CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) AS lon,
+             CAST(c_custkey * 13 % 180 - 90 AS DOUBLE) AS lat
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN (
+             (CASE WHEN ((-40 > lat) <> (-30 > lat))
+                    AND (lon < (60 - -50) * (lat - -40) / (-30 - -40) + -50)
+                   THEN 1 ELSE 0 END
+              + CASE WHEN ((-30 > lat) <> (70 > lat))
+                      AND (lon < (10 - 60) * (lat - -30) / (70 - -30) + 60)
+                     THEN 1 ELSE 0 END
+              + CASE WHEN ((70 > lat) <> (-40 > lat))
+                      AND (lon < (-50 - 10) * (lat - 70) / (-40 - 70) + 10)
+                     THEN 1 ELSE 0 END) % 2 = 1
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+    FROM pts
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="ST_* family on the SQL surface (round 7): "
+    "STCONTAINS(STPOLYGON('POLYGON (...)'), STPOINT(lon, lat)) through "
+    "the dialect macro layer — ray-casting crossings count as pure "
+    "arithmetic expressions (cross-engine deterministic, unlike the "
+    "libm-trig distances). The oracle hand-unrolls the SAME formula for "
+    "the fixed triangle, edge for edge, operand order preserved.",
+    tags=("geo", "dialect"),
+)
+def q_fn_geo_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_geo_sql"
+    )
+    hq = HurricaneSQL(spark)
+    return hq.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN STCONTAINS(
+                 STPOLYGON('POLYGON ((-50 -40, 60 -30, 10 70, -50 -40))'),
+                 STPOINT(CAST(c_custkey * 7 % 360 - 180 AS DOUBLE),
+                         CAST(c_custkey * 13 % 180 - 90 AS DOUBLE))
+               ) THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+        FROM customer_geo_sql
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        LIMIT 100
+        """,
+        default_limit=None,
+    )
