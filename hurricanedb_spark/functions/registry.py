@@ -102,6 +102,15 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
     "frombase64": (["s"], "unbase64(s)"),
     "toutf8": (["s"], "encode(s, 'UTF-8')"),
     "fromutf8": (["b"], "decode(b, 'UTF-8')"),
+    # function-call forms of the comparison operators
+    # (TransformFunctionType EQUALS..LESS_THAN_OR_EQUAL; the reference's
+    # PredicateComparisonRewriter turns them into predicates)
+    "equals": (["a", "b"], "(a = b)"),
+    "not_equals": (["a", "b"], "(a <> b)"),
+    "greater_than": (["a", "b"], "(a > b)"),
+    "greater_than_or_equal": (["a", "b"], "(a >= b)"),
+    "less_than": (["a", "b"], "(a < b)"),
+    "less_than_or_equal": (["a", "b"], "(a <= b)"),
     "hammingdistance_str": (
         ["a", "b"],
         "CASE WHEN length(a) <> length(b) THEN -1 ELSE "
@@ -243,7 +252,9 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
     "arrayunion": (["a", "b"], "array_union(a, b)"),
     "arrayconcat": (["a", "b"], "concat(a, b)"),
     "arrayremove": (["a", "v"], "array_remove(a, v)"),
-    "valuein": (["a", "vs"], "filter(a, x -> array_contains(vs, x))"),
+    # valueIn(mvCol, v1, v2, ...) is VARARGS in the reference
+    # (ValueInTransformFunction); handled with arity dispatch in
+    # sql/dialect.py:rewrite_functions, not as a fixed-arity macro
     # MV filter semantics: Pinot `mvCol = v` means "any element equals"
     "mv_equals": (["a", "v"], "array_contains(a, v)"),
     # --- hash/binary (HashFunctions.java, DataTypeConversionFunctions.java) ---
@@ -304,6 +315,9 @@ def _geo_to_grid(lat, lon, res: int):
     (pinot-core/.../geospatial/transform/function/GeoToH3Function)."""
     if lat is None or lon is None:
         return None
+    # SQL decimal literals arrive as decimal.Decimal — coerce before
+    # the float arithmetic (round-7 inventory-gate finding)
+    lat, lon = float(lat), float(lon)
     cells = 2 ** int(res)
     y = int((lat + 90.0) / 180.0 * cells)
     x = int((lon + 180.0) / 360.0 * cells)

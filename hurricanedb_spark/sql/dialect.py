@@ -75,6 +75,15 @@ _AGG_REWRITES: dict[str, str] = {
     "percentilesmarttdigest": "percentile_approx($1, $2 / 100)",
     "percentile_pinot": "percentile($1, $2 / 100)",
     "boolAnd".lower(): "bool_and($1)",
+    # Pinot spells the stat aggregates without underscores
+    # (AggregationFunctionType: covarPop, covarSamp, varPop, varSamp,
+    # stdDevPop, stdDevSamp); Spark's builtins require them
+    "covarpop": "covar_pop($1, $2)",
+    "covarsamp": "covar_samp($1, $2)",
+    "varpop": "var_pop($1)",
+    "varsamp": "var_samp($1)",
+    "stddevpop": "stddev_pop($1)",
+    "stddevsamp": "stddev_samp($1)",
     "boolOr".lower(): "bool_or($1)",
     "idset": "collect_set($1)",
     "fourthmoment": "(sum(power($1, 4)) / count($1))",
@@ -460,6 +469,32 @@ def translate_groovy(args: list[str]) -> str:
     return f"CAST(({script}) AS {ret})"
 
 
+def _truncate(args: list[str]) -> str:
+    """ArithmeticFunctions.truncate: 1-arg = toward-zero integer
+    (signum * floor(abs)); 2-arg = BigDecimal.valueOf(a).setScale(scale,
+    DOWN) — i.e. truncation of the double's SHORTEST DECIMAL
+    REPRESENTATION, not of the binary value (truncate(4.35, 2) is 4.35,
+    not 4.34). CAST(double AS STRING) gives the same shortest repr in
+    Spark, so string->DECIMAL(38,18) then subtracting the %-remainder
+    reproduces it exactly for literal scales; non-literal scales take
+    the float formula (documented approximation)."""
+    a = args[0]
+    if len(args) == 1:
+        return f"(sign({a}) * floor(abs({a})))"
+    try:
+        scale = int(args[1].strip())
+    except ValueError:
+        return (
+            f"(sign({a}) * floor(abs({a}) * power(10, {args[1]})) "
+            f"/ power(10, {args[1]}))"
+        )
+    if not 0 <= scale <= 18:
+        return f"CAST({a} AS DOUBLE)"
+    step = f"{10 ** -scale:.{scale}f}" if scale else "1"
+    d = f"CAST(CAST({a} AS STRING) AS DECIMAL(38,18))"
+    return f"CAST({d} - ({d} % {step}) AS DOUBLE)"
+
+
 def rewrite_functions(sql: str, max_passes: int = 10) -> str:
     """Expand Pinot-named calls into Spark SQL, repeating until fixpoint so
     nested calls resolve."""
@@ -469,7 +504,7 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
         | set(_AGG_REWRITES)
         | {"text_match", "text_contains", "lookup", "timeconvert",
            "datetimeconvert", "groovy", "jsonextractscalar", "histogram",
-           "regexpextract"}
+           "regexpextract", "truncate", "valuein"}
     )
     # Pinot's FunctionRegistry canonicalizes by dropping underscores, so
     # ST_Distance == STDISTANCE. Alias ONLY the st* family — a global
@@ -506,6 +541,14 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
                 body = _histogram(args)
             elif name == "regexpextract":
                 body = _regexp_extract(args)
+            elif name == "truncate":
+                body = _truncate(args)
+            elif name == "valuein":
+                # valueIn(mvCol, v1, v2, ...): MV elements that appear in
+                # the vararg list (ValueInTransformFunction) — keeps MV
+                # shape, so arrayLength(valueIn(...)) composes
+                vals = ", ".join(args[1:])
+                body = f"filter(({args[0]}), x -> x IN ({vals}))"
             elif name == "datetimeconvert":
                 body = _date_time_convert(args)
             elif name == "text_match":
