@@ -73,7 +73,12 @@ _AGG_REWRITES: dict[str, str] = {
     "percentiletdigest": "percentile_approx($1, $2 / 100)",
     "percentilerawtdigest": "percentile_approx($1, $2 / 100)",
     "percentilesmarttdigest": "percentile_approx($1, $2 / 100)",
-    "percentile_pinot": "percentile($1, $2 / 100)",
+    # plain PERCENTILE takes 0-100 like every other percentile* name
+    # (PercentileAggregationFunction); the body backtick-quotes the Spark
+    # builtin so the fixpoint rewriter cannot re-match its own output
+    # (percentile(x, 50/100) would otherwise become /100/100 on pass 2)
+    "percentile": "`percentile`($1, $2 / 100)",
+    "percentile_pinot": "`percentile`($1, $2 / 100)",
     "boolAnd".lower(): "bool_and($1)",
     # Pinot spells the stat aggregates without underscores
     # (AggregationFunctionType: covarPop, covarSamp, varPop, varSamp,
@@ -492,7 +497,13 @@ def _truncate(args: list[str]) -> str:
         return f"CAST({a} AS DOUBLE)"
     step = f"{10 ** -scale:.{scale}f}" if scale else "1"
     d = f"CAST(CAST({a} AS STRING) AS DECIMAL(38,18))"
-    return f"CAST({d} - ({d} % {step}) AS DOUBLE)"
+    # |a| >= 1e18 overflows DECIMAL(38,18) (silent NULL); doubles that
+    # large have no fractional digits anyway, so the value IS its own
+    # truncation
+    return (
+        f"(CASE WHEN abs({a}) < 1e18 THEN CAST({d} - ({d} % {step}) AS DOUBLE) "
+        f"ELSE CAST({a} AS DOUBLE) END)"
+    )
 
 
 def rewrite_functions(sql: str, max_passes: int = 10) -> str:

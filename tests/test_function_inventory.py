@@ -140,7 +140,7 @@ AGGREGATE = {
     "distinctCountRawThetaSketch": "distinctCountRawThetaSketch(v)",
     "distinctSum": "distinctSum(v)",
     "distinctAvg": "distinctAvg(v)",
-    "percentile": "percentile(v, 0.5)",
+    "percentile": "percentile(v, 50)",
     "percentileEst": "percentileEst(v, 50)",
     "percentileRawEst": "percentileRawEst(v, 50)",
     "percentileTDigest": "percentileTDigest(v, 50)",
