@@ -274,7 +274,7 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
     "log2_": (["x"], "log2(x)"),
     "log10_": (["x"], "log10(x)"),
     "power_": (["x", "y"], "power(x, y)"),
-    "rounddecimal": (["x", "n"], "round(x, n)"),
+    # roundDecimal: 1-/2-arg arity dispatched in sql/dialect.py
     "truncate_": (["x", "n"], "CAST(floor(x * power(10, n)) / power(10, n) AS DOUBLE)"),
     "roundrobin_bucket": (["x", "n"], "pmod(hash(x), n)"),
 }

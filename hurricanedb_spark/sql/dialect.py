@@ -515,7 +515,7 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
         | set(_AGG_REWRITES)
         | {"text_match", "text_contains", "lookup", "timeconvert",
            "datetimeconvert", "groovy", "jsonextractscalar", "histogram",
-           "regexpextract", "truncate", "valuein"}
+           "regexpextract", "truncate", "valuein", "rounddecimal"}
     )
     # Pinot's FunctionRegistry canonicalizes by dropping underscores, so
     # ST_Distance == STDISTANCE. Alias ONLY the st* family — a global
@@ -554,6 +554,15 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
                 body = _regexp_extract(args)
             elif name == "truncate":
                 body = _truncate(args)
+            elif name == "rounddecimal":
+                # ArithmeticFunctions.roundDecimal: 2-arg HALF_UP at
+                # scale; 1-arg Math.round (nearest long)
+                # reference returns double in both arities
+                body = (
+                    f"CAST(round({args[0]}, {args[1]}) AS DOUBLE)"
+                    if len(args) > 1
+                    else f"CAST(round({args[0]}) AS DOUBLE)"
+                )
             elif name == "valuein":
                 # valueIn(mvCol, v1, v2, ...): MV elements that appear in
                 # the vararg list (ValueInTransformFunction) — keeps MV
