@@ -111,6 +111,93 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
     "greater_than_or_equal": (["a", "b"], "(a >= b)"),
     "less_than": (["a", "b"], "(a < b)"),
     "less_than_or_equal": (["a", "b"], "(a <= b)"),
+    # --- typed MV array forms (ArrayFunctions.java: one Java method per
+    # element type; one SQL body serves them all) ---
+    "arrayconcatint": (["a", "b"], "concat(a, b)"),
+    "arrayconcatlong": (["a", "b"], "concat(a, b)"),
+    "arrayconcatfloat": (["a", "b"], "concat(a, b)"),
+    "arrayconcatdouble": (["a", "b"], "concat(a, b)"),
+    "arrayconcatstring": (["a", "b"], "concat(a, b)"),
+    "arraycontainsint": (["a", "v"], "array_contains(a, v)"),
+    "arraycontainsstring": (["a", "v"], "array_contains(a, v)"),
+    "arraydistinctint": (["a"], "array_distinct(a)"),
+    "arraydistinctstring": (["a"], "array_distinct(a)"),
+    # elementAt is 1-based with an out-of-range null placeholder; real
+    # NULL is this engine's null encoding (enableNullHandling semantics)
+    "arrayelementatint": (["a", "i"], "CASE WHEN i > 0 AND i <= size(a) THEN element_at(a, CAST(i AS INT)) END"),
+    "arrayelementatlong": (["a", "i"], "CASE WHEN i > 0 AND i <= size(a) THEN element_at(a, CAST(i AS INT)) END"),
+    "arrayelementatfloat": (["a", "i"], "CASE WHEN i > 0 AND i <= size(a) THEN element_at(a, CAST(i AS INT)) END"),
+    "arrayelementatdouble": (["a", "i"], "CASE WHEN i > 0 AND i <= size(a) THEN element_at(a, CAST(i AS INT)) END"),
+    "arrayelementatstring": (["a", "i"], "CASE WHEN i > 0 AND i <= size(a) THEN element_at(a, CAST(i AS INT)) END"),
+    # ArrayUtils.indexOf: 0-based, -1 absent (array_position is 1-based, 0 absent)
+    "arrayindexofint": (["a", "v"], "CAST(array_position(a, v) - 1 AS INT)"),
+    "arrayindexofstring": (["a", "v"], "CAST(array_position(a, v) - 1 AS INT)"),
+    "arrayremoveint": (["a", "v"], "array_remove(a, v)"),
+    "arrayremovestring": (["a", "v"], "array_remove(a, v)"),
+    "arrayreverseint": (["a"], "reverse(a)"),
+    "arrayreversestring": (["a"], "reverse(a)"),
+    # Arrays.copyOfRange: [start, end) 0-based -> slice(1-based, length)
+    "arraysliceint": (["a", "s", "e"], "slice(a, s + 1, e - s)"),
+    "arrayslicestring": (["a", "s", "e"], "slice(a, s + 1, e - s)"),
+    "arraysortint": (["a"], "array_sort(a)"),
+    "arraysortstring": (["a"], "array_sort(a)"),
+    "arrayunionint": (["a", "b"], "array_union(a, b)"),
+    "arrayunionstring": (["a", "b"], "array_union(a, b)"),
+    # --- DataTypeConversionFunctions / StringFunctions byte helpers ---
+    "base64encode": (["b"], "encode(base64(b), 'UTF-8')"),
+    "base64decode": (["b"], "unbase64(decode(b, 'UTF-8'))"),
+    "frombytes": (["b", "c"], "decode(b, c)"),
+    "tobytes": (["s", "c"], "encode(s, c)"),
+    # --- function-call forms of comparisons / null tests, camel and
+    # underscore spellings (ComparisonFunctions / LogicalFunctions) ---
+    "greaterthan": (["a", "b"], "(a > b)"),
+    "greaterthanorequal": (["a", "b"], "(a >= b)"),
+    "lessthan": (["a", "b"], "(a < b)"),
+    "lessthanorequal": (["a", "b"], "(a <= b)"),
+    "notequals": (["a", "b"], "(a <> b)"),
+    "isnull": (["a"], "(a IS NULL)"),
+    "isnotnull": (["a"], "(a IS NOT NULL)"),
+    "isdistinctfrom": (["a", "b"], "(a IS DISTINCT FROM b)"),
+    "isnotdistinctfrom": (["a", "b"], "(a IS NOT DISTINCT FROM b)"),
+    "is_distinct_from": (["a", "b"], "(a IS DISTINCT FROM b)"),
+    "is_not_distinct_from": (["a", "b"], "(a IS NOT DISTINCT FROM b)"),
+    "is_null": (["a"], "(a IS NULL)"),
+    "is_not_null": (["a"], "(a IS NOT NULL)"),
+    # --- arithmetic aliases (ArithmeticFunctions names) ---
+    "plus": (["a", "b"], "a + b"),
+    "minus": (["a", "b"], "a - b"),
+    "times": (["a", "b"], "a * b"),
+    # --- json (JsonFunctions) ---
+    "jsonpath": (["j", "p"], "get_json_object(j, p)"),
+    "jsonpatharraydefaultempty": (
+        ["j", "p"],
+        "coalesce(from_json(get_json_object(j, p), 'array<string>'), array())",
+    ),
+    "tojsonmapstr": (["m"], "to_json(m)"),
+    # --- regex camel spellings (Matcher.find semantics == Spark) ---
+    "regexplike": (["s", "p"], "regexp_like(s, p)"),
+    # --- string spellings ---
+    "ends_with": (["s", "x"], "endswith(s, x)"),
+    "starts_with": (["s", "x"], "startswith(s, x)"),
+    # --- datetime spellings + Joda conventions (DateTimeFunctions) ---
+    # Pinot dayOfWeek is ISO (Joda getDayOfWeek: Monday=1..Sunday=7);
+    # Spark's builtin is Sunday=1 — remap
+    "dayofweek": (["t"], "(((`dayofweek`(t) + 5) % 7) + 1)"),
+    "dow": (["t"], "(((`dayofweek`(t) + 5) % 7) + 1)"),
+    "day_of_week": (["t"], "(((`dayofweek`(t) + 5) % 7) + 1)"),
+    "doy": (["t"], "dayofyear(t)"),
+    "day_of_year": (["t"], "dayofyear(t)"),
+    "day_of_month": (["t"], "dayofmonth(t)"),
+    "month_of_year": (["t"], "month(t)"),
+    "week": (["t"], "weekofyear(t)"),
+    "week_of_year": (["t"], "weekofyear(t)"),
+    "year_of_week": (["t"], "CAST(extract(YEAROFWEEK FROM t) AS INT)"),
+    "yow": (["t"], "CAST(extract(YEAROFWEEK FROM t) AS INT)"),
+    # toEpoch<unit>Rounded(millis, n): unit value floored to a multiple
+    "toepochsecondsrounded": (["t", "n"], "CAST(floor(unix_seconds(t) / n) * n AS BIGINT)"),
+    "toepochminutesrounded": (["t", "n"], "CAST(floor(unix_seconds(t) / (60 * n)) * n AS BIGINT)"),
+    "toepochhoursrounded": (["t", "n"], "CAST(floor(unix_seconds(t) / (3600 * n)) * n AS BIGINT)"),
+    "toepochdaysrounded": (["t", "n"], "CAST(floor(unix_seconds(t) / (86400 * n)) * n AS BIGINT)"),
     "hammingdistance_str": (
         ["a", "b"],
         "CASE WHEN length(a) <> length(b) THEN -1 ELSE "
@@ -380,6 +467,45 @@ def register_all(spark: SparkSession) -> None:
         _pudf(_wkb_to_ring, "array<struct<lon:double,lat:double>>"),
     )
     spark.udf.register("_st_point_wkb", _pudf(_point_to_wkb, "binary"))
+
+    # BigDecimal wire format (BigDecimalUtils.serialize: 2-byte
+    # big-endian scale + BigInteger.toByteArray minimal two's-complement
+    # unscaled value) — bytes written here deserialize in a real
+    # deployment and vice versa
+    def _bigdecimal_to_bytes(col):
+        import decimal
+
+        def ser(d):
+            if d is None:
+                return None
+            d = decimal.Decimal(d)
+            exp = d.as_tuple().exponent
+            scale = max(0, -exp)
+            unscaled = int(d.scaleb(scale).to_integral_value())
+            n = (unscaled.bit_length() // 8) + 1  # toByteArray sign byte
+            return (scale & 0xFFFF).to_bytes(2, "big") + unscaled.to_bytes(
+                n, "big", signed=True
+            )
+
+        return _pd.Series([ser(d) for d in col])
+
+    def _bytes_to_bigdecimal(col):
+        import decimal
+
+        def de(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            scale = int.from_bytes(b[:2], "big", signed=True)
+            unscaled = int.from_bytes(b[2:], "big", signed=True)
+            return decimal.Decimal(unscaled).scaleb(-scale)
+
+        return _pd.Series([de(b) for b in col])
+
+    spark.udf.register("bigdecimaltobytes", _pudf(_bigdecimal_to_bytes, "binary"))
+    spark.udf.register(
+        "bytestobigdecimal", _pudf(_bytes_to_bigdecimal, "decimal(38,18)")
+    )
     # underscore spellings (Pinot canonicalizes ST_GeomFromWKB etc. by
     # dropping underscores; Spark UDF lookup does not, so register both)
     spark.udf.register(

@@ -474,6 +474,49 @@ def translate_groovy(args: list[str]) -> str:
     return f"CAST(({script}) AS {ret})"
 
 
+_TS_UNITS = {
+    "milliseconds": "MILLISECOND", "millisecond": "MILLISECOND",
+    "seconds": "SECOND", "second": "SECOND",
+    "minutes": "MINUTE", "minute": "MINUTE",
+    "hours": "HOUR", "hour": "HOUR",
+    "days": "DAY", "day": "DAY",
+    "weeks": "WEEK", "week": "WEEK",
+    "months": "MONTH", "month": "MONTH",
+    "quarters": "QUARTER", "quarter": "QUARTER",
+    "years": "YEAR", "year": "YEAR",
+}
+
+
+def _timestamp_arith(name: str, args: list[str]) -> str:
+    """timestampAdd/dateAdd(unit, n, ts) and timestampDiff/dateDiff(unit,
+    t1, t2) — Joda field arithmetic on timestamps
+    (DateTimeFunctions.java; diff = t2 - t1 in units, matching Spark's
+    timestampdiff(unit, start, end)). Spark's builtins take the unit as
+    a KEYWORD, so the quoted Pinot literal is validated and inlined. A
+    2-arg datediff stays Spark's own days-between builtin (backticked so
+    the fixpoint rewriter cannot re-match it)."""
+    if name == "datediff" and len(args) == 2:
+        return f"`datediff`({args[0]}, {args[1]})"  # Spark days-between
+    if len(args) != 3:
+        raise ValueError(f"{name}: expected (unit, a, b)")
+    unit = _strip_quotes(args[0]).lower()
+    if unit in {u.lower() for u in _TS_UNITS.values()}:
+        kw = unit.upper()  # already rewritten: round-trip unchanged
+        if name in ("timestampadd", "dateadd"):
+            return f"timestampadd({kw}, {args[1]}, {args[2]})"
+        return f"timestampdiff({kw}, {args[1]}, {args[2]})"
+    if unit not in _TS_UNITS:
+        raise ValueError(f"{name}: unsupported unit {unit!r}")
+    kw = _TS_UNITS[unit]
+    # bare spellings: the unit-keyword forms are parser SYNTAX, not
+    # catalog functions, so they cannot be backtick-protected; the
+    # rewrite is idempotent (an already-keyword unit round-trips), so
+    # fixpoint re-matching is harmless
+    if name in ("timestampadd", "dateadd"):
+        return f"timestampadd({kw}, {args[1]}, {args[2]})"
+    return f"timestampdiff({kw}, {args[1]}, {args[2]})"
+
+
 def _truncate(args: list[str]) -> str:
     """ArithmeticFunctions.truncate: 1-arg = toward-zero integer
     (signum * floor(abs)); 2-arg = BigDecimal.valueOf(a).setScale(scale,
@@ -515,7 +558,10 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
         | set(_AGG_REWRITES)
         | {"text_match", "text_contains", "lookup", "timeconvert",
            "datetimeconvert", "groovy", "jsonextractscalar", "histogram",
-           "regexpextract", "truncate", "valuein", "rounddecimal"}
+           "regexpextract", "truncate", "valuein", "rounddecimal",
+           "round_decimal", "case", "casewhen", "case_when", "div",
+           "divide", "regexpreplace", "timestampadd", "dateadd",
+           "timestampdiff", "datediff"}
     )
     # Pinot's FunctionRegistry canonicalizes by dropping underscores, so
     # ST_Distance == STDISTANCE. Alias ONLY the st* family — a global
@@ -554,7 +600,37 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
                 body = _regexp_extract(args)
             elif name == "truncate":
                 body = _truncate(args)
-            elif name == "rounddecimal":
+            elif name in ("case", "casewhen", "case_when"):
+                # function form CASE(c1, o1, [c2, o2, ...], else)
+                # (ObjectFunctions.caseWhen varargs pairs + else)
+                pairs = [
+                    f"WHEN {args[i]} THEN {args[i + 1]}"
+                    for i in range(0, len(args) - 1, 2)
+                ]
+                body = f"(CASE {' '.join(pairs)} ELSE {args[-1]} END)"
+            elif name in ("div", "divide"):
+                # ArithmeticFunctions.divide: 2-arg a/b; 3-arg returns the
+                # default when b == 0 (the reference's double division
+                # yields Infinity at b=0; this engine's SQL semantics
+                # yield NULL there — documented difference, and the 3-arg
+                # form exists precisely to avoid it)
+                if len(args) == 3:
+                    body = (
+                        f"(CASE WHEN ({args[1]}) = 0 THEN {args[2]} "
+                        f"ELSE ({args[0]}) / ({args[1]}) END)"
+                    )
+                else:
+                    body = f"(({args[0]}) / ({args[1]}))"
+            elif name == "regexpreplace":
+                if len(args) != 3:
+                    raise ValueError(
+                        "regexpReplace: only the 3-arg form "
+                        "(value, find, replace) is supported"
+                    )
+                body = f"regexp_replace({args[0]}, {args[1]}, {args[2]})"
+            elif name in ("timestampadd", "dateadd", "timestampdiff", "datediff"):
+                body = _timestamp_arith(name, args)
+            elif name in ("rounddecimal", "round_decimal"):
                 # ArithmeticFunctions.roundDecimal: 2-arg HALF_UP at
                 # scale; 1-arg Math.round (nearest long)
                 # reference returns double in both arities

@@ -259,3 +259,125 @@ def test_every_enum_name_is_covered():
     assert transform_enum | agg_enum <= covered, (
         (transform_enum | agg_enum) - covered
     )
+
+
+# --- @ScalarFunction surface (pinot-common/.../function/scalar/*.java,
+# 219 registered names incl. aliases) ------------------------------------
+
+SCALAR_NAMES = (
+    "abs acos add ago arrayConcatDouble arrayConcatFloat arrayConcatInt "
+    "arrayConcatLong arrayConcatString arrayContainsInt arrayContainsString "
+    "arrayDistinctInt arrayDistinctString arrayElementAtDouble "
+    "arrayElementAtFloat arrayElementAtInt arrayElementAtLong "
+    "arrayElementAtString arrayIndexOfInt arrayIndexOfString arrayRemoveInt "
+    "arrayRemoveString arrayReverseInt arrayReverseString arraySliceInt "
+    "arraySliceString arraySortInt arraySortString arrayUnionInt "
+    "arrayUnionString asin atan atan2 base64Decode base64Encode between "
+    "bigDecimalToBytes bytesToBigDecimal bytesToHex case caseWhen case_when "
+    "cast ceil ceiling chr coalesce codepoint concat concat_ws contains cos "
+    "cosh cot dateAdd dateDiff dateTrunc day dayOfMonth dayOfWeek dayOfYear "
+    "day_of_month day_of_week day_of_year decodeUrl degrees div divide dow "
+    "doy encodeUrl endsWith ends_with equals exp floor fromBase64 fromBytes "
+    "fromDateTime fromEpochDays fromEpochDaysBucket fromEpochHours "
+    "fromEpochHoursBucket fromEpochMinutes fromEpochMinutesBucket "
+    "fromEpochSeconds fromEpochSecondsBucket fromTimestamp fromUtf8 "
+    "greaterThan greaterThanOrEqual greater_than greater_than_or_equal "
+    "greatest hammingDistance hexToBytes hour isDistinctFrom "
+    "isNotDistinctFrom isNotNull isNull isSubnetOf is_distinct_from "
+    "is_not_distinct_from is_not_null is_null jsonFormat jsonPath "
+    "jsonPathArray jsonPathArrayDefaultEmpty jsonPathDouble jsonPathLong "
+    "jsonPathString least leftSubStr length lessThan lessThanOrEqual "
+    "less_than less_than_or_equal like ln log log10 log2 lower lpad ltrim "
+    "max md5 millisecond min minus minute mod month monthOfYear "
+    "month_of_year mult normalize not notEquals not_equals now plus pow "
+    "power quarter radians regexpExtract regexpLike regexpReplace "
+    "regexp_extract regexp_like regexp_replace remove repeat replace "
+    "reverse rightSubStr round roundDecimal round_decimal rpad rtrim second "
+    "sha sha256 sha512 sign sin sinh split splitPart sqrt startsWith "
+    "starts_with strcmp strpos strrpos sub substr substring tan tanh times "
+    "timestampAdd timestampDiff timezoneHour timezoneMinute toAscii "
+    "toBase64 toBytes toDateTime toEpochDays toEpochDaysBucket "
+    "toEpochDaysRounded toEpochHours toEpochHoursBucket toEpochHoursRounded "
+    "toEpochMinutes toEpochMinutesBucket toEpochMinutesRounded "
+    "toEpochSeconds toEpochSecondsBucket toEpochSecondsRounded toJsonMapStr "
+    "toTimestamp toUtf8 trim truncate upper week weekOfYear week_of_year "
+    "year yearOfWeek year_of_week yow"
+).split()
+
+_SYNTAX_FORMS = {"case", "cast", "not", "between", "like"}
+
+
+def test_every_scalar_name_resolves(spark):
+    """Resolution probe: each @ScalarFunction name is a macro, a
+    dialect special form, or a Spark-resolvable function. This is the
+    cheap completeness gate; semantics for the remapped names are
+    executed below."""
+    from hurricanedb_spark.functions.registry import register_all, sql_macros
+    from hurricanedb_spark.sql.dialect import _AGG_REWRITES
+
+    register_all(spark)
+    macros = sql_macros()
+    special = {
+        "text_match", "text_contains", "lookup", "timeconvert",
+        "datetimeconvert", "groovy", "jsonextractscalar", "histogram",
+        "regexpextract", "truncate", "valuein", "rounddecimal",
+        "round_decimal", "case", "casewhen", "case_when", "div", "divide",
+        "regexpreplace", "timestampadd", "dateadd", "timestampdiff",
+        "datediff", "percentile",
+    }
+    missing = []
+    for n in SCALAR_NAMES:
+        c = n.lower()
+        if c in _SYNTAX_FORMS:
+            continue
+        known = (
+            c in macros or c in _AGG_REWRITES or c in special
+            or c + "_" in macros or c + "_str" in macros
+        )
+        if not known:
+            try:
+                spark.sql(f"DESCRIBE FUNCTION `{c}`")
+                known = True
+            except Exception:  # noqa: BLE001
+                pass
+        if not known:
+            missing.append(n)
+    assert not missing, missing
+
+
+SCALAR_SEMANTICS = [
+    # (expression, expected) — the names round 7 remapped, executed
+    ("DAYOFWEEK(TIMESTAMP '2024-01-01 10:00:00')", 1),      # ISO Monday=1
+    ("DOW(TIMESTAMP '2024-01-07 10:00:00')", 7),            # ISO Sunday=7
+    ("ARRAYINDEXOFINT(array(5, 6, 7), 6)", 1),              # 0-based
+    ("ARRAYINDEXOFSTRING(array('a'), 'z')", -1),            # absent -> -1
+    ("ARRAYELEMENTATINT(array(5, 6), 2)", 6),               # 1-based
+    ("ARRAYELEMENTATSTRING(array('a'), 9)", None),          # out of range
+    ("size(ARRAYSLICEINT(array(1,2,3,4), 1, 3))", 2),       # [start, end)
+    ("CASEWHEN(1 > 2, 'a', 2 > 1, 'b', 'z')", "b"),
+    ("DIVIDE(10, 0, -1.0)", -1.0),
+    ("TIMESTAMPDIFF('days', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-09')", 8),
+    ("CAST(TIMESTAMPADD('hours', 3, TIMESTAMP '2024-01-01 00:00:00') AS STRING)",
+     "2024-01-01 03:00:00"),
+    ("TRUNCATE(4.35, 2)", 4.35),                            # BigDecimal DOWN
+    ("ROUNDDECIMAL(4.567)", 5.0),                           # Math.round
+    ("NOTEQUALS(1, 2)", True),
+    ("ISDISTINCTFROM(NULL, 1)", True),
+    ("PLUS(2, MINUS(5, TIMES(1, 2)))", 5),
+    ("hex(BIGDECIMALTOBYTES(CAST(1.5 AS DECIMAL(5,1))))", "00010F"),
+    ("CAST(BYTESTOBIGDECIMAL(BIGDECIMALTOBYTES(CAST(123.456 AS DECIMAL(10,3)))) AS DOUBLE)",
+     123.456),
+    ("TOEPOCHSECONDSROUNDED(TIMESTAMP '1970-01-01 00:00:17', 5)", 15),
+    ("JSONPATH('{\"k\": 7}', '$.k')", "7"),
+    ("decode(FROMBYTES(TOBYTES('hi', 'UTF-8'), 'UTF-8'), 'UTF-8')", "hi"),
+    ("decode(BASE64DECODE(BASE64ENCODE(encode('hi', 'UTF-8'))), 'UTF-8')", "hi"),
+]
+
+
+@pytest.mark.parametrize("expr,expected", SCALAR_SEMANTICS)
+def test_scalar_semantics(hq, expr, expected):
+    got = hq.sql(f"SELECT {expr} AS x", default_limit=None).collect()[0]["x"]
+    if isinstance(expected, float):
+        assert abs(got - expected) < 1e-9, (expr, got)
+    else:
+        assert got == expected, (expr, got)
