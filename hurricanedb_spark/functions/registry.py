@@ -236,14 +236,14 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
     "stgeomfromtext": (
         ["w"],
         "named_struct("
-        "'lon', CAST(regexp_extract(w, 'POINT \\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 1) AS DOUBLE), "
-        "'lat', CAST(regexp_extract(w, 'POINT \\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 2) AS DOUBLE))",
+        "'lon', CAST(regexp_extract(w, 'POINT\\\\s*\\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 1) AS DOUBLE), "
+        "'lat', CAST(regexp_extract(w, 'POINT\\\\s*\\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 2) AS DOUBLE))",
     ),
     "stgeogfromtext": (
         ["w"],
         "named_struct("
-        "'lon', CAST(regexp_extract(w, 'POINT \\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 1) AS DOUBLE), "
-        "'lat', CAST(regexp_extract(w, 'POINT \\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 2) AS DOUBLE))",
+        "'lon', CAST(regexp_extract(w, 'POINT\\\\s*\\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 1) AS DOUBLE), "
+        "'lat', CAST(regexp_extract(w, 'POINT\\\\s*\\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 2) AS DOUBLE))",
     ),
     # ST_Polygon: 'POLYGON ((lon lat, ...))' outer ring ->
     # array<struct<lon,lat>> (StPolygonFunction via JTS; expression twin

@@ -59,15 +59,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # core aggregation / selection
     "q1_pricing_summary",
     "q_selection_orderby",
-    "q_distinct",
     "q_having_postagg",
-    "q_first_last_with_time",
     # filters
     "q_filter_conjunction",
     "q_filter_null_handling",
     # joins
     "q_join_inner",
-    "q_join_anti",
     "q_join_nonequi_residual",
     "q_lookup_join",
     "q_in_subquery",
@@ -99,18 +96,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_contamination_ngram",
     # sketches
     "q_theta_sketch_distinct",
+    "q_theta_sketch_filtered_sql",
     # aggregate extras
     "q_percentile_exact",
     "q_mode",
     "q_idset_collect",
     # MV semantics
-    "q_mv_distinct_aggregates",
     "q_mv_filter_semantics",
     # multistage
     "q_cte_join",
     "q_set_ops",
     # geo
     "q_geo_grid_contains",
+    "q_fn_geo_sql",
     # dialect
     "q_dialect_default_limit",
     # live streaming + ingestion
@@ -123,8 +121,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pushdown, star-tree binary store + transparent SQL redirect
     "q_segment_text_index_scan",
     "q_segment_fst_regexp",
+    "q_segment_textmatch_accel",
     "q_startree_binary_agg",
     "q_startree_sql_redirect",
+    "q_startree_range_redirect",
     # CLP logs
     "q_clp_encode",
     # sampling

@@ -90,6 +90,55 @@ def q_dialect_default_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_theta_sketch_filtered_sql",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority AS pri, o_custkey AS ck,
+             bool_or(o_orderstatus = 'F') AS in_f,
+             bool_or(o_orderstatus = 'O') AS in_o
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT pri,
+           CAST(COUNT(*) FILTER (WHERE in_f AND in_o) AS BIGINT) AS dc_fo_intersect,
+           CAST(COUNT(*) FILTER (WHERE in_f AND NOT in_o) AS BIGINT) AS dc_f_minus_o,
+           CAST(COUNT(*) FILTER (WHERE in_f OR in_o) AS BIGINT) AS dc_fo_union,
+           CAST(COUNT(*) FILTER (WHERE NOT in_f) AS BIGINT) AS dc_not_f
+    FROM per GROUP BY pri ORDER BY pri
+    """,
+    doc="Filtered multi-arg distinctCountThetaSketch through the SQL "
+    "surface (DistinctCountThetaSketchAggregationFunction.java:60-151): "
+    "(expr, params, filter..., 'SET_OP($1,$2)') with SET_INTERSECT, "
+    "SET_DIFF (including the $0 unfiltered default sketch) and SET_UNION, "
+    "grouped. The dialect computes the set algebra EXACTLY via per-filter "
+    "collect_set states + array set ops — the sketch approximates exactly "
+    "this, and is itself exact below nominalEntries.",
+    tags=("dialect", "aggregation", "sketch", "setops"),
+)
+def q_theta_sketch_filtered_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hdb(spark, sf_dir).sql(
+        """
+        SELECT o_orderpriority AS pri,
+               distinctCountThetaSketch(o_custkey, 'nominalEntries=4096',
+                 'o_orderstatus = ''F''', 'o_orderstatus = ''O''',
+                 'SET_INTERSECT($1, $2)') AS dc_fo_intersect,
+               distinctCountThetaSketch(o_custkey, '',
+                 'o_orderstatus = ''F''', 'o_orderstatus = ''O''',
+                 'SET_DIFF($1, $2)') AS dc_f_minus_o,
+               distinctCountThetaSketch(o_custkey, '',
+                 'o_orderstatus = ''F''', 'o_orderstatus = ''O''',
+                 'SET_UNION($1, $2)') AS dc_fo_union,
+               distinctCountThetaSketch(o_custkey, '',
+                 'o_orderstatus = ''F''',
+                 'SET_DIFF($0, $1)') AS dc_not_f
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY pri
+        """,
+        default_limit=None,
+    )
+
+
+@register(
     "q_mv_sketch_bounded",
     oracle=None,  # approximate by design (QuantileSummaries / HLL++ state);
     # accuracy bounded in tests/test_dialect.py (2% / 5% vs exact forms)

@@ -599,6 +599,59 @@ def q_startree_sql_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_startree_range_redirect",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS min_cents
+    FROM orders
+    WHERE o_orderpriority BETWEEN '1-URGENT' AND '3-MEDIUM'
+      AND (o_orderstatus = 'F' OR o_orderstatus = 'O')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Star-tree redirect with RANGE + single-dimension OR predicates "
+    "(round-8 item 3): the reference's star-tree accepts any "
+    "per-dimension predicate evaluator (StarTreeFilterOperator.java:"
+    "59-117; the fit check is column-membership only, StarTreeUtils."
+    "java:144-169). The dialect compiles BETWEEN / comparison / OR "
+    "conjuncts into dictionary-level pruning predicates "
+    "(startree_v2._compile_value_pred) and re-applies the verbatim "
+    "WHERE as residual — the query raises if the redirect did not fire.",
+    tags=("sources", "segment-format", "startree", "dialect"),
+)
+def q_startree_range_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    base, _seg = _orders_startree_store(spark, sf_dir)
+    hq = HurricaneSQL(spark)
+    hq.register_segment_table("orders_startree_range", base)
+    df = hq.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               SUM(cents) AS sum_cents,
+               MIN(cents) AS min_cents
+        FROM orders_startree_range
+        WHERE o_orderpriority BETWEEN '1-URGENT' AND '3-MEDIUM'
+          AND (o_orderstatus = 'F' OR o_orderstatus = 'O')
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        LIMIT 100
+        """
+    )
+    if hq.last_star_tree_redirect is None:
+        raise RuntimeError(
+            "star-tree range redirect did not fire — gate row would "
+            "silently test the scan path"
+        )
+    return df
+
+
+@register(
     "q_segment_mixed_store",
     oracle="""
     SELECT lang,

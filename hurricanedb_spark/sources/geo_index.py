@@ -173,11 +173,11 @@ def radius_residual_expr(col: str, center_lon: float, center_lat: float,
     matches."""
     lon = (
         f"CAST(regexp_extract({col}, "
-        "'POINT \\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 1) AS DOUBLE)"
+        "'POINT\\\\s*\\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 1) AS DOUBLE)"
     )
     lat = (
         f"CAST(regexp_extract({col}, "
-        "'POINT \\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 2) AS DOUBLE)"
+        "'POINT\\\\s*\\\\(([-0-9.eE+]+) ([-0-9.eE+]+)\\\\)', 2) AS DOUBLE)"
     )
     h = (
         f"pow(sin(radians(({lat}) - {center_lat}) / 2), 2) + "

@@ -640,6 +640,107 @@ def _segment_dictionary(segment_dir: str, col: str) -> list:
     )
 
 
+_CMP_OPS = {
+    "=": lambda v, lit: v == lit,
+    "!=": lambda v, lit: v != lit,
+    "<": lambda v, lit: v < lit,
+    "<=": lambda v, lit: v <= lit,
+    ">": lambda v, lit: v > lit,
+    ">=": lambda v, lit: v >= lit,
+}
+
+
+def _compile_value_pred(spec):
+    """Compile a per-dimension predicate spec (dialect._st_parse_conjunct)
+    into a value-level python predicate, evaluated over the column
+    DICTIONARY (O(vocab), not O(docs)) to build the pruning dictId set —
+    the generalization of the reference's per-dimension
+    PredicateEvaluator (StarTreeFilterOperator.java:59-117). Legacy
+    plain-iterable specs mean IN. On any evaluation error (e.g. type
+    mismatch between a string dictionary and a numeric literal) the
+    value is KEPT: pruning must stay a superset of the verbatim WHERE
+    residual, which is the sole authority on semantics."""
+    if not isinstance(spec, dict):
+        values = set(spec)
+        return lambda v: v in values
+    kind = spec["kind"]
+    if kind == "in":
+        values = set(spec["values"])
+        return lambda v: v in values
+    if kind == "cmp":
+        op, lit = _CMP_OPS[spec["op"]], spec["value"]
+
+        def cmp_pred(v, op=op, lit=lit):
+            try:
+                return bool(op(v, lit))
+            except TypeError:
+                return True  # unprunable value: keep, residual decides
+
+        return cmp_pred
+    if kind == "between":
+        lo, hi = spec["lo"], spec["hi"]
+
+        def between_pred(v, lo=lo, hi=hi):
+            try:
+                return bool(lo <= v <= hi)
+            except TypeError:
+                return True
+
+        return between_pred
+    if kind == "or":
+        preds = [_compile_value_pred(s) for s in spec["specs"]]
+        return lambda v: any(p(v) for p in preds)
+    raise ValueError(f"unknown star-tree predicate spec: {spec!r}")
+
+
+def _apply_pandas_pred(series, spec):
+    """Vectorized spec evaluation for the raw-scan fallback. Returns a
+    boolean mask, or None when the comparison cannot be evaluated on
+    this dtype (caller keeps all rows — the residual filters exactly)."""
+    if isinstance(spec, dict) and spec.get("kind") not in (
+        "in",
+        "cmp",
+        "between",
+        "or",
+    ):
+        raise ValueError(f"unknown star-tree predicate spec: {spec!r}")
+    try:
+        if not isinstance(spec, dict):
+            return series.isin(list(spec))
+        kind = spec["kind"]
+        if kind == "in":
+            return series.isin(spec["values"])
+        if kind == "cmp":
+            op = spec["op"]
+            lit = spec["value"]
+            if op == "=":
+                return series == lit
+            if op == "!=":
+                return series != lit
+            if op == "<":
+                return series < lit
+            if op == "<=":
+                return series <= lit
+            if op == ">":
+                return series > lit
+            return series >= lit
+        if kind == "between":
+            return (series >= spec["lo"]) & (series <= spec["hi"])
+        # kind == "or"
+        masks = [_apply_pandas_pred(series, s) for s in spec["specs"]]
+        if any(m is None for m in masks):
+            return None
+        out = masks[0]
+        for m in masks[1:]:
+            out = out | m
+        return out
+    except Exception:  # noqa: BLE001 — dtype-mismatch comparisons vary by
+        # pandas/numpy version (TypeError, DTypePromotionError, ...);
+        # an unevaluable pruning mask means "keep all rows" — the
+        # verbatim WHERE residual is the semantic authority
+        return None
+
+
 def star_tree_visit_pandas(
     segment_dir: str,
     tree_id: int,
@@ -660,9 +761,10 @@ def star_tree_visit_pandas(
     tree, records, _spec = load_star_tree(segment_dir, tree_id)
     want = set(key_cols)
     filt: dict[str, set[int]] = {}
-    for col, values in conjuncts or []:
+    for col, spec in conjuncts or []:
         dvals = _segment_dictionary(segment_dir, col)
-        ids = {dvals.index(v) for v in values if v in dvals}
+        pred = _compile_value_pred(spec)
+        ids = {i for i, v in enumerate(dvals) if pred(v)}
         if not ids:  # no dictionary hit: the segment contributes nothing
             return pd.DataFrame(
                 columns=[*key_cols, *[pair_out_col(p) for p in pairs]]
@@ -710,8 +812,10 @@ def _segment_prearg_fallback_pandas(
     base_cols = list(dict.fromkeys([*key_cols, *metric_cols]))
     pdf = read_segment_pandas(segment_dir, base_cols or None)
     mask = pd.Series(True, index=pdf.index)
-    for col, values in conjuncts or []:
-        mask &= pdf[col].isin(values)
+    for col, spec in conjuncts or []:
+        m = _apply_pandas_pred(pdf[col], spec)
+        if m is not None:  # None = unprunable dtype; residual is exact
+            mask &= m
     pdf = pdf[mask]
     out = pdf[key_cols].copy() if key_cols else pd.DataFrame(index=pdf.index)
     for (fn, col), pair in zip(parsed, pairs):

@@ -17,6 +17,7 @@ Spark SQL bodies, innermost-first, so nesting like
 
 from __future__ import annotations
 
+import math
 import re
 import uuid
 
@@ -536,7 +537,16 @@ def _truncate(args: list[str]) -> str:
             f"(sign({a}) * floor(abs({a}) * power(10, {args[1]})) "
             f"/ power(10, {args[1]}))"
         )
-    if not 0 <= scale <= 18:
+    if scale < 0:
+        # BigDecimal.setScale accepts negative scales: truncate(123.45, -1)
+        # = 120.0. Powers of ten are exact doubles up to 1e22, so the float
+        # formula is exact here (no shortest-repr subtlety — the fractional
+        # part is discarded entirely)
+        return f"(sign({a}) * floor(abs({a}) / 1e{-scale}) * 1e{-scale})"
+    if scale > 18:
+        # beyond DECIMAL(38,18); a double's shortest decimal repr never
+        # needs more than 17 significant digits, so scale>18 keeps every
+        # fractional digit the value can have — identity by construction
         return f"CAST({a} AS DOUBLE)"
     step = f"{10 ** -scale:.{scale}f}" if scale else "1"
     d = f"CAST(CAST({a} AS STRING) AS DECIMAL(38,18))"
@@ -547,6 +557,235 @@ def _truncate(args: list[str]) -> str:
         f"(CASE WHEN abs({a}) < 1e18 THEN CAST({d} - ({d} % {step}) AS DOUBLE) "
         f"ELSE CAST({a} AS DOUBLE) END)"
     )
+
+
+def _unquote_literal(s: str, what: str) -> str:
+    """Strip a single-quoted SQL literal and undo the '' escape. Raises if
+    the argument is not a literal (the reference requires literals in the
+    same positions: DistinctCountThetaSketchAggregationFunction.java:103)."""
+    s = s.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return s[1:-1].replace("''", "'")
+    raise ValueError(f"{what} must be a quoted string literal, got: {s!r}")
+
+
+def _theta_params(s: str) -> None:
+    """Validate a theta-sketch parameters literal ('nominalEntries=4096').
+    The parameters only size the sketch (Parameters class,
+    DistinctCountThetaSketchAggregationFunction.java:1301-1330); the exact
+    translation has no accuracy knob, so they are validated and ignored."""
+    body = _unquote_literal(s, "theta-sketch parameters")
+    for kv in body.split(";"):
+        if not kv.strip():
+            continue
+        k, sep, v = kv.partition("=")
+        if not sep:
+            raise ValueError(f"malformed theta-sketch parameter: {kv!r}")
+        if k.strip().lower() == "nominalentries":
+            int(v.strip())  # must parse; value irrelevant to an exact count
+
+
+def _theta_set_expr(expr: str, sketches: list[str]) -> str:
+    """Translate the theta post-aggregation set expression
+    (SET_UNION/SET_INTERSECT/SET_DIFF over $0..$n, nested) into Spark array
+    set algebra over the per-filter collect_set states. Grammar and arity
+    rules follow validatePostAggregationExpression
+    (DistinctCountThetaSketchAggregationFunction.java:1054-1089):
+    SET_UNION/SET_INTERSECT take >= 2 args, SET_DIFF exactly 2, $k must not
+    exceed the number of filters."""
+    pos = 0
+    n = len(expr)
+
+    def skip_ws() -> None:
+        nonlocal pos
+        while pos < n and expr[pos].isspace():
+            pos += 1
+
+    def parse() -> str:
+        nonlocal pos
+        skip_ws()
+        if pos >= n:
+            raise ValueError(f"theta set expression truncated: {expr!r}")
+        if expr[pos] == "$":
+            m = re.match(r"\$(\d+)", expr[pos:])
+            if not m:
+                raise ValueError(f"invalid sketch id at {expr[pos:]!r}")
+            sid = int(m.group(1))
+            if sid >= len(sketches):
+                raise ValueError(
+                    f"sketch id ${sid} exceeds number of filters "
+                    f"({len(sketches) - 1}) in {expr!r}"
+                )
+            pos += m.end()
+            return sketches[sid]
+        m = _TOKEN.match(expr, pos)
+        if not m:
+            raise ValueError(f"invalid theta set expression at {expr[pos:]!r}")
+        # FunctionRegistry canonicalization: case-insensitive, underscores
+        # dropped (SET_UNION == setUnion)
+        op = m.group(0).lower().replace("_", "")
+        pos = m.end()
+        skip_ws()
+        if pos >= n or expr[pos] != "(":
+            raise ValueError(f"expected '(' after {m.group(0)} in {expr!r}")
+        pos += 1
+        args = [parse()]
+        skip_ws()
+        while pos < n and expr[pos] == ",":
+            pos += 1
+            args.append(parse())
+            skip_ws()
+        if pos >= n or expr[pos] != ")":
+            raise ValueError(f"expected ')' in theta set expression {expr!r}")
+        pos += 1
+        if op == "setunion":
+            fold = "array_union"
+        elif op == "setintersect":
+            fold = "array_intersect"
+        elif op == "setdiff":
+            if len(args) != 2:
+                raise ValueError(
+                    f"SET_DIFF should have 2 arguments, got: {len(args)}"
+                )
+            return f"array_except({args[0]}, {args[1]})"
+        else:
+            raise ValueError(f"Invalid set operation: {op}")
+        if len(args) < 2:
+            raise ValueError(
+                f"SET_UNION and SET_INTERSECT should have at least 2 "
+                f"arguments, got: {len(args)}"
+            )
+        out = args[0]
+        for a in args[1:]:
+            out = f"{fold}({out}, {a})"
+        return out
+
+    result = parse()
+    skip_ws()
+    if pos != n:
+        raise ValueError(f"trailing input in theta set expression: {expr!r}")
+    return result
+
+
+def _theta_sketch_sql(name: str, args: list[str]) -> str:
+    """distinctCountThetaSketch / distinctCountRawThetaSketch SQL surface
+    (DistinctCountThetaSketchAggregationFunction.java:60-151):
+
+    - 1-2 args (expr[, params]): simple union — the sketch estimates
+      ndv(expr); mapped to approx_count_distinct (bounded state, like the
+      sketch). Parameters are validated, then ignored (they only size the
+      sketch).
+    - >= 4 args (expr, params, filter..., setExpr): filtered sub-population
+      set algebra. Computed EXACTLY: each filter $i becomes
+      collect_set(CASE WHEN filter THEN expr END) ($0 = unfiltered),
+      SET_UNION/SET_INTERSECT/SET_DIFF become array set ops, and the result
+      is CAST(size(...) AS BIGINT) — the reference rounds the estimate to a
+      long (java:993). Per-group state is O(ndv per filter), the same bound
+      the sketch has below nominalEntries where it too is exact. The filter
+      strings are standard predicates and re-enter the rewriter fixpoint,
+      so Pinot function names inside them expand normally.
+    - 3 args: rejected loudly. The reference silently ignores the third
+      argument (numArguments < 4 takes the simple-union path, java:112);
+      this engine refuses to guess which of params/filter was meant.
+    """
+    if len(args) <= 2:
+        if len(args) == 2:
+            _theta_params(args[1])
+        return f"approx_count_distinct({args[0]})"
+    if len(args) == 3:
+        raise ValueError(
+            f"{name}: 3-argument form is ambiguous (filtered form needs "
+            "expr, params, filter(s), set-expression — at least 4 args)"
+        )
+    col = args[0]
+    _theta_params(args[1])
+    filters = [
+        _unquote_literal(a, f"{name} filter expression") for a in args[2:-1]
+    ]
+    set_expr = _unquote_literal(args[-1], f"{name} post-aggregation expression")
+    sketches = [f"collect_set({col})"] + [
+        f"collect_set(CASE WHEN ({f}) THEN ({col}) END)" for f in filters
+    ]
+    return f"CAST(size({_theta_set_expr(set_expr, sketches)}) AS BIGINT)"
+
+
+# Pinot FieldSpec.DataType -> Spark SQL type, for the firstWithTime /
+# lastWithTime 3-arg dataType literal (FirstWithTimeAggregationFunction:39)
+_PINOT_TYPE_SQL = {
+    "INT": "INT",
+    "LONG": "BIGINT",
+    "FLOAT": "FLOAT",
+    "DOUBLE": "DOUBLE",
+    "STRING": "STRING",
+    "BOOLEAN": "BOOLEAN",
+    "TIMESTAMP": "TIMESTAMP",
+    "BIGDECIMAL": "DECIMAL(38,18)",
+}
+
+
+def _agg_optional_args(name: str, args: list[str]) -> str | None:
+    """Multi-arity aggregate forms that the plain $-templates cannot carry.
+    Returns the Spark SQL body, or None if `name` has no special arity
+    handling (the strict template path then applies)."""
+    if name in ("distinctcountthetasketch", "distinctcountrawthetasketch"):
+        # the raw form returns serialized sketch bytes in the reference;
+        # this SQL surface returns the estimate for both (documented in
+        # README — the byte-compatible form is operators/theta_ds.py)
+        return _theta_sketch_sql(name, args)
+    if name in ("distinctcounthll", "distinctcountsmarthll") and len(args) == 2:
+        # optional log2m (DistinctCountHLLAggregationFunction.java:44-55):
+        # map the HLL size to approx_count_distinct's rsd via the standard
+        # HLL error formula rsd = 1.04 / sqrt(2^log2m)
+        log2m = int(_unquote_literal(args[1], f"{name} log2m")
+                    if args[1].strip().startswith("'") else args[1])
+        rsd = 1.04 / math.sqrt(2 ** log2m)
+        return f"approx_count_distinct({args[0]}, {rsd!r})"
+    if name == "distinctcountrawhll" and len(args) == 2:
+        # Spark's hll_sketch_agg takes lgConfigK (4..21) — same knob
+        log2m = int(args[1].strip().strip("'"))
+        if not 4 <= log2m <= 21:
+            raise ValueError(f"distinctCountRawHLL log2m out of range: {log2m}")
+        return f"hll_sketch_agg({args[0]}, {log2m})"
+    if name in ("firstwithtime", "lastwithtime") and len(args) == 3:
+        # 3-arg reference form: (dataCol, timeCol, 'dataType')
+        dt = _unquote_literal(args[2], f"{name} dataType").upper()
+        if dt not in _PINOT_TYPE_SQL:
+            raise ValueError(f"{name}: unsupported dataType {dt!r}")
+        fn = "min_by" if name == "firstwithtime" else "max_by"
+        return f"{fn}(CAST({args[0]} AS {_PINOT_TYPE_SQL[dt]}), {args[1]})"
+    if name == "sumprecision" and len(args) in (2, 3):
+        # SumPrecisionAggregationFunction.java:54-68,485-490: optional
+        # precision/scale applied to the final BigDecimal. The 3-arg
+        # scale rounding is HALF_EVEN -> bround; precision-only rounding
+        # (significant digits) is a no-op for p >= 38 and unsupported
+        # (loudly) below — Spark's bround needs a foldable scale, and a
+        # dynamic significant-digit cut cannot be expressed exactly.
+        precision = int(args[1].strip().strip("'"))
+        if len(args) == 2:
+            if precision >= 38:
+                return f"sum(CAST({args[0]} AS DECIMAL(38,18)))"
+            raise ValueError(
+                "sumPrecision: precision-only rounding below 38 significant "
+                "digits is not supported; pass an explicit scale"
+            )
+        scale = int(args[2].strip().strip("'"))
+        if not 0 <= scale <= precision <= 38:
+            raise ValueError(
+                f"sumPrecision: invalid precision/scale {precision}/{scale}"
+            )
+        return (
+            f"CAST(bround(sum(CAST({args[0]} AS DECIMAL(38,18))), {scale}) "
+            f"AS DECIMAL({precision},{scale}))"
+        )
+    if name == "idset" and len(args) == 2:
+        # IdSetAggregationFunction optional params only bound memory by
+        # degrading to a Bloom IdSet; the exact collect_set is the ideal
+        # answer those params approximate. Validate shape, keep exact.
+        _theta_params(args[1]) if "=" in args[1] else _unquote_literal(
+            args[1], "idSet parameters"
+        )
+        return f"collect_set({args[0]})"
+    return None
 
 
 def rewrite_functions(sql: str, max_passes: int = 10) -> str:
@@ -582,12 +821,32 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
         for start, end, name, args in calls:
             parts.append(sql[pos:start])
             name = st_alias.get(name, name)
-            if name in _AGG_REWRITES:
+            special = _agg_optional_args(name, args)
+            if special is not None:
+                body = special
+            elif name in _AGG_REWRITES:
                 body = _AGG_REWRITES[name]
+                # arity-strict: a call passing more (or fewer) args than the
+                # template consumes must fail loudly, never silently drop —
+                # the r7 theta defect class (extra filter/set-op args were
+                # dropped on the floor, returning an unfiltered estimate)
+                arity = max(
+                    (int(m) for m in re.findall(r"\$(\d+)", body)), default=0
+                )
+                if len(args) != arity:
+                    raise ValueError(
+                        f"{name}: expects {arity} argument(s), got "
+                        f"{len(args)}: ({', '.join(args)})"
+                    )
                 for idx, a in enumerate(args, 1):
                     body = body.replace(f"${idx}", a)
             elif name in macros:
                 params, body = macros[name]
+                if len(args) != len(params):
+                    raise ValueError(
+                        f"{name}: expects {len(params)} argument(s) "
+                        f"({', '.join(params)}), got {len(args)}"
+                    )
                 for p, a in zip(params, args):
                     body = re.sub(rf"\b{p}\b", f"({a})", body)
             elif name == "timeconvert":
@@ -632,12 +891,14 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
                 body = _timestamp_arith(name, args)
             elif name in ("rounddecimal", "round_decimal"):
                 # ArithmeticFunctions.roundDecimal: 2-arg HALF_UP at
-                # scale; 1-arg Math.round (nearest long)
+                # scale; 1-arg Math.round = floor(x + 0.5), toward +inf
+                # on ties (roundDecimal(-2.5) = -2.0; Spark round() is
+                # HALF_UP away from zero and would give -3.0).
                 # reference returns double in both arities
                 body = (
                     f"CAST(round({args[0]}, {args[1]}) AS DOUBLE)"
                     if len(args) > 1
-                    else f"CAST(round({args[0]}) AS DOUBLE)"
+                    else f"CAST(floor(({args[0]}) + 0.5d) AS DOUBLE)"
                 )
             elif name == "valuein":
                 # valueIn(mvCol, v1, v2, ...): MV elements that appear in
@@ -1288,14 +1549,169 @@ class HurricaneSQL:
             return tok[1:-1].replace("''", "'")
         return float(tok) if "." in tok else int(tok)
 
+    _ST_CMP = re.compile(
+        r"^([A-Za-z_][A-Za-z0-9_]*)\s*(=|!=|<>|<=|>=|<|>)\s*(.+)$", re.DOTALL
+    )
+    _ST_BETWEEN = re.compile(
+        r"^([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _ST_IN = re.compile(
+        r"^([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\(([^()]+)\)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    @classmethod
+    def _st_split_top(cls, txt: str, keyword: str) -> list[str] | None:
+        """Split on top-level `keyword` (AND/OR): paren- and quote-aware,
+        and the AND that belongs to a BETWEEN is kept with its predicate.
+        Returns None on unbalanced input."""
+        parts: list[str] = []
+        depth = 0
+        i, n, start = 0, len(txt), 0
+        between_pending = False
+        while i < n:
+            c = txt[i]
+            if c == "'":
+                j = i + 1
+                while j < n and txt[j] != "'":
+                    j += 1
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+                i += 1
+                continue
+            if c == ")":
+                depth -= 1
+                if depth < 0:
+                    return None
+                i += 1
+                continue
+            m = _TOKEN.match(txt, i)
+            if m and depth == 0:
+                word = m.group(0).upper()
+                if word == "BETWEEN":
+                    between_pending = True
+                elif word == keyword:
+                    if keyword == "AND" and between_pending:
+                        between_pending = False
+                    else:
+                        parts.append(txt[start:i])
+                        start = m.end()
+                i = m.end()
+                continue
+            i += 1
+        if depth != 0:
+            return None
+        parts.append(txt[start:])
+        return [p.strip() for p in parts]
+
+    def _st_parse_simple(self, part: str):
+        """One per-dimension predicate -> (col, spec) or None. Specs are
+        value-level descriptions the star-tree reader compiles into
+        dictionary predicates (startree_v2._compile_value_pred); they are
+        used for PRUNING only — the verbatim WHERE residual re-applies on
+        the pre-agg view, so a spec can only skip work, never change
+        results (StarTreeFilterOperator.java:59-117 accepts any
+        per-dimension predicate evaluator the same way)."""
+        part = part.strip()
+        m = self._ST_BETWEEN.match(part)
+        if m:
+            lo, hi = m.group(2).strip(), m.group(3).strip()
+            if self._ST_LITERAL.match(lo) and self._ST_LITERAL.match(hi):
+                return m.group(1), {
+                    "kind": "between",
+                    "lo": self._st_parse_literal(lo),
+                    "hi": self._st_parse_literal(hi),
+                }
+            return None
+        m = self._ST_IN.match(part)
+        if m:
+            toks = [t.strip() for t in m.group(2).split(",")]
+            if not all(self._ST_LITERAL.match(t) for t in toks):
+                return None
+            return m.group(1), {
+                "kind": "in",
+                "values": [self._st_parse_literal(t) for t in toks],
+            }
+        m = self._ST_CMP.match(part)
+        if m:
+            lit = m.group(3).strip()
+            if not self._ST_LITERAL.match(lit):
+                return None
+            op = m.group(2)
+            val = self._st_parse_literal(lit)
+            if op == "=":
+                return m.group(1), {"kind": "in", "values": [val]}
+            if op == "<>":
+                op = "!="
+            return m.group(1), {"kind": "cmp", "op": op, "value": val}
+        return None
+
+    @staticmethod
+    def _st_outer_parens_match(part: str) -> bool:
+        """True when part is '( ... )' with the first '(' closing at the
+        very end (so stripping the pair is safe)."""
+        depth, i, n = 0, 0, len(part)
+        while i < n:
+            c = part[i]
+            if c == "'":
+                j = i + 1
+                while j < n and part[j] != "'":
+                    j += 1
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < n - 1:
+                    return False
+            i += 1
+        return depth == 0
+
+    def _st_parse_conjunct(self, part: str):
+        """One AND-conjunct -> (col, spec) or None. Accepts simple
+        predicates plus OR chains over ONE dimension
+        (`c = 1 OR c BETWEEN 5 AND 9`, parenthesized or not) — OR across
+        different columns cannot prune a single dimension and falls back
+        to the scan."""
+        part = part.strip()
+        while (
+            part.startswith("(")
+            and part.endswith(")")
+            and self._st_outer_parens_match(part)
+        ):
+            part = part[1:-1].strip()
+        disjuncts = self._st_split_top(part, "OR")
+        if disjuncts is None:
+            return None
+        if len(disjuncts) > 1:
+            parsed = [self._st_parse_conjunct(d) for d in disjuncts]
+            if any(p is None for p in parsed):
+                return None
+            cols = {c for c, _ in parsed}
+            if len(cols) != 1:
+                return None
+            specs = []
+            for _, s in parsed:
+                specs.extend(s["specs"] if s["kind"] == "or" else [s])
+            return cols.pop(), {"kind": "or", "specs": specs}
+        return self._st_parse_simple(part)
+
     def _st_parse_shape(self, query: str):
         """Parse the star-tree-eligible query shape:
         SELECT {dim | AGG(col) AS alias}... FROM t [WHERE =/IN AND-chain]
         GROUP BY dims [ORDER BY dims/aliases] [LIMIT n]. Returns a dict
         of pieces or None (None => leave the scan plan alone)."""
         q = query.strip().rstrip(";")
+        # OR/NOT are no longer global disqualifiers: single-dimension OR
+        # chains prune like the reference's StarTreeFilterOperator; any
+        # conjunct the parser below cannot prove per-dimension (cross-col
+        # OR, NOT, subqueries) makes it return None -> scan path
         if re.search(
-            r"\bJOIN\b|\bHAVING\b|\bDISTINCT\b|\bUNION\b|\bWITH\b|\bOR\b|\bNOT\b",
+            r"\bJOIN\b|\bHAVING\b|\bDISTINCT\b|\bUNION\b|\bWITH\b",
             q,
             re.IGNORECASE,
         ):
@@ -1353,32 +1769,17 @@ class HurricaneSQL:
             items.append(("agg", (pair, alias)))
         if not pairs:
             return None
-        conjuncts: list[tuple[str, tuple]] = []
+        conjuncts: list[tuple[str, dict]] = []
         where_txt = (rm.group("w") or "").strip()
         if where_txt:
-            for part in re.split(r"\bAND\b", where_txt, flags=re.IGNORECASE):
-                part = part.strip()
-                em = re.match(
-                    r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", part, re.DOTALL
-                )
-                im = re.match(
-                    r"^([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\(([^()]+)\)$",
-                    part,
-                    re.IGNORECASE | re.DOTALL,
-                )
-                if em and self._ST_LITERAL.match(em.group(2).strip()):
-                    conjuncts.append(
-                        (em.group(1), (self._st_parse_literal(em.group(2)),))
-                    )
-                elif im:
-                    toks = [t.strip() for t in im.group(2).split(",")]
-                    if not all(self._ST_LITERAL.match(t) for t in toks):
-                        return None
-                    conjuncts.append(
-                        (im.group(1), tuple(self._st_parse_literal(t) for t in toks))
-                    )
-                else:
+            parts = self._st_split_top(where_txt, "AND")
+            if parts is None:
+                return None
+            for part in parts:
+                parsed = self._st_parse_conjunct(part)
+                if parsed is None:
                     return None
+                conjuncts.append(parsed)
         return {
             "table": tbl,
             "items": items,
@@ -1514,28 +1915,35 @@ class HurricaneSQL:
         explain = bool(_EXPLAIN_RE.match(query))
         if explain:
             query = _EXPLAIN_RE.sub("", query)
-        q = rewrite_mv_percentile_bounded(query)
-        q, drop_accel_view = self._json_match_rewrite(q)
-        q, drop_tm_view = self._text_match_rewrite(q)
-        q, drop_tc_view = self._text_contains_rewrite(q)
-        q, drop_geo_view = self._geo_radius_rewrite(q)
-        q, drop_st_view, st_info = self._star_tree_rewrite(q)
-        self.last_star_tree_redirect = st_info
-        q = rewrite_json_match(q)
-        q = rewrite_functions(q)
-        if default_limit is not None and not explain and not explain_impl:
-            q = apply_default_limit(q, default_limit)
+        # each accel rewrite may create a temp view; collect the cleanups
+        # as they are created so a ValueError from a LATER rewrite step (or
+        # from rewrite_functions) still drops the views already registered
+        # — otherwise they leak in the session catalog
+        cleanups: list = []
         try:
+            q = rewrite_mv_percentile_bounded(query)
+            q, drop_accel_view = self._json_match_rewrite(q)
+            cleanups.append(drop_accel_view)
+            q, drop_tm_view = self._text_match_rewrite(q)
+            cleanups.append(drop_tm_view)
+            q, drop_tc_view = self._text_contains_rewrite(q)
+            cleanups.append(drop_tc_view)
+            q, drop_geo_view = self._geo_radius_rewrite(q)
+            cleanups.append(drop_geo_view)
+            q, drop_st_view, st_info = self._star_tree_rewrite(q)
+            cleanups.append(drop_st_view)
+            self.last_star_tree_redirect = st_info
+            q = rewrite_json_match(q)
+            q = rewrite_functions(q)
+            if default_limit is not None and not explain and not explain_impl:
+                q = apply_default_limit(q, default_limit)
             # spark.sql analyzes eagerly: the accelerated temp view (if
             # any) is inlined into the plan here, so dropping it right
             # after cannot affect this query's execution
             df = self.spark.sql(q)
         finally:
-            drop_accel_view()
-            drop_tm_view()
-            drop_tc_view()
-            drop_geo_view()
-            drop_st_view()
+            for drop in cleanups:
+                drop()
         if explain_impl:
             plan = explain_implementation_plan(df)
             # access-path annotations: the reference's explain names the

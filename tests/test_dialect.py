@@ -898,3 +898,163 @@ def test_explain_implementation_plan(spark, sf_dir):
     # phase lives in a deeper stage than its final phase
     stages = [int(l[1 : l.index("]")]) for l in lines]
     assert stages[0] == 0 and max(stages) >= 2
+
+
+# ---------------------------------------------------------------------------
+# round 8: filtered multi-arg distinctCountThetaSketch + arity-strict macros
+
+
+def test_theta_filtered_rewrite_intersect():
+    q = ("SELECT distinctCountThetaSketch(ck, 'nominalEntries=4096', "
+         "'s = ''F''', 's = ''O''', 'SET_INTERSECT($1, $2)') FROM t")
+    out = rewrite_functions(q)
+    assert "array_intersect" in out
+    assert "collect_set(CASE WHEN (s = 'F') THEN (ck) END)" in out
+    assert "approx_count_distinct" not in out  # r7 defect: silent fallback
+    assert "CAST(size(" in out  # reference rounds the estimate to a long
+
+
+def test_theta_filtered_rewrite_nested_and_default_sketch():
+    q = ("SELECT distinctCountThetaSketch(ck, '', 'a = 1', 'b = 2', "
+         "'SET_DIFF(SET_UNION($1, $2), $0)') FROM t")
+    out = rewrite_functions(q)
+    assert "array_except(array_union(" in out
+    # $0 = unfiltered default sketch
+    assert "collect_set(ck)" in out
+
+
+def test_theta_filtered_rewrite_varargs_union():
+    q = ("SELECT distinctCountThetaSketch(ck, '', 'a=1', 'b=2', 'c=3', "
+         "'SET_UNION($1, $2, $3)') FROM t")
+    out = rewrite_functions(q)
+    assert out.count("array_union") == 2  # left-fold of 3 args
+
+
+def test_theta_filtered_rewrite_rejections():
+    # 3-arg form: the reference silently ignores arg 3; this engine refuses
+    with pytest.raises(ValueError, match="ambiguous"):
+        rewrite_functions(
+            "SELECT distinctCountThetaSketch(ck, '', 'a = 1') FROM t"
+        )
+    # sketch id beyond the filter count
+    with pytest.raises(ValueError, match="exceeds number of filters"):
+        rewrite_functions(
+            "SELECT distinctCountThetaSketch(ck, '', 'a = 1', "
+            "'SET_UNION($1, $2)') FROM t"
+        )
+    # SET_DIFF arity (validatePostAggregationExpression: exactly 2)
+    with pytest.raises(ValueError, match="SET_DIFF"):
+        rewrite_functions(
+            "SELECT distinctCountThetaSketch(ck, '', 'a = 1', "
+            "'SET_DIFF($1)') FROM t"
+        )
+    # unknown set operation
+    with pytest.raises(ValueError, match="Invalid set operation"):
+        rewrite_functions(
+            "SELECT distinctCountThetaSketch(ck, '', 'a = 1', "
+            "'SET_XOR($1, $1)') FROM t"
+        )
+
+
+def test_theta_filtered_executes(hdb):
+    rows = hdb.sql(
+        """
+        SELECT distinctCountThetaSketch(o_custkey, 'nominalEntries=4096',
+                 'o_orderstatus = ''F''', 'o_orderstatus = ''O''',
+                 'SET_INTERSECT($1, $2)') AS dc_i,
+               distinctCountThetaSketch(o_custkey, '',
+                 'o_orderstatus = ''F''', 'SET_DIFF($0, $1)') AS dc_rest
+        FROM orders
+        """,
+        default_limit=None,
+    ).collect()
+    exact = hdb.spark.sql(
+        """
+        SELECT count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END)
+             + count(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END)
+             - count(DISTINCT CASE WHEN o_orderstatus IN ('F','O')
+                     THEN o_custkey END) AS dc_i
+        FROM orders
+        """
+    ).collect()[0]["dc_i"]
+    assert rows[0]["dc_i"] == exact
+
+
+def test_agg_template_arity_strict():
+    # the r7 silent-drop class: extra args must raise, never be dropped
+    for bad in (
+        "SELECT distinctcount(a, b) FROM t",
+        "SELECT minmaxrange(a, b) FROM t",
+        "SELECT percentileest(a) FROM t",
+        "SELECT arraylength(a, b) FROM t",  # macro path
+    ):
+        with pytest.raises(ValueError, match="expects"):
+            rewrite_functions(bad)
+
+
+def test_hll_log2m_mapped_not_dropped():
+    out = rewrite_functions("SELECT distinctCountHLL(x, 8) FROM t")
+    assert "approx_count_distinct(x, 0.065" in out  # 1.04/sqrt(2^8)
+    out = rewrite_functions("SELECT distinctCountRawHLL(x, 14) FROM t")
+    assert "hll_sketch_agg(x, 14)" in out
+    with pytest.raises(ValueError, match="log2m out of range"):
+        rewrite_functions("SELECT distinctCountRawHLL(x, 40) FROM t")
+
+
+def test_first_last_with_time_3arg():
+    out = rewrite_functions("SELECT firstWithTime(v, ts, 'LONG') FROM t")
+    assert "min_by(CAST(v AS BIGINT), ts)" in out
+    out = rewrite_functions("SELECT lastWithTime(v, ts, 'STRING') FROM t")
+    assert "max_by(CAST(v AS STRING), ts)" in out
+    with pytest.raises(ValueError, match="dataType"):
+        rewrite_functions("SELECT firstWithTime(v, ts, 'BLOB') FROM t")
+
+
+def test_sumprecision_optional_args():
+    out = rewrite_functions("SELECT sumPrecision(v, 20, 2) FROM t")
+    assert "bround" in out and "DECIMAL(20,2)" in out
+    with pytest.raises(ValueError, match="significant"):
+        rewrite_functions("SELECT sumPrecision(v, 20) FROM t")
+
+
+def test_truncate_negative_scale(hdb):
+    # BigDecimal.setScale accepts negative scales: truncate(123.45, -1)
+    # = 120.0 (ADVICE r7) — previously returned the value unchanged
+    row = hdb.sql(
+        "SELECT truncate(123.45, -1) AS a, truncate(-987.6, -2) AS b, "
+        "truncate(55.0, -3) AS c FROM region",
+        default_limit=1,
+    ).collect()[0]
+    assert row["a"] == 120.0 and row["b"] == -900.0 and row["c"] == 0.0
+
+
+def test_rounddecimal_1arg_math_round(hdb):
+    # Math.round = floor(x + 0.5): roundDecimal(-2.5) = -2.0, not -3.0
+    row = hdb.sql(
+        "SELECT roundDecimal(-2.5) AS a, roundDecimal(2.5) AS b, "
+        "roundDecimal(-2.6) AS c FROM region",
+        default_limit=1,
+    ).collect()[0]
+    assert row["a"] == -2.0 and row["b"] == 3.0 and row["c"] == -3.0
+
+
+def test_wkt_point_space_free(hdb):
+    # JTS WKTReader accepts 'POINT(1 2)' — the SQL constructors must too
+    row = hdb.sql(
+        "SELECT ST_Distance(ST_GeomFromText('POINT(10 20)'), "
+        "ST_GeomFromText('POINT (10 20)')) AS d FROM region",
+        default_limit=1,
+    ).collect()[0]
+    assert row["d"] == 0.0
+
+
+def test_rewrite_error_drops_accel_views(hdb):
+    # a ValueError raised AFTER an accel rewrite created its temp view
+    # must not leak the view in the session catalog (ADVICE r7)
+    before = {t.name for t in hdb.spark.catalog.listTables()}
+    with pytest.raises(ValueError):
+        hdb.sql(
+            "SELECT distinctcount(l_orderkey, l_suppkey) FROM lineitem"
+        )
+    after = {t.name for t in hdb.spark.catalog.listTables()}
+    assert after == before

@@ -71,6 +71,20 @@ REDIRECTED = [
     "WHERE city IN ('nyc', 'sf') AND status = 'B' GROUP BY status LIMIT 100",
     "SELECT COUNT(*) AS n, SUM(cents) AS s FROM st_metrics WHERE city = 'la'",
     "SELECT COUNT(*) AS n FROM st_metrics WHERE city = 'nowhere'",  # empty
+    # round-8: range / BETWEEN / single-dim OR predicates redirect too
+    # (StarTreeFilterOperator accepts any per-dimension predicate
+    # evaluator; fit is column-membership only, StarTreeUtils.java:144)
+    "SELECT city, SUM(cents) AS s FROM st_metrics "
+    "WHERE status = 'A' OR status = 'B' GROUP BY city LIMIT 100",
+    "SELECT city, SUM(cents) AS s FROM st_metrics WHERE status >= 'B' "
+    "GROUP BY city ORDER BY city LIMIT 100",
+    "SELECT city, COUNT(*) AS n FROM st_metrics "
+    "WHERE status BETWEEN 'A' AND 'B' GROUP BY city LIMIT 100",
+    "SELECT city, MAX(cents) AS mx FROM st_metrics "
+    "WHERE status != 'C' AND city < 'nyc' GROUP BY city LIMIT 100",
+    "SELECT status, SUM(cents) AS s FROM st_metrics "
+    "WHERE (city = 'la' OR city BETWEEN 'nyc' AND 'sf') AND status <> 'B' "
+    "GROUP BY status LIMIT 100",
 ]
 
 
@@ -95,12 +109,14 @@ UNFIT = [
     # predicate column outside the split order
     "SELECT city, SUM(cents) AS s FROM st_metrics WHERE other = 3 "
     "GROUP BY city LIMIT 100",
-    # range predicate: tree answers =/IN only
+    # range predicate on a non-split-order column: no fitting tree
     "SELECT city, SUM(cents) AS s FROM st_metrics WHERE cents > 100 "
     "GROUP BY city LIMIT 100",
-    # OR / HAVING / unaliased aggregate: shape parser refuses
+    # cross-column OR / NOT / HAVING / unaliased aggregate: parser refuses
     "SELECT city, SUM(cents) AS s FROM st_metrics "
-    "WHERE status = 'A' OR status = 'B' GROUP BY city LIMIT 100",
+    "WHERE status = 'A' OR city = 'nyc' GROUP BY city LIMIT 100",
+    "SELECT city, SUM(cents) AS s FROM st_metrics "
+    "WHERE NOT status = 'A' GROUP BY city LIMIT 100",
     "SELECT city, SUM(cents) AS s FROM st_metrics GROUP BY city "
     "HAVING SUM(cents) > 0 LIMIT 100",
     "SELECT city, SUM(cents) FROM st_metrics GROUP BY city LIMIT 100",
