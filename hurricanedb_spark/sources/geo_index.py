@@ -187,6 +187,28 @@ def radius_residual_expr(col: str, center_lon: float, center_lat: float,
     return f"(2 * {EARTH_RADIUS_M} * asin(sqrt({h}))) < {radius_m}"
 
 
+def geo_radius_segment_docs(
+    segment_dir: str,
+    col: str,
+    center_lon: float,
+    center_lat: float,
+    radius_m: float,
+):
+    """Per-segment candidate docIds for one radius predicate: None = no
+    readable index or a radius the grid cannot bound (full decode),
+    else the candidate-cell docId superset (possibly empty = segment
+    pruned). The unit the AND-composition intersects
+    (sources/index_compose.py)."""
+    try:
+        idx = read_geo_index(segment_dir, col)
+    except Exception:  # noqa: BLE001 — no/unreadable index: full decode
+        return None
+    wanted = radius_candidate_cells(center_lon, center_lat, radius_m, idx.resolution)
+    if wanted is None:
+        return None
+    return idx.doc_ids_in_cells(wanted)
+
+
 def read_segments_geo_radius(
     spark,
     segment_dirs: list[str],
@@ -214,16 +236,9 @@ def read_segments_geo_radius(
     from hurricanedb_spark.sources import pinot_segment as ps
 
     def plan_for(s):
-        try:
-            idx = read_geo_index(s, col)
-        except Exception:  # noqa: BLE001 — no/unreadable index: full decode
+        docs = geo_radius_segment_docs(s, col, center_lon, center_lat, radius_m)
+        if docs is None:
             return (s, None)
-        wanted = radius_candidate_cells(
-            center_lon, center_lat, radius_m, idx.resolution
-        )
-        if wanted is None:
-            return (s, None)
-        docs = idx.doc_ids_in_cells(wanted)
         if len(docs) == 0:
             return None  # whole segment pruned
         return (s, ps.roaring_serialize(docs))

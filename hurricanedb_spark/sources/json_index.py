@@ -310,6 +310,22 @@ def index_supported_conjunction(condition: str):
     return preds or None
 
 
+def json_match_segment_docs(segment_dir: str, col: str, condition: str):
+    """Per-segment docId bound for one JSON_MATCH conjunct: None = no
+    index support for this condition / no readable index (full decode),
+    else the sorted docId array — possibly empty, meaning the segment
+    is pruned entirely. The unit the AND-composition intersects
+    (sources/index_compose.py; FilterOperatorUtils.java:183-220)."""
+    preds = index_supported_conjunction(condition)
+    if preds is None:
+        return None
+    try:
+        idx = read_json_index(segment_dir, col)
+    except Exception:  # noqa: BLE001 — no/unreadable index: full decode
+        return None
+    return idx.matching_docs(preds)
+
+
 def read_segments_json_match(
     spark,
     segment_dirs: list[str],
@@ -337,16 +353,10 @@ def read_segments_json_match(
     from hurricanedb_spark.sources import pinot_segment as ps
     from hurricanedb_spark.sql.json_match import translate_json_match
 
-    preds = index_supported_conjunction(condition)
-
     def plan_for(s):
-        if preds is None:
+        docs = json_match_segment_docs(s, col, condition)
+        if docs is None:
             return (s, None)
-        try:
-            idx = read_json_index(s, col)
-        except Exception:  # noqa: BLE001 — no/unreadable index: full decode
-            return (s, None)
-        docs = idx.matching_docs(preds)
         if len(docs) == 0:
             return None  # whole segment pruned
         return (s, ps.roaring_serialize(docs))

@@ -734,6 +734,18 @@ def text_match_allowlist(idx: NativeTextIndex, lucene_query: str):
     return out
 
 
+def text_match_segment_docs(segment_dir: str, col: str, lucene_query: str):
+    """Per-segment docId bound for one TEXT_MATCH conjunct: None = no
+    readable index or an unboundable query (full decode), else the
+    sorted superset docId array (possibly empty = segment pruned). The
+    unit the AND-composition intersects (sources/index_compose.py)."""
+    try:
+        idx = read_native_text_index(segment_dir, col)
+    except Exception:  # noqa: BLE001 — no/unreadable index: full decode
+        return None
+    return text_match_allowlist(idx, lucene_query)
+
+
 def read_segments_text_match(
     spark,
     segment_dirs: list[str],
@@ -755,11 +767,7 @@ def read_segments_text_match(
     from hurricanedb_spark.sql.text_match import translate_text_match
 
     def plan_for(s):
-        try:
-            idx = read_native_text_index(s, col)
-        except Exception:  # noqa: BLE001 — no/unreadable index: full decode
-            return (s, None)
-        docs = text_match_allowlist(idx, lucene_query)
+        docs = text_match_segment_docs(s, col, lucene_query)
         if docs is None:
             return (s, None)
         if len(docs) == 0:

@@ -1469,6 +1469,127 @@ class HurricaneSQL:
         self.last_geo_radius_accel = out[0] is not query
         return out
 
+    def _multi_index_rewrite(self, query: str):
+        """AND-composition of index access paths (round-8 item 5): when
+        the WHERE clause is a plain AND conjunction containing TWO OR
+        MORE accelerable calls (JSON_MATCH / TEXT_MATCH / TEXT_CONTAINS
+        / the geo radius shape) over ONE segment-backed table, each call
+        contributes its per-segment docId bound and the table is rebound
+        to a scan over the INTERSECTED allowlists with the exact
+        residual conjunction re-applied — the reference's AND filter
+        composition (FilterOperatorUtils.java:183-220 intersects child
+        filter bitmaps before the forward-index read). Single-call
+        queries keep their dedicated paths; any boolean structure beyond
+        a top-level AND chain keeps the scan. Returns (query, cleanup)."""
+        noop = (query, lambda: None)
+        self.last_multi_index_accel = None
+        if not self._segment_tables:
+            return noop
+        if re.search(r"\bJOIN\b", query, re.IGNORECASE):
+            return noop
+        wm = re.search(
+            r"\bWHERE\b(?P<span>.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b"
+            r"|\bHAVING\b|\bLIMIT\b|$)",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not wm:
+            return noop
+        span = wm.group("span")
+        call_kinds = (
+            ("JSON_INDEX", _JSON_MATCH_CALL),
+            ("TEXT_INDEX", _TEXT_MATCH_CALL),
+            ("TEXT_INDEX", _TEXT_CONTAINS_CALL),
+            ("H3_INDEX", _GEO_RADIUS_CALL),
+        )
+        found = []
+        for kind, cre in call_kinds:
+            # every occurrence in the query must sit inside the WHERE
+            # span (a projection/HAVING placement is not a conjunct)
+            if len(cre.findall(query)) != len(cre.findall(span)):
+                return noop
+            found.extend((kind, cre, m) for m in cre.finditer(span))
+        if len(found) < 2:
+            return noop  # single-call shapes keep their dedicated paths
+        span_wo = span
+        for _, cre, _ in found:
+            span_wo = cre.sub("", span_wo)
+        if re.search(r"\bOR\b|\bNOT\b|[()]", span_wo, re.IGNORECASE):
+            return noop
+        from hurricanedb_spark.sources.geo_index import geo_radius_segment_docs
+        from hurricanedb_spark.sources.index_compose import (
+            read_segments_multi_index,
+        )
+        from hurricanedb_spark.sources.json_index import json_match_segment_docs
+        from hurricanedb_spark.sources.native_text_index import (
+            text_match_segment_docs,
+        )
+        from hurricanedb_spark.sql.json_match import translate_json_match
+
+        plan_fns, residuals, pred_cols, kinds = [], [], [], []
+        for kind, cre, m in found:
+            kinds.append(kind)
+            if cre is _JSON_MATCH_CALL:
+                col, cond = m.group(1), m.group(2).replace("''", "'")
+                plan_fns.append(
+                    lambda s, c=col, q=cond: json_match_segment_docs(s, c, q)
+                )
+                residuals.append(translate_json_match(col, cond))
+            elif cre is _TEXT_MATCH_CALL:
+                col, lucene = m.group(1), m.group(2).replace("''", "'")
+                plan_fns.append(
+                    lambda s, c=col, q=lucene: text_match_segment_docs(s, c, q)
+                )
+                residuals.append(translate_text_match(col, lucene))
+            elif cre is _TEXT_CONTAINS_CALL:
+                col, lit = m.group(1), m.group(2)
+                plan_fns.append(
+                    lambda s, c=col, q=lit: text_match_segment_docs(s, c, q)
+                )
+                residuals.append(f"contains({col}, '{lit}')")
+            else:  # geo radius: the query keeps its own distance residual
+                col = m.group(1)
+                lon, lat, r = (
+                    float(m.group(2)),
+                    float(m.group(3)),
+                    float(m.group(4)),
+                )
+                plan_fns.append(
+                    lambda s, c=col, a=lon, b=lat, rr=r: geo_radius_segment_docs(
+                        s, c, a, b, rr
+                    )
+                )
+            pred_cols.append(col)
+        for name, (segs, columns) in self._segment_tables.items():
+            from_ref = re.compile(
+                rf"(\bFROM\s+){re.escape(name)}\b", re.IGNORECASE
+            )
+            if len(from_ref.findall(query)) != 1:
+                continue
+            view = self.spark.table(name)
+            if not set(pred_cols) <= set(view.columns):
+                continue
+            residual = (
+                " AND ".join(f"({r})" for r in residuals) if residuals else "true"
+            )
+            uniq = f"__multi_accel_{uuid.uuid4().hex}"
+            read_segments_multi_index(
+                self.spark,
+                segs,
+                plan_fns,
+                residual,
+                columns,
+                list(dict.fromkeys(pred_cols)),
+            ).createOrReplaceTempView(uniq)
+            rewritten = from_ref.sub(rf"\g<1>{uniq}", query)
+
+            def cleanup(uniq=uniq):
+                self.spark.catalog.dropTempView(uniq)
+
+            self.last_multi_index_accel = sorted(set(kinds))
+            return rewritten, cleanup
+        return noop
+
     def _conjunct_accel_rewrite(
         self, query: str, call_re, tag: str, build, parse_groups=None
     ):
@@ -1922,6 +2043,8 @@ class HurricaneSQL:
         cleanups: list = []
         try:
             q = rewrite_mv_percentile_bounded(query)
+            q, drop_multi_view = self._multi_index_rewrite(q)
+            cleanups.append(drop_multi_view)
             q, drop_accel_view = self._json_match_rewrite(q)
             cleanups.append(drop_accel_view)
             q, drop_tm_view = self._text_match_rewrite(q)
@@ -1951,6 +2074,12 @@ class HurricaneSQL:
             # FILTER_TEXT_INDEX / StarTreeFilterOperator); surface which
             # index rewrite actually bound this query's source
             notes = []
+            if getattr(self, "last_multi_index_accel", None):
+                notes.append(
+                    "accessPath: AND_COMPOSED("
+                    + ", ".join(self.last_multi_index_accel)
+                    + ") (intersected docId allowlists + shared residual)"
+                )
             if getattr(self, "last_json_match_accel", False):
                 notes.append("accessPath: JSON_INDEX (segment skip + docId allowlist + residual)")
             if getattr(self, "last_text_match_accel", False):
