@@ -193,6 +193,27 @@ def st_union_agg(point: Column) -> Column:
     return F.array_sort(F.collect_set(point))
 
 
+def st_union_wkt_agg(wkt: Column) -> Column:
+    """STUnion over WKT geometry values — the full-geometry form of the
+    aggregate (StUnionAggregationFunction.java:69 unions arbitrary JTS
+    geometries; the point-set form above covers geography point columns).
+    Supported EXACTLY: points (MULTIPOINT), simple single-ring polygons
+    (boundary-walk union with an |A|+|B|-|A∩B| area-identity proof after
+    every merge), point+polygon mixes (covered points absorbed), and
+    non-crossing linestrings. Anything outside that subset raises
+    GeoUnionUnsupported LOUDLY — never a silent coercion
+    (functions/geo_union.py documents the limits). Grouped-agg pandas
+    UDF: per-group state is the group's geometry list, the same bound
+    the reference's accumulating JTS union carries."""
+    from hurricanedb_spark.functions.geo_union import union_wkt
+
+    def _union(v):
+        return union_wkt(v.tolist())
+
+    agg = F.pandas_udf(_union, "string", F.PandasUDFType.GROUPED_AGG)
+    return agg(wkt)
+
+
 def st_union_as_text(geoms: Column) -> Column:
     """ST_AsText over a point-set union: 'MULTIPOINT (x y, x y, ...)'."""
     parts = F.transform(

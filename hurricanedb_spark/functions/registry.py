@@ -415,6 +415,21 @@ def register_all(spark: SparkSession) -> None:
     """Register the true-UDF surface (geo/net). Everything in _SQL_ALIASES is
     applied by the SQL dialect rewriter instead (JVM-side, no UDF cost)."""
     spark.udf.register("st_distance_haversine", _haversine_m, T.DoubleType())
+    # STUnion over WKT geometry values (grouped-agg; exact subset with
+    # loud degradation — functions/geo_union.py). The point-struct form
+    # stays on the `stunion` macro; this name takes the WKT column.
+    from pyspark.sql import functions as _F
+
+    from hurricanedb_spark.functions.geo_union import union_wkt as _union_wkt
+
+    def _st_union_wkt(v):
+        return _union_wkt(v.tolist())
+
+    _st_union_udf = _F.pandas_udf(
+        _st_union_wkt, "string", _F.PandasUDFType.GROUPED_AGG
+    )
+    spark.udf.register("stunionwkt", _st_union_udf)
+    spark.udf.register("st_union_wkt", _st_union_udf)
     spark.udf.register("issubnetof", _is_subnet_of, T.BooleanType())
     spark.udf.register("geotoh3", _geo_to_grid, T.LongType())
     # WKB parse/emit kernels (binary reinterpret has no Spark expression;

@@ -107,6 +107,66 @@ def q_st_union_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hand-computed golden unions for the full-geometry STUnion form: the
+# Spark side runs the exact boundary-walk kernel (functions/geo_union.py)
+# over literal geometries; the oracle states the independently
+# hand-derived results, so the driver gate proves the kernel, not the
+# kernel proving itself
+_ST_UNION_GEOM_CASES = [
+    # overlapping squares -> L-shaped 8-vertex union (area 4+4-1=7)
+    (1, ["POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"],
+     "POLYGON ((0 0, 2 0, 2 1, 3 1, 3 3, 1 3, 1 2, 0 2, 0 0))"),
+    # disjoint squares -> MULTIPOLYGON, components sorted by min vertex
+    (2, ["POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))",
+         "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"],
+     "MULTIPOLYGON ((0 0, 2 0, 2 2, 0 2, 0 0), "
+     "(10 10, 11 10, 11 11, 10 11, 10 10))"),
+    # point+polygon mix: covered point absorbed, outside point kept
+    (3, ["POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POINT (1 1)",
+         "POINT (9 9)"],
+     "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), "
+     "POINT (9 9))"),
+    # plus-sign: two rectangles, four transversal crossings
+    (4, ["POLYGON ((-3 -1, 3 -1, 3 1, -3 1, -3 -1))",
+         "POLYGON ((-1 -3, 1 -3, 1 3, -1 3, -1 -3))"],
+     "POLYGON ((-3 -1, -1 -1, -1 -3, 1 -3, 1 -1, 3 -1, 3 1, 1 1, "
+     "1 3, -1 3, -1 1, -3 1, -3 -1))"),
+    # deduplicated non-crossing linestrings
+    (5, ["LINESTRING (0 0, 1 1)", "LINESTRING (1 1, 2 0)",
+         "LINESTRING (0 0, 1 1)"],
+     "MULTILINESTRING ((0 0, 1 1), (1 1, 2 0))"),
+]
+
+
+@register(
+    "q_st_union_geoms",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        "({}, '{}')".format(g, expected)
+        for g, _, expected in _ST_UNION_GEOM_CASES
+    )
+    + ") AS t(g, union_wkt)",
+    doc="STUnion over full WKT geometries "
+    "(StUnionAggregationFunction.java:69 unions arbitrary JTS "
+    "geometries): overlapping/disjoint polygon unions via the exact "
+    "boundary-walk kernel with the |A|+|B|-|A∩B| area-identity proof, "
+    "point absorption, GEOMETRYCOLLECTION output, linestring dedup. The "
+    "oracle is the independently hand-computed union per group.",
+    tags=("geo", "aggregate"),
+)
+def q_st_union_geoms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.functions.geo import st_union_wkt_agg
+
+    rows = [(g, w) for g, wkts, _ in _ST_UNION_GEOM_CASES for w in wkts]
+    df = spark.createDataFrame(rows, "g int, geom string")
+    return (
+        df.groupBy("g")
+        .agg(st_union_wkt_agg(F.col("geom")).alias("union_wkt"))
+        .orderBy("g")
+    )
+
+
 # simple (convex-ish) test polygon over the synthetic coordinate space;
 # closed ring, lon/lat integral so both engines see identical doubles
 _RING = [(-10, 35), (30, 35), (40, 55), (0, 65), (-15, 50), (-10, 35)]
