@@ -92,6 +92,12 @@ _AGG_REWRITES: dict[str, str] = {
     "stddevsamp": "stddev_samp($1)",
     "boolOr".lower(): "bool_or($1)",
     "idset": "collect_set($1)",
+    # documented superset: the reference REFUSES a standalone fourthMoment
+    # (FourthMomentAggregationFunction.java:167 — the moment state exists
+    # only as the carrier for skewness/kurtosis) so any defined answer is
+    # ours to choose; this returns the raw moment E[X^4] = sum(x^4)/n, NOT
+    # the central moment E[(X-mu)^4] that skewness/kurtosis standardize —
+    # callers wanting the central form compose it from avg() explicitly
     "fourthmoment": "(sum(power($1, 4)) / count($1))",
     # MV aggregates: explode-free via higher-order pre-fold. The
     # DISTINCT*/PERCENTILE* MV forms collect per-group distinct arrays /

@@ -197,12 +197,15 @@ def bench_text_match(spark, sf_dir: str, base: str) -> dict:
 
 def bench_startree(spark, sf_dir: str, base: str) -> dict:
     """Fitting aggregation: raw-doc scan+agg vs the star-tree pre-agg
-    path (read_segments_star_tree) over a 4-segment orders store."""
-    import numpy as np
-
+    path (read_segments_star_tree) over a 4-segment orders store.
+    SPARK_GRAFT_ST_REPS=N replicates the rows N-fold into the SAME 4
+    segments: tree records stay bounded by group cardinality per segment
+    while the scan decodes N x the docs — the decade measurement for the
+    tree path (BENCH.md segment-store table)."""
     from hurricanedb_spark.sources import startree_v2 as st
 
-    store = os.path.join(base, "orders_st")
+    reps = int(os.environ.get("SPARK_GRAFT_ST_REPS", "1"))
+    store = os.path.join(base, f"orders_st_x{reps}" if reps > 1 else "orders_st")
     if not os.path.isdir(store):
         od = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
@@ -210,6 +213,12 @@ def bench_startree(spark, sf_dir: str, base: str) -> dict:
             "cents",
             F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"),
         ).drop("o_totalprice")
+        if reps > 1:
+            od = od.crossJoin(
+                spark.range(reps).select(F.col("id").alias("__rep"))
+            ).withColumn(
+                "o_orderkey", F.col("o_orderkey") * reps + F.col("__rep")
+            ).drop("__rep")
         t0 = time.perf_counter()
         # trees built inside each export task — the scale path
         ps.export_segments(
