@@ -233,21 +233,29 @@ def _walk(a, b, crossings, tol, mode) -> np.ndarray:
         raise GeoUnionUnsupported("intersection trace lost containment")
 
     if mode == "union":
-        start = next(
-            (
-                i
-                for i, v in enumerate(rings["a"])
-                if _point_in_ring(v, rings["b"], tol) < 0
-            ),
-            None,
-        )
-        if start is None:
-            raise GeoUnionUnsupported(
-                "no vertex of one polygon lies outside the other"
+        # a start vertex strictly outside the other ring; check BOTH
+        # rings (a non-convex pair can have every vertex of one inside
+        # the other while its edges still cross out and back)
+        side = start = None
+        for s in ("a", "b"):
+            start = next(
+                (
+                    i
+                    for i, v in enumerate(rings[s])
+                    if _point_in_ring(v, rings[other[s]], tol) < 0
+                ),
+                None,
             )
-        side, param = "a", float(start)
-        start_key = ("a", start)
-        pts = [rings["a"][start]]
+            if start is not None:
+                side = s
+                break
+        if side is None:
+            raise GeoUnionUnsupported(
+                "no vertex of either polygon lies outside the other"
+            )
+        param = float(start)
+        start_key = (side, start)
+        pts = [rings[side][start]]
     else:
         side = inter_side(0)
         param = cross_param[side][0]

@@ -908,26 +908,36 @@ def test_theta_filtered_rewrite_intersect():
     q = ("SELECT distinctCountThetaSketch(ck, 'nominalEntries=4096', "
          "'s = ''F''', 's = ''O''', 'SET_INTERSECT($1, $2)') FROM t")
     out = rewrite_functions(q)
-    assert "array_intersect" in out
-    assert "collect_set(CASE WHEN (s = 'F') THEN (ck) END)" in out
+    # inclusion-exclusion: |A∩B| = |A| + |B| - |A∪B|, each term a fully
+    # distributed count(DISTINCT) — no per-group collect_set arrays
+    assert "count(DISTINCT CASE WHEN (s = 'F') THEN (ck) END)" in out
+    assert "(-1) * count(DISTINCT CASE WHEN (s = 'F') OR (s = 'O') THEN (ck) END)" in out
+    assert "collect_set" not in out
     assert "approx_count_distinct" not in out  # r7 defect: silent fallback
-    assert "CAST(size(" in out  # reference rounds the estimate to a long
+    assert "AS BIGINT" in out  # reference rounds the estimate to a long
 
 
 def test_theta_filtered_rewrite_nested_and_default_sketch():
-    q = ("SELECT distinctCountThetaSketch(ck, '', 'a = 1', 'b = 2', "
-         "'SET_DIFF(SET_UNION($1, $2), $0)') FROM t")
+    # $0 = unfiltered default sketch: $0 \ A = |all| - |A|
+    q = ("SELECT distinctCountThetaSketch(ck, '', 'a = 1', "
+         "'SET_DIFF($0, $1)') FROM t")
     out = rewrite_functions(q)
-    assert "array_except(array_union(" in out
-    # $0 = unfiltered default sketch
-    assert "collect_set(ck)" in out
+    assert "(1) * count(DISTINCT (ck))" in out
+    assert "(-1) * count(DISTINCT CASE WHEN (a = 1) THEN (ck) END)" in out
+    # nested: (A∪B) \ $0 is empty over feasible values -> terms cancel
+    q2 = ("SELECT distinctCountThetaSketch(ck, '', 'a = 1', 'b = 2', "
+          "'SET_DIFF(SET_UNION($1, $2), $0)') FROM t")
+    out2 = rewrite_functions(q2)
+    assert "(-1) * count(DISTINCT (ck)) + (1) * count(DISTINCT (ck))" in out2
 
 
 def test_theta_filtered_rewrite_varargs_union():
     q = ("SELECT distinctCountThetaSketch(ck, '', 'a=1', 'b=2', 'c=3', "
          "'SET_UNION($1, $2, $3)') FROM t")
     out = rewrite_functions(q)
-    assert out.count("array_union") == 2  # left-fold of 3 args
+    # a plain union needs exactly ONE distinct-count term (OR of all three)
+    assert out.count("count(DISTINCT") == 1
+    assert "(a=1) OR (b=2) OR (c=3)" in out
 
 
 def test_theta_filtered_rewrite_rejections():
@@ -1058,3 +1068,94 @@ def test_rewrite_error_drops_accel_views(hdb):
         )
     after = {t.name for t in hdb.spark.catalog.listTables()}
     assert after == before
+
+
+def test_theta_set_expr_randomized_vs_python_sets(hdb):
+    """Property probe: random nested SET_UNION/SET_INTERSECT/SET_DIFF
+    expressions over three filters, the translated SQL's cardinality
+    must equal the python-set ground truth computed independently."""
+    import random
+
+    rng = random.Random(42)
+    rows = [(i, i % 7, i % 5, i % 3) for i in range(200)]
+    hdb.spark.createDataFrame(rows, "v int, a int, b int, c int") \
+        .createOrReplaceTempView("theta_prop_t")
+    filters = ["a = 1", "b < 2", "c != 0"]
+    universe = {r[0] for r in rows}
+    sets = {
+        0: set(universe),
+        1: {r[0] for r in rows if r[1] == 1},
+        2: {r[0] for r in rows if r[2] < 2},
+        3: {r[0] for r in rows if r[3] != 0},
+    }
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.35:
+            return f"${rng.randint(0, 3)}"
+        op = rng.choice(["SET_UNION", "SET_INTERSECT", "SET_DIFF"])
+        n = 2 if op == "SET_DIFF" else rng.randint(2, 3)
+        return f"{op}({', '.join(gen(depth - 1) for _ in range(n))})"
+
+    def ground_truth(expr):
+        expr = expr.strip()
+        if expr.startswith("$"):
+            return sets[int(expr[1:])]
+        op, body = expr.split("(", 1)
+        depth, args, start = 0, [], 0
+        body = body[: body.rindex(")")]
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                args.append(body[start:i])
+                start = i + 1
+        args.append(body[start:])
+        parts = [ground_truth(a) for a in args]
+        if op == "SET_UNION":
+            out = set().union(*parts)
+        elif op == "SET_INTERSECT":
+            out = parts[0]
+            for p in parts[1:]:
+                out = out & p
+        else:
+            out = parts[0] - parts[1]
+        return out
+
+    exprs = [gen(3) for _ in range(12)]
+    quoted = [e.replace("'", "''") for e in exprs]
+    sel = ", ".join(
+        "distinctCountThetaSketch(v, '', "
+        + ", ".join(f"'{f}'" for f in filters)
+        + f", '{e}') AS x{i}"
+        for i, e in enumerate(quoted)
+    )
+    row = hdb.sql(
+        f"SELECT {sel} FROM theta_prop_t", default_limit=None
+    ).collect()[0]
+    for i, e in enumerate(exprs):
+        assert row[f"x{i}"] == len(ground_truth(e)), e
+
+
+def test_theta_fallback_array_path_above_cap(hdb):
+    """Expressions referencing >6 sketches take the collect_set array
+    fallback; result must match the python-set ground truth too."""
+    hdb.spark.createDataFrame(
+        [(i,) for i in range(100)], "v int"
+    ).createOrReplaceTempView("theta_cap_t")
+    filters = [f"v % {p} = 0" for p in (2, 3, 5, 7, 11, 13, 17)]
+    expr = "SET_UNION(" + ", ".join(f"${i}" for i in range(1, 8)) + ")"
+    q = (
+        "SELECT distinctCountThetaSketch(v, '', "
+        + ", ".join(f"'{f}'" for f in filters)
+        + f", '{expr}') AS x FROM theta_cap_t"
+    )
+    from hurricanedb_spark.sql.dialect import rewrite_functions as _rw
+
+    assert "collect_set" in _rw(q)  # above the cap -> array path
+    got = hdb.sql(q, default_limit=None).collect()[0]["x"]
+    want = len({
+        i for i in range(100) if any(i % p == 0 for p in (2, 3, 5, 7, 11, 13, 17))
+    })
+    assert got == want

@@ -354,3 +354,50 @@ def test_multi_tree_selection(spark, tmp_path):
     assert h.last_star_tree_redirect is not None
     slow = [tuple(r) for r in spark.sql(q).collect()]
     assert fast == slow
+
+
+def test_randomized_predicates_redirect_equals_scan(spark, hq):
+    """Randomized per-dimension predicate grammar (round-8 range/OR
+    support): every generated WHERE must give identical rows through the
+    redirect and the plain scan; parseable shapes must actually fire."""
+    import random
+
+    rng = random.Random(88)
+    cities = ["chi", "la", "nyc", "sf"]
+    statuses = ["A", "B", "C"]
+
+    def simple(col, vals):
+        kind = rng.choice(["eq", "ne", "cmp", "between", "in"])
+        if kind == "eq":
+            return f"{col} = '{rng.choice(vals)}'"
+        if kind == "ne":
+            return f"{col} != '{rng.choice(vals)}'"
+        if kind == "cmp":
+            op = rng.choice(["<", "<=", ">", ">="])
+            return f"{col} {op} '{rng.choice(vals)}'"
+        if kind == "between":
+            a, b = sorted(rng.sample(vals, 2))
+            return f"{col} BETWEEN '{a}' AND '{b}'"
+        picks = rng.sample(vals, rng.randint(1, len(vals) - 1))
+        return f"{col} IN ({', '.join(repr(v) for v in picks)})"
+
+    for _ in range(25):
+        conjuncts = []
+        for col, vals in (("city", cities), ("status", statuses)):
+            if rng.random() < 0.7:
+                if rng.random() < 0.3:
+                    conjuncts.append(
+                        f"({simple(col, vals)} OR {simple(col, vals)})"
+                    )
+                else:
+                    conjuncts.append(simple(col, vals))
+        where = " AND ".join(conjuncts)
+        q = (
+            "SELECT city, COUNT(*) AS n, SUM(cents) AS s FROM st_metrics "
+            + (f"WHERE {where} " if where else "")
+            + "GROUP BY city LIMIT 100"
+        )
+        fast = sorted(tuple(r) for r in hq.sql(q).collect())
+        assert hq.last_star_tree_redirect is not None, q
+        slow = sorted(tuple(r) for r in spark.sql(q).collect())
+        assert fast == slow, q

@@ -151,3 +151,21 @@ def test_cli_rebuild(tmp_path, capsys):
     ms.rebuild_text_index(str(tmp_path), None)
     out = capsys.readouterr().out
     assert "rebuilt 1 text" in out
+
+
+def test_register_warns_on_unrebuilt_lucene_indexes(spark, tmp_path):
+    """Registering a migrated store whose Lucene text indexes have no
+    native equivalent warns loudly (silent full-scan degradation was
+    round-7 missing #5); after rebuild the registration is quiet."""
+    import warnings
+
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    seg, _ = _mk_segment(tmp_path, "seg_w", with_lucene_dir=True)
+    h = HurricaneSQL(spark)
+    with pytest.warns(RuntimeWarning, match="rebuild-text-index"):
+        h.register_segment_table("warn_docs", str(tmp_path))
+    nti.rebuild_text_indexes(seg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        h.register_segment_table("warn_docs2", str(tmp_path))
