@@ -58,7 +58,10 @@ _AGG_REWRITES: dict[str, str] = {
     "segmentpartitioneddistinctcount": "count(DISTINCT $1)",
     "distinctcounthll": "approx_count_distinct($1)",
     "distinctcountrawhll": "hll_sketch_agg($1)",
-    "distinctcountsmarthll": "approx_count_distinct($1)",
+    # SmartHLL is exact below its threshold (default 100k) and HLL above
+    # — a single-node memory bound; Spark's distributed count(DISTINCT)
+    # is exact at every size, dominating both regimes
+    "distinctcountsmarthll": "count(DISTINCT $1)",
     # theta sketch names: the SQL surface estimates via HLL; the mergeable
     # raw-sketch form with set algebra is operators/theta.py (KMV), and the
     # DataSketches-wire-compatible byte form is operators/theta_ds.py
@@ -892,7 +895,7 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
         # this SQL surface returns the estimate for both (documented in
         # README — the byte-compatible form is operators/theta_ds.py)
         return _theta_sketch_sql(name, args)
-    if name in ("distinctcounthll", "distinctcountsmarthll") and len(args) == 2:
+    if name == "distinctcounthll" and len(args) == 2:
         # optional log2m (DistinctCountHLLAggregationFunction.java:44-55):
         # map the HLL size to approx_count_distinct's rsd via the standard
         # HLL error formula rsd = 1.04 / sqrt(2^log2m)
@@ -900,6 +903,27 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
                     if args[1].strip().startswith("'") else args[1])
         rsd = 1.04 / math.sqrt(2 ** log2m)
         return f"approx_count_distinct({args[0]}, {rsd!r})"
+    if name == "distinctcountsmarthll" and len(args) == 2:
+        # second arg is a parameters STRING ('threshold=...;log2m=...',
+        # DistinctCountSmartHLLAggregationFunction.java:956-1001). The
+        # reference is EXACT below threshold and HLL above (a memory
+        # bound); Spark's distributed count(DISTINCT) is exact at every
+        # size with bounded per-key state, so the exact form dominates
+        # both regimes — params are validated, then moot
+        params = _unquote_literal(args[1], f"{name} parameters")
+        for kv in params.replace(" ", "").split(";"):
+            if not kv:
+                continue
+            k, sep, v = kv.partition("=")
+            if not sep or k.upper() not in (
+                "THRESHOLD",
+                "HLLCONVERSIONTHRESHOLD",
+                "LOG2M",
+                "HLLLOG2M",
+            ):
+                raise ValueError(f"{name}: invalid parameter {kv!r}")
+            int(v)
+        return f"count(DISTINCT {args[0]})"
     if name == "distinctcountrawhll" and len(args) == 2:
         # Spark's hll_sketch_agg takes lgConfigK (4..21) — same knob
         log2m = int(args[1].strip().strip("'"))
@@ -937,6 +961,57 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
             f"CAST(bround(sum(CAST({args[0]} AS DECIMAL(38,18))), {scale}) "
             f"AS DECIMAL({precision},{scale}))"
         )
+    if name == "percentilesmarttdigest" and len(args) == 3:
+        # optional params literal 'threshold=...;compression=...'
+        # (PercentileSmartTDigestAggregationFunction.java:45-71). Both
+        # only tune the exact->TDigest switchover memory bound; the
+        # engine's percentile_approx carries its own bounded sketch in
+        # both regimes. Validated, then moot.
+        params = _unquote_literal(args[2], f"{name} parameters")
+        for kv in params.replace(" ", "").split(";"):
+            if not kv:
+                continue
+            k, sep, v = kv.partition("=")
+            if not sep or k.upper() not in ("THRESHOLD", "COMPRESSION"):
+                raise ValueError(f"{name}: invalid parameter {kv!r}")
+            int(v)
+        return f"percentile_approx({args[0]}, {args[1]} / 100)"
+    if name == "mode":
+        if len(args) > 2:
+            raise ValueError(f"mode expects at most 2 arguments, got {len(args)}")
+        # ModeAggregationFunction.java:65-75: numeric mode, Double
+        # result, ties reduced by MultiModeReducerType (default MIN).
+        # Spark's `mode(col, true)` deterministic form returns the
+        # lowest tied value = MIN; MAX negates; AVG folds a frequency
+        # map (state O(distinct values per group), the reference's own
+        # value-map bound). The backticks keep the fixpoint rewriter
+        # from re-matching the emitted builtin. Empty groups: NULL here
+        # (reference: -Infinity without null handling, null with).
+        reducer = (
+            _unquote_literal(args[1], "mode reducer").upper()
+            if len(args) == 2
+            else "MIN"
+        )
+        if reducer == "MIN":
+            return f"CAST(`mode`(({args[0]}), true) AS DOUBLE)"
+        if reducer == "MAX":
+            return f"CAST(-`mode`(-({args[0]}), true) AS DOUBLE)"
+        if reducer == "AVG":
+            vals = f"collect_list(CAST({args[0]} AS DOUBLE))"
+            freq = (
+                f"aggregate({vals}, CAST(map() AS MAP<DOUBLE,BIGINT>), "
+                "(m, v) -> map_concat(map_filter(m, (k, c) -> k != v), "
+                "map(v, coalesce(element_at(m, v), CAST(0 AS BIGINT)) + 1)))"
+            )
+            modes = (
+                f"map_keys(map_filter({freq}, "
+                f"(k, c) -> c = array_max(map_values({freq}))))"
+            )
+            return (
+                f"(aggregate({modes}, CAST(0 AS DOUBLE), (a, k) -> a + k) "
+                f"/ size({modes}))"
+            )
+        raise ValueError(f"mode: unknown MultiModeReducerType {reducer!r}")
     if name == "idset" and len(args) == 2:
         # IdSetAggregationFunction optional params only bound memory by
         # degrading to a Bloom IdSet; the exact collect_set is the ideal
@@ -956,7 +1031,7 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
     names = (
         set(macros)
         | set(_AGG_REWRITES)
-        | {"text_match", "text_contains", "lookup", "timeconvert",
+        | {"mode", "text_match", "text_contains", "lookup", "timeconvert",
            "datetimeconvert", "groovy", "jsonextractscalar", "histogram",
            "regexpextract", "truncate", "valuein", "rounddecimal",
            "round_decimal", "case", "casewhen", "case_when", "div",

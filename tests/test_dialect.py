@@ -1159,3 +1159,61 @@ def test_theta_fallback_array_path_above_cap(hdb):
         i for i in range(100) if any(i % p == 0 for p in (2, 3, 5, 7, 11, 13, 17))
     })
     assert got == want
+
+
+def test_smarthll_params_form(hdb):
+    # 2-arg SmartHLL takes a parameters STRING; the engine answers
+    # exactly in both of the reference's regimes (exact below threshold,
+    # HLL above), so the result equals plain count(DISTINCT)
+    out = rewrite_functions(
+        "SELECT distinctCountSmartHLL(x, 'threshold=10;log2m=8') FROM t"
+    )
+    assert "count(DISTINCT x)" in out
+    with pytest.raises(ValueError, match="invalid parameter"):
+        rewrite_functions(
+            "SELECT distinctCountSmartHLL(x, 'bogus=1') FROM t"
+        )
+    row = hdb.sql(
+        "SELECT distinctCountSmartHLL(l_suppkey, 'threshold=1') AS dc "
+        "FROM lineitem",
+        default_limit=None,
+    ).collect()[0]
+    assert row["dc"] == 10
+
+
+def test_mode_reducers(hdb):
+    """ModeAggregationFunction: Double result, MultiModeReducerType
+    MIN (default) / MAX / AVG tie-breaking — exact vs hand-computed
+    over a two-way tie {1: x3, 4: x3}."""
+    hdb.spark.createDataFrame(
+        [(v,) for v in (1, 1, 1, 4, 4, 4, 2)], "x int"
+    ).createOrReplaceTempView("mode_t")
+    row = hdb.sql(
+        "SELECT mode(x) AS m_def, mode(x, 'MIN') AS m_min, "
+        "mode(x, 'MAX') AS m_max, mode(x, 'AVG') AS m_avg FROM mode_t",
+        default_limit=None,
+    ).collect()[0]
+    assert row["m_def"] == 1.0 and row["m_min"] == 1.0
+    assert row["m_max"] == 4.0
+    assert row["m_avg"] == 2.5
+    with pytest.raises(ValueError, match="MultiModeReducerType"):
+        hdb.sql("SELECT mode(x, 'MEDIAN') FROM mode_t")
+    with pytest.raises(ValueError, match="at most 2"):
+        hdb.sql("SELECT mode(x, 'MIN', 3) FROM mode_t")
+
+
+def test_percentile_smart_tdigest_params(hdb):
+    # 3rd optional params literal (PercentileSmartTDigestAggregation
+    # Function.java:45-71) — validated, then moot: the engine's
+    # percentile_approx has its own bounded sketch in both regimes
+    row = hdb.sql(
+        "SELECT percentileSmartTDigest(l_quantity, 50, "
+        "'threshold=100;compression=50') AS p FROM lineitem",
+        default_limit=None,
+    ).collect()[0]
+    assert 1 <= row["p"] <= 50
+    with pytest.raises(ValueError, match="invalid parameter"):
+        hdb.sql(
+            "SELECT percentileSmartTDigest(l_quantity, 50, 'zap=1') "
+            "FROM lineitem"
+        )
