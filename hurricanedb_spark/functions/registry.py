@@ -430,6 +430,24 @@ def register_all(spark: SparkSession) -> None:
     )
     spark.udf.register("stunionwkt", _st_union_udf)
     spark.udf.register("st_union_wkt", _st_union_udf)
+    # distinctCountRawThetaSketch: the reference returns the SERIALIZED
+    # DataSketches compact sketch (clients persist and re-merge these);
+    # grouped-agg over the group's values via operators/theta_ds — the
+    # byte layout is the public org.apache.datasketches compact format
+    from hurricanedb_spark.operators.theta_ds import (
+        build_sketch as _theta_build,
+        serialize as _theta_serialize,
+    )
+
+    def _raw_theta(v, k):
+        nominal = int(k.iloc[0])
+        lg = max(4, (nominal - 1).bit_length())
+        return _theta_serialize(_theta_build(v.tolist(), k=nominal), lg)
+
+    spark.udf.register(
+        "rawthetasketch",
+        _F.pandas_udf(_raw_theta, "binary", _F.PandasUDFType.GROUPED_AGG),
+    )
     spark.udf.register("issubnetof", _is_subnet_of, T.BooleanType())
     spark.udf.register("geotoh3", _geo_to_grid, T.LongType())
     # WKB parse/emit kernels (binary reinterpret has no Spark expression;

@@ -578,12 +578,13 @@ def _unquote_literal(s: str, what: str) -> str:
     raise ValueError(f"{what} must be a quoted string literal, got: {s!r}")
 
 
-def _theta_params(s: str) -> None:
-    """Validate a theta-sketch parameters literal ('nominalEntries=4096').
-    The parameters only size the sketch (Parameters class,
-    DistinctCountThetaSketchAggregationFunction.java:1301-1330); the exact
-    translation has no accuracy knob, so they are validated and ignored."""
+def _theta_params(s: str) -> int:
+    """Validate a theta-sketch parameters literal ('nominalEntries=4096')
+    and return the nominalEntries (default 4096, Util.DEFAULT_NOMINAL_
+    ENTRIES). The exact count translations ignore it (no accuracy knob);
+    the raw-sketch form sizes its sketch with it."""
     body = _unquote_literal(s, "theta-sketch parameters")
+    nominal = 4096
     for kv in body.split(";"):
         if not kv.strip():
             continue
@@ -591,7 +592,8 @@ def _theta_params(s: str) -> None:
         if not sep:
             raise ValueError(f"malformed theta-sketch parameter: {kv!r}")
         if k.strip().lower() == "nominalentries":
-            int(v.strip())  # must parse; value irrelevant to an exact count
+            nominal = int(v.strip())
+    return nominal
 
 
 def _theta_parse_tree(expr: str, n_filters: int):
@@ -846,8 +848,15 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
       this engine refuses to guess which of params/filter was meant.
     """
     if len(args) <= 2:
+        nominal = 4096
         if len(args) == 2:
-            _theta_params(args[1])
+            nominal = _theta_params(args[1])
+        if name == "distinctcountrawthetasketch":
+            # the reference returns the serialized compact sketch, not a
+            # number (clients persist and re-merge raw sketches); emit
+            # the DataSketches-wire-compatible bytes via the registered
+            # grouped-agg (operators/theta_ds.py byte layout)
+            return f"rawthetasketch({args[0]}, {nominal})"
         return f"approx_count_distinct({args[0]})"
     if len(args) == 3:
         raise ValueError(

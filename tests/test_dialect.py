@@ -1217,3 +1217,30 @@ def test_percentile_smart_tdigest_params(hdb):
             "SELECT percentileSmartTDigest(l_quantity, 50, 'zap=1') "
             "FROM lineitem"
         )
+
+
+def test_raw_theta_sketch_sql_returns_wire_bytes(hdb):
+    """distinctCountRawThetaSketch returns the SERIALIZED DataSketches
+    compact sketch (the reference's raw form — clients persist and
+    re-merge it), deserializable with operators/theta_ds and exact
+    below nominalEntries."""
+    from hurricanedb_spark.operators.theta_ds import deserialize
+
+    rows = hdb.sql(
+        "SELECT l_returnflag, "
+        "distinctCountRawThetaSketch(l_suppkey, 'nominalEntries=1024') "
+        "AS sk FROM lineitem GROUP BY l_returnflag",
+        default_limit=None,
+    ).collect()
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in hdb.sql(
+            "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n "
+            "FROM lineitem GROUP BY l_returnflag",
+            default_limit=None,
+        ).collect()
+    }
+    assert rows
+    for r in rows:
+        sk = deserialize(bytes(r["sk"]))
+        assert round(sk.estimate()) == exact[r["l_returnflag"]]
