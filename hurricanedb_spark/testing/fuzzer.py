@@ -440,6 +440,7 @@ class _Gen:
                 "withtime",
                 "filtered",
                 "histogram",
+                "thetaset",
             ]
         )
         if kind == "count":
@@ -492,6 +493,44 @@ class _Gen:
                 f"histogram(l_quantity, 0, 50, {nb})",
                 f"list_value({duck_bins})",
             )
+        if kind == "thetaset":
+            # filtered multi-arg distinctCountThetaSketch: random nested
+            # SET_UNION/SET_INTERSECT/SET_DIFF over 1-3 fuzzed filter
+            # predicates (+ the $0 default sketch). The oracle renders
+            # the SAME inclusion-exclusion expansion over the
+            # duck-dialect predicates — the dialect's Spark translation
+            # and the DuckDB evaluation stay independent paths.
+            from hurricanedb_spark.sql.dialect import (
+                _theta_inclusion_exclusion,
+                _theta_parse_tree,
+            )
+
+            col = r.choice(["l_suppkey", "l_partkey", "l_linenumber"])
+            k = r.randint(1, 3)
+            preds = [self.pred(1) for _ in range(k)]
+
+            def set_expr(depth: int) -> str:
+                if depth == 0 or r.random() < 0.4:
+                    return f"${r.randint(0, k)}"
+                op = r.choice(["SET_UNION", "SET_INTERSECT", "SET_DIFF"])
+                n = 2 if op == "SET_DIFF" else r.randint(2, 3)
+                return (
+                    f"{op}({', '.join(set_expr(depth - 1) for _ in range(n))})"
+                )
+
+            expr = set_expr(2)
+            pinot_filters = ", ".join(
+                "'" + p.replace("'", "''") + "'" for p, _ in preds
+            )
+            pinot = (
+                f"distinctCountThetaSketch({col}, '', {pinot_filters}, "
+                f"'{expr}')"
+            )
+            tree = _theta_parse_tree(expr, k)
+            duck = _theta_inclusion_exclusion(
+                tree, col, {0: "true", **{i + 1: d for i, (_, d) in enumerate(preds)}}
+            )
+            return (pinot, duck)
         if kind == "withtime":
             # the synthetic lineitem carries duplicate (l_orderkey,
             # l_linenumber) pairs, so the "time" expression ties; engines
