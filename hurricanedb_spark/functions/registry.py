@@ -448,6 +448,36 @@ def register_all(spark: SparkSession) -> None:
         "rawthetasketch",
         _F.pandas_udf(_raw_theta, "binary", _F.PandasUDFType.GROUPED_AGG),
     )
+    # theta aggregation over a BYTES column = union of the PRE-BUILT
+    # sketches stored in it (DistinctCountThetaSketchAggregationFunction
+    # aggregate(): valueTypes[0] == BYTES deserializes and unions instead
+    # of hashing the blobs). The dialect routes BINARY columns here
+    # (HurricaneSQL._theta_bytes_rewrite).
+    from hurricanedb_spark.operators.theta_ds import (
+        deserialize as _theta_deser,
+        union as _theta_union,
+    )
+
+    def _theta_union_of(v, k):
+        sks = [_theta_deser(bytes(b)) for b in v if b is not None]
+        return _theta_union(sks, k=int(k.iloc[0]))
+
+    def _theta_union_est(v, k):
+        return int(round(_theta_union_of(v, k).estimate()))
+
+    def _theta_union_raw(v, k):
+        nominal = int(k.iloc[0])
+        lg = max(4, (nominal - 1).bit_length())
+        return _theta_serialize(_theta_union_of(v, k), lg)
+
+    spark.udf.register(
+        "thetasketchunionest",
+        _F.pandas_udf(_theta_union_est, "bigint", _F.PandasUDFType.GROUPED_AGG),
+    )
+    spark.udf.register(
+        "thetasketchunionraw",
+        _F.pandas_udf(_theta_union_raw, "binary", _F.PandasUDFType.GROUPED_AGG),
+    )
     spark.udf.register("issubnetof", _is_subnet_of, T.BooleanType())
     spark.udf.register("geotoh3", _geo_to_grid, T.LongType())
     # WKB parse/emit kernels (binary reinterpret has no Spark expression;

@@ -1756,6 +1756,63 @@ class HurricaneSQL:
         self.last_geo_radius_accel = out[0] is not query
         return out
 
+    _FROM_TBL = re.compile(
+        r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\b(?!\s*\()", re.IGNORECASE
+    )
+
+    def _theta_bytes_rewrite(self, query: str) -> str:
+        """distinctCountThetaSketch / RawThetaSketch over a BYTES column
+        unions the PRE-BUILT sketches stored in it — the reference
+        type-dispatches on the input column
+        (DistinctCountThetaSketchAggregationFunction.aggregate:
+        valueTypes[0] == BYTES deserializes + unions; any other type
+        hashes raw values). Rewriting needs the schema, so this runs in
+        sql() (not the pure-string rewriter) for the provable shape:
+        single-table FROM, bare-identifier argument resolving to a
+        BinaryType column. Other shapes keep the value path."""
+        names = {"distinctcountthetasketch", "distinctcountrawthetasketch"}
+        calls = _find_calls(query, names)
+        if not calls:
+            return query
+        froms = self._FROM_TBL.findall(query)
+        if len(set(froms)) != 1 or re.search(r"\bJOIN\b", query, re.IGNORECASE):
+            return query
+        try:
+            schema = {
+                f.name.lower(): f.dataType
+                for f in self.spark.table(froms[0]).schema.fields
+            }
+        except Exception:  # noqa: BLE001 — unknown table: leave untouched
+            return query
+        from pyspark.sql import types as T
+
+        out, pos = [], 0
+        for start, end, name, args in calls:
+            out.append(query[pos:start])
+            col = args[0].strip()
+            is_bin = bool(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col)) and isinstance(
+                schema.get(col.lower()), T.BinaryType
+            )
+            if is_bin and len(args) <= 2:
+                nominal = _theta_params(args[1]) if len(args) == 2 else 4096
+                fn = (
+                    "thetasketchunionraw"
+                    if name == "distinctcountrawthetasketch"
+                    else "thetasketchunionest"
+                )
+                out.append(f"{fn}({col}, {nominal})")
+            elif is_bin:
+                raise ValueError(
+                    f"{name} over a BYTES column supports only the simple "
+                    "union form (set-op filters re-hash raw values; use "
+                    "operators/theta_ds for sketch-column set algebra)"
+                )
+            else:
+                out.append(query[start:end])
+            pos = end
+        out.append(query[pos:])
+        return "".join(out)
+
     def _multi_index_rewrite(self, query: str):
         """AND-composition of index access paths (round-8 item 5): when
         the WHERE clause is a plain AND conjunction containing TWO OR
@@ -2330,6 +2387,7 @@ class HurricaneSQL:
         cleanups: list = []
         try:
             q = rewrite_mv_percentile_bounded(query)
+            q = self._theta_bytes_rewrite(q)
             q, drop_multi_view = self._multi_index_rewrite(q)
             cleanups.append(drop_multi_view)
             q, drop_accel_view = self._json_match_rewrite(q)

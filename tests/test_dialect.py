@@ -1244,3 +1244,39 @@ def test_raw_theta_sketch_sql_returns_wire_bytes(hdb):
     for r in rows:
         sk = deserialize(bytes(r["sk"]))
         assert round(sk.estimate()) == exact[r["l_returnflag"]]
+
+
+def test_theta_over_bytes_column_unions_sketches(hdb, spark):
+    """A BYTES column holds PRE-BUILT sketches: the aggregate must
+    deserialize + union them (reference type-dispatch on the input
+    column), never count distinct blobs."""
+    from hurricanedb_spark.operators.theta_ds import (
+        build_sketch,
+        serialize,
+    )
+
+    # 4 sketches over overlapping populations; true union ndv = 30
+    pops = [range(0, 10), range(5, 20), range(15, 30), range(0, 30)]
+    rows = [
+        ("g1", bytearray(serialize(build_sketch(list(p), k=1024), 10)))
+        for p in pops
+    ]
+    spark.createDataFrame(rows, "g string, sk binary") \
+        .createOrReplaceTempView("theta_bytes_t")
+    row = hdb.sql(
+        "SELECT g, distinctCountThetaSketch(sk) AS dc, "
+        "distinctCountRawThetaSketch(sk, 'nominalEntries=1024') AS raw "
+        "FROM theta_bytes_t GROUP BY g",
+        default_limit=None,
+    ).collect()[0]
+    assert row["dc"] == 30  # union, exact below nominalEntries
+    from hurricanedb_spark.operators.theta_ds import deserialize
+
+    assert round(deserialize(bytes(row["raw"])).estimate()) == 30
+    # the filtered form over BYTES re-hashes blobs in the reference's
+    # value path — refuse loudly rather than silently mis-counting
+    with pytest.raises(ValueError, match="BYTES"):
+        hdb.sql(
+            "SELECT distinctCountThetaSketch(sk, '', 'g = ''g1''', "
+            "'SET_UNION($0, $1)') FROM theta_bytes_t"
+        )
