@@ -1766,11 +1766,18 @@ class HurricaneSQL:
         type-dispatches on the input column
         (DistinctCountThetaSketchAggregationFunction.aggregate:
         valueTypes[0] == BYTES deserializes + unions; any other type
-        hashes raw values). Rewriting needs the schema, so this runs in
+        hashes raw values — DistinctCountHLLAggregationFunction does the
+        same for serialized HLLs). Rewriting needs the schema, so this
+        runs in
         sql() (not the pure-string rewriter) for the provable shape:
         single-table FROM, bare-identifier argument resolving to a
         BinaryType column. Other shapes keep the value path."""
-        names = {"distinctcountthetasketch", "distinctcountrawthetasketch"}
+        names = {
+            "distinctcountthetasketch",
+            "distinctcountrawthetasketch",
+            "distinctcounthll",
+            "distinctcountrawhll",
+        }
         calls = _find_calls(query, names)
         if not calls:
             return query
@@ -1793,7 +1800,17 @@ class HurricaneSQL:
             is_bin = bool(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col)) and isinstance(
                 schema.get(col.lower()), T.BinaryType
             )
-            if is_bin and len(args) <= 2:
+            if is_bin and name == "distinctcounthll" and len(args) <= 2:
+                # pre-built HLL sketches: merge + estimate (this
+                # engine's HLL wire format is the DataSketches HLL that
+                # hll_sketch_agg emits; log2m sized them at build time)
+                out.append(
+                    f"CAST(round(hll_sketch_estimate(hll_union_agg({col})))"
+                    " AS BIGINT)"
+                )
+            elif is_bin and name == "distinctcountrawhll" and len(args) <= 2:
+                out.append(f"hll_union_agg({col})")
+            elif is_bin and len(args) <= 2:
                 nominal = _theta_params(args[1]) if len(args) == 2 else 4096
                 fn = (
                     "thetasketchunionraw"

@@ -1280,3 +1280,29 @@ def test_theta_over_bytes_column_unions_sketches(hdb, spark):
             "SELECT distinctCountThetaSketch(sk, '', 'g = ''g1''', "
             "'SET_UNION($0, $1)') FROM theta_bytes_t"
         )
+
+
+def test_hll_over_bytes_column_merges_sketches(hdb, spark):
+    """distinctCountHLL / distinctCountRawHLL over a BYTES column merge
+    the pre-built HLL sketches (reference type-dispatch); this engine's
+    HLL wire format is the DataSketches HLL hll_sketch_agg emits."""
+    src = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "p int, v int"
+    )
+    src.createOrReplaceTempView("hll_src_t")
+    spark.sql(
+        "SELECT p, hll_sketch_agg(v) AS sk FROM hll_src_t GROUP BY p"
+    ).createOrReplaceTempView("hll_bytes_t")
+    row = hdb.sql(
+        "SELECT distinctCountHLL(sk) AS dc FROM hll_bytes_t",
+        default_limit=None,
+    ).collect()[0]
+    assert abs(row["dc"] - 300) / 300 < 0.05
+    raw = hdb.sql(
+        "SELECT distinctCountRawHLL(sk) AS m FROM hll_bytes_t",
+        default_limit=None,
+    ).collect()[0]["m"]
+    est = spark.sql(
+        "SELECT hll_sketch_estimate(X'" + bytes(raw).hex() + "') AS e"
+    ).collect()[0]["e"]
+    assert abs(est - 300) / 300 < 0.05
