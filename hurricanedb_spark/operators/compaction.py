@@ -17,12 +17,20 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 # rollup aggregation types (MergeRollupTask aggregateTypes config;
 # ingestion-time parallel: MutableSegmentImpl.aggregateMetrics /
-# AggregationConfig.java:27-47)
+# AggregationConfig.java:27-47). The sketch entries take columns that
+# ALREADY hold serialized sketches — MergeRollupTask runs over sealed
+# segments whose sketch metrics were built at ingest, and its value
+# aggregators merge serialized pairs (segment/processing/aggregator/
+# DistinctCountHLLAggregator.java / DistinctCountThetaSketchAggregator
+# .java); raw-value -> sketch building is the ingestion-time side
+# (streaming/realtime.py:_rollup_aggregate).
 _ROLLUP_AGGS = {
     "SUM": F.sum,
     "MIN": F.min,
     "MAX": F.max,
     "COUNT": lambda c: F.count(F.lit(1)),
+    "DISTINCTCOUNTHLL": F.hll_union_agg,
+    "DISTINCTCOUNTTHETASKETCH": None,  # resolved lazily below (pandas udf)
 }
 
 
@@ -43,11 +51,26 @@ def merge_rollup(
         keys.append(F.date_trunc(granularity, F.col(time_col)).alias(time_col))
     elif time_col:
         keys.append(time_col)
-    aggs = []
+    aggs, pandas_aggs = [], []
     for col, how in metric_aggs.items():
-        fn = _ROLLUP_AGGS[how.upper()]
-        aggs.append(fn(col).alias(col))
-    return df.groupBy(*keys).agg(*aggs)
+        how = how.upper()
+        if how == "DISTINCTCOUNTTHETASKETCH":
+            from hurricanedb_spark.streaming.realtime import _theta_rollup_merge
+
+            pandas_aggs.append(_theta_rollup_merge(F.col(col)).alias(col))
+            continue
+        aggs.append(_ROLLUP_AGGS[how](col).alias(col))
+    if not pandas_aggs:
+        return df.groupBy(*keys).agg(*aggs)
+    if not aggs:
+        return df.groupBy(*keys).agg(*pandas_aggs)
+    # Spark forbids grouped-agg pandas UDFs in one agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT): aggregate each family
+    # separately and zip the per-group frames back on the key names
+    key_names = list(dimension_cols) + ([time_col] if time_col else [])
+    return df.groupBy(*keys).agg(*aggs).join(
+        df.groupBy(*keys).agg(*pandas_aggs), on=key_names, how="inner"
+    )
 
 
 def purge(df: DataFrame, predicate: Column) -> DataFrame:

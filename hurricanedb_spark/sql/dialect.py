@@ -1771,7 +1771,13 @@ class HurricaneSQL:
         runs in
         sql() (not the pure-string rewriter) for the provable shape:
         single-table FROM, bare-identifier argument resolving to a
-        BinaryType column. Other shapes keep the value path."""
+        BinaryType column. Other shapes keep the value path.
+
+        Limitation: the theta union is a grouped-agg pandas UDF, which
+        Spark cannot place beside JVM aggregates in one SELECT — such a
+        mix fails loudly at analysis (INVALID_PANDAS_UDF_PLACEMENT);
+        query the sketch column in its own statement. The HLL forms are
+        JVM-side and mix freely."""
         names = {
             "distinctcountthetasketch",
             "distinctcountrawthetasketch",

@@ -422,33 +422,97 @@ def start_partial_upsert_sink(
 # AggregationConfig.java:27-47): rows with equal dimension values collapse
 # into one aggregated row as they are consumed. Every supported function is
 # pairwise-mergeable, so incremental merge(state, batch) == full recompute.
+# The sketch functions store SERIALIZED sketch bytes in the state column —
+# the same shape the reference's realtime segments persist, and the shape
+# the SQL surface's BYTES type-dispatch queries (sql/dialect.py:
+# _theta_bytes_rewrite). DistinctCountHLL uses the engine's HLL wire form
+# (DataSketches, hll_sketch_agg); theta uses operators/theta_ds compact
+# bytes (reference aggregators: segment/processing/aggregator/
+# DistinctCountHLLAggregator.java / DistinctCountThetaSketchAggregator.java).
+_THETA_ROLLUP_K = 4096
+
+
+def _theta_rollup_build(col):
+    """Raw values -> one serialized compact theta sketch per group."""
+    from hurricanedb_spark.operators.theta_ds import build_sketch, serialize
+
+    def build(v):
+        return serialize(build_sketch(v.tolist(), k=_THETA_ROLLUP_K))
+
+    return F.pandas_udf(build, "binary", F.PandasUDFType.GROUPED_AGG)(col)
+
+
+def _theta_rollup_merge(col):
+    """Serialized sketches -> their union, serialized."""
+    from hurricanedb_spark.operators.theta_ds import (
+        deserialize,
+        serialize,
+        union,
+    )
+
+    def merge(v):
+        sks = [deserialize(bytes(b)) for b in v if b is not None]
+        return serialize(union(sks, k=_THETA_ROLLUP_K))
+
+    return F.pandas_udf(merge, "binary", F.PandasUDFType.GROUPED_AGG)(col)
+
+
 _ROLLUP_MERGERS = {
     "SUM": F.sum,
     "COUNT": F.sum,  # partial counts merge by summing
     "MIN": F.min,
     "MAX": F.max,
+    "DISTINCTCOUNTHLL": F.hll_union_agg,
+    "DISTINCTCOUNTTHETASKETCH": _theta_rollup_merge,
 }
+
+
+def _split_grouped_agg(df: DataFrame, dims: list[str], exprs: list, pandas_exprs: list) -> DataFrame:
+    """Grouped aggregation that tolerates mixing JVM aggregates with
+    grouped-agg pandas UDFs: Spark forbids them in ONE agg()
+    (INVALID_PANDAS_UDF_PLACEMENT), so each family aggregates separately
+    and the two per-group frames join back on the dims — both sides have
+    exactly the same group keys, so the join is a lossless zip."""
+    if not pandas_exprs:
+        return df.groupBy(*dims).agg(*exprs)
+    if not exprs:
+        return df.groupBy(*dims).agg(*pandas_exprs)
+    jvm = df.groupBy(*dims).agg(*exprs)
+    pnd = df.groupBy(*dims).agg(*pandas_exprs)
+    return jvm.join(pnd, on=dims, how="inner")
+
+
+def _rollup_exprs(aggs: dict[str, str], merge: bool) -> tuple[list, list]:
+    """(jvm exprs, pandas exprs) for one rollup step. merge=False maps
+    raw values into partial state (COUNT counts, sketches build);
+    merge=True folds partial states (COUNT sums, sketches union)."""
+    exprs, pandas_exprs = [], []
+    for col, fn in aggs.items():
+        fn = fn.upper()
+        if fn == "DISTINCTCOUNTTHETASKETCH":
+            build = _theta_rollup_merge if merge else _theta_rollup_build
+            pandas_exprs.append(build(F.col(col)).alias(col))
+        elif fn == "DISTINCTCOUNTHLL":
+            agg = F.hll_union_agg if merge else F.hll_sketch_agg
+            exprs.append(agg(F.col(col)).alias(col))
+        elif fn == "COUNT" and not merge:
+            exprs.append(F.count(F.col(col)).alias(col))
+        else:
+            exprs.append(_ROLLUP_MERGERS[fn](F.col(col)).alias(col))
+    return exprs, pandas_exprs
 
 
 def _rollup_aggregate(df: DataFrame, dims: list[str], aggs: dict[str, str]) -> DataFrame:
     """One aggregation step over raw rows: dims -> aggregated metrics."""
-    exprs = []
-    for col, fn in aggs.items():
-        fn = fn.upper()
-        if fn == "COUNT":
-            exprs.append(F.count(F.col(col)).alias(col))
-        else:
-            exprs.append(_ROLLUP_MERGERS[fn](F.col(col)).alias(col))
-    return df.groupBy(*dims).agg(*exprs)
+    exprs, pandas_exprs = _rollup_exprs(aggs, merge=False)
+    return _split_grouped_agg(df, dims, exprs, pandas_exprs)
 
 
 def _rollup_merge(state: DataFrame, batch_agg: DataFrame, dims: list[str], aggs: dict[str, str]) -> DataFrame:
     """Merge two already-aggregated states (both keyed on dims)."""
     merged = state.unionByName(batch_agg)
-    exprs = [
-        _ROLLUP_MERGERS[fn.upper()](F.col(col)).alias(col) for col, fn in aggs.items()
-    ]
-    return merged.groupBy(*dims).agg(*exprs)
+    exprs, pandas_exprs = _rollup_exprs(aggs, merge=True)
+    return _split_grouped_agg(merged, dims, exprs, pandas_exprs)
 
 
 def start_rollup_sink(

@@ -205,3 +205,34 @@ def test_bucketed_join_zero_exchange_at_sf10(spark):
         assert "Exchange hashpartitioning(o_orderkey" not in tree, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_merge_rollup_sketch_columns(spark):
+    """MergeRollupTask sketch aggregators (DistinctCountHLLAggregator /
+    DistinctCountThetaSketchAggregator): merging sealed rows whose
+    metric columns hold SERIALIZED sketches unions them per group."""
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.operators.theta_ds import (
+        build_sketch,
+        deserialize,
+        serialize,
+    )
+
+    rows = [
+        ("a", bytearray(serialize(build_sketch(list(range(0, 20)), k=1024), 10))),
+        ("a", bytearray(serialize(build_sketch(list(range(10, 30)), k=1024), 10))),
+        ("b", bytearray(serialize(build_sketch([1, 2], k=1024), 10))),
+    ]
+    df = spark.createDataFrame(rows, "k string, users binary")
+    out = {
+        r["k"]: round(deserialize(bytes(r["users"])).estimate())
+        for r in merge_rollup(df, ["k"], {"users": "DISTINCTCOUNTTHETASKETCH"}).collect()
+    }
+    assert out == {"a": 30, "b": 2}
+
+    hll = spark.createDataFrame([(i % 2, i) for i in range(200)], "k int, v int") \
+        .groupBy("k").agg(F.hll_sketch_agg("v").alias("users"))
+    merged = merge_rollup(hll.withColumn("k", F.lit(0)), ["k"], {"users": "DISTINCTCOUNTHLL"})
+    est = merged.select(F.hll_sketch_estimate("users").alias("e")).collect()[0]["e"]
+    assert abs(est - 200) / 200 < 0.1

@@ -380,3 +380,55 @@ def test_kafka_source_same_pipeline(spark, tmp):
         got = spark.read.parquet(sink)
         assert got.count() == 20
         assert got.agg(F.countDistinct("user_id")).collect()[0][0] == 4
+
+
+def test_rollup_sink_sketch_metrics(spark, tmp):
+    """Ingestion-time sketch aggregation (AggregationConfig distinct-count
+    functions; aggregator analogs DistinctCountHLLAggregator /
+    DistinctCountThetaSketchAggregator): the state column stores
+    SERIALIZED sketches, incremental merge across restarts equals a full
+    recompute, and the stored bytes answer through the SQL surface's
+    BYTES type-dispatch."""
+    from hurricanedb_spark.operators.theta_ds import deserialize
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    src, sink, ckpt = f"{tmp}/src", f"{tmp}/rollup", f"{tmp}/ckpt"
+    aggs = {"user_id": "DISTINCTCOUNTTHETASKETCH", "event_id": "DISTINCTCOUNTHLL"}
+    _write_batch(spark, src, _rows(0, 5, uid=1) + _rows(5, 3, uid=2))
+    q = rt.start_rollup_sink(
+        rt.read_event_stream(spark, src, SCHEMA), sink, ckpt,
+        dims=["event_type"], aggs=aggs,
+    )
+    q.awaitTermination(120)
+    # second wave: new user, overlapping event ids not possible (ids
+    # advance) — distinct users should reach 3
+    _write_batch(spark, src, _rows(8, 4, uid=3))
+    q2 = rt.start_rollup_sink(
+        rt.read_event_stream(spark, src, SCHEMA), sink, ckpt,
+        dims=["event_type"], aggs=aggs,
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1  # one dim combo
+    sk = deserialize(bytes(rows[0]["user_id"]))
+    assert round(sk.estimate()) == 3  # exact below nominalEntries
+    # HLL state merges to ~12 distinct event ids
+    spark.read.parquet(sink).createOrReplaceTempView("rollup_state_t")
+    est = spark.sql(
+        "SELECT hll_sketch_estimate(event_id) AS e FROM rollup_state_t"
+    ).collect()[0]["e"]
+    assert abs(est - 12) / 12 < 0.1
+    # ...and the Pinot SQL surface type-dispatches the BYTES columns
+    # (theta and HLL queried separately: Spark cannot place a grouped-agg
+    # pandas UDF beside JVM aggregates in one SELECT — loud
+    # INVALID_PANDAS_UDF_PLACEMENT, documented in _theta_bytes_rewrite)
+    h = HurricaneSQL(spark)
+    du = h.sql(
+        "SELECT distinctCountThetaSketch(user_id) AS du FROM rollup_state_t",
+        default_limit=None,
+    ).collect()[0]["du"]
+    de = h.sql(
+        "SELECT distinctCountHLL(event_id) AS de FROM rollup_state_t",
+        default_limit=None,
+    ).collect()[0]["de"]
+    assert du == 3 and abs(de - 12) / 12 < 0.1
