@@ -767,6 +767,8 @@ def _decode_raw_sv(buf: bytes, cm: ColumnMeta, num_docs: int):
         return arr.astype(arr.dtype.newbyteorder("="))
     if cm.data_type == "STRING":
         return [e.decode("utf-8") for e in _iter_var_byte_entries(buf, n)]
+    if cm.data_type == "BYTES":
+        return list(_iter_var_byte_entries(buf, n))
     raise UnsupportedSegmentError(
         f"raw data type {cm.data_type} for column {cm.name}"
     )
@@ -792,7 +794,10 @@ def _encode_raw_sv(vals, data_type: str, compression: str) -> bytes:
             chunks.append(arr[i : i + docs_per_chunk].tobytes())
         size_of_entry = width
     else:
-        enc = [v.encode("utf-8") for v in vals]
+        enc = [
+            bytes(v) if isinstance(v, (bytes, bytearray)) else v.encode("utf-8")
+            for v in vals
+        ]
         size_of_entry = max((len(b) for b in enc), default=0)
         docs_per_chunk = max(1, (1 << 20) // (4 + max(size_of_entry, 1)))
         for i in range(0, n, docs_per_chunk):

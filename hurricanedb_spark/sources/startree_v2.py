@@ -56,7 +56,30 @@ STAR_IN_FORWARD_INDEX = 0
 INDEX_FILE = "star_tree_index"
 INDEX_MAP_FILE = "star_tree_index_map"
 
-_AGGS = ("sum", "count", "min", "max")
+_AGGS = ("sum", "count", "min", "max", "distinctcountthetasketch")
+
+# nominalEntries for tree sketches (matches the rollup default,
+# streaming/realtime.py:_THETA_ROLLUP_K; the reference's star-tree theta
+# pairs size from StarTreeAggregationSpec — a build-time knob only)
+_TREE_THETA_K = 4096
+
+
+def _fset_union(series):
+    """Pandas agg callable: union of frozensets of ds-hashes — the
+    in-build representation of a theta sketch (exact until serialization
+    trims at nominalEntries, the DataSketches rule)."""
+    out: frozenset = frozenset()
+    for v in series:
+        out = out | v
+    return out
+
+
+def _pandas_agg(fn: str):
+    if fn in ("sum", "count"):
+        return "sum"
+    if fn in ("min", "max"):
+        return fn
+    return _fset_union  # distinctcountthetasketch
 
 
 @dataclass
@@ -107,15 +130,28 @@ def build_star_tree(pdf, spec: StarTreeSpec):
         key = f"{fn}__{col}"
         if fn == "count":
             work[key] = np.int64(1)
+        elif fn == "distinctcountthetasketch":
+            # per-row singleton hash set; groupbys union them (exact
+            # until serialization trims at nominalEntries)
+            from hurricanedb_spark.operators.theta_ds import (
+                canonical_bytes,
+                ds_hash_bytes,
+            )
+
+            def row_set(v):
+                b = canonical_bytes(v)
+                if b is None:
+                    return frozenset()
+                h = ds_hash_bytes(b)
+                return frozenset((h,)) if h else frozenset()
+
+            work[key] = [row_set(v) for v in pdf[col]]
         else:
             work[key] = pdf[col].to_numpy()
 
     def agg_frame(frame):
         return frame.groupby(dims, sort=True, as_index=False).agg(
-            {
-                f"{fn}__{col}": {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[fn]
-                for fn, col in pairs
-            }
+            {f"{fn}__{col}": _pandas_agg(fn) for fn, col in pairs}
         )
 
     records = agg_frame(work).reset_index(drop=True)
@@ -152,14 +188,7 @@ def build_star_tree(pdf, spec: StarTreeSpec):
             f[dims[drop_dim]] = ALL
         group_cols = dims
         gb = f.groupby(group_cols, sort=True, as_index=False)
-        return gb.agg(
-            {
-                k: {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
-                    k.partition("__")[0]
-                ]
-                for k in metric_keys
-            }
-        )
+        return gb.agg({k: _pandas_agg(k.partition("__")[0]) for k in metric_keys})
 
     num_nodes = [1]
 
@@ -216,10 +245,14 @@ def build_star_tree(pdf, spec: StarTreeSpec):
             for k in metric_keys:
                 how = k.partition("__")[0]
                 col = agg[k]
-                one[k] = (
-                    col.sum() if how in ("sum", "count") else
-                    (col.min() if how == "min" else col.max())
-                )
+                if how in ("sum", "count"):
+                    one[k] = col.sum()
+                elif how == "min":
+                    one[k] = col.min()
+                elif how == "max":
+                    one[k] = col.max()
+                else:
+                    one[k] = _fset_union(col)
             node.aggregated_doc = append(pd.DataFrame([one]))
 
     root = TreeNode(
@@ -356,6 +389,31 @@ def write_star_trees(segment_dir: str, pdf, specs: list[StarTreeSpec]) -> None:
         for pair in spec.function_column_pairs:
             fn, col = _parse_pair(pair)
             key = f"{fn}__{col}"
+            if fn == "distinctcountthetasketch":
+                # serialize each record's hash set as a DataSketches
+                # compact sketch (BYTES metric, like the reference's
+                # theta star-trees — StarTreeV2 serializes the
+                # ValueAggregator's byte form per record)
+                from hurricanedb_spark.operators.theta_ds import (
+                    compute_seed_hash,
+                    from_hashes,
+                    serialize as theta_serialize,
+                )
+
+                sh = compute_seed_hash(9001)
+                lg = max(4, (_TREE_THETA_K - 1).bit_length())
+                payload = _encode_raw_sv(
+                    [
+                        theta_serialize(
+                            from_hashes(fs, _TREE_THETA_K, sh), lg
+                        )
+                        for fs in records[key]
+                    ],
+                    "BYTES",
+                    "PASS_THROUGH",
+                )
+                add(tid, pair, "FORWARD_INDEX", payload)
+                continue
             vals = records[key].to_numpy()
             data_type = "LONG" if vals.dtype.kind in "iu" else "DOUBLE"
             vals = vals.astype(np.int64 if data_type == "LONG" else np.float64)
@@ -434,9 +492,12 @@ def load_star_tree(segment_dir: str, tree_id: int = 0):
     for pair in pairs:
         fn, col = _parse_pair(pair)
         raw = buf(pair, "FORWARD_INDEX")
-        # metric type: counts are LONG; otherwise follow the source
-        # column's type (int-family -> LONG, float-family -> DOUBLE)
-        if fn == "count" or (
+        # metric type: counts are LONG; theta pairs are serialized
+        # sketches (BYTES); otherwise follow the source column's type
+        # (int-family -> LONG, float-family -> DOUBLE)
+        if fn == "distinctcountthetasketch":
+            dt = "BYTES"
+        elif fn == "count" or (
             col in seg_meta.columns
             and seg_meta.columns[col].data_type in ("INT", "LONG")
         ):
@@ -503,14 +564,32 @@ def star_tree_aggregate(
     sub = records.iloc[collected]
     gb = sub.groupby(group_by, as_index=False) if group_by else sub
     aggs = {
-        m: {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
-            m.partition("__")[0]
-        ]
+        m: (
+            _bytes_sketch_union
+            if m.partition("__")[0] == "distinctcountthetasketch"
+            else {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
+                m.partition("__")[0]
+            ]
+        )
         for m in metrics
     }
     if group_by:
         return gb.agg(aggs).reset_index(drop=True)
     return pd.DataFrame([{m: sub[m].agg(a) for m, a in aggs.items()}])
+
+
+def _bytes_sketch_union(series):
+    """Pandas agg over SERIALIZED sketches (the loaded tree's theta
+    metric records): deserialize, union, re-serialize."""
+    from hurricanedb_spark.operators.theta_ds import (
+        deserialize,
+        serialize,
+        union,
+    )
+
+    sks = [deserialize(bytes(b)) for b in series]
+    lg = max(4, (_TREE_THETA_K - 1).bit_length())
+    return serialize(union(sks, k=_TREE_THETA_K), lg)
 
 
 def _collect_docs(

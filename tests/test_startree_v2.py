@@ -232,3 +232,74 @@ def test_in_filter(tmp_path):
     got = got.sort_values("browser").reset_index(drop=True)
     exp = exp.sort_values("browser").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_theta_sketch_function_column_pair(tmp_path):
+    """distinctCountThetaSketch as a star-tree function-column pair
+    (DistinctCountThetaSketchStarTreeV2Test analog): tree records carry
+    SERIALIZED DataSketches compact sketches, traversal unions them, and
+    every estimate equals the exact per-group ndv (below nominalEntries
+    the sketch is exact by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    from hurricanedb_spark.operators.theta_ds import deserialize
+    from hurricanedb_spark.sources import pinot_segment as ps
+    from hurricanedb_spark.sources import startree_v2 as st
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "city": rng.choice(["a", "b", "c"], 500),
+            "status": rng.choice(["X", "Y"], 500),
+            "user": rng.integers(0, 80, 500).astype(np.int64),
+        }
+    )
+    seg = str(tmp_path / "seg_theta")
+    ps.write_segment_pandas(pdf, seg)
+    spec = st.StarTreeSpec(
+        split_order=["city", "status"],
+        function_column_pairs=["count__*", "distinctcountthetasketch__user"],
+        max_leaf_records=2,
+    )
+    st.write_star_trees(seg, pdf, [spec])
+
+    tid = st.fitting_tree_id(
+        seg, ["city"], ["count__*"], []
+    )
+    assert tid == 0  # numeric pairs on a theta-carrying tree still fit
+
+    # group by city: sketch estimates == exact distinct users
+    out = st.star_tree_aggregate(
+        seg, ["city"], ["count__*", "distinctcountthetasketch__user"]
+    )
+    lut = st._segment_dictionary(seg, "city")
+    got = {
+        lut[int(r["city"])]: round(
+            deserialize(bytes(r["distinctcountthetasketch__user"])).estimate()
+        )
+        for _, r in out.iterrows()
+    }
+    want = pdf.groupby("city")["user"].nunique().to_dict()
+    assert got == want
+
+    # global (star path both dims)
+    g = st.star_tree_aggregate(seg, [], ["distinctcountthetasketch__user"])
+    est = deserialize(
+        bytes(g["distinctcountthetasketch__user"].iloc[0])
+    ).estimate()
+    assert round(est) == pdf["user"].nunique()
+
+    # filtered: status = 'Y'
+    f = st.star_tree_aggregate(
+        seg, ["city"], ["distinctcountthetasketch__user"],
+        where=("status", "=", "Y"),
+    )
+    got_f = {
+        lut[int(r["city"])]: round(
+            deserialize(bytes(r["distinctcountthetasketch__user"])).estimate()
+        )
+        for _, r in f.iterrows()
+    }
+    sub = pdf[pdf["status"] == "Y"]
+    assert got_f == sub.groupby("city")["user"].nunique().to_dict()

@@ -195,6 +195,102 @@ def bench_text_match(spark, sf_dir: str, base: str) -> dict:
     return {"textmatch_scan": round(t_scan, 4), "textmatch_index": round(t_idx, 4)}
 
 
+def bench_compose(spark, sf_dir: str, base: str) -> dict:
+    """AND-composed index access (sources/index_compose.py): documents
+    with BOTH a json index (synthetic props, range-partitioned on $.k —
+    segment-selective) and a native text index, queried with
+    JSON_MATCH(...) AND TEXT_MATCH(...). Composed allowlist intersection
+    vs the expression scan and vs the better single-index path —
+    equality asserted before timing."""
+    from hurricanedb_spark.sources.index_compose import (
+        read_segments_multi_index,
+    )
+    from hurricanedb_spark.sources.json_index import (
+        json_match_segment_docs,
+        read_segments_json_match,
+    )
+    from hurricanedb_spark.sources.native_text_index import (
+        read_segments_text_match,
+        text_match_segment_docs,
+    )
+    from hurricanedb_spark.sql.json_match import translate_json_match
+    from hurricanedb_spark.sql.text_match import translate_text_match
+
+    store = os.path.join(base, "docs_multi_idx")
+    if not os.path.isdir(store):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        ).withColumn(
+            "props",
+            F.concat(
+                F.lit('{"lang": "'), F.col("lang"), F.lit('", "k": '),
+                (F.col("doc_id") % 50).cast("string"), F.lit("}"),
+            ),
+        )
+        t0 = time.perf_counter()
+        ps.export_segments(
+            docs.withColumn("__k", F.col("doc_id") % 50)
+            .repartitionByRange(16, "__k").drop("__k"),
+            store,
+            json_index_columns=["props"],
+            text_index_columns=["text"],
+        )
+        print(f"build: 16 dual-indexed segments in {time.perf_counter()-t0:.1f}s")
+    segs = sorted(
+        os.path.join(store, d)
+        for d in os.listdir(store)
+        if os.path.isdir(os.path.join(store, d))
+    )
+    cond = '"$.k" = \'7\''
+    lucene = "spark"
+    residual = (
+        f"({translate_json_match('props', cond)}) AND "
+        f"({translate_text_match('text', lucene)})"
+    )
+
+    def timed(fn, label):
+        fn()
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        print(f"{label}: {dt:.2f}s ({n} rows)")
+        return n, dt
+
+    n_scan, t_scan = timed(
+        lambda: ps.read_segments(spark, segs).filter(F.expr(residual)).count(),
+        f"composed expression scan ({len(segs)} segments decode)",
+    )
+    n_json, t_json = timed(
+        lambda: read_segments_json_match(spark, segs, "props", cond)
+        .filter(F.expr(residual)).count(),
+        "json-only path + residual",
+    )
+    n_text, t_text = timed(
+        lambda: read_segments_text_match(spark, segs, "text", lucene)
+        .filter(F.expr(residual)).count(),
+        "text-only path + residual",
+    )
+    composed = read_segments_multi_index(
+        spark,
+        segs,
+        [
+            lambda s: json_match_segment_docs(s, "props", cond),
+            lambda s: text_match_segment_docs(s, "text", lucene),
+        ],
+        residual,
+        None,
+        ["props", "text"],
+    )
+    n_both, t_both = timed(lambda: composed.count(), "AND-composed path")
+    assert n_scan == n_json == n_text == n_both, (n_scan, n_json, n_text, n_both)
+    return {
+        "compose_scan": round(t_scan, 4),
+        "compose_json_only": round(t_json, 4),
+        "compose_text_only": round(t_text, 4),
+        "compose_both": round(t_both, 4),
+    }
+
+
 def bench_startree(spark, sf_dir: str, base: str) -> dict:
     """Fitting aggregation: raw-doc scan+agg vs the star-tree pre-agg
     path (read_segments_star_tree) over a 4-segment orders store.
@@ -291,6 +387,7 @@ def main() -> int:
     timings.update(bench_json_index(spark, sf_dir, base))
     timings.update(bench_raw_mv_v4(spark, sf_dir, base))
     timings.update(bench_text_match(spark, sf_dir, base))
+    timings.update(bench_compose(spark, sf_dir, base))
     timings.update(bench_startree(spark, sf_dir, base))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
