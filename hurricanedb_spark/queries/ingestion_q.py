@@ -460,10 +460,11 @@ def _orders_startree_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         os.path.basename(os.path.normpath(sf_dir)) + "_orders_startree",
     )
     seg = os.path.join(base, "orders_st")
-    marker = os.path.join(base, "_written_v2")
+    # v3: + the distinctCountThetaSketch__o_custkey pair (round 8)
+    marker = os.path.join(base, "_written_v3")
     if not os.path.isfile(marker):
         od = load_table(spark, sf_dir, "orders").select(
-            "o_orderpriority", "o_orderstatus", "o_totalprice"
+            "o_orderpriority", "o_orderstatus", "o_custkey", "o_totalprice"
         )
         # driver-side build is the interop PROOF at gate SF only; the
         # scale path is per-segment write_star_trees inside the export
@@ -493,6 +494,7 @@ def _orders_startree_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                         "sum__cents",
                         "min__cents",
                         "max__cents",
+                        "distinctcountthetasketch__o_custkey",
                     ],
                     max_leaf_records=1,
                 )
@@ -646,6 +648,50 @@ def q_startree_range_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hq.last_star_tree_redirect is None:
         raise RuntimeError(
             "star-tree range redirect did not fire — gate row would "
+            "silently test the scan path"
+        )
+    return df
+
+
+@register(
+    "q_startree_theta_redirect",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS dc_cust
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="distinctCountThetaSketch answered from the star-tree's sketch "
+    "records through the transparent SQL redirect (theta function-column "
+    "pairs, DistinctCountThetaSketchStarTreeV2Test analog): per-segment "
+    "tree records carry serialized compact sketches, the final union "
+    "estimates — exact below nominalEntries, which holds at the gate SF, "
+    "so the exact count-distinct oracle must match. Raises if the "
+    "redirect did not fire.",
+    tags=("sources", "segment-format", "startree", "sketch", "dialect"),
+)
+def q_startree_theta_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    base, _seg = _orders_startree_store(spark, sf_dir)
+    hq = HurricaneSQL(spark)
+    hq.register_segment_table("orders_startree_theta", base)
+    df = hq.sql(
+        """
+        SELECT o_orderpriority,
+               distinctCountThetaSketch(o_custkey) AS dc_cust
+        FROM orders_startree_theta
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        LIMIT 100
+        """
+    )
+    if hq.last_star_tree_redirect is None:
+        raise RuntimeError(
+            "star-tree theta redirect did not fire — gate row would "
             "silently test the scan path"
         )
     return df

@@ -682,13 +682,21 @@ def fitting_tree_id(
     count = int((props.get("startree.v2.count") or ["0"])[0])
     if not count:
         return None
-    metric_cols = [c for _, c in (_parse_pair(p) for p in pairs) if c != "*"]
+    parsed_pairs = [_parse_pair(p) for p in pairs]
+    metric_cols = [c for _, c in parsed_pairs if c != "*"]
+    # theta pairs hash values of ANY type; numeric requirement applies
+    # to the sum/min/max family only
+    numeric_cols = [
+        c
+        for fn, c in parsed_pairs
+        if c != "*" and fn != "distinctcountthetasketch"
+    ]
     for col in {*group_cols, *filter_cols, *metric_cols}:
         if col not in meta.columns:
             return None
         if (col, "nullvalue_vector") in meta.index_map:
             return None
-        if col in metric_cols and meta.columns[col].data_type not in (
+        if col in numeric_cols and meta.columns[col].data_type not in (
             "INT",
             "LONG",
             "FLOAT",
@@ -851,9 +859,13 @@ def star_tree_visit_pandas(
         filt[col] = ids
     sub = records.iloc[_collect_docs(tree, records, want, filt)]
     aggs = {
-        p: {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
-            _parse_pair(p)[0]
-        ]
+        p: (
+            _bytes_sketch_union
+            if _parse_pair(p)[0] == "distinctcountthetasketch"
+            else {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
+                _parse_pair(p)[0]
+            ]
+        )
         for p in pairs
     }
     if key_cols:
@@ -901,6 +913,10 @@ def _segment_prearg_fallback_pandas(
         name = pair_out_col(pair)
         if fn == "count":
             out[name] = np.int64(1)
+        elif fn == "distinctcountthetasketch":
+            # raw values; the groupby below builds one serialized sketch
+            # per group — the SAME representation the tree path emits
+            out[name] = pdf[col].to_numpy()
         else:
             src = pdf[col]
             out[name] = (
@@ -908,10 +924,26 @@ def _segment_prearg_fallback_pandas(
                 if src.dtype.kind in "iu"
                 else src.astype(np.float64)
             )
+
+    def _raw_sketch_bytes(series):
+        from hurricanedb_spark.operators.theta_ds import (
+            build_sketch,
+            serialize as theta_serialize,
+        )
+
+        lg = max(4, (_TREE_THETA_K - 1).bit_length())
+        return theta_serialize(
+            build_sketch(series.tolist(), k=_TREE_THETA_K), lg
+        )
+
     aggs = {
-        pair_out_col(p): {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
-            _parse_pair(p)[0]
-        ]
+        pair_out_col(p): (
+            _raw_sketch_bytes
+            if _parse_pair(p)[0] == "distinctcountthetasketch"
+            else {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
+                _parse_pair(p)[0]
+            ]
+        )
         for p in pairs
     }
     if key_cols:
@@ -947,7 +979,9 @@ def read_segments_star_tree(
         parts = [segment_spark_schema(segment_dirs[0], key_cols)]
     for p in pairs:
         fn, col = _parse_pair(p)
-        if fn == "count" or (
+        if fn == "distinctcountthetasketch":
+            t = "binary"  # serialized compact sketch per pre-agg row
+        elif fn == "count" or (
             col in meta0.columns and meta0.columns[col].data_type in ("INT", "LONG")
         ):
             t = "bigint"

@@ -2024,7 +2024,8 @@ class HurricaneSQL:
     # pinot-core/.../startree/StarTreeUtils.java:144).
     _ST_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
     _ST_AGG = re.compile(
-        r"^(SUM|COUNT|MIN|MAX)\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+        r"^(SUM|COUNT|MIN|MAX|DISTINCTCOUNTTHETASKETCH)"
+        r"\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
         r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$",
         re.IGNORECASE,
     )
@@ -2257,6 +2258,15 @@ class HurricaneSQL:
             items.append(("agg", (pair, alias)))
         if not pairs:
             return None
+        theta_pairs = [
+            p for p in pairs if p.startswith("distinctcountthetasketch__")
+        ]
+        if theta_pairs and len(theta_pairs) != len(pairs):
+            # the sketch union is a grouped-agg pandas UDF, which Spark
+            # cannot place beside JVM aggregates in one SELECT — a mixed
+            # shape must keep the scan path (where every aggregate is
+            # JVM-side) rather than redirect into an analysis error
+            return None
         conjuncts: list[tuple[str, dict]] = []
         where_txt = (rm.group("w") or "").strip()
         if where_txt:
@@ -2364,6 +2374,18 @@ class HurricaneSQL:
                 out_items.append(f"COALESCE(SUM(`{src}`), 0) AS {alias}")
             elif fn == "sum":
                 out_items.append(f"SUM(`{src}`) AS {alias}")
+            elif fn == "distinctcountthetasketch":
+                # union the per-segment pre-agg sketches (tree records
+                # or fallback-built — both carry the same compact byte
+                # form) and round the estimate to a long. Note: the
+                # scan path estimates via HLL; the redirect estimates
+                # via the ACTUAL theta sketches — the reference's own
+                # estimator for this aggregate. Both are exact below
+                # their sketch bounds.
+                out_items.append(
+                    f"thetasketchunionest(`{src}`, {st._TREE_THETA_K}) "
+                    f"AS {alias}"
+                )
             else:
                 out_items.append(f"{fn.upper()}(`{src}`) AS {alias}")
         parts = [f"SELECT {', '.join(out_items)} FROM {uniq}"]

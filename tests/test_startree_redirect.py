@@ -401,3 +401,48 @@ def test_randomized_predicates_redirect_equals_scan(spark, hq):
         assert hq.last_star_tree_redirect is not None, q
         slow = sorted(tuple(r) for r in spark.sql(q).collect())
         assert fast == slow, q
+
+
+def test_theta_pair_redirect(spark, tmp_path):
+    """distinctCountThetaSketch through the transparent redirect: a tree
+    carrying the theta pair answers plain Pinot SQL from its sketch
+    records; segments without a fitting tree build sketches in their
+    fallback scan, and the final union estimates exactly (below
+    nominalEntries). Mixed theta + JVM-aggregate selects keep the scan
+    (pandas placement)."""
+    rng = np.random.default_rng(17)
+    theta_spec = st.StarTreeSpec(
+        split_order=["city", "status"],
+        function_column_pairs=["count__*", "distinctcountthetasketch__other"],
+        max_leaf_records=2,
+    )
+    for si in range(3):
+        pdf = _seg_frame(rng)
+        seg = str(tmp_path / f"seg_{si}")
+        ps.write_segment_pandas(pdf, seg)
+        if si != 2:
+            st.write_star_trees(seg, pdf, [theta_spec])
+    h = HurricaneSQL(spark)
+    h.register_segment_table("st_theta", str(tmp_path))
+    q = (
+        "SELECT city, distinctCountThetaSketch(other) AS du "
+        "FROM st_theta WHERE status = 'A' GROUP BY city LIMIT 100"
+    )
+    fast = {r["city"]: r["du"] for r in h.sql(q).collect()}
+    assert h.last_star_tree_redirect is not None
+    assert h.last_star_tree_redirect["segments_tree"] == 2
+    exact = {
+        r["city"]: r["n"]
+        for r in spark.sql(
+            "SELECT city, count(DISTINCT other) AS n FROM st_theta "
+            "WHERE status = 'A' GROUP BY city"
+        ).collect()
+    }
+    assert fast == exact  # theta exact below nominalEntries
+
+    # mixed theta + COUNT(*) keeps the scan path (no redirect)
+    h.sql(
+        "SELECT city, COUNT(*) AS n, distinctCountThetaSketch(other) AS du "
+        "FROM st_theta GROUP BY city LIMIT 100"
+    ).collect()
+    assert h.last_star_tree_redirect is None
