@@ -2024,7 +2024,7 @@ class HurricaneSQL:
     # pinot-core/.../startree/StarTreeUtils.java:144).
     _ST_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
     _ST_AGG = re.compile(
-        r"^(SUM|COUNT|MIN|MAX|DISTINCTCOUNTTHETASKETCH)"
+        r"^(SUM|COUNT|MIN|MAX|AVG|MINMAXRANGE|DISTINCTCOUNTTHETASKETCH)"
         r"\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
         r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$",
         re.IGNORECASE,
@@ -2253,15 +2253,23 @@ class HurricaneSQL:
                     return None
             elif fn == "count":
                 return None  # COUNT(col) has null semantics a tree can't prove
-            pair = f"{fn}__{arg}"
-            pairs.append(pair)
-            items.append(("agg", (pair, alias)))
+            # AVG and MINMAXRANGE are compositions of stored pairs, the
+            # reference's AvgPair / MinMaxRangePair tree aggregators
+            # (AvgStarTreeV2Test / MinMaxRangeStarTreeV2Test): the tree
+            # needs (sum, count) / (max, min) pairs respectively
+            if fn == "avg":
+                pairs.extend((f"sum__{arg}", "count__*"))
+            elif fn == "minmaxrange":
+                pairs.extend((f"max__{arg}", f"min__{arg}"))
+            else:
+                pairs.append(f"{fn}__{arg}")
+            items.append(("agg", (fn, arg, alias)))
         if not pairs:
             return None
-        theta_pairs = [
-            p for p in pairs if p.startswith("distinctcountthetasketch__")
-        ]
-        if theta_pairs and len(theta_pairs) != len(pairs):
+        pairs = list(dict.fromkeys(pairs))
+        agg_fns = [p[0] for kind, p in items if kind == "agg"]
+        n_theta = sum(f == "distinctcountthetasketch" for f in agg_fns)
+        if n_theta and n_theta != len(agg_fns):
             # the sketch union is a grouped-agg pandas UDF, which Spark
             # cannot place beside JVM aggregates in one SELECT — a mixed
             # shape must keep the scan path (where every aggregate is
@@ -2367,13 +2375,22 @@ class HurricaneSQL:
             if kind == "dim":
                 out_items.append(payload)
                 continue
-            pair, alias = payload
-            fn = pair.partition("__")[0]
-            src = st.pair_out_col(pair)
+            fn, arg, alias = payload
             if fn == "count":
+                src = st.pair_out_col(f"{fn}__{arg}")
                 out_items.append(f"COALESCE(SUM(`{src}`), 0) AS {alias}")
             elif fn == "sum":
+                src = st.pair_out_col(f"{fn}__{arg}")
                 out_items.append(f"SUM(`{src}`) AS {alias}")
+            elif fn == "avg":
+                # AvgPair composition: SUM(sum)/SUM(count)
+                s = st.pair_out_col(f"sum__{arg}")
+                c = st.pair_out_col("count__*")
+                out_items.append(f"(SUM(`{s}`) / SUM(`{c}`)) AS {alias}")
+            elif fn == "minmaxrange":
+                mx = st.pair_out_col(f"max__{arg}")
+                mn = st.pair_out_col(f"min__{arg}")
+                out_items.append(f"(MAX(`{mx}`) - MIN(`{mn}`)) AS {alias}")
             elif fn == "distinctcountthetasketch":
                 # union the per-segment pre-agg sketches (tree records
                 # or fallback-built — both carry the same compact byte
@@ -2382,11 +2399,13 @@ class HurricaneSQL:
                 # via the ACTUAL theta sketches — the reference's own
                 # estimator for this aggregate. Both are exact below
                 # their sketch bounds.
+                src = st.pair_out_col(f"{fn}__{arg}")
                 out_items.append(
                     f"thetasketchunionest(`{src}`, {st._TREE_THETA_K}) "
                     f"AS {alias}"
                 )
             else:
+                src = st.pair_out_col(f"{fn}__{arg}")
                 out_items.append(f"{fn.upper()}(`{src}`) AS {alias}")
         parts = [f"SELECT {', '.join(out_items)} FROM {uniq}"]
         if shape["where_txt"]:

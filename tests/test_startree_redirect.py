@@ -19,7 +19,7 @@ import pytest
 
 from hurricanedb_spark.sources import pinot_segment as ps
 from hurricanedb_spark.sources import startree_v2 as st
-from hurricanedb_spark.sql.dialect import HurricaneSQL
+from hurricanedb_spark.sql.dialect import HurricaneSQL, rewrite_functions
 
 SPEC = st.StarTreeSpec(
     split_order=["city", "status"],
@@ -85,6 +85,12 @@ REDIRECTED = [
     "SELECT status, SUM(cents) AS s FROM st_metrics "
     "WHERE (city = 'la' OR city BETWEEN 'nyc' AND 'sf') AND status <> 'B' "
     "GROUP BY status LIMIT 100",
+    # round-8: AVG / MINMAXRANGE compose from stored (sum,count)/(max,min)
+    # pairs (AvgPair / MinMaxRangePair tree aggregators in the reference)
+    "SELECT city, AVG(cents) AS a, COUNT(*) AS n FROM st_metrics "
+    "GROUP BY city ORDER BY city LIMIT 100",
+    "SELECT city, MINMAXRANGE(cents) AS r FROM st_metrics "
+    "WHERE status = 'B' GROUP BY city LIMIT 100",
 ]
 
 
@@ -94,14 +100,14 @@ def test_redirect_equals_scan_path(spark, hq, q):
     assert hq.last_star_tree_redirect is not None, "redirect did not fire"
     assert hq.last_star_tree_redirect["segments_tree"] == 2
     assert hq.last_star_tree_redirect["segments_scan"] == 1
-    slow = [tuple(r) for r in spark.sql(q).collect()]
+    slow = [tuple(r) for r in spark.sql(rewrite_functions(q)).collect()]
     key = lambda rows: sorted(rows, key=str)  # noqa: E731
     assert key(fast) == key(slow)
 
 
 UNFIT = [
-    # AVG is not a function-column pair
-    "SELECT city, AVG(cents) AS a FROM st_metrics GROUP BY city LIMIT 100",
+    # AVG composition needs sum__other which no tree carries
+    "SELECT city, AVG(other) AS a FROM st_metrics GROUP BY city LIMIT 100",
     # COUNT(col): NULL semantics a tree cannot prove
     "SELECT city, COUNT(cents) AS n FROM st_metrics GROUP BY city LIMIT 100",
     # group-by dim outside the split order
@@ -244,10 +250,10 @@ def test_explain_impl_names_access_path(hq):
     plan = out.collect()[0]["plan"]
     assert "accessPath: STAR_TREE" in plan
     assert "scan fallback: 1" in plan
-    # unfit shape: no annotation
+    # unfit shape (sum__other pair absent): no annotation
     out2 = hq.sql(
         "EXPLAIN IMPLEMENTATION PLAN FOR "
-        "SELECT city, AVG(cents) AS a FROM st_metrics GROUP BY city LIMIT 100"
+        "SELECT city, AVG(other) AS a FROM st_metrics GROUP BY city LIMIT 100"
     )
     assert "accessPath" not in out2.collect()[0]["plan"]
 
