@@ -474,6 +474,23 @@ def register_all(spark: SparkSession) -> None:
         "thetasketchunionest",
         _F.pandas_udf(_theta_union_est, "bigint", _F.PandasUDFType.GROUPED_AGG),
     )
+    # EXACT distinct over serialized value RoaringBitmaps (star-tree
+    # distinctCountBitmap pairs): union + cardinality
+    from hurricanedb_spark.sources.pinot_segment import (
+        roaring_deserialize as _roar_deser,
+    )
+
+    def _bitmap_union_count(v):
+        out = set()
+        for b in v:
+            if b is not None:
+                out.update(int(x) for x in _roar_deser(bytes(b)))
+        return len(out)
+
+    spark.udf.register(
+        "bitmapunioncount",
+        _F.pandas_udf(_bitmap_union_count, "bigint", _F.PandasUDFType.GROUPED_AGG),
+    )
     spark.udf.register(
         "thetasketchunionraw",
         _F.pandas_udf(_theta_union_raw, "binary", _F.PandasUDFType.GROUPED_AGG),

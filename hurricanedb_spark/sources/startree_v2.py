@@ -56,7 +56,22 @@ STAR_IN_FORWARD_INDEX = 0
 INDEX_FILE = "star_tree_index"
 INDEX_MAP_FILE = "star_tree_index_map"
 
-_AGGS = ("sum", "count", "min", "max", "distinctcountthetasketch")
+_AGGS = (
+    "sum",
+    "count",
+    "min",
+    "max",
+    "distinctcountthetasketch",
+    "distinctcountbitmap",
+)
+
+# set-valued tree metrics: built as frozensets during construction,
+# serialized per record (theta -> DataSketches compact bytes of hash
+# sets; bitmap -> RoaringBitmap of raw int values, EXACT and
+# cross-segment mergeable because values, not dictIds, are stored —
+# the reference converts to value bitmaps for the merge too,
+# DistinctCountBitmapAggregationFunction convertToValueSet)
+_SET_FNS = ("distinctcountthetasketch", "distinctcountbitmap")
 
 # nominalEntries for tree sketches (matches the rollup default,
 # streaming/realtime.py:_THETA_ROLLUP_K; the reference's star-tree theta
@@ -79,7 +94,7 @@ def _pandas_agg(fn: str):
         return "sum"
     if fn in ("min", "max"):
         return fn
-    return _fset_union  # distinctcountthetasketch
+    return _fset_union  # set-valued metrics (theta / bitmap)
 
 
 @dataclass
@@ -146,6 +161,22 @@ def build_star_tree(pdf, spec: StarTreeSpec):
                 return frozenset((h,)) if h else frozenset()
 
             work[key] = [row_set(v) for v in pdf[col]]
+        elif fn == "distinctcountbitmap":
+            arr = pdf[col].to_numpy()
+            if arr.dtype.kind not in "iu":
+                raise ValueError(
+                    f"distinctCountBitmap star-tree pair needs an int "
+                    f"column, got {arr.dtype} for {col!r}"
+                )
+            lo, hi = int(arr.min()), int(arr.max())
+            if lo < -(2**31) or hi >= 2**31:
+                raise ValueError(
+                    f"distinctCountBitmap pair values exceed int32 "
+                    f"({lo}..{hi}) for {col!r}"
+                )
+            # int32 values wrap into the uint32 roaring space the same
+            # way on write and read — exactness preserved
+            work[key] = [frozenset((int(v) & 0xFFFFFFFF,)) for v in arr]
         else:
             work[key] = pdf[col].to_numpy()
 
@@ -414,6 +445,22 @@ def write_star_trees(segment_dir: str, pdf, specs: list[StarTreeSpec]) -> None:
                 )
                 add(tid, pair, "FORWARD_INDEX", payload)
                 continue
+            if fn == "distinctcountbitmap":
+                from hurricanedb_spark.sources.pinot_segment import (
+                    roaring_serialize,
+                )
+
+                add(
+                    tid,
+                    pair,
+                    "FORWARD_INDEX",
+                    _encode_raw_sv(
+                        [roaring_serialize(fs) for fs in records[key]],
+                        "BYTES",
+                        "PASS_THROUGH",
+                    ),
+                )
+                continue
             vals = records[key].to_numpy()
             data_type = "LONG" if vals.dtype.kind in "iu" else "DOUBLE"
             vals = vals.astype(np.int64 if data_type == "LONG" else np.float64)
@@ -495,7 +542,7 @@ def load_star_tree(segment_dir: str, tree_id: int = 0):
         # metric type: counts are LONG; theta pairs are serialized
         # sketches (BYTES); otherwise follow the source column's type
         # (int-family -> LONG, float-family -> DOUBLE)
-        if fn == "distinctcountthetasketch":
+        if fn in _SET_FNS:
             dt = "BYTES"
         elif fn == "count" or (
             col in seg_meta.columns
@@ -563,19 +610,20 @@ def star_tree_aggregate(
     collected = _collect_docs(tree, records, want, filt)
     sub = records.iloc[collected]
     gb = sub.groupby(group_by, as_index=False) if group_by else sub
-    aggs = {
-        m: (
-            _bytes_sketch_union
-            if m.partition("__")[0] == "distinctcountthetasketch"
-            else {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
-                m.partition("__")[0]
-            ]
-        )
-        for m in metrics
-    }
+    aggs = {m: _loaded_metric_agg(m.partition("__")[0]) for m in metrics}
     if group_by:
         return gb.agg(aggs).reset_index(drop=True)
     return pd.DataFrame([{m: sub[m].agg(a) for m, a in aggs.items()}])
+
+
+def _loaded_metric_agg(fn: str):
+    """Pandas agg callable/name for LOADED tree records (set-valued
+    metrics arrive as serialized bytes)."""
+    if fn == "distinctcountthetasketch":
+        return _bytes_sketch_union
+    if fn == "distinctcountbitmap":
+        return _bytes_bitmap_union
+    return {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[fn]
 
 
 def _bytes_sketch_union(series):
@@ -590,6 +638,20 @@ def _bytes_sketch_union(series):
     sks = [deserialize(bytes(b)) for b in series]
     lg = max(4, (_TREE_THETA_K - 1).bit_length())
     return serialize(union(sks, k=_TREE_THETA_K), lg)
+
+
+def _bytes_bitmap_union(series):
+    """Pandas agg over SERIALIZED RoaringBitmaps: union, re-serialize —
+    EXACT (value bitmaps merge across segments losslessly)."""
+    from hurricanedb_spark.sources.pinot_segment import (
+        roaring_deserialize,
+        roaring_serialize,
+    )
+
+    out: set[int] = set()
+    for b in series:
+        out.update(int(v) for v in roaring_deserialize(bytes(b)))
+    return roaring_serialize(out)
 
 
 def _collect_docs(
@@ -858,16 +920,7 @@ def star_tree_visit_pandas(
             )
         filt[col] = ids
     sub = records.iloc[_collect_docs(tree, records, want, filt)]
-    aggs = {
-        p: (
-            _bytes_sketch_union
-            if _parse_pair(p)[0] == "distinctcountthetasketch"
-            else {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
-                _parse_pair(p)[0]
-            ]
-        )
-        for p in pairs
-    }
+    aggs = {p: _loaded_metric_agg(_parse_pair(p)[0]) for p in pairs}
     if key_cols:
         out = sub.groupby(key_cols, as_index=False, sort=False).agg(aggs)
     else:
@@ -913,9 +966,10 @@ def _segment_prearg_fallback_pandas(
         name = pair_out_col(pair)
         if fn == "count":
             out[name] = np.int64(1)
-        elif fn == "distinctcountthetasketch":
+        elif fn in _SET_FNS:
             # raw values; the groupby below builds one serialized sketch
-            # per group — the SAME representation the tree path emits
+            # / bitmap per group — the SAME representation the tree path
+            # emits
             out[name] = pdf[col].to_numpy()
         else:
             src = pdf[col]
@@ -936,16 +990,21 @@ def _segment_prearg_fallback_pandas(
             build_sketch(series.tolist(), k=_TREE_THETA_K), lg
         )
 
-    aggs = {
-        pair_out_col(p): (
-            _raw_sketch_bytes
-            if _parse_pair(p)[0] == "distinctcountthetasketch"
-            else {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[
-                _parse_pair(p)[0]
-            ]
+    def _raw_bitmap_bytes(series):
+        from hurricanedb_spark.sources.pinot_segment import roaring_serialize
+
+        return roaring_serialize(
+            {int(v) & 0xFFFFFFFF for v in series.tolist()}
         )
-        for p in pairs
-    }
+
+    def _fallback_agg(fn: str):
+        if fn == "distinctcountthetasketch":
+            return _raw_sketch_bytes
+        if fn == "distinctcountbitmap":
+            return _raw_bitmap_bytes
+        return {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[fn]
+
+    aggs = {pair_out_col(p): _fallback_agg(_parse_pair(p)[0]) for p in pairs}
     if key_cols:
         return out.groupby(key_cols, as_index=False, sort=False).agg(aggs)
     if not len(out):
@@ -979,8 +1038,8 @@ def read_segments_star_tree(
         parts = [segment_spark_schema(segment_dirs[0], key_cols)]
     for p in pairs:
         fn, col = _parse_pair(p)
-        if fn == "distinctcountthetasketch":
-            t = "binary"  # serialized compact sketch per pre-agg row
+        if fn in _SET_FNS:
+            t = "binary"  # serialized sketch / bitmap per pre-agg row
         elif fn == "count" or (
             col in meta0.columns and meta0.columns[col].data_type in ("INT", "LONG")
         ):

@@ -2024,7 +2024,8 @@ class HurricaneSQL:
     # pinot-core/.../startree/StarTreeUtils.java:144).
     _ST_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
     _ST_AGG = re.compile(
-        r"^(SUM|COUNT|MIN|MAX|AVG|MINMAXRANGE|DISTINCTCOUNTTHETASKETCH)"
+        r"^(SUM|COUNT|MIN|MAX|AVG|MINMAXRANGE|DISTINCTCOUNTTHETASKETCH"
+        r"|DISTINCTCOUNTBITMAP|DISTINCTCOUNT)"
         r"\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
         r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$",
         re.IGNORECASE,
@@ -2261,6 +2262,12 @@ class HurricaneSQL:
                 pairs.extend((f"sum__{arg}", "count__*"))
             elif fn == "minmaxrange":
                 pairs.extend((f"max__{arg}", f"min__{arg}"))
+            elif fn in ("distinctcount", "distinctcountbitmap"):
+                # both exact forms answer from the bitmap pair
+                # (DistinctCountBitmapStarTreeV2Test; plain DISTINCTCOUNT
+                # shares the evaluator) — value bitmaps merge losslessly
+                fn = "distinctcountbitmap"
+                pairs.append(f"distinctcountbitmap__{arg}")
             else:
                 pairs.append(f"{fn}__{arg}")
             items.append(("agg", (fn, arg, alias)))
@@ -2268,7 +2275,8 @@ class HurricaneSQL:
             return None
         pairs = list(dict.fromkeys(pairs))
         agg_fns = [p[0] for kind, p in items if kind == "agg"]
-        n_theta = sum(f == "distinctcountthetasketch" for f in agg_fns)
+        pandas_fns = ("distinctcountthetasketch", "distinctcountbitmap")
+        n_theta = sum(f in pandas_fns for f in agg_fns)
         if n_theta and n_theta != len(agg_fns):
             # the sketch union is a grouped-agg pandas UDF, which Spark
             # cannot place beside JVM aggregates in one SELECT — a mixed
@@ -2404,6 +2412,11 @@ class HurricaneSQL:
                     f"thetasketchunionest(`{src}`, {st._TREE_THETA_K}) "
                     f"AS {alias}"
                 )
+            elif fn == "distinctcountbitmap":
+                # EXACT: value bitmaps union losslessly across segments,
+                # matching count(DISTINCT col) on the scan path
+                src = st.pair_out_col(f"{fn}__{arg}")
+                out_items.append(f"bitmapunioncount(`{src}`) AS {alias}")
             else:
                 src = st.pair_out_col(f"{fn}__{arg}")
                 out_items.append(f"{fn.upper()}(`{src}`) AS {alias}")

@@ -452,3 +452,54 @@ def test_theta_pair_redirect(spark, tmp_path):
         "FROM st_theta GROUP BY city LIMIT 100"
     ).collect()
     assert h.last_star_tree_redirect is None
+
+
+def test_bitmap_pair_exact_distinct_redirect(spark, tmp_path):
+    """distinctCountBitmap pairs: EXACT distinct counts from the tree —
+    value RoaringBitmaps in tree records union losslessly across
+    segments (including the no-tree fallback segment), and both
+    DISTINCTCOUNT and DISTINCTCOUNTBITMAP answer identically to
+    count(DISTINCT) on the scan."""
+    rng = np.random.default_rng(23)
+    spec = st.StarTreeSpec(
+        split_order=["city", "status"],
+        function_column_pairs=["count__*", "distinctcountbitmap__other"],
+        max_leaf_records=2,
+    )
+    for si in range(3):
+        pdf = _seg_frame(rng)
+        seg = str(tmp_path / f"seg_{si}")
+        ps.write_segment_pandas(pdf, seg)
+        if si != 2:
+            st.write_star_trees(seg, pdf, [spec])
+    h = HurricaneSQL(spark)
+    h.register_segment_table("st_bitmap", str(tmp_path))
+    for agg in ("DISTINCTCOUNT", "DISTINCTCOUNTBITMAP"):
+        q = (
+            f"SELECT city, {agg}(other) AS du FROM st_bitmap "
+            "WHERE status IN ('A', 'B') GROUP BY city LIMIT 100"
+        )
+        fast = {r["city"]: r["du"] for r in h.sql(q).collect()}
+        assert h.last_star_tree_redirect is not None, agg
+        exact = {
+            r["city"]: r["n"]
+            for r in spark.sql(
+                "SELECT city, count(DISTINCT other) AS n FROM st_bitmap "
+                "WHERE status IN ('A', 'B') GROUP BY city"
+            ).collect()
+        }
+        assert fast == exact, agg  # EXACT, not an estimate
+
+
+def test_bitmap_pair_rejects_non_int(tmp_path):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"d": ["x", "y"], "v": [1.5, 2.5]})
+    seg = str(tmp_path / "seg_f")
+    ps.write_segment_pandas(pdf, seg)
+    with pytest.raises(ValueError, match="int column"):
+        st.write_star_trees(
+            seg,
+            pdf,
+            [st.StarTreeSpec(["d"], ["distinctcountbitmap__v"], 2)],
+        )
