@@ -154,6 +154,16 @@ def build_star_tree(pdf, spec: StarTreeSpec):
             )
 
             def row_set(v):
+                if isinstance(v, (bytes, bytearray)):
+                    # pre-aggregated sketch column (the reference's
+                    # PreAggregated*StarTreeV2Test pattern / the BYTES
+                    # type-dispatch): union the stored sketch's hashes
+                    # instead of hashing the blob
+                    from hurricanedb_spark.operators.theta_ds import (
+                        deserialize,
+                    )
+
+                    return frozenset(deserialize(bytes(v)).hashes)
                 b = canonical_bytes(v)
                 if b is None:
                     return frozenset()

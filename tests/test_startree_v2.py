@@ -303,3 +303,44 @@ def test_theta_sketch_function_column_pair(tmp_path):
     }
     sub = pdf[pdf["status"] == "Y"]
     assert got_f == sub.groupby("city")["user"].nunique().to_dict()
+
+
+def test_theta_pair_over_preaggregated_sketch_column(tmp_path):
+    """PreAggregated* pattern: building a theta pair over a column that
+    ALREADY holds serialized sketches unions their hash sets (BYTES
+    type-dispatch), never hashes the blobs."""
+    import numpy as np
+    import pandas as pd
+
+    from hurricanedb_spark.operators.theta_ds import (
+        build_sketch,
+        deserialize,
+        serialize,
+    )
+    from hurricanedb_spark.sources import pinot_segment as ps
+    from hurricanedb_spark.sources import startree_v2 as st
+
+    # two rows per dim value carrying overlapping pre-built sketches
+    pops = {"a": [range(0, 10), range(5, 20)], "b": [range(50, 60), range(50, 60)]}
+    rows = [
+        (d, bytearray(serialize(build_sketch(list(p), k=1024), 10)))
+        for d, ps_ in pops.items()
+        for p in ps_
+    ]
+    pdf = pd.DataFrame(rows, columns=["d", "sk"])
+    seg = str(tmp_path / "seg_pre")
+    ps.write_segment_pandas(pdf, seg)
+    st.write_star_trees(
+        seg,
+        pdf,
+        [st.StarTreeSpec(["d"], ["distinctcountthetasketch__sk"], 1)],
+    )
+    out = st.star_tree_aggregate(seg, ["d"], ["distinctcountthetasketch__sk"])
+    lut = st._segment_dictionary(seg, "d")
+    got = {
+        lut[int(r["d"])]: round(
+            deserialize(bytes(r["distinctcountthetasketch__sk"])).estimate()
+        )
+        for _, r in out.iterrows()
+    }
+    assert got == {"a": 20, "b": 10}  # unions, not blob counts
