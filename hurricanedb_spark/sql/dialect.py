@@ -62,9 +62,10 @@ _AGG_REWRITES: dict[str, str] = {
     # — a single-node memory bound; Spark's distributed count(DISTINCT)
     # is exact at every size, dominating both regimes
     "distinctcountsmarthll": "count(DISTINCT $1)",
-    # theta sketch names: the SQL surface estimates via HLL; the mergeable
-    # raw-sketch form with set algebra is operators/theta.py (KMV), and the
-    # DataSketches-wire-compatible byte form is operators/theta_ds.py
+    # theta sketch names: registered here so the lexer recognizes them,
+    # but every call is intercepted by _agg_optional_args ->
+    # _theta_sketch_sql (simple/filtered/raw/BYTES forms); these
+    # template bodies are unreachable
     "distinctcountthetasketch": "approx_count_distinct($1)",
     "fasthll": "approx_count_distinct($1)",
     "distinctsum": "sum(DISTINCT $1)",
