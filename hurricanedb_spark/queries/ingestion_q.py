@@ -916,6 +916,92 @@ def q_segment_textmatch_accel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _docs_multi_index_store(spark: SparkSession, sf_dir: str) -> str:
+    """documents sealed with BOTH a json index (synthetic props holding
+    lang + doc_id%50) and a native text index — the AND-composition
+    fixture; cached per sf_dir under /tmp."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.sources import pinot_segment as ps
+
+    base = os.path.join(
+        "/tmp/hurricanedb_segments",
+        os.path.basename(os.path.normpath(sf_dir)) + "_docs_multiidx",
+    )
+    marker = os.path.join(base, "_written")
+    if not os.path.isfile(marker):
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "text", "n_chars")
+            .withColumn(
+                "props",
+                F.concat(
+                    F.lit('{"lang": "'),
+                    F.col("lang"),
+                    F.lit('", "k": '),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit("}"),
+                ),
+            )
+        )
+        ps.export_segments(
+            docs.repartition(4),
+            base,
+            json_index_columns=["props"],
+            text_index_columns=["text"],
+        )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("ok")
+    return base
+
+
+@register(
+    "q_segment_compose_and",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id % 50 = 7 AND contains(text, 'spark')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="AND-composed index access from plain dialect SQL "
+    "(FilterOperatorUtils.java:183-220 analog, sql/dialect.py:"
+    "_multi_index_rewrite -> sources/index_compose.py): JSON_MATCH AND "
+    "TEXT_MATCH over one dual-indexed segment store intersect their "
+    "per-segment docId allowlists before decode, with the residual "
+    "conjunction re-applied. The query raises if the composition did "
+    "not fire; the oracle replays the predicates over the raw parquet.",
+    tags=("sources", "segment-format", "json", "text", "dialect"),
+)
+def q_segment_compose_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    base = _docs_multi_index_store(spark, sf_dir)
+    hq = HurricaneSQL(spark)
+    hq.register_segment_table("documents_multiidx", base)
+    df = hq.sql(
+        """
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents_multiidx
+        WHERE JSON_MATCH(props, '"$.k" = ''7''')
+          AND TEXT_MATCH(text, 'spark')
+        GROUP BY lang
+        ORDER BY lang
+        LIMIT 1000
+        """
+    )
+    if hq.last_multi_index_accel != ["JSON_INDEX", "TEXT_INDEX"]:
+        raise RuntimeError(
+            "AND-composition did not fire — gate row would silently "
+            "test a single-index or scan path"
+        )
+    return df
+
+
 @register(
     "q_segment_fst_regexp",
     oracle="""
