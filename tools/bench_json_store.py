@@ -373,6 +373,85 @@ def bench_startree(spark, sf_dir: str, base: str) -> dict:
     return {"startree_scan": round(t_scan, 4), "startree_tree": round(t_tree, 4)}
 
 
+def bench_bitmap_distinct(spark, sf_dir: str, base: str) -> dict:
+    """EXACT distinct counts from the star-tree's distinctCountBitmap
+    pairs (transparent SQL redirect) vs count(DISTINCT) over the raw
+    segment scan — equality asserted (both exact) before timing."""
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+    from hurricanedb_spark.sources import startree_v2 as st
+
+    store = os.path.join(base, "orders_bitmap_st")
+    if not os.path.isdir(store):
+        od = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus", "o_custkey"
+        ).withColumn("o_custkey", F.col("o_custkey").cast("int"))
+        t0 = time.perf_counter()
+        ps.export_segments(
+            od.repartition(4),
+            store,
+            star_tree_specs=[
+                st.StarTreeSpec(
+                    split_order=["o_orderpriority", "o_orderstatus"],
+                    function_column_pairs=[
+                        "count__*",
+                        "distinctcountbitmap__o_custkey",
+                    ],
+                    max_leaf_records=100,
+                )
+            ],
+        )
+        print(f"build: 4 bitmap star-tree segments in {time.perf_counter()-t0:.1f}s")
+    segs = sorted(
+        os.path.join(store, d)
+        for d in os.listdir(store)
+        if os.path.isdir(os.path.join(store, d))
+    )
+
+    def timed(fn, label):
+        fn()
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        print(f"{label}: {dt:.2f}s ({n} rows)")
+        return n, dt
+
+    def scan():
+        return dict(
+            (r["o_orderpriority"], r["n"])
+            for r in ps.read_segments(
+                spark, segs, ["o_orderpriority", "o_custkey"]
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n"))
+            .collect()
+        )
+
+    hq = HurricaneSQL(spark)
+    hq.register_segment_table("orders_bitmap_bench", store)
+
+    def tree():
+        out = dict(
+            (r["o_orderpriority"], r["dc"])
+            for r in hq.sql(
+                "SELECT o_orderpriority, DISTINCTCOUNT(o_custkey) AS dc "
+                "FROM orders_bitmap_bench GROUP BY o_orderpriority "
+                "LIMIT 100"
+            ).collect()
+        )
+        assert hq.last_star_tree_redirect is not None
+        return out
+
+    scan_rows = scan()
+    tree_rows = tree()
+    assert scan_rows == tree_rows, "bitmap tree distinct must be EXACT"
+    _, t_scan = timed(lambda: len(scan()), "count(DISTINCT) raw scan")
+    _, t_tree = timed(lambda: len(tree()), "bitmap tree redirect")
+    return {
+        "bitmap_distinct_scan": round(t_scan, 4),
+        "bitmap_distinct_tree": round(t_tree, 4),
+    }
+
+
 def main() -> int:
     import json as _json
 
@@ -389,6 +468,7 @@ def main() -> int:
     timings.update(bench_text_match(spark, sf_dir, base))
     timings.update(bench_compose(spark, sf_dir, base))
     timings.update(bench_startree(spark, sf_dir, base))
+    timings.update(bench_bitmap_distinct(spark, sf_dir, base))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         _json.dumps(
