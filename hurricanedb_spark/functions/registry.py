@@ -442,12 +442,37 @@ def register_all(spark: SparkSession) -> None:
     def _raw_theta(v, k):
         nominal = int(k.iloc[0])
         lg = max(4, (nominal - 1).bit_length())
-        return _theta_serialize(_theta_build(v.tolist(), k=nominal), lg)
+        # dropna: Spark NULLs (e.g. CASE WHEN <filter> THEN col END on
+        # non-matching rows) arrive as NaN in numeric Arrow batches —
+        # they must not sketch as a spurious NaN member
+        return _theta_serialize(_theta_build(v.dropna().tolist(), k=nominal), lg)
 
     spark.udf.register(
         "rawthetasketch",
         _F.pandas_udf(_raw_theta, "binary", _F.PandasUDFType.GROUPED_AGG),
     )
+    # thetaSetOpSketch('<set expr>', array(<sketch bytes>...), nominal):
+    # scalar post-aggregation evaluator for the FILTERED raw theta form —
+    # deserializes the per-filter sketches and folds the set expression
+    # through theta union/intersect/a_not_b, returning the serialized
+    # compact result sketch (DistinctCountRawThetaSketchAggregationFunction
+    # .java:50-56 returns the serialized set-op result, not its estimate).
+    # Runs once per output group (post-aggregation projection), cold path.
+    def _theta_setop_sketch(expr_s, blobs, nominal):
+        from hurricanedb_spark.operators.theta_ds import (
+            deserialize as _d,
+            eval_set_tree as _ev,
+            serialize as _s,
+        )
+        from hurricanedb_spark.sql.dialect import _theta_parse_tree
+
+        sks = [_d(bytes(b)) for b in blobs]
+        tree = _theta_parse_tree(expr_s, len(sks) - 1)
+        k = int(nominal)
+        lg = max(4, (k - 1).bit_length())
+        return _s(_ev(tree, sks, k), lg)
+
+    spark.udf.register("thetasetopsketch", _theta_setop_sketch, "binary")
     # theta aggregation over a BYTES column = union of the PRE-BUILT
     # sketches stored in it (DistinctCountThetaSketchAggregationFunction
     # aggregate(): valueTypes[0] == BYTES deserializes and unions instead

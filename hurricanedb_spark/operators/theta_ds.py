@@ -277,6 +277,29 @@ def a_not_b(a: CompactTheta, b: CompactTheta) -> CompactTheta:
     return CompactTheta(theta, tuple(kept), seed_hash)
 
 
+def eval_set_tree(tree, sketches: Sequence[CompactTheta], k: int) -> CompactTheta:
+    """Evaluate a parsed theta set-expression tree (int sketch id |
+    (op, children) with op in union/intersect/diff — the shape
+    sql/dialect._theta_parse_tree produces) over compact sketches.
+    Mirrors the reference's post-aggregation set-operation evaluation
+    (DistinctCountThetaSketchAggregationFunction.java extractFinalResult:
+    Union/Intersection/AnotB over the per-filter sketches)."""
+    if isinstance(tree, int):
+        return sketches[tree]
+    op, children = tree
+    parts = [eval_set_tree(c, sketches, k) for c in children]
+    if op == "union":
+        return union(parts, k=k)
+    if op == "intersect":
+        out = parts[0]
+        for p in parts[1:]:
+            out = intersect(out, p)
+        return out
+    if op == "diff":
+        return a_not_b(parts[0], parts[1])
+    raise ValueError(f"unknown theta set operation {op!r}")
+
+
 def serialize(sk: CompactTheta, lg_nom_longs: int = 12) -> bytes:
     """Serialize to the DataSketches compact ordered layout (see module
     docstring for the byte map)."""

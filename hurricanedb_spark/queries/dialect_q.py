@@ -109,9 +109,13 @@ def q_dialect_default_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "surface (DistinctCountThetaSketchAggregationFunction.java:60-151): "
     "(expr, params, filter..., 'SET_OP($1,$2)') with SET_INTERSECT, "
     "SET_DIFF (including the $0 unfiltered default sketch) and SET_UNION, "
-    "grouped. The dialect computes the set algebra EXACTLY via per-filter "
-    "collect_set states + array set ops — the sketch approximates exactly "
-    "this, and is itself exact below nominalEntries.",
+    "grouped. For <= 6 referenced sketches (all four calls here) the "
+    "dialect computes the set algebra EXACTLY as a signed sum of "
+    "count(DISTINCT) over unions of the filter predicates "
+    "(inclusion-exclusion, fully distributed, bounded per-key state); "
+    "above 6 sketches it falls back to per-group collect_set array "
+    "algebra. The sketch approximates exactly this, and is itself exact "
+    "below nominalEntries.",
     tags=("dialect", "aggregation", "sketch", "setops"),
 )
 def q_theta_sketch_filtered_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,6 +139,85 @@ def q_theta_sketch_filtered_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY pri
         """,
         default_limit=None,
+    )
+
+
+@register(
+    "q_raw_theta_filtered_sketch",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority AS pri, o_custkey AS ck,
+             bool_or(o_orderstatus = 'F') AS in_f,
+             bool_or(o_orderstatus = 'O') AS in_o
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT pri,
+           CAST(COUNT(*) FILTER (WHERE in_f AND in_o) AS BIGINT)
+             AS est_intersect,
+           CAST(COUNT(*) FILTER (WHERE in_f AND NOT in_o) AS BIGINT)
+             AS est_diff
+    FROM per GROUP BY pri ORDER BY pri
+    """,
+    doc="FILTERED distinctCountRawThetaSketch (DistinctCountRawTheta"
+    "SketchAggregationFunction.java:34-56): (expr, params, filter..., "
+    "'SET_OP(...)') returns the base64 serialized compact sketch OF THE "
+    "SET-OP RESULT — mergeable state clients persist and re-union across "
+    "slices, not a count. This gate row deserializes the returned "
+    "sketches (operators/theta_ds, public DataSketches wire layout) and "
+    "compares their estimates against the exact per-key membership "
+    "oracle. nominalEntries=65536 keeps the sketches exact at gate SF; "
+    "the query RAISES if any group's NDV exceeds it (the estimation "
+    "regime is tolerance-tested in pytest), so the exact oracle cannot "
+    "silently rot when the fixture grows.",
+    tags=("dialect", "aggregation", "sketch", "setops", "wire-format"),
+)
+def q_raw_theta_filtered_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    nominal = 65536
+    hdb = _hdb(spark, sf_dir)
+    ndv = hdb.sql(
+        "SELECT max(cnt) AS m FROM (SELECT count(DISTINCT o_custkey) AS cnt "
+        "FROM orders GROUP BY o_orderpriority)",
+        default_limit=None,
+    ).collect()[0]["m"]
+    if ndv > nominal:
+        raise RuntimeError(
+            f"q_raw_theta_filtered_sketch: per-group NDV {ndv} exceeds "
+            f"nominalEntries {nominal} — sketches leave the exact regime "
+            "and the exact oracle no longer applies; raise nominalEntries "
+            "or switch this row to a tolerance check"
+        )
+    raw = hdb.sql(
+        f"""
+        SELECT o_orderpriority AS pri,
+               distinctCountRawThetaSketch(o_custkey,
+                 'nominalEntries={nominal}',
+                 'o_orderstatus = ''F''', 'o_orderstatus = ''O''',
+                 'SET_INTERSECT($1, $2)') AS sk_intersect,
+               distinctCountRawThetaSketch(o_custkey,
+                 'nominalEntries={nominal}',
+                 'o_orderstatus = ''F''', 'o_orderstatus = ''O''',
+                 'SET_DIFF($1, $2)') AS sk_diff
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY pri
+        """,
+        default_limit=None,
+    )
+
+    @F.udf("bigint")
+    def _estimate(b64):
+        import base64
+
+        from hurricanedb_spark.operators.theta_ds import deserialize
+
+        return round(deserialize(base64.b64decode(b64)).estimate())
+
+    return raw.select(
+        "pri",
+        _estimate("sk_intersect").alias("est_intersect"),
+        _estimate("sk_diff").alias("est_diff"),
     )
 
 

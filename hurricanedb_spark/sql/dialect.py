@@ -57,7 +57,10 @@ _AGG_REWRITES: dict[str, str] = {
     "distinctcountbitmap": "count(DISTINCT $1)",
     "segmentpartitioneddistinctcount": "count(DISTINCT $1)",
     "distinctcounthll": "approx_count_distinct($1)",
-    "distinctcountrawhll": "hll_sketch_agg($1)",
+    # raw sketch results are base64 STRINGs in the reference
+    # (ColumnDataType.STRING); the sketch bytes themselves are the
+    # engine's HLL wire form (DataSketches, hll_sketch_agg)
+    "distinctcountrawhll": "base64(hll_sketch_agg($1))",
     # SmartHLL is exact below its threshold (default 100k) and HLL above
     # — a single-node memory bound; Spark's distributed count(DISTINCT)
     # is exact at every size, dominating both regimes
@@ -677,6 +680,20 @@ def _theta_tree_ids(tree) -> set[int]:
     return set().union(*(_theta_tree_ids(c) for c in tree[1]))
 
 
+def _theta_render_tree(tree, pos: dict[int, int]) -> str:
+    """Re-render a parsed theta set-expression tree as canonical text,
+    remapping sketch ids through `pos` (original filter id -> position in
+    the sketch array actually built). Used to ship the expression to the
+    thetaSetOpSketch post-aggregation UDF without also shipping sketches
+    for unreferenced filters."""
+    if isinstance(tree, int):
+        return f"${pos[tree]}"
+    op, children = tree
+    name = {"union": "SET_UNION", "intersect": "SET_INTERSECT",
+            "diff": "SET_DIFF"}[op]
+    return f"{name}({', '.join(_theta_render_tree(c, pos) for c in children)})"
+
+
 def _theta_inclusion_exclusion(tree, col: str, preds: dict[int, str]) -> str:
     """Translate a theta set-expression tree into a ±-weighted sum of
     count(DISTINCT ...) over UNIONS of filter predicates — exact AND
@@ -831,19 +848,28 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
       sketch). Parameters are validated, then ignored (they only size the
       sketch).
     - >= 4 args (expr, params, filter..., setExpr): filtered sub-population
-      set algebra. Computed EXACTLY as a signed sum of count(DISTINCT)
-      over UNIONS of the filter predicates (inclusion-exclusion,
-      _theta_inclusion_exclusion) — fully distributed with bounded
-      per-key state; the result is a BIGINT, matching the reference's
-      Math.round(estimate) long (java:993). Expressions referencing more
-      than 6 distinct sketches fall back to per-group collect_set array
-      algebra (exact, state O(ndv) per group). The filter strings are
-      standard predicates and re-enter the rewriter fixpoint, so Pinot
-      function names inside them expand normally. Each union term is one
-      count(DISTINCT) child in Spark's Expand-based multi-distinct plan,
-      so a query stacking many theta calls multiplies the expand factor;
-      pipelines doing heavy repeated set algebra should use the bounded
-      mergeable sketches (operators/theta.py / theta_ds.py) instead.
+      set algebra. The ESTIMATE form is computed EXACTLY as a signed sum
+      of count(DISTINCT) over UNIONS of the filter predicates
+      (inclusion-exclusion, _theta_inclusion_exclusion) — fully
+      distributed with bounded per-key state; the result is a BIGINT,
+      matching the reference's Math.round(estimate) long (java:993).
+      Expressions referencing more than 6 distinct sketches fall back to
+      per-group collect_set array algebra (exact, state O(ndv) per
+      group). The RAW form instead builds one theta sketch per referenced
+      filter — rawthetasketch(CASE WHEN <filter> THEN <expr> END, k),
+      bounded O(k) state per group — and folds the set expression through
+      DataSketches union/intersect/a_not_b post-aggregation
+      (thetaSetOpSketch, operators/theta_ds.eval_set_tree), returning the
+      base64 serialized compact RESULT sketch — mergeable state, matching
+      DistinctCountRawThetaSketchAggregationFunction.java:50-56 (clients
+      persist per-slice filtered sketches and re-merge them later).
+      The filter strings are standard predicates and re-enter the
+      rewriter fixpoint, so Pinot function names inside them expand
+      normally. Each estimate-form union term is one count(DISTINCT)
+      child in Spark's Expand-based multi-distinct plan, so a query
+      stacking many theta calls multiplies the expand factor; pipelines
+      doing heavy repeated set algebra should use the bounded mergeable
+      sketches (operators/theta.py / theta_ds.py or the raw form).
     - 3 args: rejected loudly. The reference silently ignores the third
       argument (numArguments < 4 takes the simple-union path, java:112);
       this engine refuses to guess which of params/filter was meant.
@@ -856,8 +882,10 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
             # the reference returns the serialized compact sketch, not a
             # number (clients persist and re-merge raw sketches); emit
             # the DataSketches-wire-compatible bytes via the registered
-            # grouped-agg (operators/theta_ds.py byte layout)
-            return f"rawthetasketch({args[0]}, {nominal})"
+            # grouped-agg (operators/theta_ds.py byte layout), base64 —
+            # the reference's raw-sketch results are base64 STRINGs
+            # (ColumnDataType.STRING)
+            return f"base64(rawthetasketch({args[0]}, {nominal}))"
         return f"approx_count_distinct({args[0]})"
     if len(args) == 3:
         raise ValueError(
@@ -865,12 +893,35 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
             "expr, params, filter(s), set-expression — at least 4 args)"
         )
     col = args[0]
-    _theta_params(args[1])
+    nominal = _theta_params(args[1])
     filters = [
         _unquote_literal(a, f"{name} filter expression") for a in args[2:-1]
     ]
     set_expr = _unquote_literal(args[-1], f"{name} post-aggregation expression")
     tree = _theta_parse_tree(set_expr, len(filters))
+    if name == "distinctcountrawthetasketch":
+        # filtered RAW form: the result is the serialized SKETCH of the
+        # set-op result (mergeable state), not its estimate — one theta
+        # sketch per referenced filter (O(k) state per group), set ops
+        # folded post-aggregation, base64 STRING envelope like the
+        # reference (DistinctCountRawThetaSketchAggregationFunction
+        # .java:50-56)
+        ids = sorted(_theta_tree_ids(tree))
+        pos = {a: i for i, a in enumerate(ids)}
+        rendered = _theta_render_tree(tree, pos)
+        sk_exprs = [
+            f"rawthetasketch(({col}), {nominal})"
+            if a == 0
+            else (
+                f"rawthetasketch(CASE WHEN ({filters[a - 1]}) "
+                f"THEN ({col}) END, {nominal})"
+            )
+            for a in ids
+        ]
+        return (
+            f"base64(thetasetopsketch('{rendered}', "
+            f"array({', '.join(sk_exprs)}), {nominal}))"
+        )
     if len(_theta_tree_ids(tree)) <= 6:
         preds = {0: "true", **{i + 1: f for i, f in enumerate(filters)}}
         return _theta_inclusion_exclusion(tree, col, preds)
@@ -901,9 +952,9 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
     Returns the Spark SQL body, or None if `name` has no special arity
     handling (the strict template path then applies)."""
     if name in ("distinctcountthetasketch", "distinctcountrawthetasketch"):
-        # the raw form returns serialized sketch bytes in the reference;
-        # this SQL surface returns the estimate for both (documented in
-        # README — the byte-compatible form is operators/theta_ds.py)
+        # estimate form -> BIGINT; raw form -> base64 STRING of the
+        # DataSketches compact sketch (simple AND filtered forms), the
+        # reference's envelope for raw sketch results
         return _theta_sketch_sql(name, args)
     if name == "distinctcounthll" and len(args) == 2:
         # optional log2m (DistinctCountHLLAggregationFunction.java:44-55):
@@ -911,6 +962,11 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
         # HLL error formula rsd = 1.04 / sqrt(2^log2m)
         log2m = int(_unquote_literal(args[1], f"{name} log2m")
                     if args[1].strip().startswith("'") else args[1])
+        # below log2m=4 the rsd (1.04/sqrt(2^log2m)) exceeds Spark's
+        # approx_count_distinct cap and its error message would not name
+        # this function; validate like distinctCountRawHLL does
+        if not 4 <= log2m <= 30:
+            raise ValueError(f"distinctCountHLL log2m out of range: {log2m}")
         rsd = 1.04 / math.sqrt(2 ** log2m)
         return f"approx_count_distinct({args[0]}, {rsd!r})"
     if name == "distinctcountsmarthll" and len(args) == 2:
@@ -939,7 +995,7 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
         log2m = int(args[1].strip().strip("'"))
         if not 4 <= log2m <= 21:
             raise ValueError(f"distinctCountRawHLL log2m out of range: {log2m}")
-        return f"hll_sketch_agg({args[0]}, {log2m})"
+        return f"base64(hll_sketch_agg({args[0]}, {log2m}))"
     if name in ("firstwithtime", "lastwithtime") and len(args) == 3:
         # 3-arg reference form: (dataCol, timeCol, 'dataType')
         dt = _unquote_literal(args[2], f"{name} dataType").upper()
@@ -1816,15 +1872,16 @@ class HurricaneSQL:
                     " AS BIGINT)"
                 )
             elif is_bin and name == "distinctcountrawhll" and len(args) <= 2:
-                out.append(f"hll_union_agg({col})")
+                # raw results get the reference's base64 STRING envelope
+                out.append(f"base64(hll_union_agg({col}))")
             elif is_bin and len(args) <= 2:
                 nominal = _theta_params(args[1]) if len(args) == 2 else 4096
-                fn = (
-                    "thetasketchunionraw"
-                    if name == "distinctcountrawthetasketch"
-                    else "thetasketchunionest"
-                )
-                out.append(f"{fn}({col}, {nominal})")
+                if name == "distinctcountrawthetasketch":
+                    out.append(
+                        f"base64(thetasketchunionraw({col}, {nominal}))"
+                    )
+                else:
+                    out.append(f"thetasketchunionest({col}, {nominal})")
             elif is_bin:
                 raise ValueError(
                     f"{name} over a BYTES column supports only the simple "

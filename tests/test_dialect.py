@@ -1009,6 +1009,12 @@ def test_hll_log2m_mapped_not_dropped():
     assert "hll_sketch_agg(x, 14)" in out
     with pytest.raises(ValueError, match="log2m out of range"):
         rewrite_functions("SELECT distinctCountRawHLL(x, 40) FROM t")
+    # log2m < 4 maps to rsd > 0.26, past approx_count_distinct's cap —
+    # the error must name distinctCountHLL, not Spark's internal check
+    with pytest.raises(ValueError, match="distinctCountHLL log2m"):
+        rewrite_functions("SELECT distinctCountHLL(x, 3) FROM t")
+    with pytest.raises(ValueError, match="distinctCountHLL log2m"):
+        rewrite_functions("SELECT distinctCountHLL(x, 31) FROM t")
 
 
 def test_first_last_with_time_3arg():
@@ -1221,9 +1227,12 @@ def test_percentile_smart_tdigest_params(hdb):
 
 def test_raw_theta_sketch_sql_returns_wire_bytes(hdb):
     """distinctCountRawThetaSketch returns the SERIALIZED DataSketches
-    compact sketch (the reference's raw form — clients persist and
-    re-merge it), deserializable with operators/theta_ds and exact
-    below nominalEntries."""
+    compact sketch as a base64 STRING (the reference's raw-form envelope,
+    ColumnDataType.STRING — clients persist and re-merge it),
+    deserializable with operators/theta_ds and exact below
+    nominalEntries."""
+    import base64
+
     from hurricanedb_spark.operators.theta_ds import deserialize
 
     rows = hdb.sql(
@@ -1242,8 +1251,102 @@ def test_raw_theta_sketch_sql_returns_wire_bytes(hdb):
     }
     assert rows
     for r in rows:
-        sk = deserialize(bytes(r["sk"]))
+        assert isinstance(r["sk"], str)  # base64 STRING, not BINARY
+        sk = deserialize(base64.b64decode(r["sk"]))
         assert round(sk.estimate()) == exact[r["l_returnflag"]]
+
+
+def test_raw_theta_sketch_filtered_returns_setop_sketch(hdb):
+    """The FILTERED raw form distinctCountRawThetaSketch(col, params,
+    filter..., 'SET_OP(...)') returns the base64 serialized sketch OF THE
+    SET-OP RESULT (DistinctCountRawThetaSketchAggregationFunction.java:
+    50-56) — mergeable state, not a BIGINT count (round-8 defect: the
+    >=4-arg path fell through to the inclusion-exclusion estimate)."""
+    import base64
+
+    from hurricanedb_spark.operators.theta_ds import deserialize
+
+    exact = {
+        r["op"]: r["n"]
+        for r in hdb.sql(
+            """
+            SELECT 'union' AS op, count(DISTINCT CASE WHEN
+                   o_orderstatus IN ('F', 'O') THEN o_custkey END) AS n
+            FROM orders
+            UNION ALL
+            SELECT 'intersect', count(DISTINCT CASE WHEN c_f AND c_o
+                   THEN o_custkey END)
+            FROM (SELECT o_custkey,
+                         bool_or(o_orderstatus = 'F') AS c_f,
+                         bool_or(o_orderstatus = 'O') AS c_o
+                  FROM orders GROUP BY o_custkey)
+            UNION ALL
+            SELECT 'diff', count(DISTINCT CASE WHEN c_f AND NOT c_o
+                   THEN o_custkey END)
+            FROM (SELECT o_custkey,
+                         bool_or(o_orderstatus = 'F') AS c_f,
+                         bool_or(o_orderstatus = 'O') AS c_o
+                  FROM orders GROUP BY o_custkey)
+            """,
+            default_limit=None,
+        ).collect()
+    }
+    row = hdb.sql(
+        "SELECT "
+        "distinctCountRawThetaSketch(o_custkey, 'nominalEntries=65536', "
+        "  'o_orderstatus = ''F''', 'o_orderstatus = ''O''', "
+        "  'SET_UNION($1, $2)') AS sk_union, "
+        "distinctCountRawThetaSketch(o_custkey, 'nominalEntries=65536', "
+        "  'o_orderstatus = ''F''', 'o_orderstatus = ''O''', "
+        "  'SET_INTERSECT($1, $2)') AS sk_intersect, "
+        "distinctCountRawThetaSketch(o_custkey, 'nominalEntries=65536', "
+        "  'o_orderstatus = ''F''', 'o_orderstatus = ''O''', "
+        "  'SET_DIFF($1, $2)') AS sk_diff "
+        "FROM orders",
+        default_limit=None,
+    ).collect()[0]
+    # nominalEntries=65536 > fixture NDV -> the sketches are exact, so
+    # the set-op result sketch's estimate must equal the exact counts
+    for field, op in (
+        ("sk_union", "union"),
+        ("sk_intersect", "intersect"),
+        ("sk_diff", "diff"),
+    ):
+        assert isinstance(row[field], str)
+        sk = deserialize(base64.b64decode(row[field]))
+        assert round(sk.estimate()) == exact[op], (field, exact[op])
+
+
+def test_raw_theta_filtered_sketches_are_mergeable(hdb):
+    """Per-slice filtered raw sketches must re-merge: union of the two
+    per-status result sketches == the sketch over both statuses (the
+    persist-then-cross-slice-merge workflow the raw form exists for)."""
+    import base64
+
+    from hurricanedb_spark.operators.theta_ds import deserialize, union
+
+    rows = hdb.sql(
+        "SELECT "
+        "distinctCountRawThetaSketch(o_custkey, 'nominalEntries=65536', "
+        "  'o_orderstatus = ''F''', 'SET_UNION($1, $1)') AS sk_f, "
+        "distinctCountRawThetaSketch(o_custkey, 'nominalEntries=65536', "
+        "  'o_orderstatus = ''O''', 'SET_UNION($1, $1)') AS sk_o "
+        "FROM orders",
+        default_limit=None,
+    ).collect()[0]
+    merged = union(
+        [
+            deserialize(base64.b64decode(rows["sk_f"])),
+            deserialize(base64.b64decode(rows["sk_o"])),
+        ],
+        k=65536,
+    )
+    exact = hdb.sql(
+        "SELECT count(DISTINCT o_custkey) AS n FROM orders "
+        "WHERE o_orderstatus IN ('F', 'O')",
+        default_limit=None,
+    ).collect()[0]["n"]
+    assert round(merged.estimate()) == exact
 
 
 def test_theta_over_bytes_column_unions_sketches(hdb, spark):
@@ -1270,9 +1373,12 @@ def test_theta_over_bytes_column_unions_sketches(hdb, spark):
         default_limit=None,
     ).collect()[0]
     assert row["dc"] == 30  # union, exact below nominalEntries
+    import base64
+
     from hurricanedb_spark.operators.theta_ds import deserialize
 
-    assert round(deserialize(bytes(row["raw"])).estimate()) == 30
+    assert isinstance(row["raw"], str)  # base64 STRING envelope
+    assert round(deserialize(base64.b64decode(row["raw"])).estimate()) == 30
     # the filtered form over BYTES re-hashes blobs in the reference's
     # value path — refuse loudly rather than silently mis-counting
     with pytest.raises(ValueError, match="BYTES"):
@@ -1302,7 +1408,12 @@ def test_hll_over_bytes_column_merges_sketches(hdb, spark):
         "SELECT distinctCountRawHLL(sk) AS m FROM hll_bytes_t",
         default_limit=None,
     ).collect()[0]["m"]
+    import base64
+
+    assert isinstance(raw, str)  # base64 STRING envelope
     est = spark.sql(
-        "SELECT hll_sketch_estimate(X'" + bytes(raw).hex() + "') AS e"
+        "SELECT hll_sketch_estimate(X'"
+        + base64.b64decode(raw).hex()
+        + "') AS e"
     ).collect()[0]["e"]
     assert abs(est - 300) / 300 < 0.05
