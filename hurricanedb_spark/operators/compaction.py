@@ -66,10 +66,15 @@ def merge_rollup(
         return df.groupBy(*keys).agg(*pandas_aggs)
     # Spark forbids grouped-agg pandas UDFs in one agg() with JVM
     # aggregates (INVALID_PANDAS_UDF_PLACEMENT): aggregate each family
-    # separately and zip the per-group frames back on the key names
+    # separately and zip the per-group frames back on the key names —
+    # null-safely, so NULL-keyed dimension groups survive the zip
+    from hurricanedb_spark.streaming.realtime import _null_safe_zip
+
     key_names = list(dimension_cols) + ([time_col] if time_col else [])
-    return df.groupBy(*keys).agg(*aggs).join(
-        df.groupBy(*keys).agg(*pandas_aggs), on=key_names, how="inner"
+    return _null_safe_zip(
+        df.groupBy(*keys).agg(*aggs),
+        df.groupBy(*keys).agg(*pandas_aggs),
+        key_names,
     )
 
 

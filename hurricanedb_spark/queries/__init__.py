@@ -97,10 +97,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sketches
     "q_theta_sketch_distinct",
     "q_theta_sketch_filtered_sql",
-    # aggregate extras
+    # aggregate extras (q_idset_collect rotated out r9 for the compose
+    # row — still green in the full local gate)
     "q_percentile_exact",
     "q_mode",
-    "q_idset_collect",
     # MV semantics
     "q_mv_filter_semantics",
     # multistage
@@ -117,14 +117,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text / json match
     "q_text_match_lucene",
     "q_json_match_filter",
-    # segment binary indexes (round 6/7): native text index, FST regexp
-    # pushdown, star-tree binary store + transparent SQL redirect
-    "q_segment_text_index_scan",
+    # segment binary indexes (round 6/7/8): FST regexp pushdown,
+    # TEXT_MATCH acceleration, AND-composed index access paths,
+    # star-tree binary store + transparent SQL redirects incl. the theta
+    # sketch pairs (q_segment_text_index_scan rotated out r9 — the
+    # text-index decode stays covered by q_segment_textmatch_accel and
+    # the compose row; still green in the full local gate)
     "q_segment_fst_regexp",
     "q_segment_textmatch_accel",
+    "q_segment_compose_and",
     "q_startree_binary_agg",
     "q_startree_sql_redirect",
     "q_startree_range_redirect",
+    "q_startree_theta_redirect",
     # CLP logs
     "q_clp_encode",
     # sampling

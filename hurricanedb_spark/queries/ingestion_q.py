@@ -667,15 +667,36 @@ def q_startree_range_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "records through the transparent SQL redirect (theta function-column "
     "pairs, DistinctCountThetaSketchStarTreeV2Test analog): per-segment "
     "tree records carry serialized compact sketches, the final union "
-    "estimates — exact below nominalEntries, which holds at the gate SF, "
-    "so the exact count-distinct oracle must match. Raises if the "
-    "redirect did not fire.",
+    "estimates — exact below nominalEntries. That is a DATA-SCALE "
+    "precondition, not a property of the query, so the query asserts it "
+    "(max per-group NDV <= nominalEntries) and RAISES loudly when the "
+    "fixture outgrows it, instead of letting the exact oracle silently "
+    "rot into sketch-estimation mismatches. Raises if the redirect did "
+    "not fire.",
     tags=("sources", "segment-format", "startree", "sketch", "dialect"),
 )
 def q_startree_theta_redirect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from hurricanedb_spark.sql.dialect import HurricaneSQL
 
     base, _seg = _orders_startree_store(spark, sf_dir)
+    ndv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("ndv"))
+        .agg(F.max("ndv"))
+        .collect()[0][0]
+    )
+    if ndv and ndv > 4096:
+        raise RuntimeError(
+            f"q_startree_theta_redirect: per-group NDV {ndv} exceeds the "
+            "tree's nominalEntries 4096 — the sketches enter estimation "
+            "mode and the exact count-distinct oracle no longer applies "
+            "at this SF; rebuild the tree with larger nominalEntries or "
+            "switch the row to a tolerance check"
+        )
     hq = HurricaneSQL(spark)
     hq.register_segment_table("orders_startree_theta", base)
     df = hq.sql(

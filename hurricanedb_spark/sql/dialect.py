@@ -1048,11 +1048,17 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
         # ModeAggregationFunction.java:65-75: numeric mode, Double
         # result, ties reduced by MultiModeReducerType (default MIN).
         # Spark's `mode(col, true)` deterministic form returns the
-        # lowest tied value = MIN; MAX negates; AVG folds a frequency
-        # map (state O(distinct values per group), the reference's own
-        # value-map bound). The backticks keep the fixpoint rewriter
-        # from re-matching the emitted builtin. Empty groups: NULL here
-        # (reference: -Infinity without null handling, null with).
+        # lowest tied value = MIN; MAX negates; AVG sorts the group's
+        # values once and run-length folds them with an O(1) accumulator
+        # (prev, run, best, sum-of-tied-modes, tie count) — linear time.
+        # The collect_list buffer is O(rows/group) doubles (the
+        # reference's value->count map is O(distinct), a bound a single
+        # Spark expression cannot reach without nested aggregation), but
+        # the fold itself no longer rebuilds a map per element — a 1M-row
+        # hot group is a pytest case. The backticks keep the fixpoint
+        # rewriter from re-matching the emitted builtin. Empty groups:
+        # NULL here (reference: -Infinity without null handling, null
+        # with).
         reducer = (
             _unquote_literal(args[1], "mode reducer").upper()
             if len(args) == 2
@@ -1063,19 +1069,26 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
         if reducer == "MAX":
             return f"CAST(-`mode`(-({args[0]}), true) AS DOUBLE)"
         if reducer == "AVG":
-            vals = f"collect_list(CAST({args[0]} AS DOUBLE))"
-            freq = (
-                f"aggregate({vals}, CAST(map() AS MAP<DOUBLE,BIGINT>), "
-                "(m, v) -> map_concat(map_filter(m, (k, c) -> k != v), "
-                "map(v, coalesce(element_at(m, v), CAST(0 AS BIGINT)) + 1)))"
+            vals = f"array_sort(collect_list(CAST(({args[0]}) AS DOUBLE)))"
+            # run length if v extends the current run, else 1
+            run = "IF(a.prev IS NOT NULL AND v = a.prev, a.run + 1, 1L)"
+            step = (
+                "(a, v) -> named_struct("
+                "'prev', v, "
+                f"'run', {run}, "
+                f"'best', GREATEST(a.best, {run}), "
+                f"'sum', CASE WHEN {run} > a.best THEN v "
+                f"WHEN {run} = a.best THEN a.sum + v ELSE a.sum END, "
+                f"'cnt', CASE WHEN {run} > a.best THEN 1L "
+                f"WHEN {run} = a.best THEN a.cnt + 1L ELSE a.cnt END)"
             )
-            modes = (
-                f"map_keys(map_filter({freq}, "
-                f"(k, c) -> c = array_max(map_values({freq}))))"
+            zero = (
+                "named_struct('prev', CAST(NULL AS DOUBLE), 'run', 0L, "
+                "'best', 0L, 'sum', CAST(0 AS DOUBLE), 'cnt', 0L)"
             )
             return (
-                f"(aggregate({modes}, CAST(0 AS DOUBLE), (a, k) -> a + k) "
-                f"/ size({modes}))"
+                f"aggregate({vals}, {zero}, {step}, "
+                "a -> IF(a.cnt = 0L, CAST(NULL AS DOUBLE), a.sum / a.cnt))"
             )
         raise ValueError(f"mode: unknown MultiModeReducerType {reducer!r}")
     if name == "idset" and len(args) == 2:
@@ -1598,6 +1611,70 @@ def apply_default_limit(sql: str, default: int = 10) -> str:
     return f"{sql.rstrip().rstrip(';')} LIMIT {default}"
 
 
+# (segment dir, columns.psf mtime) -> (missing cols, corrupt cols):
+# registration-time text-index probes are pure metadata reads, so the
+# result is stable until the segment is rewritten
+_TEXT_PROBE_CACHE: dict[tuple[str, float], tuple[list[str], list[str]]] = {}
+
+
+def _probe_native_text_headers(seg: str) -> tuple[list[str], list[str]]:
+    """For each Lucene-flagged column of one segment, classify its native
+    text index as present / MISSING (no text_index entry — pending
+    `rebuild-text-index`) / CORRUPT (entry exists but the 8-byte psf
+    marker or the 4-byte FST magic fails — foreign codec or damage).
+    Header-only seeks, never a full index parse; cached per segment dir
+    + columns.psf mtime."""
+    import os
+    import struct as _struct
+
+    from hurricanedb_spark.sources.native_text_index import (
+        FST_MAGIC,
+        lucene_text_index_columns,
+    )
+    from hurricanedb_spark.sources.pinot_segment import (
+        INDEX_FILE,
+        MAGIC_MARKER,
+        read_segment_metadata,
+    )
+
+    meta = read_segment_metadata(seg)
+    psf_path = os.path.join(meta.segment_dir, INDEX_FILE)
+    try:
+        mtime = os.path.getmtime(psf_path)
+    except OSError:
+        mtime = 0.0
+    key = (seg, mtime)
+    cached = _TEXT_PROBE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    missing: list[str] = []
+    corrupt: list[str] = []
+    for col in lucene_text_index_columns(seg):
+        entry = meta.index_map.get((col, "text_index"))
+        if entry is None:
+            missing.append(col)
+            continue
+        try:
+            if isinstance(entry, str):  # v1/v2 standalone file
+                with open(entry, "rb") as f:
+                    head = f.read(4)
+            else:
+                start, _size = entry
+                with open(psf_path, "rb") as f:
+                    f.seek(start)
+                    marker = _struct.unpack(">Q", f.read(8))[0]
+                    if marker != MAGIC_MARKER:
+                        corrupt.append(col)
+                        continue
+                    head = f.read(4)
+            if _struct.unpack(">i", head)[0] != FST_MAGIC:
+                corrupt.append(col)
+        except Exception:  # noqa: BLE001 — unreadable buffer == corrupt
+            corrupt.append(col)
+    _TEXT_PROBE_CACHE[key] = (missing, corrupt)
+    return missing, corrupt
+
+
 class HurricaneSQL:
     """Query front-end: Pinot-dialect SQL in, Spark DataFrame out.
 
@@ -1673,29 +1750,22 @@ class HurricaneSQL:
         TEXT_MATCH residual always applies) but take the full scan until
         `migrate_segments.py rebuild-text-index` regenerates native
         indexes. Registering such a store warns loudly instead of
-        leaving the degradation silent (round-7 verdict, missing #5)."""
+        leaving the degradation silent (round-7 verdict, missing #5).
+
+        The probe is CHEAP — index-map entry existence + a 4-byte magic
+        header read, never a full FST/postings parse — and cached per
+        segment dir, so registering a large store costs O(segments)
+        metadata stats, not O(segments × columns) index decodes. Missing
+        native indexes (pending rebuild) and present-but-foreign/corrupt
+        buffers are reported as distinct conditions."""
         import warnings
 
-        from hurricanedb_spark.sources.native_text_index import (
-            lucene_text_index_columns,
-            read_native_text_index,
-        )
-        from hurricanedb_spark.sources.pinot_segment import (
-            parallel_segment_map,
-        )
-
-        def probe(seg):
-            missing = []
-            for col in lucene_text_index_columns(seg):
-                try:
-                    read_native_text_index(seg, col)
-                except Exception:  # noqa: BLE001 — any unreadable index
-                    missing.append(col)
-            return missing
-
-        pending = {
-            col for cols in parallel_segment_map(probe, segs) for col in cols
-        }
+        pending: set[str] = set()
+        corrupt: set[str] = set()
+        for seg in segs:
+            m, c = _probe_native_text_headers(seg)
+            pending.update(m)
+            corrupt.update(c)
         if pending:
             warnings.warn(
                 f"segment table {name!r}: Lucene text indexes on "
@@ -1703,6 +1773,16 @@ class HurricaneSQL:
                 "TEXT_MATCH answers correctly via full scans until "
                 "`python tools/migrate_segments.py rebuild-text-index` "
                 "regenerates them",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        if corrupt:
+            warnings.warn(
+                f"segment table {name!r}: native text index buffers on "
+                f"{sorted(corrupt)} exist but fail the header check "
+                "(foreign codec or corruption, NOT a pending rebuild) — "
+                "TEXT_MATCH still answers correctly via full scans; "
+                "inspect the segment or re-run rebuild-text-index",
                 RuntimeWarning,
                 stacklevel=3,
             )

@@ -472,14 +472,31 @@ def _split_grouped_agg(df: DataFrame, dims: list[str], exprs: list, pandas_exprs
     grouped-agg pandas UDFs: Spark forbids them in ONE agg()
     (INVALID_PANDAS_UDF_PLACEMENT), so each family aggregates separately
     and the two per-group frames join back on the dims — both sides have
-    exactly the same group keys, so the join is a lossless zip."""
+    exactly the same group keys, so the join is a lossless zip. The zip
+    must be NULL-SAFE per key (eqNullSafe): a plain `on=dims` equi-join
+    never matches a NULL dimension value to itself and would silently
+    drop every NULL-keyed group from the rollup."""
     if not pandas_exprs:
         return df.groupBy(*dims).agg(*exprs)
     if not exprs:
         return df.groupBy(*dims).agg(*pandas_exprs)
     jvm = df.groupBy(*dims).agg(*exprs)
     pnd = df.groupBy(*dims).agg(*pandas_exprs)
-    return jvm.join(pnd, on=dims, how="inner")
+    return _null_safe_zip(jvm, pnd, dims)
+
+
+def _null_safe_zip(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Inner-join two frames keyed identically on `keys` with null-safe
+    equality, keeping one copy of the key columns."""
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__r_{k}")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & left[k].eqNullSafe(renamed[f"__r_{k}"])
+    return left.join(renamed, cond, "inner").drop(
+        *[f"__r_{k}" for k in keys]
+    )
 
 
 def _rollup_exprs(aggs: dict[str, str], merge: bool) -> tuple[list, list]:

@@ -38,6 +38,145 @@ from pyspark.sql import SparkSession
 Pair = tuple[str, str]
 
 
+def _theta_indep_parse(expr: str, k: int):
+    """Minimal parser for SET_UNION/SET_INTERSECT/SET_DIFF trees —
+    fuzzer-local and deliberately NOT sql.dialect._theta_parse_tree, so
+    the oracle path shares no code with the translation under test.
+    Returns int (sketch id) | (op, [children]), op in 'u'/'i'/'d'."""
+    import re as _re
+
+    toks = _re.findall(r"\$\d+|[A-Z_]+|[(),]", expr.replace(" ", ""))
+    pos = 0
+
+    def parse():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        if t.startswith("$"):
+            sid = int(t[1:])
+            if not 0 <= sid <= k:
+                raise ValueError(f"sketch id {t} out of range in {expr!r}")
+            return sid
+        op = {"SET_UNION": "u", "SET_INTERSECT": "i", "SET_DIFF": "d"}[t]
+        if toks[pos] != "(":
+            raise ValueError(f"expected '(' in {expr!r}")
+        pos += 1
+        args = [parse()]
+        while toks[pos] == ",":
+            pos += 1
+            args.append(parse())
+        if toks[pos] != ")":
+            raise ValueError(f"expected ')' in {expr!r}")
+        pos += 1
+        return (op, args)
+
+    tree = parse()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in {expr!r}")
+    return tree
+
+
+def _theta_indep_atoms(tree) -> set[int]:
+    if isinstance(tree, int):
+        return {tree}
+    return set().union(*(_theta_indep_atoms(c) for c in tree[1]))
+
+
+def _theta_indep_eval(tree, sets: dict[int, set]) -> set:
+    """Direct set evaluation of a theta tree (simulation ground truth)."""
+    if isinstance(tree, int):
+        return sets[tree]
+    op, ch = tree
+    parts = [_theta_indep_eval(c, sets) for c in ch]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out | p if op == "u" else (out & p if op == "i" else out - p)
+    return out
+
+
+def _theta_indep_expansion(tree, atoms: list[int]) -> dict[frozenset, int]:
+    """{frozenset(atom ids): coeff} with |region| == Σ coeff_U · |∪_{i∈U}
+    S_i| for EVERY set configuration. Derivation is a closed-form double
+    inclusion-exclusion — an algorithm disjoint from the engine's numpy
+    linear-system solve (sql/dialect._theta_inclusion_exclusion), so the
+    two cannot share a weight-derivation bug:
+
+      minterm M (keys in every S_i, i∈M, and no S_j, j∉M):
+        |M| = Σ_{T ⊆ comp(M)} (−1)^{|T|} · |∩_{i∈M∪T} S_i|
+      intersections to unions:
+        |∩_{i∈I} S_i| = Σ_{∅≠U⊆I} (−1)^{|U|+1} · |∪_{i∈U} S_i|
+    """
+    from itertools import combinations
+
+    idx = {a: i for i, a in enumerate(atoms)}
+    n = len(atoms)
+    full = set(range(1, 1 << n))
+
+    def minterms(t) -> set[int]:
+        if isinstance(t, int):
+            b = idx[t]
+            return {m for m in full if m >> b & 1}
+        op, ch = t
+        parts = [minterms(c) for c in ch]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out | p if op == "u" else (out & p if op == "i" else out - p)
+        return out
+
+    coeff: dict[frozenset, int] = {}
+    for m in minterms(tree):
+        members = [i for i in range(n) if m >> i & 1]
+        comp = [i for i in range(n) if not m >> i & 1]
+        for tsize in range(len(comp) + 1):
+            for extra in combinations(comp, tsize):
+                inter = sorted(set(members) | set(extra))
+                sign_t = -1 if tsize % 2 else 1
+                for usize in range(1, len(inter) + 1):
+                    for u in combinations(inter, usize):
+                        sign_u = 1 if usize % 2 else -1  # (−1)^{|U|+1}
+                        key = frozenset(atoms[i] for i in u)
+                        coeff[key] = coeff.get(key, 0) + sign_t * sign_u
+    return {u: c for u, c in coeff.items() if c}
+
+
+def _theta_indep_duck_sql(
+    expr: str, k: int, col: str, preds: dict[int, str]
+) -> str:
+    """DuckDB oracle for a filtered theta set expression: independent
+    parse + independent weight derivation + a 30-configuration random-set
+    simulation self-check (the expansion must equal direct set
+    evaluation), then rendered as a signed sum of count(DISTINCT CASE
+    WHEN <union of preds> ...)."""
+    tree = _theta_indep_parse(expr, k)
+    atoms = sorted(_theta_indep_atoms(tree))
+    coeff = _theta_indep_expansion(tree, atoms)
+    rr = random.Random(hash(expr) & 0xFFFF)
+    for _ in range(30):
+        sets = {a: {x for x in range(12) if rr.random() < 0.5} for a in atoms}
+        direct = len(_theta_indep_eval(tree, sets))
+        via = sum(
+            c * len(set().union(*(sets[a] for a in u)))
+            for u, c in coeff.items()
+        )
+        if direct != via:
+            raise AssertionError(
+                f"theta oracle expansion self-check failed for {expr!r}: "
+                f"{direct} != {via}"
+            )
+    if not coeff:
+        return "CAST(0 AS BIGINT)"
+    terms = []
+    for u, c in sorted(coeff.items(), key=lambda kv: sorted(kv[0])):
+        ps = [preds[a] for a in sorted(u)]
+        if any(p == "true" for p in ps):
+            case = f"({col})"
+        else:
+            cond = " OR ".join(f"({p})" for p in ps)
+            case = f"CASE WHEN {cond} THEN ({col}) END"
+        terms.append(f"({c}) * count(DISTINCT {case})")
+    return f"CAST(({' + '.join(terms)}) AS BIGINT)"
+
+
 def _same(s: str) -> Pair:
     return (s, s)
 
@@ -496,15 +635,14 @@ class _Gen:
         if kind == "thetaset":
             # filtered multi-arg distinctCountThetaSketch: random nested
             # SET_UNION/SET_INTERSECT/SET_DIFF over 1-3 fuzzed filter
-            # predicates (+ the $0 default sketch). The oracle renders
-            # the SAME inclusion-exclusion expansion over the
-            # duck-dialect predicates — the dialect's Spark translation
-            # and the DuckDB evaluation stay independent paths.
-            from hurricanedb_spark.sql.dialect import (
-                _theta_inclusion_exclusion,
-                _theta_parse_tree,
-            )
-
+            # predicates (+ the $0 default sketch). The oracle expansion
+            # is derived INDEPENDENTLY of the dialect's implementation
+            # (double inclusion-exclusion identity in
+            # _theta_indep_expansion vs the engine's linear-system
+            # solve) so a bug in the engine's minterm/weight derivation
+            # produces a Spark-vs-DuckDB mismatch instead of identical
+            # wrong SQL on both sides; the derivation is additionally
+            # self-checked against a direct random-set simulation.
             col = r.choice(["l_suppkey", "l_partkey", "l_linenumber"])
             k = r.randint(1, 3)
             preds = [self.pred(1) for _ in range(k)]
@@ -526,9 +664,9 @@ class _Gen:
                 f"distinctCountThetaSketch({col}, '', {pinot_filters}, "
                 f"'{expr}')"
             )
-            tree = _theta_parse_tree(expr, k)
-            duck = _theta_inclusion_exclusion(
-                tree, col, {0: "true", **{i + 1: d for i, (_, d) in enumerate(preds)}}
+            duck = _theta_indep_duck_sql(
+                expr, k, col,
+                {0: "true", **{i + 1: d for i, (_, d) in enumerate(preds)}},
             )
             return (pinot, duck)
         if kind == "withtime":

@@ -1208,6 +1208,63 @@ def test_mode_reducers(hdb):
         hdb.sql("SELECT mode(x, 'MIN', 3) FROM mode_t")
 
 
+def test_mode_avg_matches_counter_model(hdb):
+    """mode(x, 'AVG') == average of ALL most-frequent values, checked
+    against a Counter model over groups engineered with 1-, 2- and
+    3-way ties, a singleton group, and a NULL-bearing group."""
+    from collections import Counter
+
+    groups = {
+        "one": [5, 5, 5, 2, 2, 9],
+        "two_way": [1, 1, 4, 4, 7],
+        "three_way": [3, 3, 6, 6, 9, 9, 2],
+        "single": [8],
+        "with_null": [2, 2, None, 7, 7, None],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    hdb.spark.createDataFrame(rows, "g string, x int") \
+        .createOrReplaceTempView("mode_avg_t")
+    got = {
+        r["g"]: r["m"]
+        for r in hdb.sql(
+            "SELECT g, mode(x, 'AVG') AS m FROM mode_avg_t GROUP BY g",
+            default_limit=None,
+        ).collect()
+    }
+    for g, vs in groups.items():
+        c = Counter(v for v in vs if v is not None)
+        best = max(c.values())
+        modes = [v for v, n in c.items() if n == best]
+        assert got[g] == pytest.approx(sum(modes) / len(modes)), (g, got[g])
+
+
+def test_mode_avg_hot_group_linear(hdb):
+    """Round-8 wart: the AVG tie reducer rebuilt a frequency map per
+    element (quadratic in the group size) — a 1M-row hot group would
+    never finish. The sorted run-length fold is linear: 1M rows with 10
+    distinct values must complete (seconds, not hours) and be exact."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    hdb.spark.range(1_000_000).select(
+        F.lit("g").alias("g"),
+        # 0..9, each 100k times except value 7 which also takes the
+        # id<10 band -> unique mode 7
+        F.when(F.col("id") < 10, F.lit(7))
+        .otherwise((F.col("id") % 10).cast("int"))
+        .alias("x"),
+    ).createOrReplaceTempView("mode_hot_t")
+    t0 = time.time()
+    row = hdb.sql(
+        "SELECT g, mode(x, 'AVG') AS m FROM mode_hot_t GROUP BY g",
+        default_limit=None,
+    ).collect()[0]
+    elapsed = time.time() - t0
+    assert row["m"] == 7.0
+    assert elapsed < 120, f"hot-group mode AVG took {elapsed:.0f}s"
+
+
 def test_percentile_smart_tdigest_params(hdb):
     # 3rd optional params literal (PercentileSmartTDigestAggregation
     # Function.java:45-71) — validated, then moot: the engine's

@@ -236,3 +236,35 @@ def test_merge_rollup_sketch_columns(spark):
     merged = merge_rollup(hll.withColumn("k", F.lit(0)), ["k"], {"users": "DISTINCTCOUNTHLL"})
     est = merged.select(F.hll_sketch_estimate("users").alias("e")).collect()[0]["e"]
     assert abs(est - 200) / 200 < 0.1
+
+
+def test_merge_rollup_mixed_families_keeps_null_keyed_groups(spark):
+    """A rollup mixing sketch (pandas) and JVM aggregates splits into two
+    per-group frames zipped back on the dims; the zip must be null-safe —
+    a plain equi-join would silently drop every group whose dimension
+    value is NULL (pre-fix regression: the NULL-keyed group vanished)."""
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.operators.theta_ds import (
+        build_sketch,
+        deserialize,
+        serialize,
+    )
+
+    def sk(*vals):
+        return bytearray(serialize(build_sketch(list(vals), k=1024), 10))
+
+    rows = [
+        ("a", 10, sk(1, 2, 3)),
+        ("a", 5, sk(3, 4)),
+        (None, 7, sk(1, 9)),
+        (None, 2, sk(9, 10, 11)),
+    ]
+    df = spark.createDataFrame(rows, "k string, hits bigint, users binary")
+    out = {
+        r["k"]: (r["hits"], round(deserialize(bytes(r["users"])).estimate()))
+        for r in merge_rollup(
+            df, ["k"], {"hits": "SUM", "users": "DISTINCTCOUNTTHETASKETCH"}
+        ).collect()
+    }
+    assert out == {"a": (15, 4), None: (9, 4)}

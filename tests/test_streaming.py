@@ -432,3 +432,33 @@ def test_rollup_sink_sketch_metrics(spark, tmp):
         default_limit=None,
     ).collect()[0]["de"]
     assert du == 3 and abs(de - 12) / 12 < 0.1
+
+
+def test_rollup_aggregate_keeps_null_dimension_groups(spark):
+    """_split_grouped_agg zips the JVM- and pandas-aggregate frames back
+    on the dims; the zip must be null-safe — the pre-fix equi-join
+    silently dropped every NULL-keyed dimension group from the rollup."""
+    from hurricanedb_spark.operators.theta_ds import deserialize
+    from hurricanedb_spark.streaming.realtime import (
+        _rollup_aggregate,
+        _rollup_merge,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 100), (None, 3, 7), (None, 3, 8)],
+        "dim string, user_id int, hits bigint",
+    )
+    aggs = {"user_id": "DISTINCTCOUNTTHETASKETCH", "hits": "SUM"}
+    state = _rollup_aggregate(df, ["dim"], aggs)
+    got = {
+        r["dim"]: (round(deserialize(bytes(r["user_id"])).estimate()), r["hits"])
+        for r in state.collect()
+    }
+    assert got == {"a": (2, 200), None: (1, 15)}
+    # the merge step zips the same way — NULL groups must survive it too
+    merged = _rollup_merge(state, state, ["dim"], aggs)
+    got2 = {
+        r["dim"]: (round(deserialize(bytes(r["user_id"])).estimate()), r["hits"])
+        for r in merged.collect()
+    }
+    assert got2 == {"a": (2, 400), None: (1, 30)}

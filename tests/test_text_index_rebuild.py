@@ -169,3 +169,44 @@ def test_register_warns_on_unrebuilt_lucene_indexes(spark, tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         h.register_segment_table("warn_docs2", str(tmp_path))
+
+
+def test_register_distinguishes_corrupt_text_index(spark, tmp_path):
+    """A text_index entry that EXISTS but fails the header magic is a
+    distinct condition from a missing index: the warning must say
+    corruption/foreign codec, not 'pending rebuild'. The probe is
+    header-only (it must classify without a full FST parse)."""
+    import struct
+
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    seg, _ = _mk_segment(tmp_path, "seg_c", with_lucene_dir=True)
+    nti.rebuild_text_indexes(seg)
+    # corrupt the FST magic in place: 8-byte psf marker stays valid,
+    # the 4 magic bytes after it get flipped
+    meta = ps.read_segment_metadata(seg)
+    start, _size = meta.index_map[("text", "text_index")]
+    psf_path = os.path.join(meta.segment_dir, ps.INDEX_FILE)
+    with open(psf_path, "r+b") as f:
+        f.seek(start + 8)
+        f.write(struct.pack(">i", 0x0BADF00D))
+    h = HurricaneSQL(spark)
+    with pytest.warns(RuntimeWarning, match="foreign codec or corruption"):
+        h.register_segment_table("corrupt_docs", str(tmp_path))
+
+
+def test_text_probe_cached_per_segment(tmp_path):
+    """Registration-time probing is metadata-cheap and cached: the
+    second probe of an unchanged segment must not re-read headers."""
+    from hurricanedb_spark.sql import dialect as dsql
+
+    seg, _ = _mk_segment(tmp_path, "seg_p", with_lucene_dir=True)
+    first = dsql._probe_native_text_headers(seg)
+    assert first[0] == ["text"] and first[1] == []
+    key_count = len(dsql._TEXT_PROBE_CACHE)
+    again = dsql._probe_native_text_headers(seg)
+    assert again == first
+    assert len(dsql._TEXT_PROBE_CACHE) == key_count  # cache hit, no new key
+    # rebuilding rewrites columns.psf -> mtime key changes -> fresh probe
+    nti.rebuild_text_indexes(seg)
+    assert dsql._probe_native_text_headers(seg) == ([], [])
