@@ -433,19 +433,42 @@ def register_all(spark: SparkSession) -> None:
     # distinctCountRawThetaSketch: the reference returns the SERIALIZED
     # DataSketches compact sketch (clients persist and re-merge these);
     # grouped-agg over the group's values via operators/theta_ds — the
-    # byte layout is the public org.apache.datasketches compact format
+    # byte layout is the public org.apache.datasketches compact format.
+    # Third arg is `typeof(col)` emitted by the dialect: hashing must
+    # follow the SPARK column type, not the pandas dtype — a BIGINT
+    # column whose Arrow batch contains NULLs arrives as float64, and
+    # hashing those values as doubles would put them in a different
+    # hash space than the same column's NULL-free batches (update(long)
+    # vs update(double) hash differently in DataSketches by design),
+    # silently breaking set ops and cross-sketch merges.
     from hurricanedb_spark.operators.theta_ds import (
-        build_sketch as _theta_build,
+        DEFAULT_SEED as _theta_seed,
+        _SPARK_TO_HASH_DTYPE as _hash_dtypes,
+        compute_seed_hash as _theta_seed_hash,
+        from_hashes as _theta_from_hashes,
+        hash_column_np as _theta_hash_col,
         serialize as _theta_serialize,
     )
 
-    def _raw_theta(v, k):
+    def _raw_theta(v, k, t):
         nominal = int(k.iloc[0])
         lg = max(4, (nominal - 1).bit_length())
-        # dropna: Spark NULLs (e.g. CASE WHEN <filter> THEN col END on
-        # non-matching rows) arrive as NaN in numeric Arrow batches —
-        # they must not sketch as a spurious NaN member
-        return _theta_serialize(_theta_build(v.dropna().tolist(), k=nominal), lg)
+        if len(v) == 0:
+            sk = _theta_from_hashes(
+                (), nominal, _theta_seed_hash(_theta_seed)
+            )
+            return _theta_serialize(sk, lg)
+        dtype = _hash_dtypes.get(str(t.iloc[0]).lower())
+        if dtype is None:
+            raise ValueError(
+                f"rawthetasketch: unsupported input type {t.iloc[0]!r} "
+                "(sketchable: int/long/float/double/string)"
+            )
+        hs = _theta_hash_col(v, dtype)
+        sk = _theta_from_hashes(
+            (int(h) for h in hs if h), nominal, _theta_seed_hash(_theta_seed)
+        )
+        return _theta_serialize(sk, lg)
 
     spark.udf.register(
         "rawthetasketch",

@@ -91,6 +91,7 @@ def ssb_q1_1(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity BETWEEN 26 AND 35
     """,
     doc="SSB Q1.2: one-month slice.",
+    bench=True,
     tags=("ssb",),
 )
 def ssb_q1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,6 +113,7 @@ def ssb_q1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity BETWEEN 26 AND 35
     """,
     doc="SSB Q1.3: one-ISO-week slice (weekofyear).",
+    bench=True,
     tags=("ssb",),
 )
 def ssb_q1_3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +186,7 @@ def ssb_q2_1(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 2, 3
     """,
     doc="SSB Q2.2: brand-range + region slice.",
+    bench=True,
     tags=("ssb", "join"),
 )
 def ssb_q2_2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,6 +211,7 @@ def ssb_q2_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 2, 3
     """,
     doc="SSB Q2.3: single-brand + region slice.",
+    bench=True,
     tags=("ssb", "join"),
 )
 def ssb_q2_3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,6 +308,7 @@ def ssb_q3_1(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
     doc="SSB Q3.2: nation-level slice.",
+    bench=True,
     tags=("ssb", "join"),
 )
 def ssb_q3_2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +335,7 @@ def ssb_q3_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
     doc="SSB Q3.3: two-nation pair slice (yaml city pairs -> nations).",
+    bench=True,
     tags=("ssb", "join"),
 )
 def ssb_q3_3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,6 +363,7 @@ def ssb_q3_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
     doc="SSB Q3.4: one-month nation-pair slice.",
+    bench=True,
     tags=("ssb", "join"),
 )
 def ssb_q3_4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,6 +469,7 @@ def ssb_q4_1(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
     doc="SSB Q4.2: profit drill-down to supplier nation and part type.",
+    bench=True,
     tags=("ssb", "join"),
 )
 def ssb_q4_2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,6 +501,7 @@ def ssb_q4_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
     doc="SSB Q4.3: profit drill-down to brand for one supplier nation.",
+    bench=True,
     tags=("ssb", "join"),
 )
 def ssb_q4_3(spark: SparkSession, sf_dir: str) -> DataFrame:

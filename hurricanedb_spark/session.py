@@ -41,7 +41,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 24MB: large enough that every genuine dimension table
+        # (customer/part/supplier/nation/region up to ~sf10 locally)
+        # broadcasts, small enough that a column-pruned FACT scan whose
+        # static estimate lands under the cap does not. Measured at sf1:
+        # the 64MB setting let a 48MB-estimated filtered lineitem (5.6M
+        # rows) broadcast in TPC-H Q3 — 3.46s vs 0.74s for the
+        # sort-merge plan the same query gets at 24MB, and a broadcast
+        # OOM at cluster scale. Fact-side broadcast is the one
+        # scale-wrong plan a threshold can rule out (BENCH.md round-9).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(24 * 1024 * 1024))
         # oracle comparability: DuckDB timestamps are UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

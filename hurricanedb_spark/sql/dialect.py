@@ -115,7 +115,11 @@ _AGG_REWRITES: dict[str, str] = {
     "distinctcountmv": "size(array_distinct(flatten(collect_set($1))))",
     "distinctcountbitmapmv": "size(array_distinct(flatten(collect_set($1))))",
     "distinctcounthllmv": "size(array_distinct(flatten(collect_set($1))))",
-    "distinctcountrawhllmv": "size(array_distinct(flatten(collect_set($1))))",
+    # distinctcountrawhllmv is NOT here: the raw form returns a
+    # serialized HLL sketch (base64 STRING), which only the bounded MV
+    # restructure can build (hll_sketch_agg over exploded values);
+    # non-restructurable shapes raise in _agg_optional_args instead of
+    # silently returning a count of the wrong type
     "distinctsummv": "aggregate(array_distinct(flatten(collect_set($1))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))",
     "distinctavgmv": "(aggregate(array_distinct(flatten(collect_set($1))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)) / size(array_distinct(flatten(collect_set($1)))))",
     "minmaxrangemv": "(max(array_max($1)) - min(array_min($1)))",
@@ -884,8 +888,13 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
             # the DataSketches-wire-compatible bytes via the registered
             # grouped-agg (operators/theta_ds.py byte layout), base64 —
             # the reference's raw-sketch results are base64 STRINGs
-            # (ColumnDataType.STRING)
-            return f"base64(rawthetasketch({args[0]}, {nominal}))"
+            # (ColumnDataType.STRING). typeof() ships the SPARK column
+            # type so int values hash as longs even when NULL-bearing
+            # Arrow batches arrive as float64
+            return (
+                f"base64(rawthetasketch({args[0]}, {nominal}, "
+                f"typeof({args[0]})))"
+            )
         return f"approx_count_distinct({args[0]})"
     if len(args) == 3:
         raise ValueError(
@@ -909,12 +918,16 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
         ids = sorted(_theta_tree_ids(tree))
         pos = {a: i for i, a in enumerate(ids)}
         rendered = _theta_render_tree(tree, pos)
+        # typeof(col) pins the hash space to the Spark column type: the
+        # CASE branches produce NULLs, whose Arrow batches degrade int64
+        # to float64 — without the type pin, $0 (NULL-free, hashed as
+        # longs) and $i (hashed as doubles) would never intersect
         sk_exprs = [
-            f"rawthetasketch(({col}), {nominal})"
+            f"rawthetasketch(({col}), {nominal}, typeof({col}))"
             if a == 0
             else (
                 f"rawthetasketch(CASE WHEN ({filters[a - 1]}) "
-                f"THEN ({col}) END, {nominal})"
+                f"THEN ({col}) END, {nominal}, typeof({col}))"
             )
             for a in ids
         ]
@@ -1091,6 +1104,18 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
                 "a -> IF(a.cnt = 0L, CAST(NULL AS DOUBLE), a.sum / a.cnt))"
             )
         raise ValueError(f"mode: unknown MultiModeReducerType {reducer!r}")
+    if name == "distinctcountrawhllmv":
+        # reachable only when rewrite_mv_percentile_bounded could NOT
+        # restructure the query (join/union/CTE/star shapes): the raw MV
+        # form returns a serialized HLL sketch, which needs the exploded
+        # hll_sketch_agg CTE — refuse loudly rather than return a
+        # wrong-typed count (the r8 raw-theta defect class)
+        raise ValueError(
+            "distinctCountRawHLLMV returns a serialized HLL sketch and "
+            "requires the bounded MV restructure (single-table SELECT "
+            "without join/union/CTE/select-star); rewrite the query or "
+            "explode() the column and use distinctCountRawHLL"
+        )
     if name == "idset" and len(args) == 2:
         # IdSetAggregationFunction optional params only bound memory by
         # degrading to a Bloom IdSet; the exact collect_set is the ideal
@@ -1115,7 +1140,7 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
            "regexpextract", "truncate", "valuein", "rounddecimal",
            "round_decimal", "case", "casewhen", "case_when", "div",
            "divide", "regexpreplace", "timestampadd", "dateadd",
-           "timestampdiff", "datediff"}
+           "timestampdiff", "datediff", "distinctcountrawhllmv"}
     )
     # Pinot's FunctionRegistry canonicalizes by dropping underscores, so
     # ST_Distance == STDISTANCE. Alias ONLY the st* family — a global
@@ -1395,6 +1420,11 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
     def _call_key(name: str, args: list[str]) -> tuple[str, str] | None:
         if name in _TDMV_NAMES and len(args) == 2:
             return (_norm(args[0]), _norm(args[1]))
+        if name == "distinctcountrawhllmv" and len(args) == 1:
+            # raw form: serialized HLL of the exploded values (the
+            # reference's DistinctCountRawHLLMV returns the sketch, not
+            # its estimate), base64 STRING envelope like every raw form
+            return (_norm(args[0]), "#rawhll")
         if name in _HLLMV_NAMES and len(args) == 1:
             return (_norm(args[0]), "#hll")
         return None
@@ -1406,12 +1436,23 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
                 continue
             alias = f"_tdmv_{len(assign)}"
             assign[k] = alias
-            # rsd 0.016 ~ the reference's default HLL log2m=12 precision
-            agg_sql = (
-                "approx_count_distinct(_mv, 0.016)"
-                if k[1] == "#hll"
-                else f"percentile_approx(CAST(_mv AS DOUBLE), ({args[1]}) / 100)"
-            )
+            # rsd 0.016 ~ the reference's default HLL log2m=12 precision;
+            # the raw form keeps the sketch itself (hll_sketch_agg's
+            # default lgConfigK=12 matches)
+            if k[1] == "#hll":
+                agg_sql = "approx_count_distinct(_mv, 0.016)"
+            elif k[1] == "#rawhll":
+                # hll_sketch_agg accepts INT/BIGINT/STRING/BINARY only —
+                # MV element types include FLOAT, so hash the STRING
+                # rendering (injective per distinct value: exact distinct
+                # semantics; documented divergence: these sketches merge
+                # with sketches built the same way, not with
+                # update(long)-hashed ones)
+                agg_sql = "hll_sketch_agg(CAST(_mv AS STRING))"
+            else:
+                agg_sql = (
+                    f"percentile_approx(CAST(_mv AS DOUBLE), ({args[1]}) / 100)"
+                )
             colinfo.setdefault(k[0], (args[0], []))[1].append((agg_sql, alias))
 
     def _subst(text: str) -> str:
@@ -1425,6 +1466,10 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
                 # a group whose arrays are all empty has 0 distinct values
                 # (matching the exact macro), not NULL
                 out.append(f"coalesce(min({assign[k]}), 0)")
+            elif k[1] == "#rawhll":
+                # base64 STRING envelope (ColumnDataType.STRING); a group
+                # whose arrays are all empty yields NULL (no sketch built)
+                out.append(f"base64(min({assign[k]}))")
             else:
                 out.append(f"min({assign[k]})")
             pos = e

@@ -432,14 +432,42 @@ def start_partial_upsert_sink(
 _THETA_ROLLUP_K = 4096
 
 
-def _theta_rollup_build(col):
-    """Raw values -> one serialized compact theta sketch per group."""
-    from hurricanedb_spark.operators.theta_ds import build_sketch, serialize
+def _theta_rollup_build(col_name: str):
+    """Raw values -> one serialized compact theta sketch per group.
+    Hashing follows the SPARK column type (shipped via typeof()): a
+    nullable BIGINT metric whose batch contains NULLs arrives as
+    float64, and double-hashing those batches would split the column
+    across two hash spaces — sketches from NULL-bearing and NULL-free
+    micro-batches of the same column would never merge correctly."""
+    from hurricanedb_spark.operators.theta_ds import (
+        DEFAULT_SEED,
+        _SPARK_TO_HASH_DTYPE,
+        compute_seed_hash,
+        from_hashes,
+        hash_column_np,
+        serialize,
+    )
 
-    def build(v):
-        return serialize(build_sketch(v.tolist(), k=_THETA_ROLLUP_K))
+    def build(v, t):
+        if len(v) == 0:
+            sk = from_hashes((), _THETA_ROLLUP_K, compute_seed_hash(DEFAULT_SEED))
+            return serialize(sk)
+        dtype = _SPARK_TO_HASH_DTYPE.get(str(t.iloc[0]).lower())
+        if dtype is None:
+            raise ValueError(
+                f"theta rollup: unsupported metric type {t.iloc[0]!r}"
+            )
+        hs = hash_column_np(v, dtype)
+        sk = from_hashes(
+            (int(h) for h in hs if h),
+            _THETA_ROLLUP_K,
+            compute_seed_hash(DEFAULT_SEED),
+        )
+        return serialize(sk)
 
-    return F.pandas_udf(build, "binary", F.PandasUDFType.GROUPED_AGG)(col)
+    return F.pandas_udf(build, "binary", F.PandasUDFType.GROUPED_AGG)(
+        F.col(col_name), F.expr(f"typeof({col_name})")
+    )
 
 
 def _theta_rollup_merge(col):
@@ -507,8 +535,12 @@ def _rollup_exprs(aggs: dict[str, str], merge: bool) -> tuple[list, list]:
     for col, fn in aggs.items():
         fn = fn.upper()
         if fn == "DISTINCTCOUNTTHETASKETCH":
-            build = _theta_rollup_merge if merge else _theta_rollup_build
-            pandas_exprs.append(build(F.col(col)).alias(col))
+            expr = (
+                _theta_rollup_merge(F.col(col))
+                if merge
+                else _theta_rollup_build(col)
+            )
+            pandas_exprs.append(expr.alias(col))
         elif fn == "DISTINCTCOUNTHLL":
             agg = F.hll_union_agg if merge else F.hll_sketch_agg
             exprs.append(agg(F.col(col)).alias(col))

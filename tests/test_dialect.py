@@ -846,6 +846,47 @@ def test_mv_hll_distinct_bounded_restructure(hdb, spark):
     assert r[0].dc == 0
 
 
+def test_mv_raw_hll_returns_serialized_sketch(hdb, spark):
+    """distinctCountRawHLLMV returns the SERIALIZED HLL sketch of the
+    exploded MV values as a base64 STRING (the reference's raw-form
+    envelope), not a count — its estimate must track the exact MV
+    distinct count, and the bytes must round-trip through Spark's own
+    hll_sketch_estimate."""
+    import base64
+
+    rows = hdb.sql(
+        "SELECT label, distinctCountRawHLLMV(embedding) AS sk "
+        "FROM embeddings GROUP BY label ORDER BY label",
+        default_limit=None,
+    ).collect()
+    exact = {
+        r["label"]: r["dc"]
+        for r in hdb.sql(
+            "SELECT label, distinctCountMV(embedding) AS dc "
+            "FROM embeddings GROUP BY label",
+            default_limit=None,
+        ).collect()
+    }
+    assert rows
+    for r in rows:
+        assert isinstance(r["sk"], str)  # base64 STRING envelope
+        est = spark.sql(
+            "SELECT hll_sketch_estimate(X'"
+            + base64.b64decode(r["sk"]).hex()
+            + "') AS e"
+        ).collect()[0]["e"]
+        want = exact[r["label"]]
+        assert abs(est - want) <= max(2, want * 0.05), (r["label"], est, want)
+    # non-restructurable shapes refuse loudly instead of silently
+    # returning a wrong-typed count (the r8 raw-theta defect class)
+    with pytest.raises(Exception, match="serialized HLL sketch"):
+        hdb.sql(
+            "SELECT distinctCountRawHLLMV(e.embedding) AS sk "
+            "FROM embeddings e JOIN embeddings e2 ON e.vec_id = e2.vec_id",
+            default_limit=None,
+        ).collect()
+
+
 def test_bounded_mv_restructure_falls_back_for_alias_group_keys():
     """GROUP BY over a select-list alias resolves in plain Spark GROUP BY
     but not inside the generated CTE/join — those shapes must keep the
@@ -1372,6 +1413,51 @@ def test_raw_theta_sketch_filtered_returns_setop_sketch(hdb):
         assert isinstance(row[field], str)
         sk = deserialize(base64.b64decode(row[field]))
         assert round(sk.estimate()) == exact[op], (field, exact[op])
+
+
+def test_raw_theta_hash_space_stable_across_null_batches(hdb, spark):
+    """Hashing must follow the SPARK column type, not the pandas dtype:
+    CASE WHEN filters introduce NULLs, which degrade int64 Arrow batches
+    to float64 — hashed as doubles they'd live in a different hash space
+    than the NULL-free $0 sketch (update(long) vs update(double) differ
+    in DataSketches by design). SET_DIFF($0, $1) over an int column is
+    the failure shape: pre-fix, $0 and $1 never intersected and the diff
+    returned ~|$0|."""
+    import base64
+
+    from hurricanedb_spark.operators.theta_ds import deserialize, union
+
+    spark.createDataFrame(
+        [(i, "keep" if i % 3 == 0 else "drop") for i in range(100)]
+        + [(None, "keep")],  # a NULL value: the $0 batch is float64 too
+        "v bigint, tag string",
+    ).createOrReplaceTempView("theta_nulls_t")
+    row = hdb.sql(
+        "SELECT "
+        "distinctCountRawThetaSketch(v, 'nominalEntries=4096', "
+        "  'tag = ''keep''', 'SET_DIFF($0, $1)') AS sk_not_keep, "
+        "distinctCountRawThetaSketch(v, 'nominalEntries=4096', "
+        "  'tag = ''keep''', 'SET_INTERSECT($0, $1)') AS sk_keep "
+        "FROM theta_nulls_t",
+        default_limit=None,
+    ).collect()[0]
+    # exact: values 0..99; keep = multiples of 3 (34 values), rest 66
+    assert round(deserialize(base64.b64decode(row["sk_not_keep"])).estimate()) == 66
+    assert round(deserialize(base64.b64decode(row["sk_keep"])).estimate()) == 34
+    # and the simple-form sketch of the same column merges losslessly
+    # with the filtered ones (same hash space)
+    simple = hdb.sql(
+        "SELECT distinctCountRawThetaSketch(v) AS sk FROM theta_nulls_t",
+        default_limit=None,
+    ).collect()[0]["sk"]
+    merged = union(
+        [
+            deserialize(base64.b64decode(simple)),
+            deserialize(base64.b64decode(row["sk_keep"])),
+        ],
+        k=4096,
+    )
+    assert round(merged.estimate()) == 100
 
 
 def test_raw_theta_filtered_sketches_are_mergeable(hdb):

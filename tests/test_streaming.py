@@ -462,3 +462,30 @@ def test_rollup_aggregate_keeps_null_dimension_groups(spark):
         for r in merged.collect()
     }
     assert got2 == {"a": (2, 400), None: (1, 30)}
+
+
+def test_rollup_theta_hash_space_stable_across_null_batches(spark):
+    """An int metric column hashes as LONG in every micro-batch, whether
+    or not the batch carries NULLs: pre-fix, a NULL-bearing batch
+    arrived as float64 and its values sketched as doubles — sketches
+    from NULL-bearing and NULL-free batches of the same column never
+    merged correctly (the union double-counted every shared value)."""
+    from hurricanedb_spark.operators.theta_ds import deserialize
+    from hurricanedb_spark.streaming.realtime import (
+        _rollup_aggregate,
+        _rollup_merge,
+    )
+
+    aggs = {"user_id": "DISTINCTCOUNTTHETASKETCH"}
+    clean = spark.createDataFrame(
+        [("a", i) for i in range(10)], "dim string, user_id bigint"
+    )
+    with_nulls = spark.createDataFrame(
+        [("a", i) for i in range(5, 15)] + [("a", None)],
+        "dim string, user_id bigint",
+    )
+    s1 = _rollup_aggregate(clean, ["dim"], aggs)
+    s2 = _rollup_aggregate(with_nulls, ["dim"], aggs)
+    merged = _rollup_merge(s1, s2, ["dim"], aggs).collect()[0]
+    # union of {0..9} and {5..14} = 15 distinct (pre-fix: 20)
+    assert round(deserialize(bytes(merged["user_id"])).estimate()) == 15
