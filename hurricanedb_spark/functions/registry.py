@@ -496,6 +496,20 @@ def register_all(spark: SparkSession) -> None:
         return _s(_ev(tree, sks, k), lg)
 
     spark.udf.register("thetasetopsketch", _theta_setop_sketch, "binary")
+
+    # thetaSketchEstimate(sketch) -> rounded BIGINT estimate of a compact
+    # sketch; accepts BINARY wire bytes or the base64 STRING envelope the
+    # SQL surface's raw forms return (reference scalar of the same name
+    # over raw sketch results)
+    def _theta_estimate(blob):
+        import base64 as _b64
+
+        from hurricanedb_spark.operators.theta_ds import deserialize as _d
+
+        raw = _b64.b64decode(blob) if isinstance(blob, str) else bytes(blob)
+        return round(_d(raw).estimate())
+
+    spark.udf.register("thetasketchestimate", _theta_estimate, "bigint")
     # theta aggregation over a BYTES column = union of the PRE-BUILT
     # sketches stored in it (DistinctCountThetaSketchAggregationFunction
     # aggregate(): valueTypes[0] == BYTES deserializes and unions instead

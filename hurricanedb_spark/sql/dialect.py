@@ -734,7 +734,11 @@ def _theta_inclusion_exclusion(tree, col: str, preds: dict[int, str]) -> str:
     r_set = minterms(tree)
     n_m = (1 << k) - 1  # nonzero minterms == nonempty subsets
     if not r_set:
-        return "CAST(0 AS BIGINT)"
+        # provably-empty region (e.g. SET_DIFF($1, $1)): the zero must
+        # still be AGGREGATE-shaped — a bare literal would project one
+        # row per INPUT row in a global query instead of one row total
+        # (round-9 fuzz finding)
+        return "CAST((count(*) * 0) AS BIGINT)"
     # M[m][U] = 1 iff minterm m intersects subset U; solve M c = [m in R]
     mat = np.zeros((n_m, n_m))
     for mi, m in enumerate(range(1, 1 << k)):

@@ -164,7 +164,9 @@ def _theta_indep_duck_sql(
                 f"{direct} != {via}"
             )
     if not coeff:
-        return "CAST(0 AS BIGINT)"
+        # aggregate-shaped zero: a bare literal would return one row per
+        # input row in a global aggregate shape
+        return "CAST((count(*) * 0) AS BIGINT)"
     terms = []
     for u, c in sorted(coeff.items(), key=lambda kv: sorted(kv[0])):
         ps = [preds[a] for a in sorted(u)]
@@ -681,6 +683,40 @@ class _Gen:
             return (f"{fn}({e}, {UNIQUE_TIME})", f"{duck}({e}, {UNIQUE_TIME})")
         return (f"{kind}({e_p})", f"{kind}({e_d})")
 
+    def raw_theta_case(self) -> Pair:
+        """RAW theta path end-to-end: per-filter sketches (type-pinned
+        hashing), DataSketches set ops folded post-aggregation, base64
+        envelope, estimated back to BIGINT via thetaSketchEstimate —
+        exact below nominalEntries (fuzz-SF NDV << 65536), so the same
+        INDEPENDENT expansion oracles it. Kept a dedicated query shape:
+        the sketch builders are grouped-agg pandas UDFs, which Spark
+        cannot place beside JVM aggregates in one SELECT."""
+        r = self.rng
+        col = r.choice(["l_suppkey", "l_partkey", "l_linenumber"])
+        k = r.randint(1, 3)
+        preds = [self.pred(1) for _ in range(k)]
+
+        def set_expr(depth: int) -> str:
+            if depth == 0 or r.random() < 0.4:
+                return f"${r.randint(0, k)}"
+            op = r.choice(["SET_UNION", "SET_INTERSECT", "SET_DIFF"])
+            n = 2 if op == "SET_DIFF" else r.randint(2, 3)
+            return f"{op}({', '.join(set_expr(depth - 1) for _ in range(n))})"
+
+        expr = set_expr(2)
+        pinot_filters = ", ".join(
+            "'" + p.replace("'", "''") + "'" for p, _ in preds
+        )
+        pinot = (
+            "thetasketchestimate(distinctCountRawThetaSketch("
+            f"{col}, 'nominalEntries=65536', {pinot_filters}, '{expr}'))"
+        )
+        duck = _theta_indep_duck_sql(
+            expr, k, col,
+            {0: "true", **{i + 1: d for i, (_, d) in enumerate(preds)}},
+        )
+        return (pinot, duck)
+
 
 @dataclass
 class FuzzCase:
@@ -716,9 +752,35 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
             "json_agg",
             "json_select",
             "groovy_agg",
+            "raw_sketch_agg",
         ]
     )
     w_p, w_d = g.pred()
+    if shape == "raw_sketch_agg":
+        # raw theta sketch set ops, alone in the SELECT (grouped-agg
+        # pandas UDF placement rule); grouped half the time
+        e_p, e_d = g.raw_theta_case()
+        if rng.random() < 0.5:
+            key = rng.choice(["l_returnflag", "l_linestatus"])
+            return FuzzCase(
+                f"fuzz_{idx}_rawsketch",
+                f"SELECT {key} AS g0, {e_p} AS a0 FROM lineitem "
+                f"WHERE {w_p} GROUP BY {key}",
+                f"SELECT {key} AS g0, {e_d} AS a0 FROM lineitem "
+                f"WHERE {w_d} GROUP BY {key}",
+                shape,
+            )
+        # global shape: Spark emits NO row when a pandas-UDAF-only global
+        # aggregate sees zero input rows (the reference would return one
+        # empty sketch — documented divergence, README dialect notes);
+        # HAVING count(*) > 0 makes the DuckDB oracle match that
+        return FuzzCase(
+            f"fuzz_{idx}_rawsketch",
+            f"SELECT {e_p} AS a0 FROM lineitem WHERE {w_p}",
+            f"SELECT {e_d} AS a0 FROM lineitem WHERE {w_d} "
+            f"HAVING count(*) > 0",
+            shape,
+        )
     if shape == "mv_select":
         n = rng.randint(1, 3)
         exprs = [g.mv_scalar() for _ in range(n)]

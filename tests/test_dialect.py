@@ -1415,6 +1415,30 @@ def test_raw_theta_sketch_filtered_returns_setop_sketch(hdb):
         assert round(sk.estimate()) == exact[op], (field, exact[op])
 
 
+def test_theta_empty_region_is_aggregate_shaped(hdb, spark):
+    """A provably-empty set expression (SET_DIFF($1,$1)) must still emit
+    an AGGREGATE zero: pre-fix the dialect rendered a bare literal,
+    which projected one 0 per INPUT row in a global query instead of
+    one row total (round-9 fuzz finding)."""
+    spark.createDataFrame([(i,) for i in range(5)], "v bigint") \
+        .createOrReplaceTempView("theta_empty_t")
+    rows = hdb.sql(
+        "SELECT distinctCountThetaSketch(v, '', 'v > 1', "
+        "'SET_DIFF($1, $1)') AS z FROM theta_empty_t",
+        default_limit=None,
+    ).collect()
+    assert len(rows) == 1 and rows[0]["z"] == 0
+    # grouped: one zero per group
+    spark.createDataFrame([(i % 2, i) for i in range(6)], "g int, v bigint") \
+        .createOrReplaceTempView("theta_empty_g")
+    rows = hdb.sql(
+        "SELECT g, distinctCountThetaSketch(v, '', 'v > 1', "
+        "'SET_DIFF($1, $1)') AS z FROM theta_empty_g GROUP BY g",
+        default_limit=None,
+    ).collect()
+    assert sorted((r["g"], r["z"]) for r in rows) == [(0, 0), (1, 0)]
+
+
 def test_raw_theta_hash_space_stable_across_null_batches(hdb, spark):
     """Hashing must follow the SPARK column type, not the pandas dtype:
     CASE WHEN filters introduce NULLs, which degrade int64 Arrow batches

@@ -31,10 +31,11 @@ def test_fuzz_differential_300_cases(spark):
 
 def test_fuzz_covers_all_shapes():
     """The 300-case seeded run must exercise every grammar shape,
-    including the round-5 json/groovy additions."""
+    including the round-5 json/groovy additions and the round-9 raw
+    sketch set-op shape."""
     shapes = {c.shape for c in gen_cases(20260814, 300)}
     assert {
         "select", "global_agg", "group_agg", "lookup", "join", "window",
         "union_all", "cte", "mv_select", "mv_agg", "json_agg",
-        "json_select", "groovy_agg",
+        "json_select", "groovy_agg", "raw_sketch_agg",
     } <= shapes

@@ -148,6 +148,31 @@ def test_intersect_and_difference():
     assert abs(diff.estimate() - 40_000) / 40_000 < 0.10
 
 
+def test_eval_set_tree_exact_and_estimation():
+    """eval_set_tree folds a parsed set-expression tree through
+    union/intersect/a_not_b: exact below k, bounded error above, and
+    structurally nested trees evaluate like direct set algebra."""
+    import random
+
+    rng = random.Random(42)
+    # exact regime: random nested trees vs python sets
+    for _ in range(25):
+        sets = [set(rng.sample(range(3000), rng.randint(100, 1500)))
+                for _ in range(3)]
+        sks = [t.build_sketch(s, k=8192) for s in sets]
+        tree = ("diff", [("union", [0, 1]), ("intersect", [1, 2])])
+        want = len((sets[0] | sets[1]) - (sets[1] & sets[2]))
+        got = t.eval_set_tree(tree, sks, 8192).estimate()
+        assert got == want
+    # estimation regime: bounded error
+    big = [t.build_sketch(range(0, 80_000), k=1024),
+           t.build_sketch(range(40_000, 120_000), k=1024)]
+    est = t.eval_set_tree(("intersect", [0, 1]), big, 1024).estimate()
+    assert abs(est - 40_000) / 40_000 < 0.15
+    with pytest.raises(ValueError, match="unknown theta set operation"):
+        t.eval_set_tree(("xor", [0, 1]), big, 1024)
+
+
 def test_mixed_seed_rejected():
     a = t.build_sketch(range(10), seed=t.DEFAULT_SEED)
     b = t.build_sketch(range(10), seed=123)
