@@ -338,7 +338,26 @@ def q_theta_ds_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sketches.map(lambda b: deserialize(bytes(b)).estimate())
 
     li = _t(spark, sf_dir, "lineitem")
-    sk = theta_ds_sketch_by_group(li, ["l_returnflag"], "l_partkey", k=4096)
+    # exactness precondition, asserted loudly (the same data-scale
+    # coupling class the round-9 ADVICE flagged on the star-tree theta
+    # row): the exact oracle only holds while per-group NDV <= k, which
+    # sf0.1 already exceeds for l_partkey — raise instead of letting the
+    # row silently rot if the gate SF ever grows
+    k = 4096
+    ndv = (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("ndv"))
+        .agg(F.max("ndv"))
+        .collect()[0][0]
+    )
+    if ndv and ndv > k:
+        raise RuntimeError(
+            f"q_theta_ds_compat: per-group NDV {ndv} exceeds nominalEntries "
+            f"{k} — sketches enter estimation mode and the exact oracle no "
+            "longer applies at this SF (estimation accuracy is bounds-"
+            "tested in tests/test_theta_ds.py)"
+        )
+    sk = theta_ds_sketch_by_group(li, ["l_returnflag"], "l_partkey", k=k)
     return sk.select(
         "l_returnflag", _estimate(F.col("sketch")).alias("theta_estimate")
     )

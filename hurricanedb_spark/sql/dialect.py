@@ -343,6 +343,36 @@ _GROOVY_TYPE = {
     "BOOLEAN": "BOOLEAN",
 }
 
+# Groovy/Java String methods -> SQL rendering for the Groovy subset.
+# Each entry: canonical lowercase method name -> (argc, renderer(recv,
+# args)). Index conventions differ deliberately: Groovy substring is
+# 0-based begin/end-exclusive (substr is 1-based length), indexOf is
+# 0-based with -1 absent (instr is 1-based with 0 absent — instr-1
+# matches exactly).
+_GROOVY_STR_METHODS = {
+    "touppercase": (0, lambda r, a: f"upper({r})"),
+    "tolowercase": (0, lambda r, a: f"lower({r})"),
+    "trim": (0, lambda r, a: f"trim({r})"),
+    "length": (0, lambda r, a: f"length({r})"),
+    "size": (0, lambda r, a: f"length({r})"),
+    "isempty": (0, lambda r, a: f"(length({r}) = 0)"),
+    "contains": (1, lambda r, a: f"contains({r}, {a[0]})"),
+    "startswith": (1, lambda r, a: f"startswith({r}, {a[0]})"),
+    "endswith": (1, lambda r, a: f"endswith({r}, {a[0]})"),
+    "indexof": (1, lambda r, a: f"(instr({r}, {a[0]}) - 1)"),
+    "replace": (2, lambda r, a: f"replace({r}, {a[0]}, {a[1]})"),
+    "concat": (1, lambda r, a: f"concat({r}, {a[0]})"),
+    "equalsignorecase": (1, lambda r, a: f"(upper({r}) = upper({a[0]}))"),
+    "substring": (
+        (1, 2),
+        lambda r, a: (
+            f"substr({r}, ({a[0]}) + 1)"
+            if len(a) == 1
+            else f"substr({r}, ({a[0]}) + 1, ({a[1]}) - ({a[0]}))"
+        ),
+    ),
+}
+
 # Math.xxx -> SQL function names for the Groovy subset
 _GROOVY_MATH = {
     "Math.max": "greatest",
@@ -414,12 +444,146 @@ def _index_outside(script: str, char: str, start: int = 0) -> int:
     return -1
 
 
+def _groovy_methods_rewrite(script: str) -> str:
+    """Rewrite Groovy/Java String METHOD CALLS (`receiver.method(args)`)
+    in the groovy() expression subset into SQL. Literal-aware (a '.'
+    inside a string literal is data); receivers may be an identifier
+    (arg0), a string literal, or a ')'-terminated group; chains
+    (arg0.trim().toUpperCase()) resolve by fixpoint — each rewrite turns
+    the receiver into a ')'-terminated group for the next pass. Unknown
+    methods and bare property access raise the documented subset error
+    instead of emitting broken SQL."""
+    ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+    def literal_spans(s: str) -> list[tuple[int, int]]:
+        spans, pos = [], 0
+        for is_lit, text in _segments(s):
+            if is_lit:
+                spans.append((pos, pos + len(text)))
+            pos += len(text)
+        return spans
+
+    def in_lit(spans, i: int) -> bool:
+        return any(a <= i < b for a, b in spans)
+
+    while True:
+        spans = literal_spans(script)
+        n = len(script)
+        found = None
+        for i in range(n):
+            if script[i] == "." and not in_lit(spans, i):
+                m = ident.match(script, i + 1)
+                if m:
+                    if m.end() < n and script[m.end()] == "(":
+                        found = (i, m.group(0), m.end())
+                        break
+                    raise ValueError(
+                        f"groovy(): property access .{m.group(0)} is not "
+                        "translatable — only method CALLS from the string "
+                        "subset; register general scripts as UDFs via "
+                        "spark.udf.register"
+                    )
+        if found is None:
+            return script
+        dot, meth, open_paren = found
+        depth, j = 0, open_paren
+        while j < n:
+            if not in_lit(spans, j):
+                if script[j] == "(":
+                    depth += 1
+                elif script[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            j += 1
+        if depth != 0:
+            raise ValueError("groovy(): unbalanced parentheses in method call")
+        close = j
+        inner = script[open_paren + 1 : close]
+        margs: list[str] = []
+        if inner.strip():
+            ispans = literal_spans(inner)
+            d, last = 0, 0
+            for idx2, ch in enumerate(inner):
+                if in_lit(ispans, idx2):
+                    continue
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                elif ch == "," and d == 0:
+                    margs.append(inner[last:idx2].strip())
+                    last = idx2 + 1
+            margs.append(inner[last:].strip())
+        k = dot - 1
+        while k >= 0 and script[k].isspace():
+            k -= 1
+        if k < 0:
+            raise ValueError("groovy(): method call without receiver")
+        if script[k] == ")" and not in_lit(spans, k):
+            depth2, r = 0, k
+            while r >= 0:
+                if not in_lit(spans, r):
+                    if script[r] == ")":
+                        depth2 += 1
+                    elif script[r] == "(":
+                        depth2 -= 1
+                        if depth2 == 0:
+                            break
+                r -= 1
+            if depth2 != 0:
+                raise ValueError(
+                    "groovy(): unbalanced parentheses before method call"
+                )
+            r2 = r - 1
+            while r2 >= 0 and (script[r2].isalnum() or script[r2] == "_"):
+                r2 -= 1
+            recv_start = r2 + 1
+        elif in_lit(spans, k):
+            span = next(((a, b) for a, b in spans if b - 1 == k), None)
+            if span is None:
+                raise ValueError("groovy(): malformed literal receiver")
+            recv_start = span[0]
+        elif script[k].isalnum() or script[k] == "_":
+            r2 = k
+            while r2 >= 0 and (script[r2].isalnum() or script[r2] == "_"):
+                r2 -= 1
+            recv_start = r2 + 1
+        else:
+            raise ValueError(
+                f"groovy(): unsupported receiver before .{meth}()"
+            )
+        recv = script[recv_start : k + 1]
+        entry = _GROOVY_STR_METHODS.get(meth.lower())
+        if entry is None:
+            raise ValueError(
+                f"groovy(): unsupported method .{meth}() — supported string "
+                f"methods: {', '.join(sorted(_GROOVY_STR_METHODS))}; "
+                "register general scripts as UDFs via spark.udf.register"
+            )
+        argc, render = entry
+        ok = len(margs) in argc if isinstance(argc, tuple) else len(margs) == argc
+        if not ok:
+            raise ValueError(
+                f"groovy(): .{meth}() takes {argc} argument(s), "
+                f"got {len(margs)}"
+            )
+        script = (
+            script[:recv_start]
+            + render(f"({recv})", margs)
+            + script[close + 1 :]
+        )
+
+
 def translate_groovy(args: list[str]) -> str:
     """groovy('{"returnType":...}', 'script', cols...) — the reference's
     inline-script transform (GroovyTransformFunction.java, guarded by
     config). There is no Groovy runtime here; the EXPRESSION SUBSET that
     covers the documented usage (arithmetic, comparison, logic, ternary,
-    Math.*) translates directly to Spark SQL with arg0..argN substituted.
+    Math.*, and the Java/Groovy String methods — toUpperCase/
+    toLowerCase/trim/length/size/isEmpty/contains/startsWith/endsWith/
+    indexOf/replace/concat/equalsIgnoreCase/substring, chainable)
+    translates directly to Spark SQL with arg0..argN substituted.
     Anything beyond the subset raises with guidance to register a real
     UDF via spark.udf.register — the supported extension path."""
     import json as _json
@@ -472,6 +636,10 @@ def translate_groovy(args: list[str]) -> str:
         return seg
 
     script = _map_outside_strings(script, _ops)
+    # Groovy/Java String method calls (arg0.toUpperCase(),
+    # 'lit'.length(), chains) -> SQL; runs after _ops so Math.* is
+    # already resolved and cannot parse as a .method( receiver
+    script = _groovy_methods_rewrite(script)
     # single non-nested ternary: cond ? a : b -> CASE WHEN. The ?/: are
     # located outside string literals so 'a:b' contents don't split.
     qpos = _index_outside(script, "?")

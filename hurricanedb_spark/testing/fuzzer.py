@@ -378,15 +378,51 @@ class _Gen:
         return forms[r.randrange(len(forms))]
 
     # ---------------- string expressions ----------------
-    def groovy_expr(self) -> Pair:
+    def groovy_expr(self, kind: str = "numeric") -> Pair:
         """groovy() expression-subset scripts vs their plain-SQL duck
         equivalent (the dialect translates the script; the oracle is the
-        same arithmetic written directly)."""
+        same arithmetic written directly). kind='numeric' -> LONG
+        arithmetic scripts (safe under sum()); kind='string' ->
+        STRING-returning Java method-subset scripts (aggregate with
+        min/max/count only)."""
         rng = self.rng
         a = rng.choice(SMALL_INT)
         b = rng.choice(["l_linenumber", "l_suppkey"])
         c1 = rng.randint(1, 9)
         c2 = rng.randint(1, 9)
+        if kind == "string":
+            # Java/Groovy String-method subset (round 9): chains, Java
+            # index conventions, literal receivers
+            sc = rng.choice(["l_returnflag", "l_linestatus"])
+            script, duck = rng.choice(
+                [
+                    (
+                        "arg0.concat(''_x'').toUpperCase()",
+                        f"upper({sc} || '_x')",
+                    ),
+                    (
+                        "arg0.replace(''A'', ''z'')",
+                        f"replace({sc}, 'A', 'z')",
+                    ),
+                    (
+                        "arg0.substring(0, 1)",
+                        f"substr({sc}, 1, 1)",
+                    ),
+                    (
+                        "arg0.contains(''A'') ? ''y'' : ''n''",
+                        f"CASE WHEN contains({sc}, 'A') THEN 'y' ELSE 'n' END",
+                    ),
+                    (
+                        "''p_''.concat(arg0).trim()",
+                        f"trim('p_' || {sc})",
+                    ),
+                ]
+            )
+            pinot = (
+                "groovy('{\"returnType\":\"STRING\"}', "
+                f"'{script}', {sc})"
+            )
+            return pinot, duck
         script, duck = rng.choice(
             [
                 (
@@ -815,8 +851,20 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
             shape,
         )
     if shape == "groovy_agg":
-        gp, gd = g.groovy_expr()
         key = rng.choice(["l_returnflag", "l_linestatus"])
+        if rng.random() < 0.35:
+            # STRING-returning method-subset script: aggregate with the
+            # order-safe min/max/count (sum over strings is a cast error)
+            gp, gd = g.groovy_expr(kind="string")
+            return FuzzCase(
+                f"fuzz_{idx}_groovy",
+                f"SELECT {key} AS k, min({gp}) AS mn, max({gp}) AS m, "
+                f"count(*) AS n FROM lineitem WHERE {w_p} GROUP BY {key}",
+                f"SELECT {key} AS k, min({gd}) AS mn, max({gd}) AS m, "
+                f"count(*) AS n FROM lineitem WHERE {w_d} GROUP BY {key}",
+                shape,
+            )
+        gp, gd = g.groovy_expr()
         return FuzzCase(
             f"fuzz_{idx}_groovy",
             f"SELECT {key} AS k, sum({gp}) AS s, max({gp}) AS m, "

@@ -429,6 +429,49 @@ def test_groovy_literal_safety():
         translate_groovy([meta, "'arg0; arg0'", "x"])
 
 
+def test_groovy_string_methods(hdb, spark):
+    """Java/Groovy String methods in the groovy() subset, executed:
+    index conventions must be JAVA's (substring 0-based end-exclusive,
+    indexOf 0-based with -1 absent), chains and literal receivers work,
+    and unknown methods / bare property access reject loudly."""
+    from hurricanedb_spark.sql.dialect import translate_groovy
+
+    spark.createDataFrame(
+        [("  Hello World  ", "x"), ("spark", "y")], "s string, t string"
+    ).createOrReplaceTempView("groovy_str_t")
+    meta = "'{\"returnType\":\"STRING\"}'"
+    imeta = "'{\"returnType\":\"INT\"}'"
+    bmeta = "'{\"returnType\":\"BOOLEAN\"}'"
+    rows = hdb.sql(
+        f"SELECT groovy({meta}, 'arg0.trim().toUpperCase()', s) AS up, "
+        f"groovy({imeta}, 'arg0.trim().length()', s) AS ln, "
+        f"groovy({meta}, 'arg0.trim().substring(0, 5)', s) AS sub, "
+        f"groovy({imeta}, 'arg0.indexOf(''World'')', s) AS iw, "
+        f"groovy({imeta}, 'arg0.indexOf(''zzz'')', s) AS iz, "
+        f"groovy({bmeta}, 'arg0.trim().startsWith(''Hel'')', s) AS st, "
+        f"groovy({meta}, 'arg0.replace(''l'', ''L'').trim()', s) AS rp, "
+        f"groovy({bmeta}, '''pre''.concat(arg1).equalsIgnoreCase(''PREX'')', s, t) AS eq "
+        "FROM groovy_str_t ORDER BY ln DESC",
+        default_limit=None,
+    ).collect()
+    r = rows[0]  # the '  Hello World  ' row
+    assert r["up"] == "HELLO WORLD"
+    assert r["ln"] == 11
+    assert r["sub"] == "Hello"  # Java substring(0,5): end-exclusive
+    assert r["iw"] == 8  # 0-based indexOf into the untrimmed string
+    assert r["iz"] == -1  # absent -> -1, Java convention
+    assert r["st"] is True
+    assert r["rp"] == "HeLLo WorLd"
+    assert r["eq"] is True
+    # rejections: unknown method, property access, bad arity
+    with pytest.raises(ValueError, match="unsupported method"):
+        translate_groovy([meta, "'arg0.reverse()'", "s"])
+    with pytest.raises(ValueError, match="property access"):
+        translate_groovy(["'{\"returnType\":\"INT\"}'", "'arg0.length'", "s"])
+    with pytest.raises(ValueError, match="takes"):
+        translate_groovy([meta, "'arg0.substring()'", "s"])
+
+
 def test_groovy_literal_safety_through_sql(hdb):
     df = hdb.sql(
         "SELECT groovy('{\"returnType\":\"STRING\"}', "
