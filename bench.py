@@ -1,7 +1,9 @@
 """Benchmark runner (driver contract).
 
 Runs the headline query set (bench=True in the registry: the 7 pinot-druid
-queries, SSB representatives, TPC-H Q1, join/filter shapes) at
+queries, ALL 13 SSB queries, TPC-H Q1, join/filter shapes — 26 total
+since round 9; BASELINE.md names the pinot-druid + full-SSB sets as the
+reference's own bench surface) at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
 
