@@ -603,8 +603,11 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinctCountThetaSketch raw form): per-group sketches built with a "
     "map-side partial phase (one shuffle of O(groups x K) doubles), "
     "estimated with the KMV estimator. Below K the sketch is lossless, "
-    "so THIS query is exact and oracle-checked; the approximate regime "
-    "and union/intersection/difference algebra are bounded in "
+    "so THIS query is exact and oracle-checked — a DATA-SCALE "
+    "precondition the query asserts loudly (per-group NDV <= K) instead "
+    "of letting the exact oracle silently rot when the fixture grows "
+    "(sf1 crosses it); the approximate regime and "
+    "union/intersection/difference algebra are bounded in "
     "tests/test_theta.py.",
     tags=("datapipe", "sketch", "approx"),
 )
@@ -612,7 +615,21 @@ def q_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hurricanedb_spark.operators import theta as th
 
     li = _t(spark, sf_dir, "lineitem")
-    sk = th.theta_sketch_by_group(li, ["l_returnflag"], "l_suppkey", k=1024)
+    k = 1024
+    ndv = (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("ndv"))
+        .agg(F.max("ndv"))
+        .collect()[0][0]
+    )
+    if ndv and ndv > k:
+        raise RuntimeError(
+            f"q_theta_sketch_distinct: per-group NDV {ndv} exceeds K={k} — "
+            "the KMV sketch enters estimation mode and the exact oracle no "
+            "longer applies at this SF (estimation accuracy is bounds-"
+            "tested in tests/test_theta.py)"
+        )
+    sk = th.theta_sketch_by_group(li, ["l_returnflag"], "l_suppkey", k=k)
     return sk.select(
         "l_returnflag",
         th.theta_estimate(F.col("sketch"), 1024).cast("bigint").alias("n_supp"),
