@@ -143,6 +143,60 @@ def q_theta_sketch_filtered_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_theta_sketch_many_filters",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, bool_or(o_orderstatus = 'F') AS in_f
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT CASE WHEN o_orderpriority IN
+             ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+             OR o_orderstatus = 'F' OR o_totalprice > 100000
+             THEN o_custkey END) FROM orders) AS BIGINT) AS dc_union7,
+           CAST(COUNT(*) FILTER (WHERE NOT in_f) AS BIGINT)
+             AS dc_diff_f
+    FROM per
+    """,
+    doc="Filtered distinctCountThetaSketch ABOVE the inclusion-exclusion "
+    "cap: both calls reference 7 sketches, routing to the per-group "
+    "collect_set array algebra fallback (exact, state O(ndv)/group) "
+    "instead of the 2^k-term expansion — this row oracle-covers the "
+    "fallback the docstrings describe (the <=6 path is covered by "
+    "q_theta_sketch_filtered_sql). dc_union7 is per-row expressible; "
+    "dc_diff_f = (union of all 7 sets, which covers every custkey since "
+    "the five priorities partition the rows) minus the F-status set, "
+    "oracled via per-key bool_or membership.",
+    tags=("dialect", "aggregation", "sketch", "setops"),
+)
+def q_theta_sketch_many_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hdb(spark, sf_dir).sql(
+        """
+        SELECT distinctCountThetaSketch(o_custkey, '',
+                 'o_orderpriority = ''1-URGENT''',
+                 'o_orderpriority = ''2-HIGH''',
+                 'o_orderpriority = ''3-MEDIUM''',
+                 'o_orderpriority = ''4-NOT SPECIFIED''',
+                 'o_orderpriority = ''5-LOW''',
+                 'o_orderstatus = ''F''',
+                 'o_totalprice > 100000',
+                 'SET_UNION($1, $2, $3, $4, $5, $6, $7)') AS dc_union7,
+               distinctCountThetaSketch(o_custkey, '',
+                 'o_orderpriority = ''1-URGENT''',
+                 'o_orderpriority = ''2-HIGH''',
+                 'o_orderpriority = ''3-MEDIUM''',
+                 'o_orderpriority = ''4-NOT SPECIFIED''',
+                 'o_orderpriority = ''5-LOW''',
+                 'o_orderstatus = ''F''',
+                 'o_totalprice > 100000',
+                 'SET_DIFF(SET_UNION($1, $2, $3, $4, $5, $6, $7), $6)')
+                 AS dc_diff_f
+        FROM orders
+        """,
+        default_limit=None,
+    )
+
+
+@register(
     "q_raw_theta_filtered_sketch",
     oracle="""
     WITH per AS (

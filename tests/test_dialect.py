@@ -1458,6 +1458,26 @@ def test_raw_theta_sketch_filtered_returns_setop_sketch(hdb):
         assert round(sk.estimate()) == exact[op], (field, exact[op])
 
 
+def test_theta_above_cap_routes_to_array_fallback():
+    """Expressions referencing MORE than 6 sketches must route to the
+    per-group collect_set array algebra, not the 2^k inclusion-exclusion
+    expansion (which would emit 127 count(DISTINCT) children)."""
+    filters = ", ".join(f"'f{i} = {i}'" for i in range(1, 8))
+    out = rewrite_functions(
+        f"SELECT distinctCountThetaSketch(x, '', {filters}, "
+        "'SET_UNION($1, $2, $3, $4, $5, $6, $7)') FROM t"
+    )
+    assert "collect_set" in out and "array_union" in out
+    assert out.count("count(DISTINCT") == 0
+    # ...and 6 referenced sketches stay on the distributed expansion
+    filters6 = ", ".join(f"'f{i} = {i}'" for i in range(1, 7))
+    out6 = rewrite_functions(
+        f"SELECT distinctCountThetaSketch(x, '', {filters6}, "
+        "'SET_UNION($1, $2, $3, $4, $5, $6)') FROM t"
+    )
+    assert "collect_set" not in out6 and "count(DISTINCT" in out6
+
+
 def test_theta_empty_region_is_aggregate_shaped(hdb, spark):
     """A provably-empty set expression (SET_DIFF($1,$1)) must still emit
     an AGGREGATE zero: pre-fix the dialect rendered a bare literal,
