@@ -1,0 +1,70 @@
+"""Measure the LLM-training-pipeline operators at bench scale.
+
+Times every `datapipe`-tagged registered query at $SPARK_GRAFT_SF_DIR
+(default sf0.1) — dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard
+/ connected components), ANN similarity (brute-force / LSH / IVF),
+contamination, text analysis, sampling, sketches, multimodal plumbing —
+and emits ONE JSON line `{"metric": "datapipe_bench", "queries": {...},
+"sf": ...}` so per-round tracking uses the same 3-run-minima method as
+the headline set (tools/bench_minima.py; BENCH.md training-pipeline
+table).
+
+Per query: one warm-up run, then median of 3 timed `.count()` runs
+(same protocol as bench.py). q_ngram_jaccard_pairs is the documented
+EXACT blocked-quadratic baseline and dominates the total — it is
+reported like every other row, not excluded, so regressions on the
+guard boundary stay visible.
+
+Usage: python tools/bench_datapipe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hurricanedb_spark.queries import all_queries
+from hurricanedb_spark.session import get_spark
+
+RUNS = 3
+
+
+def main() -> int:
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("hurricanedb-datapipe-bench")
+    reg = {n: q for n, q in all_queries().items() if "datapipe" in q.tags}
+    timings: dict[str, float] = {}
+    for name, qd in sorted(reg.items()):
+        qd.fn(spark, sf_dir).count()  # warm-up
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "datapipe_bench",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
