@@ -497,6 +497,37 @@ def register_all(spark: SparkSession) -> None:
 
     spark.udf.register("thetasetopsketch", _theta_setop_sketch, "binary")
 
+    # rawQDigest(longCol): exact-regime Pinot QuantileDigest wire bytes
+    # per group (operators/percentile_digest.py — vendored
+    # QuantileDigest.java layout); the percentileRawEst surface wraps it
+    # in the reference's lowercase-hex STRING envelope
+    from hurricanedb_spark.operators.percentile_digest import (
+        build_qdigest as _qd_build,
+    )
+
+    def _raw_qdigest(v):
+        return _qd_build(v.dropna().astype("int64").tolist())
+
+    spark.udf.register(
+        "rawqdigest",
+        _F.pandas_udf(_raw_qdigest, "binary", _F.PandasUDFType.GROUPED_AGG),
+    )
+    # rawTDigest(doubleCol): t-digest MergingDigest wire bytes per group
+    # (operators/tdigest.py — public tdunning layout, compression 100 =
+    # the reference's DEFAULT_TDIGEST_COMPRESSION); percentileRawTDigest
+    # wraps it in the lowercase-hex STRING envelope
+    from hurricanedb_spark.operators.tdigest import (
+        build_tdigest as _td_build,
+    )
+
+    def _raw_tdigest(v):
+        return _td_build(v.dropna().astype("float64").tolist())
+
+    spark.udf.register(
+        "rawtdigest",
+        _F.pandas_udf(_raw_tdigest, "binary", _F.PandasUDFType.GROUPED_AGG),
+    )
+
     # thetaSketchEstimate(sketch) -> rounded BIGINT estimate of a compact
     # sketch; accepts BINARY wire bytes or the base64 STRING envelope the
     # SQL surface's raw forms return (reference scalar of the same name

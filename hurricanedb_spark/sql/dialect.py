@@ -79,7 +79,8 @@ _AGG_REWRITES: dict[str, str] = {
     "sumprecision": "sum(CAST($1 AS DECIMAL(38,18)))",
     "percentileest": "percentile_approx($1, $2 / 100)",
     "percentiletdigest": "percentile_approx($1, $2 / 100)",
-    "percentilerawtdigest": "percentile_approx($1, $2 / 100)",
+    # percentilerawtdigest is NOT a template: it returns the
+    # HEX-serialized t-digest (validated pct), see _agg_optional_args
     "percentilesmarttdigest": "percentile_approx($1, $2 / 100)",
     # plain PERCENTILE takes 0-100 like every other percentile* name
     # (PercentileAggregationFunction); the body backtick-quotes the Spark
@@ -126,9 +127,12 @@ _AGG_REWRITES: dict[str, str] = {
     "percentilemv": _PCTL_MV_EXACT,
     "percentileestmv": _PCTL_MV_EXACT,
     "percentiletdigestmv": _PCTL_MV_EXACT,
-    "percentilerawtdigestmv": _PCTL_MV_EXACT,
-    "percentilerawestmv": _PCTL_MV_EXACT,
-    "percentilerawest": "percentile_approx($1, $2 / 100)",
+    # the RAW MV percentile forms are NOT templates: they return
+    # HEX-serialized digests, which only the bounded MV restructure can
+    # build (rawtdigest/rawqdigest over the exploded CTE);
+    # non-restructurable shapes raise in _agg_optional_args
+    # percentilerawest is NOT a template: it returns the HEX-serialized
+    # QuantileDigest (validated pct arg), handled in _agg_optional_args
     "distinctcountrawthetasketch": "approx_count_distinct($1)",
     # STUnion SQL name (Python API: functions/geo.py:st_union_agg)
     "stunion": "array_sort(collect_set($1))",
@@ -1276,6 +1280,43 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
                 "a -> IF(a.cnt = 0L, CAST(NULL AS DOUBLE), a.sum / a.cnt))"
             )
         raise ValueError(f"mode: unknown MultiModeReducerType {reducer!r}")
+    if name == "percentilerawtdigest" and len(args) == 2:
+        # HEX-serialized MergingDigest of the group's values
+        # (SerializedTDigest.toString -> lowercase hex;
+        # PercentileRawTDigestAggregationFunction, compression 100) —
+        # mergeable state, not the estimate; the percentile arg is
+        # validated but only parameterizes client-side extraction
+        pct = float(args[1].strip().strip("'"))
+        if not 0 <= pct <= 100:
+            raise ValueError(
+                f"percentileRawTDigest: percentile out of range: {pct}"
+            )
+        return f"lower(hex(rawtdigest(CAST(({args[0]}) AS DOUBLE))))"
+    if name == "percentilerawest" and len(args) == 2:
+        # returns the HEX-serialized QuantileDigest, not the estimate
+        # (SerializedQuantileDigest.toString -> BytesUtils.toHexString,
+        # lowercase — Spark's hex() is uppercase, hence lower();
+        # PercentileRawEstAggregationFunction.java). Values cast to
+        # BIGINT like the reference's long-domain digest; the percentile
+        # arg is validated but only parameterizes client-side extraction
+        # — the result is the digest either way.
+        pct = float(args[1].strip().strip("'"))
+        if not 0 <= pct <= 100:
+            raise ValueError(
+                f"percentileRawEst: percentile out of range: {pct}"
+            )
+        return f"lower(hex(rawqdigest(CAST(({args[0]}) AS BIGINT))))"
+    if name in ("percentilerawtdigestmv", "percentilerawestmv"):
+        # reachable only when rewrite_mv_percentile_bounded could NOT
+        # restructure the query: the raw MV forms return HEX-serialized
+        # digests, which need the exploded rawtdigest/rawqdigest CTE —
+        # refuse loudly rather than return a wrong-typed value
+        raise ValueError(
+            f"{name} returns a serialized digest and requires the bounded "
+            "MV restructure (single-table SELECT without join/union/CTE/"
+            "select-star); rewrite the query or explode() the column and "
+            "use the SV raw form"
+        )
     if name == "distinctcountrawhllmv":
         # reachable only when rewrite_mv_percentile_bounded could NOT
         # restructure the query (join/union/CTE/star shapes): the raw MV
@@ -1312,7 +1353,9 @@ def rewrite_functions(sql: str, max_passes: int = 10) -> str:
            "regexpextract", "truncate", "valuein", "rounddecimal",
            "round_decimal", "case", "casewhen", "case_when", "div",
            "divide", "regexpreplace", "timestampadd", "dateadd",
-           "timestampdiff", "datediff", "distinctcountrawhllmv"}
+           "timestampdiff", "datediff", "distinctcountrawhllmv",
+           "percentilerawest", "percentilerawtdigest",
+           "percentilerawtdigestmv", "percentilerawestmv"}
     )
     # Pinot's FunctionRegistry canonicalizes by dropping underscores, so
     # ST_Distance == STDISTANCE. Alias ONLY the st* family — a global
@@ -1590,6 +1633,12 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
     colinfo: dict[str, tuple[str, list[tuple[str, str]]]] = {}  # col -> (orig, [(agg_sql, alias)])
 
     def _call_key(name: str, args: list[str]) -> tuple[str, str] | None:
+        if name == "percentilerawtdigestmv" and len(args) == 2:
+            # raw form: HEX-serialized t-digest of the exploded values
+            # (result independent of the pct arg — clients extract)
+            return (_norm(args[0]), "#rawtd")
+        if name == "percentilerawestmv" and len(args) == 2:
+            return (_norm(args[0]), "#rawqd")
         if name in _TDMV_NAMES and len(args) == 2:
             return (_norm(args[0]), _norm(args[1]))
         if name == "distinctcountrawhllmv" and len(args) == 1:
@@ -1621,6 +1670,10 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
                 # with sketches built the same way, not with
                 # update(long)-hashed ones)
                 agg_sql = "hll_sketch_agg(CAST(_mv AS STRING))"
+            elif k[1] == "#rawtd":
+                agg_sql = "rawtdigest(CAST(_mv AS DOUBLE))"
+            elif k[1] == "#rawqd":
+                agg_sql = "rawqdigest(CAST(_mv AS BIGINT))"
             else:
                 agg_sql = (
                     f"percentile_approx(CAST(_mv AS DOUBLE), ({args[1]}) / 100)"
@@ -1642,6 +1695,10 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
                 # base64 STRING envelope (ColumnDataType.STRING); a group
                 # whose arrays are all empty yields NULL (no sketch built)
                 out.append(f"base64(min({assign[k]}))")
+            elif k[1] in ("#rawtd", "#rawqd"):
+                # hex STRING envelope (SerializedTDigest /
+                # SerializedQuantileDigest .toString); empty -> NULL
+                out.append(f"lower(hex(min({assign[k]})))")
             else:
                 out.append(f"min({assign[k]})")
             pos = e

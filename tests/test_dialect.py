@@ -677,7 +677,10 @@ def test_mv_percentile_bounded_restructure_shapes():
     assert "percentile_approx" in grouped and "explode(embedding)" in grouped
     assert "collect_list" not in grouped and "LEFT JOIN" in grouped
     global_q = rw("SELECT percentileRawTDigestMV(embedding, 50) AS p FROM embeddings")
-    assert "CROSS JOIN" in global_q and "percentile_approx" in global_q
+    # the RAW MV form builds the serialized digest (hex envelope), not
+    # the estimate
+    assert "CROSS JOIN" in global_q and "rawtdigest" in global_q
+    assert "lower(hex(" in global_q
     # exact form and non-restructurable shapes fall back unchanged
     for q in (
         "SELECT percentileMV(embedding, 50) FROM embeddings",
@@ -814,10 +817,16 @@ def test_mv_percentile_bounded_multiple_columns_and_pcts(spark):
         default_limit=None,
     ).collect()
     assert len(rows) == 4
+    from hurricanedb_spark.operators.tdigest import deserialize_tdigest
+
     for r, e in zip(rows, exact):
         assert r.grp == e.grp
-        for c in ("a50", "a90", "b50"):
+        for c in ("a50", "a90"):
             assert abs(getattr(r, c) - getattr(e, c)) <= abs(getattr(e, c)) * 0.05
+        # b50 is the RAW form: a hex-serialized t-digest whose median
+        # estimate must track the exact MV percentile
+        d = deserialize_tdigest(bytes.fromhex(r.b50))
+        assert abs(d.quantile(0.5) - e.b50) <= abs(e.b50) * 0.05
     # monotonic sanity: a90 >= a50 within each group
     assert all(r.a90 >= r.a50 for r in rows)
 
