@@ -57,10 +57,11 @@ _AGG_REWRITES: dict[str, str] = {
     "distinctcountbitmap": "count(DISTINCT $1)",
     "segmentpartitioneddistinctcount": "count(DISTINCT $1)",
     "distinctcounthll": "approx_count_distinct($1)",
-    # raw sketch results are base64 STRINGs in the reference
-    # (ColumnDataType.STRING); the sketch bytes themselves are the
+    # raw HLL results are lowercase-HEX STRINGs in the reference
+    # (SerializedHLL.toString -> BytesUtils.toHexString — unlike raw
+    # THETA, which is Base64); the sketch bytes themselves are the
     # engine's HLL wire form (DataSketches, hll_sketch_agg)
-    "distinctcountrawhll": "base64(hll_sketch_agg($1))",
+    "distinctcountrawhll": "lower(hex(hll_sketch_agg($1)))",
     # SmartHLL is exact below its threshold (default 100k) and HLL above
     # — a single-node memory bound; Spark's distributed count(DISTINCT)
     # is exact at every size, dominating both regimes
@@ -1184,7 +1185,7 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
         log2m = int(args[1].strip().strip("'"))
         if not 4 <= log2m <= 21:
             raise ValueError(f"distinctCountRawHLL log2m out of range: {log2m}")
-        return f"base64(hll_sketch_agg({args[0]}, {log2m}))"
+        return f"lower(hex(hll_sketch_agg({args[0]}, {log2m})))"
     if name in ("firstwithtime", "lastwithtime") and len(args) == 3:
         # 3-arg reference form: (dataCol, timeCol, 'dataType')
         dt = _unquote_literal(args[2], f"{name} dataType").upper()
@@ -1692,9 +1693,9 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
                 # (matching the exact macro), not NULL
                 out.append(f"coalesce(min({assign[k]}), 0)")
             elif k[1] == "#rawhll":
-                # base64 STRING envelope (ColumnDataType.STRING); a group
-                # whose arrays are all empty yields NULL (no sketch built)
-                out.append(f"base64(min({assign[k]}))")
+                # lowercase-HEX STRING envelope (SerializedHLL.toString);
+                # a group whose arrays are all empty yields NULL
+                out.append(f"lower(hex(min({assign[k]})))")
             elif k[1] in ("#rawtd", "#rawqd"):
                 # hex STRING envelope (SerializedTDigest /
                 # SerializedQuantileDigest .toString); empty -> NULL
@@ -2226,8 +2227,9 @@ class HurricaneSQL:
                     " AS BIGINT)"
                 )
             elif is_bin and name == "distinctcountrawhll" and len(args) <= 2:
-                # raw results get the reference's base64 STRING envelope
-                out.append(f"base64(hll_union_agg({col}))")
+                # raw HLL results get the reference's lowercase-HEX
+                # STRING envelope (SerializedHLL.toString)
+                out.append(f"lower(hex(hll_union_agg({col})))")
             elif is_bin and len(args) <= 2:
                 nominal = _theta_params(args[1]) if len(args) == 2 else 4096
                 if name == "distinctcountrawthetasketch":

@@ -900,12 +900,10 @@ def test_mv_hll_distinct_bounded_restructure(hdb, spark):
 
 def test_mv_raw_hll_returns_serialized_sketch(hdb, spark):
     """distinctCountRawHLLMV returns the SERIALIZED HLL sketch of the
-    exploded MV values as a base64 STRING (the reference's raw-form
-    envelope), not a count — its estimate must track the exact MV
-    distinct count, and the bytes must round-trip through Spark's own
-    hll_sketch_estimate."""
-    import base64
-
+    exploded MV values as a lowercase-HEX STRING (the reference's raw
+    HLL envelope, SerializedHLL.toString), not a count — its estimate
+    must track the exact MV distinct count, and the bytes must
+    round-trip through Spark's own hll_sketch_estimate."""
     rows = hdb.sql(
         "SELECT label, distinctCountRawHLLMV(embedding) AS sk "
         "FROM embeddings GROUP BY label ORDER BY label",
@@ -921,11 +919,11 @@ def test_mv_raw_hll_returns_serialized_sketch(hdb, spark):
     }
     assert rows
     for r in rows:
-        assert isinstance(r["sk"], str)  # base64 STRING envelope
+        # lowercase-hex STRING envelope (SerializedHLL.toString — raw
+        # HLL is hex in the reference, unlike raw theta's base64)
+        assert isinstance(r["sk"], str) and r["sk"] == r["sk"].lower()
         est = spark.sql(
-            "SELECT hll_sketch_estimate(X'"
-            + base64.b64decode(r["sk"]).hex()
-            + "') AS e"
+            "SELECT hll_sketch_estimate(X'" + r["sk"] + "') AS e"
         ).collect()[0]["e"]
         want = exact[r["label"]]
         assert abs(est - want) <= max(2, want * 0.05), (r["label"], est, want)
@@ -1647,12 +1645,9 @@ def test_hll_over_bytes_column_merges_sketches(hdb, spark):
         "SELECT distinctCountRawHLL(sk) AS m FROM hll_bytes_t",
         default_limit=None,
     ).collect()[0]["m"]
-    import base64
-
-    assert isinstance(raw, str)  # base64 STRING envelope
+    # lowercase-hex STRING envelope (SerializedHLL.toString)
+    assert isinstance(raw, str) and raw == raw.lower()
     est = spark.sql(
-        "SELECT hll_sketch_estimate(X'"
-        + base64.b64decode(raw).hex()
-        + "') AS e"
+        "SELECT hll_sketch_estimate(X'" + raw + "') AS e"
     ).collect()[0]["e"]
     assert abs(est - 300) / 300 < 0.05
