@@ -1281,6 +1281,14 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
                 "a -> IF(a.cnt = 0L, CAST(NULL AS DOUBLE), a.sum / a.cnt))"
             )
         raise ValueError(f"mode: unknown MultiModeReducerType {reducer!r}")
+    if name in ("percentilerawtdigest", "percentilerawest") and len(args) != 2:
+        # without this, a 1-/3-arg call would fall through every rewrite
+        # pass untouched and surface as Spark's "unresolved routine"
+        # instead of the loud arity error every other aggregate gets
+        raise ValueError(
+            f"{name} expects exactly 2 arguments (column, percentile), "
+            f"got {len(args)}"
+        )
     if name == "percentilerawtdigest" and len(args) == 2:
         # HEX-serialized MergingDigest of the group's values
         # (SerializedTDigest.toString -> lowercase hex;
@@ -1886,10 +1894,14 @@ def apply_default_limit(sql: str, default: int = 10) -> str:
     return f"{sql.rstrip().rstrip(';')} LIMIT {default}"
 
 
-# (segment dir, columns.psf mtime) -> (missing cols, corrupt cols):
-# registration-time text-index probes are pure metadata reads, so the
-# result is stable until the segment is rewritten
-_TEXT_PROBE_CACHE: dict[tuple[str, float], tuple[list[str], list[str]]] = {}
+# (segment dir, columns.psf mtime, standalone-index-file mtimes) ->
+# (missing cols, corrupt cols): registration-time text-index probes are
+# pure metadata reads, so the result is stable until the segment — or a
+# v1/v2 standalone text-index file, which can be rewritten WITHOUT
+# touching columns.psf — is rewritten. Superseded keys for the same
+# segment are evicted on insert so a long-lived session doesn't
+# accumulate one entry per historical mtime.
+_TEXT_PROBE_CACHE: dict[tuple, tuple[list[str], list[str]]] = {}
 
 
 def _probe_native_text_headers(seg: str) -> tuple[list[str], list[str]]:
@@ -1914,14 +1926,27 @@ def _probe_native_text_headers(seg: str) -> tuple[list[str], list[str]]:
 
     meta = read_segment_metadata(seg)
     psf_path = os.path.join(meta.segment_dir, INDEX_FILE)
-    try:
-        mtime = os.path.getmtime(psf_path)
-    except OSError:
-        mtime = 0.0
-    key = (seg, mtime)
+    def _mtime(path: str) -> float:
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return 0.0
+
+    # v1/v2 standalone text-index files live OUTSIDE columns.psf and can
+    # be rewritten without touching it — their mtimes join the key
+    standalone = tuple(
+        sorted(
+            (entry, _mtime(entry))
+            for (_col, kind), entry in meta.index_map.items()
+            if kind == "text_index" and isinstance(entry, str)
+        )
+    )
+    key = (seg, _mtime(psf_path), standalone)
     cached = _TEXT_PROBE_CACHE.get(key)
     if cached is not None:
         return cached
+    for stale in [k for k in _TEXT_PROBE_CACHE if k[0] == seg and k != key]:
+        del _TEXT_PROBE_CACHE[stale]
     missing: list[str] = []
     corrupt: list[str] = []
     for col in lucene_text_index_columns(seg):

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 import random
+import zlib
 from dataclasses import dataclass
 
 import duckdb
@@ -150,7 +151,10 @@ def _theta_indep_duck_sql(
     tree = _theta_indep_parse(expr, k)
     atoms = sorted(_theta_indep_atoms(tree))
     coeff = _theta_indep_expansion(tree, atoms)
-    rr = random.Random(hash(expr) & 0xFFFF)
+    # crc32, not hash(): str hash is salted per process (PYTHONHASHSEED),
+    # which would make a self-check failure non-reproducible from the
+    # reported expression
+    rr = random.Random(zlib.crc32(expr.encode()) & 0xFFFF)
     for _ in range(30):
         sets = {a: {x for x in range(12) if rr.random() < 0.5} for a in atoms}
         direct = len(_theta_indep_eval(tree, sets))

@@ -126,6 +126,19 @@ def test_raw_percentile_sql_returns_hex_digests(hdb):
         rewrite_functions("SELECT percentileRawTDigest(x, -1) FROM t")
 
 
+def test_raw_percentile_arity_is_loud():
+    """1-/3-arg raw percentile calls must raise the dialect's arity error,
+    not fall through all rewrite passes to Spark's 'unresolved routine'."""
+    for bad in (
+        "SELECT percentileRawEst(x) FROM t",
+        "SELECT percentileRawEst(x, 50, 'extra') FROM t",
+        "SELECT percentileRawTDigest(x) FROM t",
+        "SELECT percentileRawTDigest(x, 50, 99) FROM t",
+    ):
+        with pytest.raises(ValueError, match="expects exactly 2 arguments"):
+            rewrite_functions(bad)
+
+
 def test_raw_percentile_sql_digests_merge_across_slices(hdb):
     """Persist-then-merge workflow: per-status raw digests re-merge into
     the all-rows digest's estimates."""

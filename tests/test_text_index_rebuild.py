@@ -210,3 +210,33 @@ def test_text_probe_cached_per_segment(tmp_path):
     # rebuilding rewrites columns.psf -> mtime key changes -> fresh probe
     nti.rebuild_text_indexes(seg)
     assert dsql._probe_native_text_headers(seg) == ([], [])
+    # superseded mtime keys for the same segment are evicted, not
+    # accumulated (long-lived-session leak)
+    assert len([k for k in dsql._TEXT_PROBE_CACHE if k[0] == seg]) == 1
+
+
+def test_text_probe_sees_standalone_index_rewrite(tmp_path):
+    """v1/v2 standalone text-index files can be rewritten WITHOUT touching
+    columns.psf; the probe cache must key on their mtimes too, or it
+    serves stale corrupt/present classifications."""
+    import struct
+    import time
+
+    from hurricanedb_spark.sql import dialect as dsql
+
+    seg, _ = _mk_segment(tmp_path, "seg_v1", with_lucene_dir=True)
+    d = ps._resolve_dir(seg)
+    # downgrade to the v1/v2 layout: no index-map file, per-index
+    # standalone files named <column><extension>
+    os.remove(os.path.join(d, ps.INDEX_MAP_FILE))
+    standalone = os.path.join(d, "text.nativetext.idx")
+    with open(standalone, "wb") as f:
+        f.write(b"\x00\x00\x00\x00junk")  # wrong magic -> corrupt
+    assert dsql._probe_native_text_headers(seg) == ([], ["text"])
+    # rewrite the standalone file with a valid header; columns.psf is
+    # untouched, so only the standalone mtime distinguishes the state
+    time.sleep(0.02)
+    with open(standalone, "wb") as f:
+        f.write(struct.pack(">i", nti.FST_MAGIC) + b"rest")
+    assert dsql._probe_native_text_headers(seg) == ([], [])
+    assert len([k for k in dsql._TEXT_PROBE_CACHE if k[0] == seg]) == 1
