@@ -1,0 +1,222 @@
+"""Two-phase (partial -> merge) builders for the raw mergeable
+digests/sketches.
+
+The reference's aggregation contract is partial/combine/final
+(pinot-core/.../query/aggregation/function/AggregationFunction.java:42-130:
+per-segment `aggregate`, server-side merge of intermediate results,
+broker `extractFinalResult`), so a hot group's raw values never
+concentrate on one node — each segment builds a bounded digest and only
+digests move. A single-phase pandas GROUPED_AGG UDF inverts that: Spark
+ships the group's ENTIRE raw value set through one Arrow batch to one
+Python worker before the bounded digest is built. Bounded output,
+unbounded intermediate — the one remaining scale-wrong shape after
+round 9.
+
+This module is the Spark-native partial/combine formulation:
+
+  phase 1  mapInPandas over the source partitions — one bounded digest
+           per (Arrow batch x group), built where the data sits; no
+           repartition, no raw-value shuffle. State per task is
+           O(groups-in-batch x digest-size).
+  phase 2  groupBy(keys).applyInPandas — merges the serialized partials
+           (O(batches-containing-key) blobs per key, each digest-sized).
+
+The only Exchange in the executed plan carries partial digest blobs,
+never raw values (asserted by tests/test_raw_partial.py's 10M-row
+hot-group plan test).
+
+Determinism vs the single-phase builders:
+  - qdigest: identical bytes — the exact-regime QuantileDigest is built
+    from value counts, and merging partials sums the same counts before
+    the same trie build (operators/percentile_digest.py).
+  - theta: identical bytes — union of partials keeps the same k smallest
+    distinct hash values as a direct build, and compact-ordered
+    serialization is canonical (operators/theta_ds.py).
+  - tdigest: same accuracy class, not byte-identical — centroid
+    formation depends on merge order, exactly as in the reference's
+    tdunning implementation.
+  - hll (clearspring registers): identical bytes — registers merge by
+    elementwise max, which commutes.
+
+The SQL surface routes the restructurable single-table shapes here
+(sql/dialect.py HurricaneSQL._raw_digest_two_phase); non-restructurable
+shapes keep the single-phase grouped-agg fallback with its documented
+bound.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class DigestSpec:
+    """One digest column to build: `value_col` (already cast to the
+    digest's input domain by the caller) -> serialized digest `alias`."""
+
+    alias: str
+    value_col: str
+    kind: str  # qdigest | tdigest | theta | hll
+    k: int = 4096  # theta nominalEntries / hll log2m; unused otherwise
+
+
+def empty_state(kind: str, k: int = 4096) -> bytes:
+    """The serialized digest of zero values — what the single-phase
+    grouped-agg returns for an all-NULL (or empty global) group. The SQL
+    rewrite embeds it as a binary literal so the restructured global
+    shape matches on empty input."""
+    if kind == "qdigest":
+        from hurricanedb_spark.operators.percentile_digest import build_qdigest
+
+        return build_qdigest([])
+    if kind == "tdigest":
+        from hurricanedb_spark.operators.tdigest import build_tdigest
+
+        return build_tdigest([])
+    if kind == "theta":
+        from hurricanedb_spark.operators.theta_ds import (
+            DEFAULT_SEED,
+            compute_seed_hash,
+            from_hashes,
+            serialize,
+        )
+
+        lg = max(4, (k - 1).bit_length())
+        return serialize(from_hashes((), k, compute_seed_hash(DEFAULT_SEED)), lg)
+    if kind == "hll":
+        from hurricanedb_spark.operators.clearspring_hll import ClearspringHLL
+
+        return ClearspringHLL(k).serialize()
+    raise ValueError(f"unknown digest kind {kind!r}")
+
+
+def _make_builder(spec: DigestSpec, spark_type: str):
+    """(pandas Series of raw values) -> partial digest bytes."""
+    if spec.kind == "qdigest":
+        from hurricanedb_spark.operators.percentile_digest import build_qdigest
+
+        return lambda v: build_qdigest(v.dropna().astype("int64").tolist())
+    if spec.kind == "tdigest":
+        from hurricanedb_spark.operators.tdigest import build_tdigest
+
+        return lambda v: build_tdigest(v.dropna().astype("float64").tolist())
+    if spec.kind == "theta":
+        from hurricanedb_spark.operators.theta_ds import (
+            _SPARK_TO_HASH_DTYPE,
+            DEFAULT_SEED,
+            compute_seed_hash,
+            from_hashes,
+            hash_column_np,
+            serialize,
+        )
+
+        # hash space is pinned to the SPARK column type read from the
+        # DataFrame schema — immune to the NULL-bearing-batch int64 ->
+        # float64 Arrow degradation (the r9 typeof() defect class)
+        dtype = _SPARK_TO_HASH_DTYPE.get(spark_type)
+        if dtype is None:
+            raise ValueError(
+                f"distinctCountRawThetaSketch: unsupported column type "
+                f"{spark_type} (sketchable: int/long/float/double/string)"
+            )
+        seed_hash = compute_seed_hash(DEFAULT_SEED)
+        lg = max(4, (spec.k - 1).bit_length())
+
+        def build_theta(v):
+            hs = hash_column_np(v, dtype)
+            return serialize(
+                from_hashes((int(h) for h in hs if h), spec.k, seed_hash), lg
+            )
+
+        return build_theta
+    if spec.kind == "hll":
+        from hurricanedb_spark.operators.clearspring_hll import build_hll
+
+        return lambda v: build_hll(v, spark_type, spec.k)
+    raise ValueError(f"unknown digest kind {spec.kind!r}")
+
+
+def _make_merger(spec: DigestSpec):
+    """(iterable of partial digest bytes) -> merged digest bytes."""
+    if spec.kind == "qdigest":
+        from hurricanedb_spark.operators.percentile_digest import merge_qdigests
+
+        return merge_qdigests
+    if spec.kind == "tdigest":
+        from hurricanedb_spark.operators.tdigest import merge_tdigests
+
+        return merge_tdigests
+    if spec.kind == "theta":
+        from hurricanedb_spark.operators.theta_ds import (
+            deserialize,
+            serialize,
+            union,
+        )
+
+        lg = max(4, (spec.k - 1).bit_length())
+
+        def merge_theta(blobs):
+            return serialize(
+                union([deserialize(b) for b in blobs], spec.k), lg
+            )
+
+        return merge_theta
+    if spec.kind == "hll":
+        from hurricanedb_spark.operators.clearspring_hll import merge_hlls
+
+        return merge_hlls
+    raise ValueError(f"unknown digest kind {spec.kind!r}")
+
+
+def digests_by_group(
+    df: DataFrame, group_cols: list[str], specs: list[DigestSpec]
+) -> DataFrame:
+    """One row per group with a serialized-digest binary column per spec,
+    built partial -> merge in a single pass over `df`. Empty `group_cols`
+    = global aggregate (returns one row, or zero rows on empty input —
+    the SQL rewrite coalesces to `empty_state`)."""
+    import pandas as pd
+
+    dummy = not group_cols
+    if dummy:
+        df = df.withColumn("_g_all", F.lit(0))
+        group_cols = ["_g_all"]
+    dtypes = dict(df.dtypes)
+    builders = {s.alias: _make_builder(s, dtypes[s.value_col]) for s in specs}
+    mergers = {s.alias: _make_merger(s) for s in specs}
+    src = df.select(
+        *group_cols, *(F.col(s.value_col).alias(s.alias) for s in specs)
+    )
+    fields = ", ".join(
+        f"`{c}` {src.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    out_schema = fields + "".join(f", `{s.alias}` binary" for s in specs)
+    aliases = [s.alias for s in specs]
+
+    def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for key, grp in pdf.groupby(group_cols, dropna=False, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                rows.append(
+                    (*key, *(builders[a](grp[a]) for a in aliases))
+                )
+            yield pd.DataFrame(rows, columns=[*group_cols, *aliases])
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        merged = {
+            a: [mergers[a]([bytes(b) for b in pdf[a]])] for a in aliases
+        }
+        return pdf.iloc[:1].assign(**merged)[[*group_cols, *aliases]]
+
+    out = (
+        src.mapInPandas(partials, schema=out_schema)
+        .groupBy(*group_cols)
+        .applyInPandas(merge, schema=out_schema)
+    )
+    return out.drop("_g_all") if dummy else out

@@ -483,6 +483,11 @@ def theta_ds_sketch_by_group(
             f"distinctCountRawThetaSketch: unsupported column type {spark_type}"
         )
     seed_hash = compute_seed_hash(seed)
+    # preamble lgNomLongs follows the requested nominal k (the single-phase
+    # SQL builder does the same); serializing partials and merge with
+    # different lg values would still deserialize, but the SQL-path and
+    # programmatic-path bytes for the same data must be identical
+    lg = max(4, (k - 1).bit_length())
     src = df.select(*group_cols, F.col(value_col).alias("__v"))
     fields = ", ".join(
         f"`{c}` {src.schema[c].dataType.simpleString()}" for c in group_cols
@@ -499,13 +504,13 @@ def theta_ds_sketch_by_group(
                 hs = [int(h) for h in grp["__h"].to_numpy() if h]
                 key = key if isinstance(key, tuple) else (key,)
                 rows.append(
-                    (*key, serialize(from_hashes(hs, k, seed_hash)))
+                    (*key, serialize(from_hashes(hs, k, seed_hash), lg))
                 )
             yield pd.DataFrame(rows, columns=[*group_cols, "sketch"])
 
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
         sketches = [deserialize(b, seed_hash) for b in pdf["sketch"]]
-        merged = serialize(union(sketches, k))
+        merged = serialize(union(sketches, k), lg)
         return pdf.iloc[:1].assign(sketch=[merged])[[*group_cols, "sketch"]]
 
     return (

@@ -2275,6 +2275,274 @@ class HurricaneSQL:
         out.append(query[pos:])
         return "".join(out)
 
+    def _raw_digest_two_phase(self, query: str):
+        """Two-phase (partial -> merge) routing for the raw mergeable
+        digest builders — percentileRawEst / percentileRawTDigest /
+        simple-form distinctCountRawThetaSketch over a VALUE column.
+
+        The single-phase grouped-agg fallback ships a group's entire raw
+        value set to one Python worker before building the bounded digest
+        (bounded output, unbounded intermediate); the reference instead
+        streams partials (AggregationFunction.java:42-130 partial ->
+        combine -> final). For the restructurable single-table shape this
+        rewrites the query so digests are built by
+        operators/raw_partial.digests_by_group: mapInPandas partials
+        where the data sits (no raw-value shuffle) + a grouped merge of
+        serialized partials, exposed to the query as a temp view.
+
+        Two emission forms:
+          - PURE: every select item is a group key or a rewritten call
+            -> read straight from the merged view (no join, no base-row
+            aggregation at all);
+          - JOIN-BACK: other aggregates present -> LEFT JOIN the view on
+            the group keys and take min(<digest>) per group (one row per
+            group in the view, so min is identity), the
+            rewrite_mv_percentile_bounded pattern.
+
+        Non-restructurable shapes (joins/unions/CTEs/DISTINCT/star/
+        ordinal or aliased GROUP BY, unresolvable tables) return the
+        query unchanged — the single-phase grouped-agg with its
+        documented bound. BYTES-column theta calls never reach here
+        (_theta_bytes_rewrite runs first). Returns (query, cleanup)."""
+        noop = (query, lambda: None)
+        names = {
+            "percentilerawest",
+            "percentilerawtdigest",
+            "distinctcountrawthetasketch",
+        }
+        if not _find_calls(query, names):
+            return noop
+        masked = _mask_literals(query)
+        low = masked.lower()
+        if len(re.findall(r"\bfrom\b", low)) != 1 or re.search(
+            r"\bjoin\b|\bunion\b|\bwith\b|\bselect\s+distinct\b", low
+        ):
+            return noop
+        m = _TDMV_SHAPE.match(masked)
+        if not m:
+            return noop
+
+        def grp(name: str) -> str | None:
+            s, e = m.span(name)
+            return query[s:e] if s != -1 else None
+
+        tbl = m.group("tbl")
+        try:
+            self.spark.table(tbl)
+        except Exception:  # noqa: BLE001 — unresolvable: fall back
+            return noop
+        gby = _split_top(grp("gby") or "")
+        if any(g.isdigit() for g in gby):
+            return noop
+        sel_items = _split_top(grp("sel"))
+        if any(it == "*" or it.endswith(".*") for it in sel_items):
+            return noop
+        sel_aliases = set()
+        for it in sel_items:
+            m_alias = re.search(
+                r"\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it
+            )
+            if m_alias:
+                sel_aliases.add(m_alias.group(1).lower())
+        if any(
+            re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g)
+            and g.lower() in sel_aliases
+            for g in gby
+        ):
+            return noop
+
+        def _norm(s: str) -> str:
+            return " ".join(s.split())
+
+        def _call_key(name: str, args: list[str]):
+            """(value_expr_sql, kind, k) or None when the call form is
+            outside the restructure (fallback path validates/raises)."""
+            if name in ("percentilerawest", "percentilerawtdigest"):
+                if len(args) != 2:
+                    return None
+                try:
+                    pct = float(args[1].strip().strip("'"))
+                except ValueError:
+                    return None
+                if not 0 <= pct <= 100:
+                    return None
+                if name == "percentilerawest":
+                    return (f"CAST(({args[0]}) AS BIGINT)", "qdigest", 0)
+                return (f"CAST(({args[0]}) AS DOUBLE)", "tdigest", 0)
+            # theta: simple union form only; the filtered set-op form
+            # builds CASE-filtered sketches post-aggregated by
+            # thetasetopsketch and stays on its dedicated path
+            if len(args) > 2:
+                return None
+            try:
+                k = _theta_params(args[1]) if len(args) == 2 else 4096
+            except ValueError:
+                return None
+            return (f"({args[0]})", "theta", k)
+
+        assign: dict[tuple[str, str, int], str] = {}  # key -> view column
+
+        def _scan(text: str) -> None:
+            for _s, _e, name, args in _find_calls(text, names):
+                k = _call_key(name, args)
+                if k is None:
+                    continue
+                nk = (_norm(k[0]), k[1], k[2])
+                if nk not in assign:
+                    assign[nk] = f"_rd_{len(assign)}"
+
+        for clause in ("sel", "having", "oby"):
+            if grp(clause):
+                _scan(grp(clause))
+        if not assign:
+            return noop
+
+        from hurricanedb_spark.operators.raw_partial import (
+            DigestSpec,
+            digests_by_group,
+            empty_state,
+        )
+
+        gk = [f"_gk_{i}" for i in range(len(gby))]
+        where = grp("where")
+        src_sql = "SELECT " + ", ".join(
+            [f"({g}) AS _gk_{i}" for i, g in enumerate(gby)]
+            + [f"({expr}) AS {al}" for (expr, _kd, _k), al in assign.items()]
+        ) + f" FROM {tbl}" + (f" WHERE {where}" if where else "")
+        specs = [
+            DigestSpec(alias=al, value_col=al, kind=kd, k=k or 4096)
+            for (_expr, kd, k), al in assign.items()
+        ]
+        try:
+            src = self.spark.sql(rewrite_functions(src_sql))
+            view = digests_by_group(src, gk, specs)
+        except Exception:  # noqa: BLE001 — any analysis/type error here
+            # (unsketchable theta column, alias-referencing WHERE, ...)
+            # falls back to the single-phase path, which either executes
+            # with its documented bound or raises the same error with
+            # the original query's context
+            return noop
+        uniq = f"__rawdg_{uuid.uuid4().hex}"
+        view.createOrReplaceTempView(uniq)
+
+        def cleanup(uniq=uniq):
+            self.spark.catalog.dropTempView(uniq)
+
+        def _emit(kind: str, k: int, alias: str, qualify: bool) -> str:
+            col = f"{uniq}.{alias}" if qualify else alias
+            agg = f"min({col})" if qualify else col
+            empty = f"X'{empty_state(kind, k or 4096).hex()}'"
+            body = f"coalesce({agg}, {empty})"
+            if kind == "theta":
+                return f"base64({body})"
+            return f"lower(hex({body}))"
+
+        def _subst(text: str, qualify: bool) -> str:
+            out, pos = [], 0
+            for s, e, name, args in _find_calls(text, names):
+                k = _call_key(name, args)
+                if k is None:
+                    continue
+                nk = (_norm(k[0]), k[1], k[2])
+                out.append(text[pos:s])
+                out.append(_emit(k[1], k[2], assign[nk], qualify))
+                pos = e
+            out.append(text[pos:])
+            return "".join(out)
+
+        # PURE path: every select item (alias stripped) is a group key or
+        # contains only rewritten calls over group keys -> no join needed;
+        # group keys rename to their _gk_i view columns
+        def _pure_item(it: str) -> str | None:
+            m_alias = re.search(
+                r"\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it
+            )
+            body, alias_sfx = (
+                (it[: m_alias.start()], it[m_alias.start():])
+                if m_alias
+                else (it, "")
+            )
+            norm_body = _norm(body)
+            for i, g in enumerate(gby):
+                if _norm(g) == norm_body:
+                    if alias_sfx:
+                        return f"_gk_{i}{alias_sfx}"
+                    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", body.strip()):
+                        return f"_gk_{i} AS {body.strip()}"
+                    return None  # unaliased expression key: its implicit
+                    # output name is the expression text, which a rename
+                    # cannot reproduce — join-back keeps it
+            calls = _find_calls(body, names)
+            if len(calls) == 1 and _call_key(calls[0][2], calls[0][3]):
+                s, e, name, args = calls[0]
+                if not body[:s].strip() and not body[e:].strip():
+                    k = _call_key(name, args)
+                    nk = (_norm(k[0]), k[1], k[2])
+                    return (
+                        f"{_emit(k[1], k[2], assign[nk], False)}{alias_sfx}"
+                    )
+            return None
+
+        # ORDER BY items that are group keys rename to their view columns;
+        # select-list aliases pass through (they exist in the pure output)
+        def _pure_oby_item(it: str) -> str | None:
+            mm = re.match(
+                r"(.*?)((?:\s+(?:asc|desc))?(?:\s+nulls\s+(?:first|last))?)"
+                r"\s*$",
+                it,
+                re.IGNORECASE | re.DOTALL,
+            )
+            body, sfx = mm.group(1), mm.group(2)
+            norm_body = _norm(body)
+            for i, g in enumerate(gby):
+                if _norm(g) == norm_body:
+                    return f"_gk_{i}{sfx}"
+            if (
+                re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", body.strip())
+                and body.strip().lower() in sel_aliases
+            ):
+                return it
+            return None
+
+        pure_sel = [_pure_item(it) for it in sel_items]
+        pure_oby = [
+            _pure_oby_item(it) for it in _split_top(grp("oby") or "")
+        ]
+        if (
+            gby  # global shape must return one row on empty input:
+            # only the CROSS JOIN + aggregate form guarantees that
+            and all(p is not None for p in pure_sel)
+            and all(p is not None for p in pure_oby)
+            and not grp("having")
+        ):
+            out = f"SELECT {', '.join(pure_sel)} FROM {uniq}"
+            if pure_oby:
+                out += f" ORDER BY {', '.join(pure_oby)}"
+            if grp("lim"):
+                out += f" LIMIT {grp('lim')}"
+            return out, cleanup
+
+        # JOIN-BACK path
+        if gby:
+            cond = " AND ".join(
+                f"({g}) <=> {uniq}._gk_{i}" for i, g in enumerate(gby)
+            )
+            joined = f"{tbl} LEFT JOIN {uniq} ON {cond}"
+        else:
+            joined = f"{tbl} CROSS JOIN {uniq}"
+        out = f"SELECT {_subst(grp('sel'), True)} FROM {joined}"
+        if where:
+            out += f" WHERE {where}"
+        if gby:
+            out += f" GROUP BY {', '.join(gby)}"
+        if grp("having"):
+            out += f" HAVING {_subst(grp('having'), True)}"
+        if grp("oby"):
+            out += f" ORDER BY {_subst(grp('oby'), True)}"
+        if grp("lim"):
+            out += f" LIMIT {grp('lim')}"
+        return out, cleanup
+
     def _multi_index_rewrite(self, query: str):
         """AND-composition of index access paths (round-8 item 5): when
         the WHERE clause is a plain AND conjunction containing TWO OR
@@ -2917,6 +3185,8 @@ class HurricaneSQL:
             q, drop_st_view, st_info = self._star_tree_rewrite(q)
             cleanups.append(drop_st_view)
             self.last_star_tree_redirect = st_info
+            q, drop_rd_view = self._raw_digest_two_phase(q)
+            cleanups.append(drop_rd_view)
             q = rewrite_json_match(q)
             q = rewrite_functions(q)
             if default_limit is not None and not explain and not explain_impl:
