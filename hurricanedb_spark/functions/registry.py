@@ -541,6 +541,56 @@ def register_all(spark: SparkSession) -> None:
         return round(_d(raw).estimate())
 
     spark.udf.register("thetasketchestimate", _theta_estimate, "bigint")
+    # distinctCountRawHLL builder: the reference serializes the
+    # CLEARSPRING HyperLogLog (CustomSerDeUtils.HYPER_LOG_LOG_SER_DE ->
+    # HyperLogLog.getBytes), hashing each value's Java toString bytes
+    # through MurmurHash2-64A — operators/clearspring_hll reproduces the
+    # wire format so reference clients can persist/deserialize/re-merge
+    # these strings. typeof() pins the value->string mapping to the
+    # SPARK column type (NULL-bearing int batches arrive as float64).
+    from hurricanedb_spark.operators.clearspring_hll import (
+        ClearspringHLL as _CsHLL,
+        build_hll as _cs_build,
+        merge_hlls as _cs_merge,
+    )
+
+    def _raw_cs_hll(v, k, t):
+        log2m = int(k.iloc[0]) if len(k) else 8
+        if len(v) == 0:
+            return _CsHLL(log2m).serialize()
+        return _cs_build(v, str(t.iloc[0]), log2m)
+
+    spark.udf.register(
+        "rawclearspringhll",
+        _F.pandas_udf(_raw_cs_hll, "binary", _F.PandasUDFType.GROUPED_AGG),
+    )
+
+    # scalar estimate over a serialized clearspring HLL (BINARY or the
+    # raw form's lowercase-hex STRING envelope) — closes the raw-form
+    # loop like thetaSketchEstimate does for theta
+    def _cs_hll_card(blob):
+        raw = bytes.fromhex(blob) if isinstance(blob, str) else bytes(blob)
+        return _CsHLL.deserialize(raw).cardinality()
+
+    spark.udf.register("clearspringhllcard", _cs_hll_card, "bigint")
+
+    # union of pre-built clearspring sketches in a BYTES column
+    # (DistinctCountRawHLLAggregationFunction BYTES dispatch: addAll)
+    def _cs_hll_union(v):
+        return _cs_merge(bytes(b) for b in v if b is not None)
+
+    def _cs_hll_union_est(v):
+        raw = _cs_merge(bytes(b) for b in v if b is not None)
+        return _CsHLL.deserialize(raw).cardinality()
+
+    spark.udf.register(
+        "clearspringhllunion",
+        _F.pandas_udf(_cs_hll_union, "binary", _F.PandasUDFType.GROUPED_AGG),
+    )
+    spark.udf.register(
+        "clearspringhllunionest",
+        _F.pandas_udf(_cs_hll_union_est, "bigint", _F.PandasUDFType.GROUPED_AGG),
+    )
     # theta aggregation over a BYTES column = union of the PRE-BUILT
     # sketches stored in it (DistinctCountThetaSketchAggregationFunction
     # aggregate(): valueTypes[0] == BYTES deserializes and unions instead

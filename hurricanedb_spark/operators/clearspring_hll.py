@@ -1,0 +1,295 @@
+"""Clearspring (stream-lib) HyperLogLog — wire-compatible registers,
+hashing, and serialization.
+
+The reference's `distinctCountRawHLL[MV]` returns the SERIALIZED
+com.clearspring.analytics.stream.cardinality.HyperLogLog
+(CustomSerDeUtils.java:157-166 `HYPER_LOG_LOG_SER_DE.serialize` ->
+`hyperLogLog.getBytes()`), wrapped in the lowercase-HEX STRING envelope
+(SerializedHLL.toString -> BytesUtils.toHexString). Reference clients
+persist these strings, deserialize them with
+`HyperLogLog.Builder.build(bytes)` and RE-MERGE them (`addAll`), so the
+raw form's contract is byte-level: the registers, the hash function AND
+the value->bytes mapping must all match, or a re-merged union
+double-counts every value.
+
+Everything here is implemented from the PUBLIC stream-lib source
+(com.clearspring.analytics:stream, Apache-2.0 — the reference depends
+on it, pinot-core/pom.xml:159):
+
+  - MurmurHash.hash64(Object): numbers hash by their Java
+    `toString()` UTF-8 bytes, strings by their bytes, through
+    MurmurHash2-64A with seed 0xe17a1465 (MurmurHash.java hash64).
+  - HyperLogLog.offerHashed: bucket = top log2m hash bits; rank =
+    numberOfLeadingZeros((h << log2m) | (1 << (log2m-1)) + 1) + 1 —
+    NOTE the Java operator precedence: `+` binds tighter than `|`, so
+    the OR-mask is ((1 << (log2m-1)) + 1); this quirk is part of the
+    wire contract and reproduced verbatim.
+  - RegisterSet: 5-bit registers packed six per 32-bit word (low bits
+    first; RegisterSet.java REGISTER_SIZE=5, LOG2_BITS_PER_WORD=6),
+    size = count/6 words (+1 unless divisible by 32).
+  - HyperLogLog.writeBytes: big-endian `int log2m, int size*4,
+    int[size] words` (DataOutputStream).
+  - cardinality(): alphaMM/sum(2^-reg) with linear counting below
+    2.5*m (HyperLogLog.java cardinality; stream-lib applies no
+    large-range correction).
+
+Registers merge by elementwise max (HyperLogLog.addAll ->
+RegisterSet merge), which commutes — so this digest is natively
+partial-aggregable and plugs into operators/raw_partial two-phase
+builds with byte-identical results.
+
+Divergence (documented, unreachable in practice): clearspring writes
+the raw rank into the 5-bit register without clamping, corrupting a
+neighbor register if rank > 31 — possible only when a hash value has
+31+ leading zeros after the bucket shift (p ~ 2^-31 per value). This
+implementation clamps at 31 instead of reproducing the corruption.
+
+Java float/double toString formatting (shortest round-trip decimal;
+plain notation in [1e-3, 1e7), else `d.dddE±x`) is reproduced by
+`_java_double_str` / `_java_float_str` so FLOAT/DOUBLE columns hash
+the same bytes a reference server offers.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterable
+
+import numpy as np
+
+_MASK64 = (1 << 64) - 1
+_MURMUR_SEED = 0xE17A1465
+_M64 = 0xC6A4A7935BD1E995
+_R64 = 47
+
+REGISTER_SIZE = 5
+REGS_PER_WORD = 6  # stream-lib's (misnamed) LOG2_BITS_PER_WORD
+
+
+def murmur64(data: bytes, seed: int = _MURMUR_SEED) -> int:
+    """MurmurHash2-64A over `data` (stream-lib MurmurHash.hash64),
+    returned as an unsigned 64-bit int."""
+    length = len(data)
+    h = (seed ^ ((length * _M64) & _MASK64)) & _MASK64
+    n8 = length // 8
+    for i in range(n8):
+        k = int.from_bytes(data[i * 8 : i * 8 + 8], "little")
+        k = (k * _M64) & _MASK64
+        k ^= k >> _R64
+        k = (k * _M64) & _MASK64
+        h ^= k
+        h = (h * _M64) & _MASK64
+    tail = data[n8 * 8 :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        h ^= k
+        h = (h * _M64) & _MASK64
+    h ^= h >> _R64
+    h = (h * _M64) & _MASK64
+    h ^= h >> _R64
+    return h
+
+
+def _digits_exp(s: str) -> tuple[str, int]:
+    """Shortest-decimal string -> (digits, E) with value = d.igits*10^E."""
+    mant, _, ex = s.partition("e")
+    e = int(ex) if ex else 0
+    ip, _, fp = mant.partition(".")
+    alldigits = ip + fp
+    stripped = alldigits.lstrip("0")
+    if not stripped:
+        return "0", 0
+    lead_zeros = len(alldigits) - len(stripped)
+    E = len(ip) - 1 - lead_zeros + e
+    return stripped.rstrip("0") or "0", E
+
+
+def _render_java(digits: str, E: int, neg: bool) -> str:
+    """Java Float/Double.toString layout from shortest digits: plain
+    notation iff 1e-3 <= |v| < 1e7 (i.e. -3 <= E <= 6), else
+    `d.dddE<exp>` (no '+' on positive exponents)."""
+    sign = "-" if neg else ""
+    if -3 <= E <= 6:
+        if E >= len(digits) - 1:
+            return f"{sign}{digits}{'0' * (E - len(digits) + 1)}.0"
+        if E >= 0:
+            return f"{sign}{digits[: E + 1]}.{digits[E + 1 :]}"
+        return f"{sign}0.{'0' * (-E - 1)}{digits}"
+    frac = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{frac}E{E}"
+
+
+def _java_double_str(v: float) -> str:
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if v == 0.0:
+        return "-0.0" if math.copysign(1.0, v) < 0 else "0.0"
+    digits, E = _digits_exp(repr(abs(v)))
+    return _render_java(digits, E, v < 0)
+
+
+def _java_float_str(v: float) -> str:
+    """Java Float.toString: shortest decimal that round-trips FLOAT32."""
+    f = np.float32(v)
+    if np.isnan(f):
+        return "NaN"
+    if np.isinf(f):
+        return "Infinity" if f > 0 else "-Infinity"
+    if f == 0:
+        return "-0.0" if np.signbit(f) else "0.0"
+    digits, E = _digits_exp(str(np.abs(f)))
+    return _render_java(digits, E, bool(np.signbit(f)))
+
+
+def _words_for(count: int) -> int:
+    words = count // REGS_PER_WORD
+    if words == 0:
+        return 1
+    if words % 32 == 0:
+        return words
+    return words + 1
+
+
+class ClearspringHLL:
+    """stream-lib HyperLogLog: 2^log2m 5-bit registers."""
+
+    __slots__ = ("log2m", "registers")
+
+    def __init__(self, log2m: int, registers: np.ndarray | None = None):
+        if not 4 <= log2m <= 30:
+            raise ValueError(f"HLL log2m out of range: {log2m}")
+        self.log2m = log2m
+        self.registers = (
+            registers
+            if registers is not None
+            else np.zeros(1 << log2m, dtype=np.uint8)
+        )
+
+    def offer_hashed(self, h: int) -> None:
+        j = h >> (64 - self.log2m)
+        w = ((h << self.log2m) & _MASK64) | ((1 << (self.log2m - 1)) + 1)
+        r = 65 - w.bit_length()  # numberOfLeadingZeros + 1
+        if r > 31:
+            r = 31  # documented divergence: clearspring would corrupt
+        if r > self.registers[j]:
+            self.registers[j] = r
+
+    def offer_bytes(self, data: bytes) -> None:
+        self.offer_hashed(murmur64(data))
+
+    def merge(self, other: "ClearspringHLL") -> "ClearspringHLL":
+        if other.log2m != self.log2m:
+            raise ValueError(
+                f"cannot merge HLLs of different sizes: log2m "
+                f"{self.log2m} vs {other.log2m} (clearspring "
+                "CardinalityMergeException)"
+            )
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def cardinality(self) -> int:
+        regs = self.registers.astype(np.float64)
+        m = float(1 << self.log2m)
+        register_sum = float(np.sum(np.exp2(-regs)))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if self.log2m == 4:
+            alpha_mm = 0.673 * m * m
+        elif self.log2m == 5:
+            alpha_mm = 0.697 * m * m
+        elif self.log2m == 6:
+            alpha_mm = 0.709 * m * m
+        else:
+            alpha_mm = (0.7213 / (1 + 1.079 / m)) * m * m
+        estimate = alpha_mm / register_sum
+        if estimate <= 2.5 * m:
+            if zeros == 0:
+                return round(estimate)
+            return round(m * math.log(m / zeros))
+        return round(estimate)
+
+    def serialize(self) -> bytes:
+        count = 1 << self.log2m
+        n_words = _words_for(count)
+        words = np.zeros(n_words, dtype=np.uint32)
+        regs = self.registers.astype(np.uint32)
+        for j in range(REGS_PER_WORD):
+            chunk = regs[j::REGS_PER_WORD]
+            words[: len(chunk)] |= chunk << np.uint32(REGISTER_SIZE * j)
+        return struct.pack(">ii", self.log2m, n_words * 4) + words.astype(
+            ">u4"
+        ).tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "ClearspringHLL":
+        log2m, nbytes = struct.unpack_from(">ii", data, 0)
+        if not 4 <= log2m <= 30 or nbytes != len(data) - 8:
+            raise ValueError("not a clearspring HyperLogLog byte stream")
+        words = np.frombuffer(data, dtype=">u4", count=nbytes // 4, offset=8)
+        count = 1 << log2m
+        regs = np.zeros(count, dtype=np.uint8)
+        for j in range(REGS_PER_WORD):
+            idx = np.arange(j, count, REGS_PER_WORD)
+            regs[idx] = (
+                words[: len(idx)] >> np.uint32(REGISTER_SIZE * j)
+            ) & np.uint32(0x1F)
+        return cls(log2m, regs)
+
+
+def is_clearspring_hll(data: bytes) -> bool:
+    """Format sniff: clearspring starts with big-endian int log2m in
+    [4,30] (first three bytes zero); DataSketches HLL preambles start
+    with preInts 1/2 and family id 7 at byte 2 — unambiguous."""
+    if len(data) < 8:
+        return False
+    log2m, nbytes = struct.unpack_from(">ii", data, 0)
+    return 4 <= log2m <= 30 and nbytes == len(data) - 8
+
+
+_TO_BYTES = {
+    # MurmurHash.hash64(Object): non-String falls to o.toString();
+    # Java Integer/Long.toString == decimal; Float/Double.toString have
+    # their own layout rules (reproduced above)
+    "tinyint": lambda v: str(int(v)).encode(),
+    "smallint": lambda v: str(int(v)).encode(),
+    "int": lambda v: str(int(v)).encode(),
+    "integer": lambda v: str(int(v)).encode(),
+    "bigint": lambda v: str(int(v)).encode(),
+    "long": lambda v: str(int(v)).encode(),
+    "float": lambda v: _java_float_str(float(v)).encode(),
+    "double": lambda v: _java_double_str(float(v)).encode(),
+    "string": lambda v: str(v).encode("utf-8"),
+}
+
+
+def build_hll(values, spark_type: str, log2m: int) -> bytes:
+    """Serialized clearspring HLL of a pandas Series of `spark_type`
+    values (NULLs skipped — the reference offers primitive arrays, never
+    nulls)."""
+    enc = _TO_BYTES.get(spark_type.lower())
+    if enc is None:
+        raise ValueError(
+            f"distinctCountRawHLL: unsupported column type {spark_type!r} "
+            "(supported: int/long/float/double/string)"
+        )
+    hll = ClearspringHLL(log2m)
+    for v in values:
+        if v is None or (isinstance(v, float) and v != v):
+            continue
+        hll.offer_bytes(enc(v))
+    return hll.serialize()
+
+
+def merge_hlls(blobs: Iterable[bytes]) -> bytes:
+    """Union serialized clearspring HLLs (register max, like addAll)."""
+    acc: ClearspringHLL | None = None
+    for b in blobs:
+        if b is None:
+            continue
+        h = ClearspringHLL.deserialize(bytes(b))
+        acc = h if acc is None else acc.merge(h)
+    if acc is None:
+        raise ValueError("merge_hlls: no sketches to merge")
+    return acc.serialize()

@@ -59,9 +59,12 @@ _AGG_REWRITES: dict[str, str] = {
     "distinctcounthll": "approx_count_distinct($1)",
     # raw HLL results are lowercase-HEX STRINGs in the reference
     # (SerializedHLL.toString -> BytesUtils.toHexString — unlike raw
-    # THETA, which is Base64); the sketch bytes themselves are the
-    # engine's HLL wire form (DataSketches, hll_sketch_agg)
-    "distinctcountrawhll": "lower(hex(hll_sketch_agg($1)))",
+    # THETA, which is Base64); the bytes are the CLEARSPRING
+    # HyperLogLog serialization (CustomSerDeUtils.HYPER_LOG_LOG_SER_DE
+    # -> HyperLogLog.getBytes, operators/clearspring_hll) so reference
+    # clients can persist/deserialize/re-merge them; default log2m = 8
+    # (CommonConstants.Helix.DEFAULT_HYPERLOGLOG_LOG2M)
+    "distinctcountrawhll": "lower(hex(rawclearspringhll($1, 8, typeof($1))))",
     # SmartHLL is exact below its threshold (default 100k) and HLL above
     # — a single-node memory bound; Spark's distributed count(DISTINCT)
     # is exact at every size, dominating both regimes
@@ -1181,11 +1184,14 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
             int(v)
         return f"count(DISTINCT {args[0]})"
     if name == "distinctcountrawhll" and len(args) == 2:
-        # Spark's hll_sketch_agg takes lgConfigK (4..21) — same knob
+        # clearspring RegisterSet sizes 4..30 like the estimate form
         log2m = int(args[1].strip().strip("'"))
-        if not 4 <= log2m <= 21:
+        if not 4 <= log2m <= 30:
             raise ValueError(f"distinctCountRawHLL log2m out of range: {log2m}")
-        return f"lower(hex(hll_sketch_agg({args[0]}, {log2m})))"
+        return (
+            f"lower(hex(rawclearspringhll({args[0]}, {log2m}, "
+            f"typeof({args[0]}))))"
+        )
     if name in ("firstwithtime", "lastwithtime") and len(args) == 3:
         # 3-arg reference form: (dataCol, timeCol, 'dataType')
         dt = _unquote_literal(args[2], f"{name} dataType").upper()
@@ -1672,13 +1678,12 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
             if k[1] == "#hll":
                 agg_sql = "approx_count_distinct(_mv, 0.016)"
             elif k[1] == "#rawhll":
-                # hll_sketch_agg accepts INT/BIGINT/STRING/BINARY only —
-                # MV element types include FLOAT, so hash the STRING
-                # rendering (injective per distinct value: exact distinct
-                # semantics; documented divergence: these sketches merge
-                # with sketches built the same way, not with
-                # update(long)-hashed ones)
-                agg_sql = "hll_sketch_agg(CAST(_mv AS STRING))"
+                # clearspring HLL over the exploded elements, offered by
+                # their element type (DistinctCountRawHLLMV offers each
+                # MV element; MurmurHash.hash64 hashes its Java
+                # toString bytes — operators/clearspring_hll); default
+                # log2m = 8 like the SV raw form
+                agg_sql = "rawclearspringhll(_mv, 8, typeof(_mv))"
             elif k[1] == "#rawtd":
                 agg_sql = "rawtdigest(CAST(_mv AS DOUBLE))"
             elif k[1] == "#rawqd":
@@ -2243,18 +2248,54 @@ class HurricaneSQL:
             is_bin = bool(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col)) and isinstance(
                 schema.get(col.lower()), T.BinaryType
             )
-            if is_bin and name == "distinctcounthll" and len(args) <= 2:
-                # pre-built HLL sketches: merge + estimate (this
-                # engine's HLL wire format is the DataSketches HLL that
-                # hll_sketch_agg emits; log2m sized them at build time)
-                out.append(
-                    f"CAST(round(hll_sketch_estimate(hll_union_agg({col})))"
-                    " AS BIGINT)"
-                )
-            elif is_bin and name == "distinctcountrawhll" and len(args) <= 2:
-                # raw HLL results get the reference's lowercase-HEX
-                # STRING envelope (SerializedHLL.toString)
-                out.append(f"lower(hex(hll_union_agg({col})))")
+            if is_bin and name in (
+                "distinctcounthll",
+                "distinctcountrawhll",
+            ) and len(args) <= 2:
+                # pre-built HLL sketches: merge (+ estimate). Two wire
+                # formats can appear in a BYTES column: the reference's
+                # clearspring HyperLogLog (what the raw form emits, and
+                # what a migrated reference store holds) or Spark's
+                # DataSketches HLL (this engine's internal rollup
+                # state, hll_sketch_agg). One non-null value is probed
+                # at rewrite time to pick the union kernel — a routing
+                # metadata read, like the broker's segment pruning; a
+                # mixed-format column fails loudly inside deserialize.
+                clearspring = False
+                try:
+                    from hurricanedb_spark.operators.clearspring_hll import (
+                        is_clearspring_hll,
+                    )
+
+                    head = (
+                        self.spark.table(froms[0])
+                        .where(f"{col} IS NOT NULL")
+                        .select(col)
+                        .head(1)
+                    )
+                    clearspring = bool(head) and is_clearspring_hll(
+                        bytes(head[0][0])
+                    )
+                except Exception:  # noqa: BLE001 — unreadable: DS path
+                    pass
+                if name == "distinctcounthll":
+                    out.append(
+                        f"clearspringhllunionest({col})"
+                        if clearspring
+                        else (
+                            "CAST(round(hll_sketch_estimate("
+                            f"hll_union_agg({col}))) AS BIGINT)"
+                        )
+                    )
+                else:
+                    # raw form: lowercase-HEX envelope either way; the
+                    # bytes keep the column's own wire format (formats
+                    # cannot be converted — different hash spaces)
+                    out.append(
+                        f"lower(hex(clearspringhllunion({col})))"
+                        if clearspring
+                        else f"lower(hex(hll_union_agg({col})))"
+                    )
             elif is_bin and len(args) <= 2:
                 nominal = _theta_params(args[1]) if len(args) == 2 else 4096
                 if name == "distinctcountrawthetasketch":
@@ -2309,6 +2350,7 @@ class HurricaneSQL:
             "percentilerawest",
             "percentilerawtdigest",
             "distinctcountrawthetasketch",
+            "distinctcountrawhll",
         }
         if not _find_calls(query, names):
             return noop
@@ -2369,6 +2411,20 @@ class HurricaneSQL:
                 if name == "percentilerawest":
                     return (f"CAST(({args[0]}) AS BIGINT)", "qdigest", 0)
                 return (f"CAST(({args[0]}) AS DOUBLE)", "tdigest", 0)
+            if name == "distinctcountrawhll":
+                if len(args) > 2:
+                    return None
+                try:
+                    log2m = (
+                        int(args[1].strip().strip("'"))
+                        if len(args) == 2
+                        else 8
+                    )
+                except ValueError:
+                    return None
+                if not 4 <= log2m <= 30:
+                    return None
+                return (f"({args[0]})", "hll", log2m)
             # theta: simple union form only; the filtered set-op form
             # builds CASE-filtered sketches post-aggregated by
             # thetasetopsketch and stays on its dedicated path

@@ -901,9 +901,9 @@ def test_mv_hll_distinct_bounded_restructure(hdb, spark):
 def test_mv_raw_hll_returns_serialized_sketch(hdb, spark):
     """distinctCountRawHLLMV returns the SERIALIZED HLL sketch of the
     exploded MV values as a lowercase-HEX STRING (the reference's raw
-    HLL envelope, SerializedHLL.toString), not a count — its estimate
-    must track the exact MV distinct count, and the bytes must
-    round-trip through Spark's own hll_sketch_estimate."""
+    HLL envelope, SerializedHLL.toString), not a count — the bytes are
+    the CLEARSPRING HyperLogLog wire format (HyperLogLog.getBytes), and
+    their estimate must track the exact MV distinct count."""
     rows = hdb.sql(
         "SELECT label, distinctCountRawHLLMV(embedding) AS sk "
         "FROM embeddings GROUP BY label ORDER BY label",
@@ -918,15 +918,17 @@ def test_mv_raw_hll_returns_serialized_sketch(hdb, spark):
         ).collect()
     }
     assert rows
+    from hurricanedb_spark.operators.clearspring_hll import ClearspringHLL
+
     for r in rows:
         # lowercase-hex STRING envelope (SerializedHLL.toString — raw
         # HLL is hex in the reference, unlike raw theta's base64)
         assert isinstance(r["sk"], str) and r["sk"] == r["sk"].lower()
-        est = spark.sql(
-            "SELECT hll_sketch_estimate(X'" + r["sk"] + "') AS e"
-        ).collect()[0]["e"]
+        est = ClearspringHLL.deserialize(bytes.fromhex(r["sk"])).cardinality()
         want = exact[r["label"]]
-        assert abs(est - want) <= max(2, want * 0.05), (r["label"], est, want)
+        # default log2m=8 (the reference's DEFAULT_HYPERLOGLOG_LOG2M):
+        # rsd = 1.04/sqrt(256) = 6.5%; bound at ~2 sigma
+        assert abs(est - want) <= max(2, want * 0.14), (r["label"], est, want)
     # non-restructurable shapes refuse loudly instead of silently
     # returning a wrong-typed count (the r8 raw-theta defect class)
     with pytest.raises(Exception, match="serialized HLL sketch"):
@@ -1097,7 +1099,7 @@ def test_hll_log2m_mapped_not_dropped():
     out = rewrite_functions("SELECT distinctCountHLL(x, 8) FROM t")
     assert "approx_count_distinct(x, 0.065" in out  # 1.04/sqrt(2^8)
     out = rewrite_functions("SELECT distinctCountRawHLL(x, 14) FROM t")
-    assert "hll_sketch_agg(x, 14)" in out
+    assert "rawclearspringhll(x, 14, typeof(x))" in out
     with pytest.raises(ValueError, match="log2m out of range"):
         rewrite_functions("SELECT distinctCountRawHLL(x, 40) FROM t")
     # log2m < 4 maps to rsd > 0.26, past approx_count_distinct's cap —
