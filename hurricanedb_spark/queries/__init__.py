@@ -106,9 +106,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multistage
     "q_cte_join",
     "q_set_ops",
-    # geo
+    # geo (q_fn_geo_sql rotated out r10 for the raw filtered theta row —
+    # still green in the full local gate; ST_* SQL stays covered by
+    # q_geo_grid_contains)
     "q_geo_grid_contains",
-    "q_fn_geo_sql",
+    "q_raw_theta_filtered_sketch",
     # dialect
     "q_dialect_default_limit",
     # live streaming + ingestion
@@ -123,13 +125,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sketch pairs (q_segment_text_index_scan rotated out r9 — the
     # text-index decode stays covered by q_segment_textmatch_accel and
     # the compose row; still green in the full local gate)
+    # (q_startree_range_redirect rotated out r10 for the >6-sketch
+    # fallback row — still green in the full local gate; the redirect
+    # family keeps three driver rows)
     "q_segment_fst_regexp",
     "q_segment_textmatch_accel",
     "q_segment_compose_and",
     "q_startree_binary_agg",
     "q_startree_sql_redirect",
-    "q_startree_range_redirect",
     "q_startree_theta_redirect",
+    "q_theta_sketch_many_filters",
     # CLP logs
     "q_clp_encode",
     # sampling

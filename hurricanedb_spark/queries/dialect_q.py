@@ -276,6 +276,69 @@ def q_raw_theta_filtered_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_raw_qdigest_quantile",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS v,
+             row_number() OVER (
+               PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+             ) AS r,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT flag,
+           CAST(min(CASE WHEN r = CAST(floor(0.5 * n) + 1 AS BIGINT)
+                    THEN v END) AS BIGINT) AS p50,
+           CAST(min(CASE WHEN r = CAST(floor(0.9 * n) + 1 AS BIGINT)
+                    THEN v END) AS BIGINT) AS p90,
+           CAST(max(n) AS BIGINT) AS n
+    FROM ranked GROUP BY flag ORDER BY flag
+    """,
+    doc="percentileRawEst returns the HEX-serialized QuantileDigest "
+    "(PercentileRawEstAggregationFunction.java; SerializedQuantileDigest"
+    ".toString -> lowercase hex), which this row deserializes "
+    "(operators/percentile_digest — the vendored QuantileDigest wire "
+    "layout) and queries for quantiles. The exact-regime digest is "
+    "deterministic, so the extracted quantile has an EXACT oracle: "
+    "getQuantiles() returns the value at the smallest rank whose "
+    "forward cumulative weight exceeds q*N — rank floor(q*N)+1 — "
+    "expressed in SQL via row_number(). Built two-phase (mapInPandas "
+    "partials + blob merge, sql/dialect._raw_digest_two_phase), which "
+    "is byte-identical to a single-pass build for the exact regime.",
+    tags=("dialect", "aggregation", "percentile", "wire-format"),
+)
+def q_raw_qdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    raw = _hdb(spark, sf_dir).sql(
+        """
+        SELECT l_returnflag AS flag,
+               percentileRawEst(l_quantity, 50) AS qd,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY flag
+        """,
+        default_limit=None,
+    )
+
+    def _q(hex_digest: str, q: float) -> int:
+        from hurricanedb_spark.operators.percentile_digest import (
+            deserialize_qdigest,
+        )
+
+        return int(deserialize_qdigest(bytes.fromhex(hex_digest)).quantile(q))
+
+    q50 = F.udf(lambda s: _q(s, 0.5), "bigint")
+    q90 = F.udf(lambda s: _q(s, 0.9), "bigint")
+    return raw.select(
+        "flag",
+        q50("qd").alias("p50"),
+        q90("qd").alias("p90"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
     "q_mv_sketch_bounded",
     oracle=None,  # approximate by design (QuantileSummaries / HLL++ state);
     # accuracy bounded in tests/test_dialect.py (2% / 5% vs exact forms)
