@@ -1756,6 +1756,141 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
     return out
 
 
+def rewrite_mode_avg_bounded(sql: str) -> str:
+    """Restructure mode(col, 'AVG') into a pre-aggregated value-counts
+    shape so per-group state is O(distinct values), matching the
+    reference's value->count map (ModeAggregationFunction.java:65-75).
+
+    The expression-macro fallback folds a sorted collect_list — a linear
+    fold, but the buffer is O(rows/group) doubles, which a hot key
+    concentrates. For the single-table shape this emits instead:
+
+      counts  SELECT keys, CAST(col AS DOUBLE) AS _v, count(*) AS _c
+              FROM src WHERE col IS NOT NULL GROUP BY keys, _v
+              -- Spark partial-aggregates map-side: the shuffle carries
+              -- (keys, value, partial count), never raw rows
+      modes   avg(_v) FILTER (WHERE _c = max(_c) OVER (PARTITION BY
+              keys)) — the mean of all tied modes (AVG reducer)
+
+    LEFT JOINed back on the group keys like the other bounded
+    restructures; non-restructurable shapes keep the fold macro with its
+    documented bound. MIN/MAX reducers already map to Spark's native
+    `mode()` (O(distinct) JVM state) and are untouched."""
+    calls = [
+        (s, e, name, args)
+        for s, e, name, args in _find_calls(sql, {"mode"})
+        if len(args) == 2
+        and args[1].strip().strip("'\"").upper() == "AVG"
+    ]
+    if not calls:
+        return sql
+    masked = _mask_literals(sql)
+    low = masked.lower()
+    if len(re.findall(r"\bfrom\b", low)) != 1 or re.search(
+        r"\bjoin\b|\bunion\b|\bwith\b|\bselect\s+distinct\b", low
+    ):
+        return sql
+    m = _TDMV_SHAPE.match(masked)
+    if not m:
+        return sql
+
+    def grp(name: str) -> str | None:
+        s, e = m.span(name)
+        return sql[s:e] if s != -1 else None
+
+    tbl = m.group("tbl")
+    if re.search(rf"\b{tbl}\s*\.", masked, re.IGNORECASE):
+        return sql
+    gby = _split_top(grp("gby") or "")
+    if any(g.isdigit() for g in gby):
+        return sql
+    sel_items = _split_top(grp("sel"))
+    if any(it == "*" or it.endswith(".*") for it in sel_items):
+        return sql
+    sel_aliases = set()
+    for it in sel_items:
+        m_alias = re.search(r"\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it)
+        if m_alias:
+            sel_aliases.add(m_alias.group(1).lower())
+    if any(
+        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g) and g.lower() in sel_aliases
+        for g in gby
+    ):
+        return sql
+
+    def _norm(s: str) -> str:
+        return " ".join(s.split())
+
+    exprs: dict[str, str] = {}  # normalized value expr -> original text
+
+    def _scan(text: str) -> None:
+        for _s, _e, _name, args in _find_calls(text, {"mode"}):
+            if len(args) == 2 and args[1].strip().strip("'\"").upper() == "AVG":
+                exprs.setdefault(_norm(args[0]), args[0])
+
+    for clause in ("sel", "having", "oby"):
+        if grp(clause):
+            _scan(grp(clause))
+    if not exprs:
+        return sql
+
+    order = {k: j for j, k in enumerate(exprs)}
+
+    def _subst(text: str) -> str:
+        out, pos = [], 0
+        for s, e, _name, args in _find_calls(text, {"mode"}):
+            if not (
+                len(args) == 2
+                and args[1].strip().strip("'\"").upper() == "AVG"
+            ):
+                continue
+            out.append(text[pos:s])
+            out.append(f"min(_mavg{order[_norm(args[0])]}._m)")
+            pos = e
+        out.append(text[pos:])
+        return "".join(out)
+
+    where = f" WHERE {grp('where')}" if grp("where") else ""
+    ctes = [f"_msrc AS (SELECT * FROM {tbl}{where})"]
+    joined = "_msrc"
+    for nk, j in order.items():
+        orig = exprs[nk]
+        keysel = "".join(f"{g} AS _gk_{i}, " for i, g in enumerate(gby))
+        keys = [f"_gk_{i}" for i in range(len(gby))]
+        part = (
+            f" PARTITION BY {', '.join(keys)}" if keys else ""
+        )
+        grp_keys = f" GROUP BY {', '.join(keys + ['_v'])}" if keys else " GROUP BY _v"
+        ctes.append(
+            f"_mavg{j} AS (SELECT "
+            + "".join(f"_gk_{i}, " for i in range(len(gby)))
+            + "avg(_v) FILTER (WHERE _c = _mx) AS _m FROM ("
+            f"SELECT *, max(_c) OVER ({part.strip() or ''}) AS _mx FROM ("
+            f"SELECT {keysel}CAST(({orig}) AS DOUBLE) AS _v, count(*) AS _c "
+            f"FROM _msrc WHERE ({orig}) IS NOT NULL{grp_keys}))"
+            + (f" GROUP BY {', '.join(keys)}" if keys else "")
+            + ")"
+        )
+        if gby:
+            cond = " AND ".join(
+                f"({g}) <=> _mavg{j}._gk_{i}" for i, g in enumerate(gby)
+            )
+            joined += f" LEFT JOIN _mavg{j} ON {cond}"
+        else:
+            joined += f" CROSS JOIN _mavg{j}"
+
+    out = f"WITH {', '.join(ctes)} SELECT {_subst(grp('sel'))} FROM {joined}"
+    if gby:
+        out += f" GROUP BY {', '.join(gby)}"
+    if grp("having"):
+        out += f" HAVING {_subst(grp('having'))}"
+    if grp("oby"):
+        out += f" ORDER BY {_subst(grp('oby'))}"
+    if grp("lim"):
+        out += f" LIMIT {grp('lim')}"
+    return out
+
+
 _LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
 _EXPLAIN_RE = re.compile(r"^\s*explain\s+plan\s+for\s+", re.IGNORECASE)
 _EXPLAIN_IMPL_RE = re.compile(
@@ -3227,6 +3362,7 @@ class HurricaneSQL:
         cleanups: list = []
         try:
             q = rewrite_mv_percentile_bounded(query)
+            q = rewrite_mode_avg_bounded(q)
             q = self._theta_bytes_rewrite(q)
             q, drop_multi_view = self._multi_index_rewrite(q)
             cleanups.append(drop_multi_view)

@@ -1358,6 +1358,49 @@ def test_mode_avg_hot_group_linear(hdb):
     assert elapsed < 120, f"hot-group mode AVG took {elapsed:.0f}s"
 
 
+def test_mode_avg_restructures_to_value_counts(hdb):
+    """Round-10: single-table mode(col,'AVG') rewrites to a
+    pre-aggregated value-counts shape (rewrite_mode_avg_bounded) — per
+    group state is O(distinct) like ModeAggregationFunction.java:65-75's
+    value->count map, and the hot-group buffer (collect_list of every
+    row) disappears from the plan."""
+    from hurricanedb_spark.sql.dialect import rewrite_mode_avg_bounded
+
+    q = "SELECT g, mode(x, 'AVG') AS m FROM mode_hot_t GROUP BY g"
+    assert rewrite_mode_avg_bounded(q) != q
+    df = hdb.sql(q, default_limit=None)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_list" not in plan
+    assert df.collect()[0]["m"] == 7.0
+    # MIN/MAX reducers keep Spark's native mode() (already O(distinct))
+    q_min = "SELECT g, mode(x, 'MIN') AS m FROM mode_hot_t GROUP BY g"
+    assert rewrite_mode_avg_bounded(q_min) == q_min
+
+
+def test_mode_avg_fold_path_still_correct_on_join_shape(hdb):
+    """Non-restructurable shapes keep the linear-fold macro — exact on
+    ties and NULLs."""
+    hdb.spark.createDataFrame(
+        [("one", 1), ("one", 1), ("one", 4), ("one", 4), ("one", 9)],
+        "g string, x int",
+    ).createOrReplaceTempView("mode_join_t")
+    hdb.spark.createDataFrame(
+        [("one", "fam")], "g string, fam string"
+    ).createOrReplaceTempView("mode_join_dim")
+    df = hdb.sql(
+        "SELECT fam, mode(x, 'AVG') AS m FROM mode_join_t t "
+        "JOIN mode_join_dim d ON t.g = d.g GROUP BY fam",
+        default_limit=None,
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_list" in plan  # the documented fold-path bound
+    assert df.collect()[0]["m"] == 2.5  # avg of tied modes {1, 4}
+
+
 def test_percentile_smart_tdigest_params(hdb):
     # 3rd optional params literal (PercentileSmartTDigestAggregation
     # Function.java:45-71) — validated, then moot: the engine's
