@@ -349,6 +349,12 @@ _SQL_ALIASES: dict[str, tuple[list[str], str]] = {
     "sha256_": (["b"], "sha2(b, 256)"),
     "sha512_": (["b"], "sha2(b, 512)"),
     "md5_": (["b"], "md5(b)"),
+    # commons-codec DigestUtils hex digests, reachable from groovy()
+    # scripts (GroovyFunctionEvaluatorTest.java's sha256Hex pattern):
+    # Spark's sha2/sha1/md5 emit the same lowercase-hex strings
+    "sha256hex": (["s"], "sha2(s, 256)"),
+    "sha1hex": (["s"], "sha1(s)"),
+    "md5hex": (["s"], "md5(s)"),
     "bytestohex": (["b"], "hex(b)"),
     "hextobytes": (["s"], "unhex(s)"),
     # --- numbers ---

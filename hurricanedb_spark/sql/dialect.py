@@ -583,17 +583,193 @@ def _groovy_methods_rewrite(script: str) -> str:
         )
 
 
+def _groovy_mask(script: str) -> str:
+    """Same-length copy with string-literal interiors blanked, so scans
+    can do index math on code characters only."""
+    return "".join(
+        t if not lit else "'" + "x" * (len(t) - 2) + "'"
+        for lit, t in _segments(script)
+    )
+
+
+def _groovy_dquotes(script: str) -> str:
+    """Groovy double-quoted strings -> SQL single-quoted literals (the
+    reference corpus uses \"Jello\"-style literals). GString
+    interpolation ($) is left in place for the charset guard to reject."""
+
+    def conv(seg: str) -> str:
+        out, i = [], 0
+        while i < len(seg):
+            if seg[i] == '"':
+                j = seg.find('"', i + 1)
+                if j == -1:
+                    raise ValueError("groovy(): unterminated string literal")
+                inner = seg[i + 1 : j]
+                if "$" in inner:
+                    raise ValueError(
+                        "groovy(): GString interpolation is outside the "
+                        "expression subset; use '+' concatenation or "
+                        "register a UDF via spark.udf.register"
+                    )
+                out.append("'" + inner.replace("'", "''") + "'")
+                i = j + 1
+            else:
+                out.append(seg[i])
+                i += 1
+        return "".join(out)
+
+    return _map_outside_strings(script, conv)
+
+
+def _groovy_wrap_calls(script: str, pat: re.Pattern, head: str, tail: str) -> str:
+    """Rewrite every `pat`-matched call opener (which must end at its
+    '(') into head + <args to the MATCHING close paren> + tail."""
+    while True:
+        mask = _groovy_mask(script)
+        m = pat.search(mask)
+        if not m:
+            return script
+        depth = 0
+        for i in range(m.end() - 1, len(mask)):
+            if mask[i] == "(":
+                depth += 1
+            elif mask[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    script = (
+                        script[: m.start()]
+                        + head
+                        + script[m.end() : i]
+                        + tail
+                        + script[i + 1 :]
+                    )
+                    break
+        else:
+            raise ValueError("groovy(): unbalanced parentheses")
+
+
+_GROOVY_CAST_SQL = {"long": "BIGINT", "int": "INT", "double": "DOUBLE",
+                    "float": "FLOAT"}
+_GROOVY_PARSE = {
+    "Long.parseLong": "BIGINT",
+    "Integer.parseInt": "INT",
+    "Double.parseDouble": "DOUBLE",
+    "Float.parseFloat": "FLOAT",
+}
+
+
+def _groovy_casts(script: str) -> str:
+    """Java casts `(long)(expr)` and parses `Long.parseLong(s)` ->
+    CAST(expr AS T). Groovy `/` over integers is decimal division (not
+    Java int division), so `(long)(a/b)` == SQL CAST(a/b AS BIGINT) —
+    both truncate the true quotient toward zero."""
+    for jname, sqlt in _GROOVY_PARSE.items():
+        dotted = jname.replace(".", r"\s*\.\s*")
+        pat = re.compile(rf"\b{dotted}\s*\(")
+        script = _groovy_wrap_calls(script, pat, "CAST((", f") AS {sqlt})")
+    for jtype, sqlt in _GROOVY_CAST_SQL.items():
+        pat = re.compile(rf"\(\s*{jtype}\s*\)\s*\(")
+        script = _groovy_wrap_calls(script, pat, "CAST((", f") AS {sqlt})")
+    return script
+
+
+def _groovy_concat_plus(script: str) -> str:
+    """Groovy `+` doubles as string concatenation; SQL's is numeric-only.
+    A `+` with a string LITERAL as either adjacent operand (the corpus's
+    `firstName + ' ' + lastName` shape) becomes `||`; all-identifier
+    sums stay numeric (use .concat() for identifier-only concatenation)."""
+    mask = _groovy_mask(script)
+    out = list(script)
+    for i, ch in enumerate(mask):
+        if ch != "+":
+            continue
+        j = i - 1
+        while j >= 0 and mask[j].isspace():
+            j -= 1
+        k = i + 1
+        while k < len(mask) and mask[k].isspace():
+            k += 1
+        if (j >= 0 and script[j] == "'") or (
+            k < len(script) and script[k] == "'"
+        ):
+            out[i] = "\x00"
+    return "".join(out).replace("\x00", "||")
+
+
+def _groovy_ternary(script: str) -> str:
+    """Recursive ternary translation: right-associative chains
+    (`a ? b : c ? d : e`) and parenthesized nesting both become nested
+    CASE WHEN expressions. Operates on a literal-masked copy so ?/: in
+    string data never split."""
+    mask = _groovy_mask(script)
+    depth, q = 0, -1
+    for i, ch in enumerate(mask):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "?" and depth == 0:
+            q = i
+            break
+    if q == -1:
+        # no top-level ternary: recurse into each top-level paren group
+        out, start, depth, gstart = [], 0, 0, -1
+        for i, ch in enumerate(mask):
+            if ch == "(":
+                if depth == 0:
+                    gstart = i
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    out.append(script[start : gstart + 1])
+                    out.append(_groovy_ternary(script[gstart + 1 : i]))
+                    out.append(")")
+                    start = i + 1
+        out.append(script[start:])
+        return "".join(out)
+    depth, nested, c = 0, 0, -1
+    for i in range(q + 1, len(mask)):
+        ch = mask[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "?" and depth == 0:
+            nested += 1
+        elif ch == ":" and depth == 0:
+            if nested == 0:
+                c = i
+                break
+            nested -= 1
+    if c == -1:
+        raise ValueError("groovy(): ternary '?' without matching ':'")
+    return (
+        f"CASE WHEN {_groovy_ternary(script[:q])} "
+        f"THEN {_groovy_ternary(script[q + 1 : c])} "
+        f"ELSE {_groovy_ternary(script[c + 1 :])} END"
+    )
+
+
 def translate_groovy(args: list[str]) -> str:
     """groovy('{"returnType":...}', 'script', cols...) — the reference's
     inline-script transform (GroovyTransformFunction.java, guarded by
     config). There is no Groovy runtime here; the EXPRESSION SUBSET that
-    covers the documented usage (arithmetic, comparison, logic, ternary,
-    Math.*, and the Java/Groovy String methods — toUpperCase/
-    toLowerCase/trim/length/size/isEmpty/contains/startsWith/endsWith/
-    indexOf/replace/concat/equalsIgnoreCase/substring, chainable)
-    translates directly to Spark SQL with arg0..argN substituted.
-    Anything beyond the subset raises with guidance to register a real
-    UDF via spark.udf.register — the supported extension path."""
+    covers the documented usage (arithmetic, comparison, logic, ternary
+    CHAINS incl. parenthesized nesting, null comparisons, Math.*, Java
+    casts `(long)(...)` / `Long.parseLong(...)` et al., DigestUtils
+    sha256Hex/sha1Hex/md5Hex, and the Java/Groovy String methods —
+    toUpperCase/toLowerCase/trim/length/size/isEmpty/contains/
+    startsWith/endsWith/indexOf/replace/concat/equalsIgnoreCase/
+    substring, chainable) translates directly to Spark SQL with
+    arg0..argN substituted. The subset is corpus-driven: every pattern
+    in the reference's GroovyFunctionEvaluatorTest.java either
+    translates (identity, string concat, ternaries over null checks,
+    parseLong-and-cast bucketing, sha256Hex) or rejects loudly
+    (closures `{ it }`, spread `*.`, map receivers — no Groovy runtime
+    exists here). Anything beyond the subset raises with guidance to
+    register a real UDF via spark.udf.register — the supported
+    extension path."""
     import json as _json
 
     meta = _json.loads(args[0].strip().strip("'").replace('""', '"'))
@@ -621,6 +797,21 @@ def translate_groovy(args: list[str]) -> str:
                 "embedded quote); register general scripts as UDFs via "
                 "spark.udf.register"
             )
+    # Groovy double-quoted strings become SQL literals before the
+    # structural guards (GStrings with $-interpolation then fail the
+    # charset check); Java casts/parses and the DigestUtils hex names
+    # rewrite next so their dotted names don't reach the method parser
+    script = _groovy_dquotes(script)
+    script = _groovy_casts(script)
+    script = _map_outside_strings(
+        script,
+        lambda s: re.sub(
+            r"\b(?:org\.apache\.commons\.codec\.digest\.)?DigestUtils\."
+            r"(sha256Hex|sha1Hex|md5Hex)\s*\(",
+            lambda m: m.group(1).lower() + "(",
+            s,
+        ),
+    )
     # Structural guards inspect CODE only: literals may contain anything
     # (they are data), while code is held to the expression-subset charset
     # and must be statement-free (no ; or {).
@@ -639,6 +830,11 @@ def translate_groovy(args: list[str]) -> str:
             raise ValueError("groovy(): unsupported Math.* function")
         # groovy operators -> SQL (order matters: != before !, == before =)
         seg = seg.replace("&&", " AND ").replace("||", " OR ")
+        # Groovy null comparisons have three-valued-logic-free semantics:
+        # `x != null` is TRUE for every non-null x, where SQL's `x != NULL`
+        # is never true — translate the postfix forms to IS [NOT] NULL
+        seg = re.sub(r"!=\s*null\b", " IS NOT NULL ", seg)
+        seg = re.sub(r"==\s*null\b", " IS NULL ", seg)
         seg = re.sub(r"!(?!=)", " NOT ", seg)
         seg = re.sub(r"(?<![<>!=])==(?!=)", "=", seg)
         return seg
@@ -648,17 +844,10 @@ def translate_groovy(args: list[str]) -> str:
     # 'lit'.length(), chains) -> SQL; runs after _ops so Math.* is
     # already resolved and cannot parse as a .method( receiver
     script = _groovy_methods_rewrite(script)
-    # single non-nested ternary: cond ? a : b -> CASE WHEN. The ?/: are
-    # located outside string literals so 'a:b' contents don't split.
-    qpos = _index_outside(script, "?")
-    if qpos != -1:
-        cpos = _index_outside(script, ":", qpos + 1)
-        if cpos == -1:
-            raise ValueError("groovy(): ternary '?' without matching ':'")
-        script = (
-            f"CASE WHEN {script[:qpos]} THEN {script[qpos + 1:cpos]} "
-            f"ELSE {script[cpos + 1:]} END"
-        )
+    script = _groovy_concat_plus(script)
+    # ternary chains (right-associative) and parenthesized nesting ->
+    # nested CASE WHEN; ?/: inside string literals never split
+    script = _groovy_ternary(script)
     for idx, a in enumerate(args[2:]):
         script = _map_outside_strings(
             script,
