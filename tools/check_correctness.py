@@ -100,6 +100,47 @@ def nat_to_none(df: pd.DataFrame) -> pd.DataFrame:
     return df.where(pd.notna(df), None)
 
 
+def _ulp_equal(a, b, n: int) -> bool:
+    import math
+
+    if cell_canon(a) == cell_canon(b):
+        return True
+    if not (
+        isinstance(a, (float, np.floating))
+        and isinstance(b, (float, np.floating))
+    ):
+        return False
+    a, b = float(a), float(b)
+    if math.isnan(a) or math.isnan(b):
+        return False
+    x = a
+    for _ in range(n):
+        x = math.nextafter(x, b)
+    return x == b
+
+
+def frames_ulp_equal(a: pd.DataFrame, b: pd.DataFrame, n: int) -> bool:
+    """Order-insensitive compare allowing float cells to differ by up to
+    `n` ULPs. ONLY for the sf>=1 scale self-audits (--ulp): a DOUBLE
+    aggregate above ~2^53 at 6-decimal scale exceeds double's exact
+    integer range, so Spark and DuckDB legitimately round the final
+    conversion differently by 1 ULP (the sf1 q1 artifact, COVERAGE.md).
+    The driver gate and the default invocation stay bit-strict."""
+    cols = sorted(a.columns)
+    a = nat_to_none(a)[cols]
+    b = nat_to_none(b)[cols]
+    try:
+        a = a.sort_values(cols, kind="mergesort").reset_index(drop=True)
+        b = b.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    except Exception:  # noqa: BLE001 — unsortable mix: fall back strict
+        return False
+    for c in cols:
+        for va, vb in zip(a[c], b[c]):
+            if not _ulp_equal(va, vb, n):
+                return False
+    return True
+
+
 def compare_frames(spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(spark_pd) != len(oracle_pd):
@@ -137,8 +178,14 @@ def compare_frames(spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame) -> list[str]
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    ulp = 0
+    if "--ulp" in argv:
+        i = argv.index("--ulp")
+        ulp = int(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
@@ -186,7 +233,13 @@ def main() -> int:
             continue
 
         problems = compare_frames(spark_pd, oracle_pd)
-        if problems:
+        if problems and ulp and frames_ulp_equal(spark_pd, oracle_pd, ulp):
+            n_pass += 1
+            print(
+                f"PASS~ {name}: {len(spark_pd)} rows (within {ulp} ulp) "
+                f"[{time.time()-t0:.1f}s]"
+            )
+        elif problems:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
