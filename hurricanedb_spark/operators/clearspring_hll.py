@@ -264,21 +264,26 @@ _TO_BYTES = {
 }
 
 
-def build_hll(values, spark_type: str, log2m: int) -> bytes:
-    """Serialized clearspring HLL of a pandas Series of `spark_type`
-    values (NULLs skipped — the reference offers primitive arrays, never
-    nulls)."""
+def offer_series(hll: ClearspringHLL, values, spark_type: str) -> None:
+    """Offer a pandas Series of `spark_type` values into `hll` (NULLs
+    skipped — the reference offers primitive arrays, never nulls)."""
     enc = _TO_BYTES.get(spark_type.lower())
     if enc is None:
         raise ValueError(
             f"distinctCountRawHLL: unsupported column type {spark_type!r} "
             "(supported: int/long/float/double/string)"
         )
-    hll = ClearspringHLL(log2m)
     for v in values:
         if v is None or (isinstance(v, float) and v != v):
             continue
         hll.offer_bytes(enc(v))
+
+
+def build_hll(values, spark_type: str, log2m: int) -> bytes:
+    """Serialized clearspring HLL of a pandas Series of `spark_type`
+    values."""
+    hll = ClearspringHLL(log2m)
+    offer_series(hll, values, spark_type)
     return hll.serialize()
 
 

@@ -100,12 +100,25 @@ def build_qdigest(
     """Serialize the exact QuantileDigest of integer `values` (None
     skipped) in the reference wire layout."""
     counts: dict[int, float] = {}
-    lo = hi = None
     for v in values:
         if v is None:
             continue
         v = int(v)
-        counts[_long_to_bits(v)] = counts.get(_long_to_bits(v), 0.0) + 1.0
+        counts[v] = counts.get(v, 0.0) + 1.0
+    return build_qdigest_from_counts(counts, max_error)
+
+
+def build_qdigest_from_counts(
+    value_counts: dict[int, float], max_error: float = DEFAULT_MAX_ERROR
+) -> bytes:
+    """Serialize from a value -> count map (the partial-aggregation
+    accumulator shape: operators/raw_partial sums per-partition counts
+    and builds the trie once)."""
+    counts: dict[int, float] = {}
+    lo = hi = None
+    for v, c in value_counts.items():
+        v = int(v)
+        counts[_long_to_bits(v)] = counts.get(_long_to_bits(v), 0.0) + c
         lo = v if lo is None or v < lo else lo
         hi = v if hi is None or v > hi else hi
     if not counts:

@@ -93,16 +93,73 @@ def empty_state(kind: str, k: int = 4096) -> bytes:
     raise ValueError(f"unknown digest kind {kind!r}")
 
 
-def _make_builder(spec: DigestSpec, spark_type: str):
-    """(pandas Series of raw values) -> partial digest bytes."""
+def _make_acc_factory(spec: DigestSpec, spark_type: str):
+    """-> zero-arg factory of per-(partition, group) accumulators with
+    `update(pandas Series)` and `emit() -> bytes`. Accumulating across
+    the partition's whole batch iterator (instead of serializing one
+    digest per Arrow batch) keeps the partial phase at one cheap
+    per-batch fold + ONE digest build per partition x group — this is
+    what makes the two-phase plan FASTER than the single-phase grouped
+    agg on wall-clock, not just bounded-memory."""
+    import numpy as np
+
     if spec.kind == "qdigest":
-        from hurricanedb_spark.operators.percentile_digest import build_qdigest
+        from hurricanedb_spark.operators.percentile_digest import (
+            build_qdigest_from_counts,
+        )
 
-        return lambda v: build_qdigest(v.dropna().astype("int64").tolist())
+        class _QAcc:
+            __slots__ = ("counts",)
+
+            def __init__(self):
+                self.counts: dict[int, float] = {}
+
+            def update(self, v):
+                arr = v.dropna().astype("int64").to_numpy()
+                if arr.size == 0:
+                    return
+                vals, cnts = np.unique(arr, return_counts=True)
+                counts = self.counts
+                for val, c in zip(vals.tolist(), cnts.tolist()):
+                    counts[val] = counts.get(val, 0.0) + c
+
+            def emit(self) -> bytes:
+                return build_qdigest_from_counts(self.counts)
+
+        return _QAcc
     if spec.kind == "tdigest":
-        from hurricanedb_spark.operators.tdigest import build_tdigest
+        import math
 
-        return lambda v: build_tdigest(v.dropna().astype("float64").tolist())
+        from hurricanedb_spark.operators.tdigest import (
+            DEFAULT_COMPRESSION,
+            _merge_points,
+            serialize_centroids,
+        )
+
+        class _TAcc:
+            __slots__ = ("centroids", "lo", "hi")
+
+            def __init__(self):
+                self.centroids: list[tuple[float, float]] = []
+                self.lo, self.hi = math.inf, -math.inf
+
+            def update(self, v):
+                arr = v.dropna().astype("float64").to_numpy()
+                if arr.size == 0:
+                    return
+                self.lo = min(self.lo, float(arr.min()))
+                self.hi = max(self.hi, float(arr.max()))
+                pts = self.centroids + [(x, 1.0) for x in arr.tolist()]
+                pts.sort()
+                # one k1 merge pass per batch keeps state <= ~2C centroids
+                self.centroids = _merge_points(pts, DEFAULT_COMPRESSION)
+
+            def emit(self) -> bytes:
+                return serialize_centroids(
+                    self.lo, self.hi, DEFAULT_COMPRESSION, self.centroids
+                )
+
+        return _TAcc
     if spec.kind == "theta":
         from hurricanedb_spark.operators.theta_ds import (
             _SPARK_TO_HASH_DTYPE,
@@ -124,18 +181,47 @@ def _make_builder(spec: DigestSpec, spark_type: str):
             )
         seed_hash = compute_seed_hash(DEFAULT_SEED)
         lg = max(4, (spec.k - 1).bit_length())
+        k = spec.k
 
-        def build_theta(v):
-            hs = hash_column_np(v, dtype)
-            return serialize(
-                from_hashes((int(h) for h in hs if h), spec.k, seed_hash), lg
-            )
+        class _ThAcc:
+            __slots__ = ("hashes",)
 
-        return build_theta
+            def __init__(self):
+                self.hashes: set[int] = set()
+
+            def update(self, v):
+                hs = hash_column_np(v, dtype)
+                self.hashes.update(int(h) for h in hs if h)
+                if len(self.hashes) > 8 * k:
+                    # keep the k smallest — the only ones a k-minimum
+                    # sketch can retain; state stays O(k)
+                    self.hashes = set(sorted(self.hashes)[:k])
+
+            def emit(self) -> bytes:
+                return serialize(from_hashes(self.hashes, k, seed_hash), lg)
+
+        return _ThAcc
     if spec.kind == "hll":
-        from hurricanedb_spark.operators.clearspring_hll import build_hll
+        from hurricanedb_spark.operators.clearspring_hll import (
+            ClearspringHLL,
+            offer_series,
+        )
 
-        return lambda v: build_hll(v, spark_type, spec.k)
+        log2m = spec.k
+
+        class _HAcc:
+            __slots__ = ("hll",)
+
+            def __init__(self):
+                self.hll = ClearspringHLL(log2m)
+
+            def update(self, v):
+                offer_series(self.hll, v, spark_type)
+
+            def emit(self) -> bytes:
+                return self.hll.serialize()
+
+        return _HAcc
     raise ValueError(f"unknown digest kind {spec.kind!r}")
 
 
@@ -185,7 +271,9 @@ def digests_by_group(
         df = df.withColumn("_g_all", F.lit(0))
         group_cols = ["_g_all"]
     dtypes = dict(df.dtypes)
-    builders = {s.alias: _make_builder(s, dtypes[s.value_col]) for s in specs}
+    factories = [
+        _make_acc_factory(s, dtypes[s.value_col]) for s in specs
+    ]
     mergers = {s.alias: _make_merger(s) for s in specs}
     src = df.select(
         *group_cols, *(F.col(s.value_col).alias(s.alias) for s in specs)
@@ -197,16 +285,28 @@ def digests_by_group(
     aliases = [s.alias for s in specs]
 
     def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # accumulate across the partition's whole batch stream: one
+        # bounded accumulator per (group x spec), ONE serialized digest
+        # per partition x group at the end — the shuffle carries
+        # O(partitions x groups) blobs regardless of row count
+        accs: dict[tuple, list] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = []
             for key, grp in pdf.groupby(group_cols, dropna=False, sort=False):
                 key = key if isinstance(key, tuple) else (key,)
-                rows.append(
-                    (*key, *(builders[a](grp[a]) for a in aliases))
-                )
-            yield pd.DataFrame(rows, columns=[*group_cols, *aliases])
+                # NaN keys must hash identically across batches
+                key = tuple(None if pd.isna(x) else x for x in key)
+                row = accs.get(key)
+                if row is None:
+                    row = accs[key] = [f() for f in factories]
+                for acc, a in zip(row, aliases):
+                    acc.update(grp[a])
+        if accs:
+            yield pd.DataFrame(
+                [(*k, *(acc.emit() for acc in row)) for k, row in accs.items()],
+                columns=[*group_cols, *aliases],
+            )
 
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
         merged = {

@@ -85,14 +85,22 @@ def build_tdigest(
             0,
         )
     centroids = _merge_points([(v, 1.0) for v in vals], compression)
+    return serialize_centroids(vals[0], vals[-1], compression, centroids)
+
+
+def serialize_centroids(
+    lo: float,
+    hi: float,
+    compression: float,
+    centroids: list[tuple[float, float]],
+) -> bytes:
+    """VERBOSE-layout bytes from already-merged (mean, weight) centroids
+    (the partial-aggregation accumulator shape)."""
+    if not centroids:
+        return build_tdigest([], compression)
     out = [
         struct.pack(
-            ">idddi",
-            _VERBOSE_ENCODING,
-            vals[0],
-            vals[-1],
-            compression,
-            len(centroids),
+            ">idddi", _VERBOSE_ENCODING, lo, hi, compression, len(centroids)
         )
     ]
     for mean, w in centroids:
