@@ -39,7 +39,11 @@ Determinism vs the single-phase builders:
     elementwise max, which commutes.
 
 The SQL surface routes the restructurable single-table shapes here
-(sql/dialect.py HurricaneSQL._raw_digest_two_phase); non-restructurable
+(sql/dialect.py HurricaneSQL._raw_digest_two_phase) — including the
+FILTERED set-op raw theta form, whose CASE-filtered per-filter sketches
+become one spec each and whose set expression folds over the merged
+sketches (byte-identical to the single-phase emission, since union of
+partials keeps the same k smallest distinct hashes). Non-restructurable
 shapes keep the single-phase grouped-agg fallback with its documented
 bound.
 """

@@ -1283,7 +1283,10 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
         # sketch per referenced filter (O(k) state per group), set ops
         # folded post-aggregation, base64 STRING envelope like the
         # reference (DistinctCountRawThetaSketchAggregationFunction
-        # .java:50-56)
+        # .java:50-56). This emission is the single-phase FALLBACK:
+        # restructurable single-table shapes never reach it — they route
+        # through _raw_digest_two_phase (mapInPandas partials, no
+        # raw-value shuffle) with byte-identical output
         ids = sorted(_theta_tree_ids(tree))
         pos = {a: i for i, a in enumerate(ids)}
         rendered = _theta_render_tree(tree, pos)
@@ -2643,7 +2646,8 @@ class HurricaneSQL:
     def _raw_digest_two_phase(self, query: str):
         """Two-phase (partial -> merge) routing for the raw mergeable
         digest builders — percentileRawEst / percentileRawTDigest /
-        simple-form distinctCountRawThetaSketch over a VALUE column.
+        distinctCountRawHLL / distinctCountRawThetaSketch (both the
+        simple-union and the FILTERED set-op form) over a VALUE column.
 
         The single-phase grouped-agg fallback ships a group's entire raw
         value set to one Python worker before building the bounded digest
@@ -2749,9 +2753,8 @@ class HurricaneSQL:
                 if not 4 <= log2m <= 30:
                     return None
                 return (f"({args[0]})", "hll", log2m)
-            # theta: simple union form only; the filtered set-op form
-            # builds CASE-filtered sketches post-aggregated by
-            # thetasetopsketch and stays on its dedicated path
+            # theta: simple union form here; the filtered set-op form is
+            # a COMPOSITE call (several specs + a fold) — _call_parts
             if len(args) > 2:
                 return None
             try:
@@ -2760,16 +2763,76 @@ class HurricaneSQL:
                 return None
             return (f"({args[0]})", "theta", k)
 
+        def _call_parts(name: str, args: list[str]):
+            """-> (specs, render): `specs` is a list of
+            (value_expr_sql, kind, k) view columns the call consumes;
+            `render(bodies)` wraps the per-spec BINARY digest bodies into
+            the call's final emission. None = outside the restructure
+            (the single-phase fallback validates/raises).
+
+            Simple forms are one spec + an envelope. The FILTERED set-op
+            raw theta form (expr, params, filter..., 'SET_OP') maps to
+            one spec per referenced sketch id — CASE-filtered value
+            exprs, each an O(k) per-partition partial — folded by
+            thetasetopsketch over the MERGED sketches: union of partials
+            keeps the same k smallest distinct hashes as a direct build,
+            so eval_set_tree sees identical compact sketches either way
+            and the emission is byte-identical to the single-phase path.
+            The Spark schema of a CASE branch keeps the source column
+            type, so the hash-space pin (the r9 typeof() class) is
+            preserved without the explicit typeof() argument."""
+            k = _call_key(name, args)
+            if k is not None:
+                env = "base64({})" if k[1] == "theta" else "lower(hex({}))"
+                return [k], lambda bodies, env=env: env.format(bodies[0])
+            if name != "distinctcountrawthetasketch" or len(args) < 4:
+                return None
+            try:
+                nominal = _theta_params(args[1])
+                filters = [
+                    _unquote_literal(a, f"{name} filter expression")
+                    for a in args[2:-1]
+                ]
+                set_expr = _unquote_literal(
+                    args[-1], f"{name} post-aggregation expression"
+                )
+                tree = _theta_parse_tree(set_expr, len(filters))
+            except ValueError:
+                return None
+            ids = sorted(_theta_tree_ids(tree))
+            pos = {a: i for i, a in enumerate(ids)}
+            rendered = _theta_render_tree(tree, pos)
+            col = args[0]
+            specs = [
+                (
+                    f"({col})"
+                    if a == 0
+                    else f"CASE WHEN ({filters[a - 1]}) THEN ({col}) END",
+                    "theta",
+                    nominal,
+                )
+                for a in ids
+            ]
+
+            def render(bodies, rendered=rendered, nominal=nominal):
+                return (
+                    f"base64(thetasetopsketch('{rendered}', "
+                    f"array({', '.join(bodies)}), {nominal}))"
+                )
+
+            return specs, render
+
         assign: dict[tuple[str, str, int], str] = {}  # key -> view column
 
         def _scan(text: str) -> None:
             for _s, _e, name, args in _find_calls(text, names):
-                k = _call_key(name, args)
-                if k is None:
+                parts = _call_parts(name, args)
+                if parts is None:
                     continue
-                nk = (_norm(k[0]), k[1], k[2])
-                if nk not in assign:
-                    assign[nk] = f"_rd_{len(assign)}"
+                for expr, kd, k in parts[0]:
+                    nk = (_norm(expr), kd, k)
+                    if nk not in assign:
+                        assign[nk] = f"_rd_{len(assign)}"
 
         for clause in ("sel", "having", "oby"):
             if grp(clause):
@@ -2808,24 +2871,29 @@ class HurricaneSQL:
         def cleanup(uniq=uniq):
             self.spark.catalog.dropTempView(uniq)
 
-        def _emit(kind: str, k: int, alias: str, qualify: bool) -> str:
+        def _body(kind: str, k: int, alias: str, qualify: bool) -> str:
             col = f"{uniq}.{alias}" if qualify else alias
             agg = f"min({col})" if qualify else col
             empty = f"X'{empty_state(kind, k or 4096).hex()}'"
-            body = f"coalesce({agg}, {empty})"
-            if kind == "theta":
-                return f"base64({body})"
-            return f"lower(hex({body}))"
+            return f"coalesce({agg}, {empty})"
+
+        def _emit_call(parts, qualify: bool) -> str:
+            specs, render = parts
+            return render(
+                [
+                    _body(kd, k, assign[(_norm(ex), kd, k)], qualify)
+                    for ex, kd, k in specs
+                ]
+            )
 
         def _subst(text: str, qualify: bool) -> str:
             out, pos = [], 0
             for s, e, name, args in _find_calls(text, names):
-                k = _call_key(name, args)
-                if k is None:
+                parts = _call_parts(name, args)
+                if parts is None:
                     continue
-                nk = (_norm(k[0]), k[1], k[2])
                 out.append(text[pos:s])
-                out.append(_emit(k[1], k[2], assign[nk], qualify))
+                out.append(_emit_call(parts, qualify))
                 pos = e
             out.append(text[pos:])
             return "".join(out)
@@ -2853,14 +2921,11 @@ class HurricaneSQL:
                     # output name is the expression text, which a rename
                     # cannot reproduce — join-back keeps it
             calls = _find_calls(body, names)
-            if len(calls) == 1 and _call_key(calls[0][2], calls[0][3]):
+            if len(calls) == 1:
                 s, e, name, args = calls[0]
-                if not body[:s].strip() and not body[e:].strip():
-                    k = _call_key(name, args)
-                    nk = (_norm(k[0]), k[1], k[2])
-                    return (
-                        f"{_emit(k[1], k[2], assign[nk], False)}{alias_sfx}"
-                    )
+                parts = _call_parts(name, args)
+                if parts and not body[:s].strip() and not body[e:].strip():
+                    return f"{_emit_call(parts, False)}{alias_sfx}"
             return None
 
         # ORDER BY items that are group keys rename to their view columns;

@@ -810,15 +810,15 @@ def gen_case(rng: random.Random, idx: int) -> FuzzCase:
                 f"WHERE {w_d} GROUP BY {key}",
                 shape,
             )
-        # global shape: Spark emits NO row when a pandas-UDAF-only global
-        # aggregate sees zero input rows (the reference would return one
-        # empty sketch — documented divergence, README dialect notes);
-        # HAVING count(*) > 0 makes the DuckDB oracle match that
+        # global shape: the single-table form restructures through the
+        # two-phase builder (round 10), which returns ONE row with the
+        # empty-sketch result on zero input — the reference's semantics
+        # (an empty serialized sketch, estimate 0). The plain global
+        # DuckDB aggregate matches: every count(DISTINCT ...) term is 0.
         return FuzzCase(
             f"fuzz_{idx}_rawsketch",
             f"SELECT {e_p} AS a0 FROM lineitem WHERE {w_p}",
-            f"SELECT {e_d} AS a0 FROM lineitem WHERE {w_d} "
-            f"HAVING count(*) > 0",
+            f"SELECT {e_d} AS a0 FROM lineitem WHERE {w_d}",
             shape,
         )
     if shape == "mv_select":

@@ -208,3 +208,56 @@ def test_hot_group_partial_aggregation_bounded(spark):  # noqa: F811
     assert qd.total_weight == n
     # 0..999 uniform: the 50th percentile upper bound is 499 or 500
     assert abs(qd.quantile(0.5) - 499.5) <= 0.5
+
+
+def test_filtered_theta_two_phase_matches_single_phase(hdb, spark):  # noqa: F811
+    """The FILTERED set-op raw theta form routes through the two-phase
+    builder on single-table shapes: one CASE-filtered spec per referenced
+    sketch, set ops folded over the MERGED sketches. Output must be
+    byte-identical to the single-phase emission (union of partials keeps
+    the same k smallest distinct hashes; compact serialization is
+    canonical)."""
+    body = (
+        "SELECT g, distinctCountRawThetaSketch(v, 'nominalEntries=256', "
+        "'d > 500', 'v % 2 = 0', 'SET_INTERSECT($1, $2)') AS sk "
+        "FROM {src} GROUP BY g"
+    )
+    two = hdb.sql(body.format(src="rp_t"), default_limit=None)
+    plan = _plan(two)
+    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    # a WITH wrapper defeats the restructure -> single-phase fallback
+    single = hdb.sql(
+        "WITH w AS (SELECT * FROM rp_t) " + body.format(src="w"),
+        default_limit=None,
+    )
+    assert "ArrowAggregatePython" in _plan(single)
+    got_two = {r["g"]: r["sk"] for r in two.collect()}
+    got_one = {r["g"]: r["sk"] for r in single.collect()}
+    assert got_two == got_one and len(got_two) == 3
+
+
+def test_filtered_theta_two_phase_diff_with_default_sketch(hdb, spark):  # noqa: F811
+    """SET_DIFF($0, $1): the $0 default (unfiltered) sketch and a filter
+    that matches NOTHING in some group — the empty per-group CASE column
+    must emit an empty sketch (not NULL), leaving the diff == $0."""
+    import base64
+
+    from hurricanedb_spark.operators.theta_ds import deserialize
+
+    df = hdb.sql(
+        "SELECT g, distinctCountRawThetaSketch(v, 'nominalEntries=4096', "
+        "'v < -999', 'SET_DIFF($0, $1)') AS sk FROM rp_t GROUP BY g",
+        default_limit=None,
+    )
+    plan = _plan(df)
+    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    exact = {
+        r["g"]: r["n"]
+        for r in spark.sql(
+            "SELECT g, count(DISTINCT v) AS n FROM rp_t GROUP BY g"
+        ).collect()
+    }
+    for r in df.collect():
+        sk = deserialize(base64.b64decode(r["sk"]))
+        # NDV per group << nominalEntries=4096 -> sketch is exact
+        assert round(sk.estimate()) == exact[r["g"]]
