@@ -47,7 +47,12 @@ implementation clamps at 31 instead of reproducing the corruption.
 Java float/double toString formatting (shortest round-trip decimal;
 plain notation in [1e-3, 1e7), else `d.dddE±x`) is reproduced by
 `_java_double_str` / `_java_float_str` so FLOAT/DOUBLE columns hash
-the same bytes a reference server offers.
+the same bytes a reference server offers. Caveat: pre-JDK-19
+Double.toString occasionally emits a non-shortest digit string
+(JDK-4511638, fixed by the Ryu rewrite in 19); for those rare values a
+JDK<19 reference server hashes different bytes than this (shortest)
+rendering — integers and strings, the dominant HLL column types, are
+unaffected.
 """
 
 from __future__ import annotations
@@ -203,12 +208,13 @@ class ClearspringHLL:
             alpha_mm = 0.709 * m * m
         else:
             alpha_mm = (0.7213 / (1 + 1.079 / m)) * m * m
+        # Java Math.round = floor(x + 0.5); Python round() is banker's
         estimate = alpha_mm / register_sum
         if estimate <= 2.5 * m:
             if zeros == 0:
-                return round(estimate)
-            return round(m * math.log(m / zeros))
-        return round(estimate)
+                return math.floor(estimate + 0.5)
+            return math.floor(m * math.log(m / zeros) + 0.5)
+        return math.floor(estimate + 0.5)
 
     def serialize(self) -> bytes:
         count = 1 << self.log2m

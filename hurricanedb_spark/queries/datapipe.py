@@ -488,21 +488,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
     """,
-    doc="Embedding-cosine near-duplicate pairs (subset blocked by id for "
-    "the oracle; the production path buckets by LSH sketch first).",
+    doc="Embedding-cosine near-duplicate pairs — the EXACT all-pairs "
+    "baseline/oracle metric (subset blocked by id). O(N^2) by "
+    "construction: guarded past 5k vectors (QuadraticPairsError names "
+    "the scale path); q_embedding_neardup_lsh is the production route.",
     tags=("datapipe", "dedup", "similarity"),
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    a = em.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = em.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", sim.cosine_exact(F.col("va"), F.col("vb")).alias("cosine")
-        )
-        .filter(F.col("cosine") >= 0.95)
-    )
+    return sim.exact_neardup_pairs(em, threshold=0.95)
+
+
+@register(
+    "q_embedding_neardup_lsh",
+    oracle=None,  # approximate candidate generation; soundness + recall
+    # vs the exact baseline are pytest-bounded (tests/test_similarity.py)
+    doc="Embedding-cosine near-dup, LSH scale path "
+    "(operators/similarity.py:lsh_neardup_pairs): multi-table "
+    "random-hyperplane buckets -> capped per-bucket self-join -> exact "
+    "quantized-cosine re-rank >= 0.95. Shuffle O(N*tables + candidates), "
+    "never O(N^2). Runs the FULL embeddings table. Rows-only check.",
+    tags=("datapipe", "dedup", "similarity"),
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_neardup_pairs(em, dim=64, threshold=0.95)
 
 
 # --- multimodal plumbing -----------------------------------------------------

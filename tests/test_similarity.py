@@ -95,3 +95,58 @@ def test_ivf_corpus_assignment_is_single_cell(spark, sf_dir):
         sim.ivf_cells(F.col("embedding"), centroids, 1)[0].alias("cell")
     ).groupBy("cell").count().collect()
     assert 1 < len(dist) <= 8  # vectors spread over multiple cells
+
+
+def test_exact_neardup_guard_names_scale_path(spark, sf_dir):
+    import pytest
+
+    em = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(sim.QuadraticPairsError, match="lsh_neardup_pairs"):
+        sim.exact_neardup_pairs(em, max_vectors=3).collect()
+
+
+def test_lsh_neardup_sound_and_recall(spark, sf_dir):
+    """LSH near-dup pairs: every returned pair truly >= threshold
+    (soundness — the re-rank recomputes the exact metric), and recall vs
+    the exact all-pairs baseline is high at cosine 0.95. The natural
+    test embeddings contain NO near-dup pairs (checked down to cosine
+    0.7), so known pairs are synthesized: a perturbed copy of every
+    vector (deterministic elementwise scaling, cosine ~0.999 — close to
+    but not exactly parallel, so bucket membership is not trivially
+    identical)."""
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = em.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x * (1.0 + 0.02 * "
+            "((i % 5) - 2) / 10.0) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    both = em.unionByName(pert)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.lsh_neardup_pairs(both, dim=64, threshold=0.95).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.exact_neardup_pairs(
+            both, threshold=0.95, max_vectors=10_000
+        ).collect()
+    }
+    # soundness: exact-metric re-rank means every emitted pair is real
+    for pair, c in got.items():
+        assert pair in want and abs(want[pair] - c) < 1e-12
+    # recall: bounded, not exact-match — candidate generation is LSH
+    assert len(want) >= 100, "perturbed copies must form near-dup pairs"
+    assert len(got) / len(want) >= 0.8
+
+
+def test_lsh_neardup_plan_never_quadratic(spark, sf_dir):
+    """The candidate join must be an equi-join on the bucket key — no
+    cartesian/broadcast-nested-loop over the corpus."""
+    em = load_table(spark, sf_dir, "embeddings")
+    df = sim.lsh_neardup_pairs(em, dim=64)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan

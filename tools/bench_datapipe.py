@@ -49,10 +49,20 @@ def main() -> int:
     # dominate the whole bench. The single run is still a measurement;
     # the JSON names which rows were capped so nothing is silent.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "150"))
+    # SPARK_GRAFT_BENCH_SKIP: comma-separated query names to leave out of
+    # THIS invocation (recorded in the JSON, never silent) — used when a
+    # documented super-linear baseline was already measured in an earlier
+    # run of the same round and re-measuring it would dominate the wall.
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
+    }
     reg = {n: q for n, q in all_queries().items() if "datapipe" in q.tags}
     timings: dict[str, float] = {}
     guarded: dict[str, str] = {}
     single_run: dict[str, str] = {}
+    skipped = sorted(skip & set(reg))
+    for name in skipped:
+        del reg[name]
     for name, qd in sorted(reg.items()):
         try:
             t0 = time.perf_counter()
@@ -88,6 +98,8 @@ def main() -> int:
         out["guarded"] = guarded
     if single_run:
         out["single_run"] = single_run
+    if skipped:
+        out["skipped"] = skipped
     print(json.dumps(out))
     return 0
 
