@@ -408,7 +408,8 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_tables: int = 8,
-    bits: int = 4,
+    bits: int | None = None,
+    target_bucket: int = 64,
     max_bucket_size: int | None = 4096,
     kernel: bool = True,
 ) -> DataFrame:
@@ -417,19 +418,31 @@ def lsh_neardup_pairs(
     capped, like dedup.lsh_candidate_pairs) -> join vectors back -> exact
     quantized-cosine re-rank >= threshold.
 
-    Cost at scale: each vector emits `n_tables` bucket rows, so candidate
-    generation shuffles O(N * n_tables) id rows — never O(N^2) — and the
-    re-rank touches only colliding pairs (vectors travel only for
-    candidates, via the two join-backs, not through the distinct). A
-    16-bit budget (8 tables x 4 bits here) keeps per-bucket populations
-    ~N/2^bits per table; `max_bucket_size` bounds the degenerate bucket
-    (zero vectors, constant embeddings) exactly like the text-LSH cap.
-    Recall vs the exact baseline is pytest-bounded (high-cosine pairs
-    collide in >=1 of 8 tables with probability ~1-(1-(1-θ/π)^4)^8, ~0.99
-    at cosine 0.95); returned pairs are SOUND by construction — the
-    re-rank recomputes the exact metric."""
+    `bits` (bucket granularity per table) defaults ADAPTIVE:
+    ceil(log2(N / target_bucket)), clamped to [4, 20] — the per-table
+    bucket COUNT must scale with N or the bucket self-join quietly
+    reverts to quadratic: at fixed 4 bits / 16 buckets, 20k vectors
+    already produce ~10^8 candidate pairs (measured, round 10). With a
+    constant target bucket population B, candidates ~= n_tables * N * B/2
+    — LINEAR in N. Sizing costs one cheap count() at plan time (the
+    loud-guard convention); pass `bits` explicitly to pin it (a 100 TB
+    pipeline knows its N).
+
+    Candidate generation shuffles O(N * n_tables) id rows — never the
+    raw vectors, which travel only for colliding pairs via the two
+    join-backs after the distinct. `max_bucket_size` bounds the
+    degenerate bucket (zero vectors, constant embeddings) exactly like
+    the text-LSH cap. Recall vs the exact baseline is pytest-bounded
+    (at cosine 0.95 and 9 bits: per-table collision (1-θ/π)^9 ≈ 0.38,
+    across 8 tables 1-(1-0.38)^8 ≈ 0.98); returned pairs are SOUND by
+    construction — the re-rank recomputes the exact metric."""
+    import math as _math
+
     from pyspark.sql import Window as W
 
+    if bits is None:
+        n = df.count()
+        bits = max(4, min(20, _math.ceil(_math.log2(max(n, 1) / target_bucket)) if n > target_bucket else 4))
     sk = (
         _table_sketches_kernel(dim, n_tables, bits)
         if kernel
