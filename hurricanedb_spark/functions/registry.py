@@ -587,7 +587,7 @@ def register_all(spark: SparkSession) -> None:
 
     def _cs_hll_union_est(v):
         raw = _cs_merge(bytes(b) for b in v if b is not None)
-        return _CsHLL.deserialize(raw).cardinality()
+        return None if raw is None else _CsHLL.deserialize(raw).cardinality()
 
     spark.udf.register(
         "clearspringhllunion",

@@ -70,6 +70,7 @@ _R64 = 47
 
 REGISTER_SIZE = 5
 REGS_PER_WORD = 6  # stream-lib's (misnamed) LOG2_BITS_PER_WORD
+JAVA_LONG_MAX = (1 << 63) - 1  # Math.round(Double.POSITIVE_INFINITY)
 
 
 def murmur64(data: bytes, seed: int = _MURMUR_SEED) -> int:
@@ -211,8 +212,14 @@ class ClearspringHLL:
         # Java Math.round = floor(x + 0.5); Python round() is banker's
         estimate = alpha_mm / register_sum
         if estimate <= 2.5 * m:
+            # stream-lib takes the linear-counting branch UNCONDITIONALLY
+            # here: with zeros == 0, Java computes
+            # Math.round(m * log(m / 0.0)) = Math.round(Infinity) =
+            # Long.MAX_VALUE — reachable at small log2m (e.g. log2m=4
+            # with ~2m distinct values). Estimate parity is the contract,
+            # so the absurd-but-faithful value is reproduced verbatim.
             if zeros == 0:
-                return math.floor(estimate + 0.5)
+                return JAVA_LONG_MAX
             return math.floor(m * math.log(m / zeros) + 0.5)
         return math.floor(estimate + 0.5)
 
@@ -293,14 +300,16 @@ def build_hll(values, spark_type: str, log2m: int) -> bytes:
     return hll.serialize()
 
 
-def merge_hlls(blobs: Iterable[bytes]) -> bytes:
-    """Union serialized clearspring HLLs (register max, like addAll)."""
+def merge_hlls(blobs: Iterable[bytes]) -> bytes | None:
+    """Union serialized clearspring HLLs (register max, like addAll).
+    Returns None (SQL NULL) when no non-null blobs exist — a group whose
+    BYTES column is all NULL aggregates to NULL, like the hll_union_agg
+    path clearspringhllunion replaced (would otherwise fail the whole
+    query on one all-NULL group)."""
     acc: ClearspringHLL | None = None
     for b in blobs:
         if b is None:
             continue
         h = ClearspringHLL.deserialize(bytes(b))
         acc = h if acc is None else acc.merge(h)
-    if acc is None:
-        raise ValueError("merge_hlls: no sketches to merge")
-    return acc.serialize()
+    return None if acc is None else acc.serialize()

@@ -168,6 +168,7 @@ def _make_acc_factory(spec: DigestSpec, spark_type: str):
         from hurricanedb_spark.operators.theta_ds import (
             _SPARK_TO_HASH_DTYPE,
             DEFAULT_SEED,
+            MAX_THETA,
             compute_seed_hash,
             from_hashes,
             hash_column_np,
@@ -188,21 +189,37 @@ def _make_acc_factory(spec: DigestSpec, spark_type: str):
         k = spec.k
 
         class _ThAcc:
-            __slots__ = ("hashes",)
+            # QuickSelect-compaction state, same contract as from_hashes:
+            # `hashes` holds admitted values < `theta`; when the working
+            # set crosses 8k, theta drops to the (k+1)-th smallest and the
+            # k below it are retained. Later arrivals >= theta are
+            # REJECTED — without that (and without carrying theta into
+            # emit()) a trim on the partition's last batch produced an
+            # "exact mode" sketch whose estimate is k (up to 8x
+            # undercount), and re-admitted above-threshold hashes broke
+            # the asserted byte-identity with the single-phase build.
+            __slots__ = ("hashes", "theta")
 
             def __init__(self):
                 self.hashes: set[int] = set()
+                self.theta = MAX_THETA
 
             def update(self, v):
                 hs = hash_column_np(v, dtype)
-                self.hashes.update(int(h) for h in hs if h)
+                theta = self.theta
+                if theta == MAX_THETA:
+                    self.hashes.update(int(h) for h in hs if h)
+                else:
+                    self.hashes.update(int(h) for h in hs if 0 < h < theta)
                 if len(self.hashes) > 8 * k:
-                    # keep the k smallest — the only ones a k-minimum
-                    # sketch can retain; state stays O(k)
-                    self.hashes = set(sorted(self.hashes)[:k])
+                    ordered = sorted(self.hashes)
+                    self.theta = ordered[k]
+                    self.hashes = set(ordered[:k])
 
             def emit(self) -> bytes:
-                return serialize(from_hashes(self.hashes, k, seed_hash), lg)
+                return serialize(
+                    from_hashes(self.hashes, k, seed_hash, self.theta), lg
+                )
 
         return _ThAcc
     if spec.kind == "hll":

@@ -178,6 +178,142 @@ def _table_sketches_kernel(dim: int, n_tables: int, bits: int):
     return _sk
 
 
+class LshBucketOverflowError(ValueError):
+    """Raised when expected bucket population N / 2^bits exceeds
+    `max_bucket_size`: in that regime the hot-bucket cap would drop EVERY
+    bucket and the LSH path would return ~zero pairs with no error — the
+    silent-failure class the round-10 guards were built to kill. Raise
+    `max_bucket_size`, widen `bits_range`, or shrink `target_bucket`."""
+
+
+def _adaptive_bits(
+    n: int, target_bucket: int, bits_range: tuple[int, int]
+) -> int:
+    """Per-table bucket granularity that holds the bucket POPULATION
+    constant as N grows: ceil(log2(N / target_bucket)), clamped to
+    `bits_range`. Fixed bits quietly revert the bucket self-join to
+    quadratic (at 4 bits / 16 buckets, 20k vectors already produce ~1e8
+    candidate pairs — measured, round 10); with constant population B
+    candidates stay ~= n_tables * N * B/2, linear in N.
+
+    Valid-N ranges per bits (target_bucket=64): bits b covers
+    N in (64*2^(b-1), 64*2^b]; the default clamp hi=40 covers
+    N <= 64*2^40 ~= 7e13 vectors before _check_bucket_overflow raises."""
+    import math as _math
+
+    lo, hi = bits_range
+    if n <= target_bucket:
+        return lo
+    return max(lo, min(hi, _math.ceil(_math.log2(n / target_bucket))))
+
+
+def _check_bucket_overflow(
+    n: int,
+    bits: int,
+    max_bucket_size: int | None,
+    knobs: str,
+) -> None:
+    if max_bucket_size is not None and n / (2**bits) > max_bucket_size:
+        raise LshBucketOverflowError(
+            f"expected bucket population N/2^bits = {n}/2^{bits} ~= "
+            f"{n / (2 ** bits):.0f} exceeds max_bucket_size="
+            f"{max_bucket_size}: the hot-bucket cap would drop every "
+            f"bucket and return ~zero pairs silently ({knobs})."
+        )
+
+
+def _auto_tables(
+    bits: int,
+    threshold: float,
+    recall_target: float = 0.98,
+    max_tables: int = 64,
+) -> int:
+    """Number of hash tables needed to hold `recall_target` for pairs at
+    cosine `threshold` given `bits` planes per table. Per-plane agreement
+    p1 = 1 - acos(threshold)/pi; per-table collision p = p1^bits; recall
+    over T tables = 1 - (1-p)^T, so T = ceil(log(1-R) / log(1-p)).
+
+    Holding recall as bits grows is NOT free — T grows like p1^-bits
+    (threshold 0.95: 9 bits -> 9 tables, 14 -> 15, 20 -> 31, 27 -> 64 =
+    the default cap, beyond which recall decays: ~0.93 at 30 bits, ~0.59
+    at 40). The cap bounds the O(N * T) shuffle; past it the recall curve
+    is the documented trade, not a silent one — pass a larger
+    `max_tables` to buy recall with shuffle volume."""
+    import math as _math
+
+    theta = _math.acos(max(-1.0, min(1.0, threshold)))
+    p_table = (1.0 - theta / _math.pi) ** bits
+    if p_table >= 1.0 or recall_target <= 0.0:
+        return 1
+    if p_table <= 0.0:
+        return max_tables
+    t = _math.ceil(_math.log(1.0 - recall_target) / _math.log(1.0 - p_table))
+    return max(1, min(max_tables, t))
+
+
+def ann_candidate_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    bits: int | None = None,
+    target_bucket: int = 64,
+    max_bucket_size: int | None = 4096,
+    bits_range: tuple[int, int] = (4, 40),
+    kernel: bool = True,
+) -> DataFrame:
+    """Distinct (query_id, neighbor_id) LSH candidate pairs — the bucket
+    join underneath ann_topk, exposed so candidate VOLUME is testable:
+    with adaptive bits the expected candidate count per query stays
+    ~n_tables * target_bucket as N grows (flat, not O(N)).
+
+    `bits` defaults adaptive (one count() at plan time, the
+    lsh_neardup_pairs convention); explicit bits skips the count AND the
+    bucket-overflow guard — a pinned 100 TB pipeline owns its sizing.
+    `max_bucket_size` drops degenerate corpus buckets (zero vectors,
+    constant embeddings) before the join; the guard raises loudly when
+    the cap would drop every bucket."""
+    from pyspark.sql import Window as W
+
+    if bits is None:
+        n = corpus.count()
+        bits = _adaptive_bits(n, target_bucket, bits_range)
+        _check_bucket_overflow(
+            n,
+            bits,
+            max_bucket_size,
+            f"bits_range={bits_range}, target_bucket={target_bucket}",
+        )
+    sketches = (
+        _table_sketches_kernel(dim, n_tables, bits)
+        if kernel
+        else lambda col: _table_sketches(col, dim, n_tables, bits)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(sketches(F.col(vec_col))).alias("__bucket"),
+    )
+    if max_bucket_size is not None:
+        w = W.partitionBy("__bucket")
+        c = (
+            c.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(sketches(F.col(vec_col))).alias("__bucket"),
+    )
+    return (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -186,7 +322,10 @@ def ann_topk(
     vec_col: str = "embedding",
     k: int = 10,
     n_tables: int = 8,
-    bits: int = 4,
+    bits: int | None = None,
+    target_bucket: int = 64,
+    max_bucket_size: int | None = 4096,
+    bits_range: tuple[int, int] = (4, 40),
     kernel: bool = True,
 ) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH + exact cosine re-rank.
@@ -194,29 +333,38 @@ def ann_topk(
     Cost model at scale: corpus emits n_tables rows per vector into a
     bucket join keyed by (table|bucket) — shuffle volume O(N * n_tables),
     never O(N^2); re-rank touches only colliding pairs. Queries are
-    broadcast (query batches are small relative to the corpus)."""
+    broadcast (query batches are small relative to the corpus). `bits`
+    defaults ADAPTIVE — ceil(log2(N / target_bucket)) clamped to
+    `bits_range` — so candidate volume per query stays ~n_tables *
+    target_bucket instead of O(N / 2^const) (fixed bits=4 was the same
+    measured defect class as the round-10 near-dup reversion: 16 buckets
+    per table make the bucket join a constant-factor-off brute force).
+    Only candidate ID pairs are deduplicated; vectors travel once per
+    surviving pair via the join-backs."""
     from pyspark.sql import Window as W
 
-    sketches = (
-        _table_sketches_kernel(dim, n_tables, bits)
-        if kernel
-        else lambda col: _table_sketches(col, dim, n_tables, bits)
+    cand = ann_candidate_pairs(
+        corpus,
+        queries,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_tables=n_tables,
+        bits=bits,
+        target_bucket=target_bucket,
+        max_bucket_size=max_bucket_size,
+        bits_range=bits_range,
+        kernel=kernel,
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        F.explode(sketches(F.col(vec_col))).alias("__bucket"),
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(sketches(F.col(vec_col))).alias("__bucket"),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
     scored = (
-        c.join(F.broadcast(q), "__bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__qvec", "__cvec")
-        .distinct()
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -407,10 +555,13 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_tables: int = 8,
+    n_tables: int | None = None,
     bits: int | None = None,
     target_bucket: int = 64,
     max_bucket_size: int | None = 4096,
+    bits_range: tuple[int, int] = (4, 40),
+    recall_target: float = 0.98,
+    max_tables: int = 64,
     kernel: bool = True,
 ) -> DataFrame:
     """Scale path for embedding near-dup: multi-table random-hyperplane
@@ -419,30 +570,50 @@ def lsh_neardup_pairs(
     quantized-cosine re-rank >= threshold.
 
     `bits` (bucket granularity per table) defaults ADAPTIVE:
-    ceil(log2(N / target_bucket)), clamped to [4, 20] — the per-table
-    bucket COUNT must scale with N or the bucket self-join quietly
-    reverts to quadratic: at fixed 4 bits / 16 buckets, 20k vectors
-    already produce ~10^8 candidate pairs (measured, round 10). With a
-    constant target bucket population B, candidates ~= n_tables * N * B/2
-    — LINEAR in N. Sizing costs one cheap count() at plan time (the
-    loud-guard convention); pass `bits` explicitly to pin it (a 100 TB
-    pipeline knows its N).
+    ceil(log2(N / target_bucket)), clamped to `bits_range` — the
+    per-table bucket COUNT must scale with N or the bucket self-join
+    quietly reverts to quadratic: at fixed 4 bits / 16 buckets, 20k
+    vectors already produce ~10^8 candidate pairs (measured, round 10).
+    With a constant target bucket population B, candidates ~=
+    n_tables * N * B/2 — LINEAR in N. Sizing costs one cheap count() at
+    plan time (the loud-guard convention); pass `bits` explicitly to pin
+    it (a 100 TB pipeline knows its N) — explicit bits skips the count
+    and the bucket-overflow guard.
+
+    `n_tables` defaults ADAPTIVE too (_auto_tables): per-table collision
+    for a pair at cosine t is (1 - acos(t)/pi)^bits, which DECAYS as
+    adaptive bits grow with N — fixed 8 tables hold recall ~0.98 at 9
+    bits but only ~0.64 at 20 (the round-10 ADVICE finding). The table
+    count is sized to hold `recall_target` at `threshold`, capped at
+    `max_tables` (=64: recall holds to 27 bits / N ~= 8.6e9 at
+    target_bucket=64; past the cap the decay curve is documented in
+    _auto_tables, not silent). Valid-N per bits and the overflow guard:
+    _adaptive_bits / _check_bucket_overflow — when N/2^bits would exceed
+    `max_bucket_size` (clamp hit, N >~ 2.9e14 at defaults) the function
+    RAISES LshBucketOverflowError instead of silently dropping every
+    bucket and returning zero pairs.
 
     Candidate generation shuffles O(N * n_tables) id rows — never the
     raw vectors, which travel only for colliding pairs via the two
     join-backs after the distinct. `max_bucket_size` bounds the
     degenerate bucket (zero vectors, constant embeddings) exactly like
-    the text-LSH cap. Recall vs the exact baseline is pytest-bounded
-    (at cosine 0.95 and 9 bits: per-table collision (1-θ/π)^9 ≈ 0.38,
-    across 8 tables 1-(1-0.38)^8 ≈ 0.98); returned pairs are SOUND by
-    construction — the re-rank recomputes the exact metric."""
-    import math as _math
-
+    the text-LSH cap. Returned pairs are SOUND by construction — the
+    re-rank recomputes the exact quantized metric, so the output is
+    always a subset of exact_neardup_pairs; recall vs the exact baseline
+    is pytest-bounded at the adaptive operating points."""
     from pyspark.sql import Window as W
 
     if bits is None:
         n = df.count()
-        bits = max(4, min(20, _math.ceil(_math.log2(max(n, 1) / target_bucket)) if n > target_bucket else 4))
+        bits = _adaptive_bits(n, target_bucket, bits_range)
+        _check_bucket_overflow(
+            n,
+            bits,
+            max_bucket_size,
+            f"bits_range={bits_range}, target_bucket={target_bucket}",
+        )
+    if n_tables is None:
+        n_tables = _auto_tables(bits, threshold, recall_target, max_tables)
     sk = (
         _table_sketches_kernel(dim, n_tables, bits)
         if kernel

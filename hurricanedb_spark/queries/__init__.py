@@ -90,12 +90,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # datapipe: dedup
     "q_fingerprint_dedup",
     "q_minhash_lsh_dedup",
-    # datapipe: similarity + contamination
+    # datapipe: similarity + contamination (q_embedding_neardup_lsh
+    # promoted r11 — round 10's headline scale fix gains driver-hard
+    # signal: deterministic LSH over a corpus with constructed near-dup
+    # pairs, exact-oracle because the re-rank is the exact quantized
+    # cosine and recall at the adaptive operating point is 1.0)
     "q_embedding_neardup",
+    "q_embedding_neardup_lsh",
     "q_ann_bruteforce_topk",
     "q_contamination_ngram",
-    # sketches
-    "q_theta_sketch_distinct",
+    # sketches (q_theta_sketch_distinct rotated out r11 — the theta
+    # family keeps three driver rows: filtered_sql, many_filters, and
+    # the raw filtered sketch; still green in the full local gate)
     "q_theta_sketch_filtered_sql",
     # aggregate extras (q_idset_collect rotated out r9 for the compose
     # row — still green in the full local gate)
@@ -126,15 +132,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text-index decode stays covered by q_segment_textmatch_accel and
     # the compose row; still green in the full local gate)
     # (q_startree_range_redirect rotated out r10 for the >6-sketch
-    # fallback row — still green in the full local gate; the redirect
-    # family keeps three driver rows)
+    # fallback row; q_startree_sql_redirect rotated out r11 for the
+    # qdigest wire-format row — both still green in the full local
+    # gate; the star-tree family keeps two driver rows: binary_agg and
+    # theta_redirect)
     "q_segment_fst_regexp",
     "q_segment_textmatch_accel",
     "q_segment_compose_and",
     "q_startree_binary_agg",
-    "q_startree_sql_redirect",
     "q_startree_theta_redirect",
     "q_theta_sketch_many_filters",
+    # raw qdigest wire format (promoted r11): percentileRawEst's
+    # HEX-serialized QuantileDigest deserialized and queried, with an
+    # exact rank-rule oracle — the r10 dtype-strict oracle row gains
+    # driver-hard signal
+    "q_raw_qdigest_quantile",
     # CLP logs
     "q_clp_encode",
     # sampling

@@ -501,18 +501,54 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_embedding_neardup_lsh",
-    oracle=None,  # approximate candidate generation; soundness + recall
-    # vs the exact baseline are pytest-bounded (tests/test_similarity.py)
+    oracle="""
+    WITH pert AS (
+      SELECT vec_id, embedding,
+        list_transform(range(1, 65), i ->
+          CAST(CAST(embedding[i] AS DOUBLE)
+               * (1.0 + 0.02 * (((i - 1) % 5) - 2) / 10.0) AS REAL)
+        ) AS pembedding
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        CAST(list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST(pembedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> CAST(floor(CAST(pembedding[i] AS DOUBLE) * 1000000) AS BIGINT) * CAST(floor(CAST(pembedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)))
+        AS cosine
+      FROM pert
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
+    """,
     doc="Embedding-cosine near-dup, LSH scale path "
     "(operators/similarity.py:lsh_neardup_pairs): multi-table "
-    "random-hyperplane buckets -> capped per-bucket self-join -> exact "
-    "quantized-cosine re-rank >= 0.95. Shuffle O(N*tables + candidates), "
-    "never O(N^2). Runs the FULL embeddings table. Rows-only check.",
+    "random-hyperplane buckets (adaptive bits + adaptive table count) -> "
+    "capped per-bucket self-join -> exact quantized-cosine re-rank >= "
+    "0.95. Shuffle O(N*tables + candidates), never O(N^2). The corpus is "
+    "embeddings UNION a deterministic perturbed copy of every vector "
+    "(elementwise scaling, cosine ~0.9999 to its original) so genuine "
+    "near-dup pairs EXIST at gate SF; the natural table has none (max "
+    "pair cosine 0.513, measured). Oracle-able because the output is "
+    "deterministic: fixed hash planes, and the re-rank recomputes the "
+    "exact 1e-6-quantized cosine, so emitted pairs are a SOUND subset of "
+    "the exact pairs — which are precisely the (v, v+1000000) "
+    "constructed pairs (cross-pair cosines <= ~0.51); recall on them is "
+    "1.0 at the adaptive operating point (per-pair miss probability "
+    "(1 - 0.9941^bits)^tables ~= 3e-7 at sf0.01, verified exact-match, "
+    "and pytest-bounded in tests/test_similarity.py).",
     tags=("datapipe", "dedup", "similarity"),
 )
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = _t(spark, sf_dir, "embeddings")
-    return sim.lsh_neardup_pairs(em, dim=64, threshold=0.95)
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = em.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x * (1.0 + 0.02 * "
+            "((i % 5) - 2) / 10.0) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    both = em.unionByName(pert)
+    return sim.lsh_neardup_pairs(both, dim=64, threshold=0.95)
 
 
 # --- multimodal plumbing -----------------------------------------------------

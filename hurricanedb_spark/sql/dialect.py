@@ -2858,6 +2858,15 @@ class HurricaneSQL:
         ]
         try:
             src = self.spark.sql(rewrite_functions(src_sql))
+            # NaN group keys: Arrow delivers NULL floats/doubles as NaN,
+            # so the partial phase cannot tell a genuine NaN key from
+            # NULL, and the join-back's <=> matches NULL-vs-NULL but
+            # never NaN-vs-NULL — floating-point group keys keep the
+            # single-phase path, where Spark's own grouping handles the
+            # NaN/NULL distinction
+            gk_types = dict(src.dtypes)
+            if any(gk_types[g] in ("float", "double") for g in gk):
+                return noop
             view = digests_by_group(src, gk, specs)
         except Exception:  # noqa: BLE001 — any analysis/type error here
             # (unsketchable theta column, alias-referencing WHERE, ...)

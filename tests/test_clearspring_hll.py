@@ -109,6 +109,48 @@ def test_estimate_accuracy_and_linear_counting():
     assert ClearspringHLL(8).cardinality() == 0
 
 
+def test_zero_zeros_small_range_returns_java_long_max():
+    """stream-lib takes the linear-counting branch UNCONDITIONALLY when
+    estimate <= 2.5m: with zero empty registers Java computes
+    Math.round(m * log(m / 0.0)) = Math.round(Infinity) = Long.MAX_VALUE.
+    Reachable at small log2m (log2m=4, ~2m distinct offers); estimate
+    parity is the contract, so the faithful value is reproduced."""
+    from hurricanedb_spark.operators.clearspring_hll import JAVA_LONG_MAX
+
+    h = ClearspringHLL(4)  # m=16
+    i = 0
+    while (h.registers == 0).any():
+        h.offer_bytes(f"zz{i}".encode())
+        i += 1
+    m = 16.0
+    regs = h.registers.astype("float64")
+    est = _alpha_mm(4, m) / float(np.sum(np.exp2(-regs)))
+    if est <= 2.5 * m:  # the divergent branch — reachable by this fill
+        assert h.cardinality() == JAVA_LONG_MAX
+    else:  # filled past the small-range regime: normal estimate applies
+        assert h.cardinality() == int(est + 0.5)
+
+
+def _alpha_mm(log2m: int, m: float) -> float:
+    if log2m == 4:
+        return 0.673 * m * m
+    if log2m == 5:
+        return 0.697 * m * m
+    if log2m == 6:
+        return 0.709 * m * m
+    return (0.7213 / (1 + 1.079 / m)) * m * m
+
+
+def test_merge_hlls_all_null_returns_null():
+    """A group whose BYTES column is all NULL aggregates to NULL (the
+    hll_union_agg contract) instead of failing the query."""
+    assert merge_hlls([]) is None
+    assert merge_hlls([None, None]) is None
+    one = ClearspringHLL(8)
+    one.offer_bytes(b"x")
+    assert merge_hlls([None, one.serialize()]) == one.serialize()
+
+
 def test_merge_is_register_max_and_size_checked():
     full, a, b = (ClearspringHLL(10) for _ in range(3))
     for i in range(2000):
@@ -214,3 +256,25 @@ def test_bytes_column_clearspring_sniff(hdb, spark):
         "SELECT distinctCountRawHLL(v) AS sk FROM cs_t", default_limit=None
     ).collect()[0]["sk"]
     assert raw == full  # union of the per-group sketches == direct build
+
+
+def test_bytes_column_all_null_group_yields_null(hdb, spark):
+    """clearspringhllunion / clearspringhllunionest over a group whose
+    BYTES column is all NULL must return NULL for that group, not fail
+    the query (round-10 ADVICE)."""
+    one = ClearspringHLL(8)
+    one.offer_bytes(b"only")
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", bytearray(one.serialize()))],
+        "g string, sk binary",
+    )
+    hdb.register("cs_null_t", df)
+    rows = {
+        r["g"]: (r["u"], r["e"])
+        for r in spark.sql(
+            "SELECT g, clearspringhllunion(sk) AS u, "
+            "clearspringhllunionest(sk) AS e FROM cs_null_t GROUP BY g"
+        ).collect()
+    }
+    assert rows["a"] == (None, None)
+    assert bytes(rows["b"][0]) == one.serialize() and rows["b"][1] == 1

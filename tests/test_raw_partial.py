@@ -132,6 +132,94 @@ def test_tdigest_two_phase_quantile_accuracy(hdb, spark):  # noqa: F811
         assert abs(td.quantile(0.9) - p) <= abs(p) * 0.02
 
 
+def test_theta_acc_trim_carries_implied_theta():
+    """NDV >> 8*k (the QuickSelect-trim regime the round-10 ADVICE
+    flagged): the partial accumulator must record the implied theta —
+    the (k+1)-th smallest hash — at trim time, reject later arrivals
+    >= it, and pass it to from_hashes at emit. Without that, a trim on
+    the partition's LAST batch emitted an 'exact mode' sketch whose
+    estimate is k (up to 8x undercount), and re-admitted
+    above-threshold hashes broke byte-identity with the direct build."""
+    import numpy as np
+    import pandas as pd
+
+    from hurricanedb_spark.operators.raw_partial import (
+        DigestSpec,
+        _make_acc_factory,
+    )
+    from hurricanedb_spark.operators.theta_ds import (
+        DEFAULT_SEED,
+        compute_seed_hash,
+        deserialize,
+        from_hashes,
+        hash_column_np,
+        serialize,
+    )
+
+    spec = DigestSpec(alias="s", value_col="v", kind="theta", k=16)
+    acc_cls = _make_acc_factory(spec, "long")
+    rng = np.random.default_rng(3)
+    vals = rng.choice(1_000_000, size=2000, replace=False).astype("int64")
+    seed_hash = compute_seed_hash(DEFAULT_SEED)
+    hs = hash_column_np(pd.Series(vals, dtype="int64"), "long")
+    expect = serialize(
+        from_hashes((int(h) for h in hs if h), 16, seed_hash), 4
+    )
+
+    # trims firing mid-stream across several batches (2000 >> 8*16=128)
+    acc = acc_cls()
+    for chunk in np.array_split(vals, 7):
+        acc.update(pd.Series(chunk, dtype="int64"))
+    assert acc.emit() == expect
+
+    # the ADVICE regime: ONE batch crosses 8*k and is the partition's
+    # last — the trim happens with nothing after it
+    acc2 = acc_cls()
+    acc2.update(pd.Series(vals, dtype="int64"))
+    blob = acc2.emit()
+    assert blob == expect
+    sk = deserialize(blob)
+    # estimate ~2000, emphatically not the k=16 'exact mode' undercount
+    assert abs(sk.estimate() - 2000) / 2000 < 0.25
+
+
+def test_theta_trim_regime_sql_bytes_match_direct_build(hdb, spark):  # noqa: F811
+    """End-to-end SQL: nominalEntries=16 over groups with NDV ~1300
+    (>> 8*16) — the two-phase result must stay byte-identical to a
+    direct single-pass build through the trim regime."""
+    import base64
+
+    from hurricanedb_spark.operators.theta_ds import (
+        DEFAULT_SEED,
+        compute_seed_hash,
+        from_hashes,
+        hash_column_np,
+        serialize,
+    )
+
+    df = hdb.sql(
+        "SELECT g, distinctCountRawThetaSketch(v, 'nominalEntries=16') "
+        "AS sk FROM rp_t GROUP BY g",
+        default_limit=None,
+    )
+    plan = _plan(df)
+    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    got = {r["g"]: base64.b64decode(r["sk"]) for r in df.collect()}
+    rows = spark.table("rp_t").select("g", "v").collect()
+    seed_hash = compute_seed_hash(DEFAULT_SEED)
+    for key in ("a", "b", "c"):
+        import pandas as pd
+
+        vals = pd.Series(
+            [r["v"] for r in rows if r["g"] == key], dtype="object"
+        )
+        hs = hash_column_np(vals, "long")
+        expect = serialize(
+            from_hashes((int(h) for h in hs if h), 16, seed_hash), 4
+        )
+        assert got[key] == expect
+
+
 def test_global_empty_input_keeps_one_row(hdb):
     df = hdb.sql(
         "SELECT percentileRawEst(v, 50) AS qd FROM rp_t WHERE v < -1",
@@ -179,6 +267,46 @@ def test_non_restructurable_shape_falls_back(hdb, spark):  # noqa: F811
             int(r["v"]) for r in rows if r["fam"] == fam and r["v"] is not None
         ]
         assert got[fam] == build_qdigest(vals).hex()
+
+
+def test_float_group_key_falls_back_single_phase(spark):  # noqa: F811
+    """Floating-point group keys stay single-phase (round-10 ADVICE):
+    Arrow delivers NULL doubles as NaN inside the partial phase, so the
+    two-phase restructure cannot distinguish a genuine NaN key from NULL
+    (NaN rows would merge into the NULL group's digest and the
+    join-back's <=> never matches NaN). Spark's own grouping keeps them
+    distinct on the fallback path."""
+    import math
+
+    hdb = HurricaneSQL(spark)
+    rows = [
+        (1.5, 10),
+        (1.5, 20),
+        (float("nan"), 30),
+        (float("nan"), 40),
+        (None, 50),
+    ]
+    hdb.register(
+        "rp_fkey", spark.createDataFrame(rows, "g double, v bigint")
+    )
+    df = hdb.sql(
+        "SELECT g, percentileRawEst(v, 50) AS qd FROM rp_fkey GROUP BY g",
+        default_limit=None,
+    )
+    plan = _plan(df)
+    assert "ArrowAggregatePython" in plan and "MapInPandas" not in plan
+    got = {}
+    for r in df.collect():
+        key = (
+            "nan"
+            if r["g"] is not None and math.isnan(r["g"])
+            else ("null" if r["g"] is None else r["g"])
+        )
+        got[key] = r["qd"]
+    assert len(got) == 3
+    assert got[1.5] == build_qdigest([10, 20]).hex()
+    assert got["nan"] == build_qdigest([30, 40]).hex()
+    assert got["null"] == build_qdigest([50]).hex()
 
 
 def test_hot_group_partial_aggregation_bounded(spark):  # noqa: F811

@@ -141,6 +141,83 @@ def test_lsh_neardup_sound_and_recall(spark, sf_dir):
     assert len(got) / len(want) >= 0.8
 
 
+def test_auto_tables_operating_points():
+    """Table-count sizing holds the recall target as adaptive bits grow
+    (the round-10 ADVICE finding: fixed 8 tables decay from ~0.98 recall
+    at 9 bits to ~0.64 at 20). Known points at threshold 0.95 / target
+    0.98, and the documented cap."""
+    assert sim._auto_tables(9, 0.95) == 9
+    assert 14 <= sim._auto_tables(14, 0.95) <= 16
+    assert 28 <= sim._auto_tables(20, 0.95) <= 34
+    assert sim._auto_tables(40, 0.95) == 64  # max_tables cap
+    assert sim._auto_tables(40, 0.95, max_tables=512) > 64
+    # near-parallel pairs collide in almost any table
+    assert sim._auto_tables(4, 0.9999) == 1
+
+
+def test_adaptive_bits_valid_ranges():
+    """bits holds the bucket population ~= target as N grows, and the
+    clamp edges behave."""
+    assert sim._adaptive_bits(10, 64, (4, 40)) == 4  # N <= target -> lo
+    assert sim._adaptive_bits(20_000, 64, (4, 40)) == 9
+    assert sim._adaptive_bits(2_000_000, 64, (4, 40)) == 15
+    assert sim._adaptive_bits(10**13, 64, (4, 40)) == 38
+    assert sim._adaptive_bits(10**15, 64, (4, 40)) == 40  # hi clamp
+
+
+def test_lsh_neardup_bucket_overflow_is_loud(spark, sf_dir):
+    """The degenerate clamp regime (N / 2^bits > max_bucket_size — every
+    bucket exceeds the cap, so the hot-bucket filter would drop ALL of
+    them) must raise, not return zero pairs silently. Simulated at small
+    N with a forced clamp and a tiny cap."""
+    import pytest
+
+    em = load_table(spark, sf_dir, "embeddings").limit(300)
+    with pytest.raises(sim.LshBucketOverflowError, match="max_bucket_size"):
+        sim.lsh_neardup_pairs(
+            em, dim=64, bits_range=(4, 4), max_bucket_size=8
+        ).collect()
+    # same guard on the ann path
+    q = em.limit(3)
+    with pytest.raises(sim.LshBucketOverflowError, match="max_bucket_size"):
+        sim.ann_topk(
+            em, q, dim=64, bits_range=(4, 4), max_bucket_size=8
+        ).collect()
+    # explicit bits bypasses the count and the guard (documented)
+    sim.lsh_neardup_pairs(
+        em.limit(50), dim=64, bits=4, max_bucket_size=8
+    ).count()
+
+
+def test_ann_candidate_volume_flat_in_n(spark, sf_dir):
+    """Adaptive bits keep per-query candidate volume ~n_tables *
+    target_bucket as the corpus grows — the fixed-bits defect class made
+    it O(N / 2^const). N 250 -> 1000 (4x) lands on bits 4 -> 6 with
+    identical expected bucket population (15.6), so candidates per query
+    must stay ~flat, not ~4x."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 8)
+    n_q = q.count()
+
+    def per_query(corpus):
+        c = sim.ann_candidate_pairs(
+            corpus, q, dim=64, target_bucket=16
+        ).count()
+        return c / n_q
+
+    base = em.select("vec_id", "embedding")
+    small = per_query(base.limit(250))
+    big = base.unionByName(
+        base.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )  # 1000 vectors
+    large = per_query(big)
+    # flat within noise (bucket-population variance, dedup across
+    # tables), emphatically NOT the 4x a fixed-bits join would show
+    assert large <= 2.0 * small + 16, (small, large)
+
+
 def test_lsh_neardup_plan_never_quadratic(spark, sf_dir):
     """The candidate join must be an equi-join on the bucket key — no
     cartesian/broadcast-nested-loop over the corpus."""
