@@ -73,6 +73,22 @@ REGS_PER_WORD = 6  # stream-lib's (misnamed) LOG2_BITS_PER_WORD
 JAVA_LONG_MAX = (1 << 63) - 1  # Math.round(Double.POSITIVE_INFINITY)
 
 
+def _java_round(x: float) -> int:
+    """Java Math.round(double): closest long, ties toward +infinity,
+    saturating at the long bounds; NaN -> 0. Computed as an exact
+    floor-and-compare instead of floor(x + 0.5) — the addition form
+    rounds x in [0.49999999999999994, 0.5) up to 1, which Java fixed in
+    JDK 7 (JDK-6430675); pinned by tests/fixtures/clearspring_jdk17_golden."""
+    if math.isnan(x):
+        return 0
+    if x >= float(JAVA_LONG_MAX):
+        return JAVA_LONG_MAX
+    if x <= float(-(1 << 63)):
+        return -(1 << 63)
+    fl = math.floor(x)
+    return fl + 1 if (x - fl) >= 0.5 else fl
+
+
 def murmur64(data: bytes, seed: int = _MURMUR_SEED) -> int:
     """MurmurHash2-64A over `data` (stream-lib MurmurHash.hash64),
     returned as an unsigned 64-bit int."""
@@ -209,7 +225,10 @@ class ClearspringHLL:
             alpha_mm = 0.709 * m * m
         else:
             alpha_mm = (0.7213 / (1 + 1.079 / m)) * m * m
-        # Java Math.round = floor(x + 0.5); Python round() is banker's
+        # Java Math.round: closest long, ties toward +infinity. NOT
+        # floor(x + 0.5) — the double addition rounds up for
+        # x in [0.49999999999999994, 0.5), a JDK-7 fix (JDK-6430675)
+        # the JDK-17 golden fixtures pinned; _java_round is exact.
         estimate = alpha_mm / register_sum
         if estimate <= 2.5 * m:
             # stream-lib takes the linear-counting branch UNCONDITIONALLY
@@ -220,8 +239,8 @@ class ClearspringHLL:
             # so the absurd-but-faithful value is reproduced verbatim.
             if zeros == 0:
                 return JAVA_LONG_MAX
-            return math.floor(m * math.log(m / zeros) + 0.5)
-        return math.floor(estimate + 0.5)
+            return _java_round(m * math.log(m / zeros))
+        return _java_round(estimate)
 
     def serialize(self) -> bytes:
         count = 1 << self.log2m

@@ -394,7 +394,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(blocking keeps the join off the all-pairs cliff; the LSH variant "
     "removes even the block constraint at scale). Grams are int-hashed "
     "once (dd.hashed_shingles, oracle mirrored) so the pairwise "
-    "intersect/union runs on longs, not strings.",
+    "intersect/union runs on longs, not strings. The registered row "
+    "pins max_block_rows=1000 so the EXACT baseline is opt-in past "
+    "sf0.1 (250-row blocks pass; sf1's 2500-row blocks refuse loudly "
+    "naming the LSH route — it burned 27 min/run in the r10 sf1 bench); "
+    "q_minhash_lsh_dedup is the benched scale path.",
     tags=("datapipe", "dedup", "jaccard"),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,6 +412,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         dd.hashed_shingles(dd.word_shingles(F.col("text"), 2)),
         threshold=0.3,
+        max_block_rows=1000,
     )
 
 
@@ -490,13 +495,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Embedding-cosine near-duplicate pairs — the EXACT all-pairs "
     "baseline/oracle metric (subset blocked by id). O(N^2) by "
-    "construction: guarded past 5k vectors (QuadraticPairsError names "
-    "the scale path); q_embedding_neardup_lsh is the production route.",
+    "construction: the registered row pins max_vectors=1000 so the "
+    "exact baseline is opt-in past sf0.1 (its 500-vector subset passes; "
+    "sf1's 2000-vector subset refuses loudly — it measured 114-152s in "
+    "the r10 sf1 bench); q_embedding_neardup_lsh is the production "
+    "route and the benched scale row. Library default stays 5000.",
     tags=("datapipe", "dedup", "similarity"),
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    return sim.exact_neardup_pairs(em, threshold=0.95)
+    return sim.exact_neardup_pairs(em, threshold=0.95, max_vectors=1000)
 
 
 @register(

@@ -1742,6 +1742,90 @@ _TDMV_SHAPE = re.compile(
 )
 
 
+def _outer_clause_spans(masked: str) -> dict[str, tuple[int, int]] | None:
+    """Top-level clause spans of ONE outer SELECT over an arbitrary FROM
+    subtree (joins, comma lists, subqueries, a WITH prefix):
+
+      with       the CTE list body (text after the WITH keyword)
+      sel        select list
+      fromwhere  everything from after FROM through the end of WHERE —
+                 the whole relational subtree, ready to re-emit as
+                 `FROM <fromwhere>` or `(SELECT * FROM <fromwhere>)`
+      gby / having / oby / lim
+
+    Spans index into the INPUT string (callers slice the unmasked
+    original). Returns None when the text is not a single outer SELECT
+    (set operations, missing FROM, nested imbalance) — the caller keeps
+    its fallback. Scanning is paren-depth-aware over masked text, so
+    subquery keywords never count as outer clause boundaries."""
+    low = masked.lower()
+    n = len(low)
+    marks: list[tuple[int, int, str]] = []
+    depth = i = 0
+    kws = {
+        "with", "select", "from", "group", "having", "order", "limit",
+        "union", "intersect", "except",
+    }
+    while i < n:
+        c = low[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            j = i
+            while j < n and (low[j].isalnum() or low[j] == "_"):
+                j += 1
+            if low[i:j] in kws:
+                marks.append((i, j, low[i:j]))
+            i = j
+            continue
+        i += 1
+    if depth != 0:
+        return None
+    words = [w for _s, _e, w in marks]
+    if words.count("select") != 1 or words.count("from") != 1:
+        return None
+    if {"union", "intersect", "except"} & set(words):
+        return None
+    spans: dict[str, tuple[int, int]] = {}
+    sel_i = words.index("select")
+    if sel_i > 0:
+        if words[0] != "with" or sel_i != 1:
+            return None
+        spans["with"] = (marks[0][1], marks[1][0])
+    elif masked[: marks[0][0]].strip():
+        return None
+    from_i = words.index("from")
+    if from_i != sel_i + 1:
+        return None
+    spans["sel"] = (marks[sel_i][1], marks[from_i][0])
+    tail_names = {"group": "gby", "having": "having", "order": "oby", "limit": "lim"}
+    tail = marks[from_i + 1 :]
+    # clause order must be the SQL order, each at most once
+    seq = [w for _s, _e, w in tail]
+    order = ["group", "having", "order", "limit"]
+    if [w for w in order if w in seq] != seq or len(set(seq)) != len(seq):
+        return None
+    end = tail[0][0] if tail else n
+    spans["fromwhere"] = (marks[from_i][1], end)
+    for idx, (s, e, w) in enumerate(tail):
+        start = e
+        if w in ("group", "order"):
+            m_by = re.match(r"\s*by\b", low[e:])
+            if not m_by:
+                return None
+            start = e + m_by.end()
+        nxt = tail[idx + 1][0] if idx + 1 < len(tail) else n
+        spans[tail_names[w]] = (start, nxt)
+    return spans
+
+
+_DOTTED_REF = re.compile(r"[A-Za-z_]\w*\s*\.\s*[A-Za-z_*]")
+
+
 def _split_top(s: str) -> list[str]:
     """Split on top-level commas (parens and string literals respected)."""
     parts: list[str] = []
@@ -1792,28 +1876,39 @@ def _mask_literals(sql: str) -> str:
 def rewrite_mv_percentile_bounded(sql: str) -> str:
     """Restructure percentile*TDigest/Est*MV calls into a bounded-state
     explode + percentile_approx CTE; return `sql` unchanged (exact-macro
-    fallback) when the query shape doesn't allow it."""
+    fallback) when the query shape doesn't allow it. Round-11:
+    non-single-table FROM shapes (joins, CTEs, subqueries in FROM)
+    restructure too — the whole FROM subtree (with its WHERE) becomes
+    the `_mvsrc` CTE, same as rewrite_mode_avg_bounded."""
     if not _find_calls(sql, _BOUNDED_MV_NAMES):
         return sql
     # clause keywords inside string literals must not steer the shape
     # parse: match on a literal-masked copy, slice the original by span
-    masked = _mask_literals(sql)
+    src = sql.rstrip().rstrip(";")
+    masked = _mask_literals(src)
     low = masked.lower()
-    if len(re.findall(r"\bfrom\b", low)) != 1 or re.search(
-        r"\bjoin\b|\bunion\b|\bwith\b|\bselect\s+distinct\b", low
+    if re.search(
+        r"\bunion\b|\bintersect\b|\bexcept\b|\bselect\s+distinct\b", low
     ):
         return sql
-    m = _TDMV_SHAPE.match(masked)
-    if not m:
+    spans = _outer_clause_spans(masked)
+    if spans is None:
         return sql
 
     def grp(name: str) -> str | None:
-        s, e = m.span(name)
-        return sql[s:e] if s != -1 else None
+        s, e = spans[name] if name in spans else (-1, -1)
+        return src[s:e].strip() if s != -1 else None
 
-    tbl = m.group("tbl")
-    if re.search(rf"\b{tbl}\s*\.", masked, re.IGNORECASE):
-        return sql  # table-qualified refs would dangle after the CTE rename
+    withp, fromw = grp("with"), grp("fromwhere")
+    if not grp("sel") or not fromw:
+        return sql
+    if _find_calls(fromw, _BOUNDED_MV_NAMES):
+        return sql  # call inside the subtree: nested shape, macro keeps it
+    tail = " ".join(
+        x for x in (grp("sel"), grp("gby"), grp("having"), grp("oby")) if x
+    )
+    if _DOTTED_REF.search(_mask_literals(tail)):
+        return sql  # qualified refs would dangle after the CTE rename
     gby = _split_top(grp("gby") or "")
     if any(g.isdigit() for g in gby):
         return sql  # ordinal keys aren't reconstructable in the CTE
@@ -1917,8 +2012,9 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
     if not assign:
         return sql
 
-    where = f" WHERE {grp('where')}" if grp("where") else ""
-    ctes = [f"_mvsrc AS (SELECT * FROM {tbl}{where})"]
+    ctes = ([withp] if withp else []) + [
+        f"_mvsrc AS (SELECT * FROM {fromw})"
+    ]
     joined = "_mvsrc"
     for j, (orig_col, plist) in enumerate(colinfo.values()):
         keysel = "".join(f"{g} AS _gk_{i}, " for i, g in enumerate(gby))
@@ -1965,9 +2061,14 @@ def rewrite_mode_avg_bounded(sql: str) -> str:
               keys)) — the mean of all tied modes (AVG reducer)
 
     LEFT JOINed back on the group keys like the other bounded
-    restructures; non-restructurable shapes keep the fold macro with its
-    documented bound. MIN/MAX reducers already map to Spark's native
-    `mode()` (O(distinct) JVM state) and are untouched."""
+    restructures. Round-11: non-single-table FROM shapes (joins, CTEs,
+    subqueries in FROM) restructure too — the whole FROM subtree
+    (including WHERE) becomes the `_msrc` CTE, so the value-counts
+    pre-aggregation runs over the join OUTPUT and the O(rows/group)
+    collect_list fold is the exception (set operations, DISTINCT,
+    qualified outer refs), not the default for joined inputs.
+    MIN/MAX reducers already map to Spark's native `mode()`
+    (O(distinct) JVM state) and are untouched."""
     calls = [
         (s, e, name, args)
         for s, e, name, args in _find_calls(sql, {"mode"})
@@ -1976,22 +2077,37 @@ def rewrite_mode_avg_bounded(sql: str) -> str:
     ]
     if not calls:
         return sql
-    masked = _mask_literals(sql)
+    src = sql.rstrip().rstrip(";")
+    masked = _mask_literals(src)
     low = masked.lower()
-    if len(re.findall(r"\bfrom\b", low)) != 1 or re.search(
-        r"\bjoin\b|\bunion\b|\bwith\b|\bselect\s+distinct\b", low
+    if re.search(
+        r"\bunion\b|\bintersect\b|\bexcept\b|\bselect\s+distinct\b", low
     ):
         return sql
-    m = _TDMV_SHAPE.match(masked)
-    if not m:
+    spans = _outer_clause_spans(masked)
+    if spans is None:
         return sql
 
     def grp(name: str) -> str | None:
-        s, e = m.span(name)
-        return sql[s:e] if s != -1 else None
+        s, e = spans[name] if name in spans else (-1, -1)
+        return src[s:e].strip() if s != -1 else None
 
-    tbl = m.group("tbl")
-    if re.search(rf"\b{tbl}\s*\.", masked, re.IGNORECASE):
+    withp, fromw = grp("with"), grp("fromwhere")
+    if not grp("sel") or not fromw:
+        return sql
+    # mode() inside the subtree is a nested shape — macro fallback; and
+    # qualified refs in the outer tail cannot resolve against _msrc
+    if any(
+        len(a) == 2 and a[1].strip().strip("'\"").upper() == "AVG"
+        for _s, _e, _n, a in _find_calls(fromw, {"mode"})
+    ):
+        return sql
+    tail = " ".join(
+        x
+        for x in (grp("sel"), grp("gby"), grp("having"), grp("oby"))
+        if x
+    )
+    if _DOTTED_REF.search(_mask_literals(tail)):
         return sql
     gby = _split_top(grp("gby") or "")
     if any(g.isdigit() for g in gby):
@@ -2042,8 +2158,9 @@ def rewrite_mode_avg_bounded(sql: str) -> str:
         out.append(text[pos:])
         return "".join(out)
 
-    where = f" WHERE {grp('where')}" if grp("where") else ""
-    ctes = [f"_msrc AS (SELECT * FROM {tbl}{where})"]
+    ctes = ([withp] if withp else []) + [
+        f"_msrc AS (SELECT * FROM {fromw})"
+    ]
     joined = "_msrc"
     for nk, j in order.items():
         orig = exprs[nk]
@@ -2643,6 +2760,100 @@ class HurricaneSQL:
         out.append(query[pos:])
         return "".join(out)
 
+    def _rd_wrap_subtree(self, query: str, masked: str, names: set[str]):
+        """Round-11: two-phase raw-digest builds for NON-single-table
+        shapes (joins, CTEs, subqueries in FROM). The FROM-subtree —
+        including its WHERE — is NAMED as a temp view (a lazy logical
+        plan, nothing materializes) and the outer aggregate re-enters
+        _raw_digest_two_phase as a single-table query over it, so the
+        mapInPandas partials stream over the JOIN OUTPUT where it is
+        produced. This is the reference's shape: V2 leaf stages compile
+        join subtrees back to the V1 engine
+        (pinot-query-runtime/.../plan/ServerRequestPlanVisitor.java:79-133)
+        whose aggregation contract is always partial/combine/final
+        (AggregationFunction.java:42-130) — a raw-digest call over a
+        joined fact no longer ships the group's raw values to one Python
+        worker.
+
+        Fallback (single-phase, documented bound) is kept for genuinely
+        dynamic shapes: set operations / SELECT DISTINCT, digest calls
+        INSIDE the subtree, qualified references in the outer tail
+        (they cannot resolve against the collapsed view), and anything
+        whose rebuilt form fails a dry-run analysis — the final query is
+        analyzed here before committing, so a wrap can never turn a
+        previously-working query into an error."""
+        noop = (query, lambda: None)
+        low = masked.lower()
+        if re.search(
+            r"\bunion\b|\bintersect\b|\bexcept\b|\bselect\s+distinct\b", low
+        ):
+            return noop
+        spans = _outer_clause_spans(_mask_literals(query.rstrip().rstrip(";")))
+        if spans is None:
+            return noop
+        src = query.rstrip().rstrip(";")
+
+        def seg(name: str) -> str | None:
+            s, e = spans[name] if name in spans else (-1, -1)
+            return src[s:e].strip() if s != -1 else None
+
+        withp, sel, fromw = seg("with"), seg("sel"), seg("fromwhere")
+        if not sel or not fromw:
+            return noop
+        if not withp and re.fullmatch(r"[A-Za-z_]\w*", fromw):
+            # bare single table: the single-table matcher owns it (and
+            # this breaks re-entry if a rebuilt query lands here again)
+            return noop
+        if _find_calls(fromw, names):
+            return noop  # digest built inside the subtree: nested shape
+        tail = " ".join(
+            x for x in (sel, seg("gby"), seg("having"), seg("oby")) if x
+        )
+        if _DOTTED_REF.search(_mask_literals(tail)):
+            return noop  # qualified refs cannot resolve against the view
+        view_sql = (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
+        uniq = f"__rdsub_{uuid.uuid4().hex}"
+        try:
+            self.spark.sql(rewrite_functions(view_sql)).createOrReplaceTempView(
+                uniq
+            )
+        except Exception:  # noqa: BLE001 — unresolvable subtree: fallback
+            return noop
+
+        def drop(uniq=uniq):
+            try:
+                self.spark.catalog.dropTempView(uniq)
+            except Exception:  # noqa: BLE001 — already gone
+                pass
+
+        rebuilt = f"SELECT {sel} FROM {uniq}"
+        for kw, name in (
+            ("GROUP BY", "gby"),
+            ("HAVING", "having"),
+            ("ORDER BY", "oby"),
+            ("LIMIT", "lim"),
+        ):
+            part = seg(name)
+            if part:
+                rebuilt += f" {kw} {part}"
+        try:
+            out, inner_cleanup = self._raw_digest_two_phase(rebuilt)
+            if out == rebuilt:
+                drop()
+                return noop
+            # dry-run analysis of the committed form (same downstream
+            # rewrites the caller applies); any failure -> fallback
+            self.spark.sql(rewrite_functions(rewrite_json_match(out)))
+        except Exception:  # noqa: BLE001 — wrap must never break a query
+            drop()
+            return noop
+
+        def cleanup(inner=inner_cleanup, drop=drop):
+            inner()
+            drop()
+
+        return out, cleanup
+
     def _raw_digest_two_phase(self, query: str):
         """Two-phase (partial -> merge) routing for the raw mergeable
         digest builders — percentileRawEst / percentileRawTDigest /
@@ -2687,7 +2898,10 @@ class HurricaneSQL:
         if len(re.findall(r"\bfrom\b", low)) != 1 or re.search(
             r"\bjoin\b|\bunion\b|\bwith\b|\bselect\s+distinct\b", low
         ):
-            return noop
+            # round-11 generalization: join/CTE/subquery FROM shapes
+            # re-enter via the named-subtree wrap instead of falling
+            # straight to the single-phase grouped agg
+            return self._rd_wrap_subtree(query, masked, names)
         m = _TDMV_SHAPE.match(masked)
         if not m:
             return noop

@@ -681,12 +681,24 @@ def test_mv_percentile_bounded_restructure_shapes():
     # the estimate
     assert "CROSS JOIN" in global_q and "rawtdigest" in global_q
     assert "lower(hex(" in global_q
-    # exact form and non-restructurable shapes fall back unchanged
+    # r11: a JOIN shape restructures too — the whole FROM subtree
+    # becomes the _mvsrc CTE (rewrite_mode_avg_bounded pattern)
+    joined = rw(
+        "SELECT a, percentileEstMV(x, 90) AS p FROM t JOIN u ON t.k = u.k "
+        "GROUP BY a"
+    )
+    assert "_mvsrc AS (SELECT * FROM t JOIN u ON t.k = u.k)" in joined
+    assert "percentile_approx" in joined
+    # exact form and genuinely dynamic shapes fall back unchanged:
+    # qualified outer refs, select-star, ordinal keys, set ops
     for q in (
         "SELECT percentileMV(embedding, 50) FROM embeddings",
-        "SELECT a, percentileEstMV(x, 90) FROM t JOIN u ON a = b GROUP BY a",
+        "SELECT u.a, percentileEstMV(x, 90) FROM t JOIN u ON t.k = u.k "
+        "GROUP BY u.a",
         "SELECT *, percentileEstMV(x, 90) FROM t",
         "SELECT percentileEstMV(x, 90) FROM t GROUP BY 1",
+        "SELECT percentileEstMV(x, 90) FROM t UNION "
+        "SELECT percentileEstMV(x, 90) FROM u",
     ):
         assert rw(q) == q
 
@@ -710,6 +722,18 @@ def test_mv_percentile_bounded_live(hdb, spark):
     ).collect()
     assert len(bounded) == len(exact) > 0
     for a, b in zip(bounded, exact):
+        assert a.label == b.label
+        assert abs(a.p95 - b.p95) <= max(1e-9, abs(b.p95) * 0.02)
+    # r11: a CTE-wrapped shape restructures too (subtree becomes _mvsrc)
+    # and agrees with the exact macro over the same rows
+    cte = hdb.sql(
+        "WITH src AS (SELECT label, embedding FROM embeddings) "
+        "SELECT label, percentileTDigestMV(embedding, 95) AS p95 "
+        "FROM src GROUP BY label ORDER BY label",
+        default_limit=None,
+    )
+    assert "collect_list" not in cte._jdf.queryExecution().executedPlan().toString()
+    for a, b in zip(cte.collect(), exact):
         assert a.label == b.label
         assert abs(a.p95 - b.p95) <= max(1e-9, abs(b.p95) * 0.02)
     spark.conf.set("spark.sql.ansi.enabled", "true")
@@ -1379,9 +1403,11 @@ def test_mode_avg_restructures_to_value_counts(hdb):
     assert rewrite_mode_avg_bounded(q_min) == q_min
 
 
-def test_mode_avg_fold_path_still_correct_on_join_shape(hdb):
-    """Non-restructurable shapes keep the linear-fold macro — exact on
-    ties and NULLs."""
+def test_mode_avg_join_shape_restructures(hdb):
+    """Round-11 (r10 verdict #7): a JOIN-shaped mode(col,'AVG') routes
+    through the value-counts restructure too — the whole FROM subtree
+    becomes the _msrc CTE, so the O(rows/group) collect_list fold is
+    gone from joined inputs as well. Exact on ties."""
     hdb.spark.createDataFrame(
         [("one", 1), ("one", 1), ("one", 4), ("one", 4), ("one", 9)],
         "g string, x int",
@@ -1397,8 +1423,38 @@ def test_mode_avg_fold_path_still_correct_on_join_shape(hdb):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+    assert "collect_list" not in plan
+    assert df.collect()[0]["m"] == 2.5  # avg of tied modes {1, 4}
+
+
+def test_mode_avg_fold_path_kept_for_qualified_tail(hdb):
+    """Qualified outer refs cannot resolve against the collapsed _msrc
+    CTE, so those shapes keep the linear-fold macro — exact on ties."""
+    df = hdb.sql(
+        "SELECT d.fam AS fam, mode(x, 'AVG') AS m FROM mode_join_t t "
+        "JOIN mode_join_dim d ON t.g = d.g GROUP BY d.fam",
+        default_limit=None,
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "collect_list" in plan  # the documented fold-path bound
     assert df.collect()[0]["m"] == 2.5  # avg of tied modes {1, 4}
+
+
+def test_mode_avg_cte_shape_restructures(hdb):
+    """WITH-prefixed shapes keep their CTEs and still restructure: the
+    original CTE list is preserved ahead of _msrc."""
+    df = hdb.sql(
+        "WITH src AS (SELECT g, x FROM mode_join_t WHERE x < 9) "
+        "SELECT g, mode(x, 'AVG') AS m FROM src GROUP BY g",
+        default_limit=None,
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_list" not in plan
+    assert df.collect()[0]["m"] == 2.5  # {1,1,4,4}: tied modes 1 and 4
 
 
 def test_percentile_smart_tdigest_params(hdb):

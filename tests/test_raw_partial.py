@@ -247,8 +247,13 @@ def test_mixed_kinds_single_view_and_oby(hdb):
     assert keys == sorted(keys)
 
 
-def test_non_restructurable_shape_falls_back(hdb, spark):  # noqa: F811
-    """A join shape keeps the single-phase grouped-agg — still correct."""
+def test_join_shape_restructures_two_phase(hdb, spark):  # noqa: F811
+    """Round-11 (r10 verdict #5): a JOIN-shaped raw-digest query routes
+    through the named-subtree wrap — the executed plan shows MapInPandas
+    partials over the join output and NO ArrowAggregatePython
+    (whole-group raw-value shuttle), and the digest bytes equal a direct
+    single-pass build (the reference streams partials for every shape,
+    ServerRequestPlanVisitor.java:79-133 + AggregationFunction.java)."""
     hdb.register("rp_dim", spark.createDataFrame(
         [("a", "x"), ("b", "y"), ("c", "y")], "g string, fam string"
     ))
@@ -257,7 +262,9 @@ def test_non_restructurable_shape_falls_back(hdb, spark):  # noqa: F811
         "JOIN rp_dim ON rp_t.g = rp_dim.g GROUP BY fam",
         default_limit=None,
     )
-    assert "ArrowAggregatePython" in _plan(df)
+    plan = _plan(df)
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+    assert "ArrowAggregatePython" not in plan
     rows = spark.table("rp_t").join(
         spark.table("rp_dim"), "g"
     ).select("fam", "v").collect()
@@ -267,6 +274,83 @@ def test_non_restructurable_shape_falls_back(hdb, spark):  # noqa: F811
             int(r["v"]) for r in rows if r["fam"] == fam and r["v"] is not None
         ]
         assert got[fam] == build_qdigest(vals).hex()
+
+
+def test_cte_shape_restructures_two_phase(hdb, spark):  # noqa: F811
+    """A WITH-prefixed query wraps its subtree and restructures; the
+    theta bytes stay identical to a direct build over the CTE output."""
+    import base64
+
+    from hurricanedb_spark.operators.theta_ds import (
+        DEFAULT_SEED,
+        compute_seed_hash,
+        from_hashes,
+        hash_column_np,
+        serialize,
+    )
+
+    df = hdb.sql(
+        "WITH big AS (SELECT g, v FROM rp_t WHERE v >= 50000) "
+        "SELECT g, distinctCountRawThetaSketch(v, 'nominalEntries=256') "
+        "AS sk FROM big GROUP BY g",
+        default_limit=None,
+    )
+    plan = _plan(df)
+    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    got = {r["g"]: base64.b64decode(r["sk"]) for r in df.collect()}
+    rows = spark.table("rp_t").filter("v >= 50000").select("g", "v").collect()
+    seed_hash = compute_seed_hash(DEFAULT_SEED)
+    for key in ("a", "b", "c"):
+        import pandas as pd
+
+        vals = pd.Series(
+            [r["v"] for r in rows if r["g"] == key], dtype="object"
+        )
+        hs = hash_column_np(vals, "long")
+        expect = serialize(
+            from_hashes((int(h) for h in hs if h), 256, seed_hash), 8
+        )
+        assert got[key] == expect
+
+
+def test_genuinely_dynamic_shapes_fall_back(hdb, spark):  # noqa: F811
+    """Qualified outer refs (cannot resolve against the collapsed view)
+    and set operations keep the single-phase grouped-agg — still
+    correct, documented bound."""
+    hdb.register("rp_dim2", spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "y")], "g string, fam string"
+    ))
+    df = hdb.sql(
+        "SELECT rp_dim2.fam, percentileRawEst(v, 50) AS qd FROM rp_t "
+        "JOIN rp_dim2 ON rp_t.g = rp_dim2.g GROUP BY rp_dim2.fam",
+        default_limit=None,
+    )
+    assert "ArrowAggregatePython" in _plan(df)
+    rows = spark.table("rp_t").join(
+        spark.table("rp_dim2"), "g"
+    ).select("fam", "v").collect()
+    got = {r["fam"]: r["qd"] for r in df.collect()}
+    for fam in ("x", "y"):
+        vals = [
+            int(r["v"]) for r in rows if r["fam"] == fam and r["v"] is not None
+        ]
+        assert got[fam] == build_qdigest(vals).hex()
+    # set operation: the wrap declines (distinct branch semantics)
+    df2 = hdb.sql(
+        "SELECT percentileRawEst(v, 50) AS qd FROM "
+        "(SELECT v FROM rp_t UNION SELECT v + 1000000 AS v FROM rp_t)",
+        default_limit=None,
+    )
+    assert "ArrowAggregatePython" in _plan(df2)
+    vals = sorted(
+        {int(r["v"]) for r in spark.table("rp_t").collect() if r["v"] is not None}
+        | {
+            int(r["v"]) + 1000000
+            for r in spark.table("rp_t").collect()
+            if r["v"] is not None
+        }
+    )
+    assert df2.collect()[0]["qd"] == build_qdigest(vals).hex()
 
 
 def test_float_group_key_falls_back_single_phase(spark):  # noqa: F811
@@ -353,9 +437,14 @@ def test_filtered_theta_two_phase_matches_single_phase(hdb, spark):  # noqa: F81
     two = hdb.sql(body.format(src="rp_t"), default_limit=None)
     plan = _plan(two)
     assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
-    # a WITH wrapper defeats the restructure -> single-phase fallback
+    # a qualified outer ref defeats both the single-table matcher and
+    # the r11 subtree wrap -> single-phase fallback (a bare WITH wrapper
+    # no longer does: the wrap restructures it)
     single = hdb.sql(
-        "WITH w AS (SELECT * FROM rp_t) " + body.format(src="w"),
+        "SELECT w.g AS g, distinctCountRawThetaSketch(v, "
+        "'nominalEntries=256', 'd > 500', 'v % 2 = 0', "
+        "'SET_INTERSECT($1, $2)') AS sk "
+        "FROM (SELECT * FROM rp_t) w GROUP BY w.g",
         default_limit=None,
     )
     assert "ArrowAggregatePython" in _plan(single)

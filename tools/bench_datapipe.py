@@ -10,10 +10,13 @@ the headline set (tools/bench_minima.py; BENCH.md training-pipeline
 table).
 
 Per query: one warm-up run, then median of 3 timed `.count()` runs
-(same protocol as bench.py). q_ngram_jaccard_pairs is the documented
-EXACT blocked-quadratic baseline and dominates the total — it is
-reported like every other row, not excluded, so regressions on the
-guard boundary stay visible.
+(same protocol as bench.py). The EXACT quadratic baselines
+(q_ngram_jaccard_pairs, q_embedding_neardup) are guarded out past
+sf0.1 by their registered row-count caps (round-11: the ngram row
+burned 27 min/run in the r10 sf1 bench) — at sf>=1 they refuse loudly
+and land in the JSON's `guarded` map with the named error, while the
+LSH routes (q_minhash_lsh_dedup, q_embedding_neardup_lsh) are the
+benched scale rows. Nothing is silently excluded.
 
 Usage: python tools/bench_datapipe.py [sf_dir]
 """
