@@ -9,6 +9,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hurricanedb_spark.queries._fixture import (
+    fixture_stale,
+    write_fixture_marker,
+)
 from hurricanedb_spark.catalog.tables import load_table
 from hurricanedb_spark.functions import geo
 from hurricanedb_spark.queries import register
@@ -266,7 +270,7 @@ def q_geo_index_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir)) + "_customer_geoidx",
     )
     marker = os.path.join(base, "_written")
-    if not os.path.isfile(marker):
+    if fixture_stale(marker, sf_dir):
         pts = _points(spark, sf_dir).select(
             "c_custkey",
             "c_mktsegment",
@@ -281,8 +285,7 @@ def q_geo_index_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.export_segments(
             pts.repartition(4), base, geo_index_columns={"loc": 10}
         )
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
+        write_fixture_marker(marker, sf_dir)
     segs = sorted(
         os.path.join(base, d)
         for d in os.listdir(base)

@@ -10,6 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hurricanedb_spark.queries._fixture import (
+    fixture_stale,
+    write_fixture_marker,
+)
 from hurricanedb_spark.catalog.tables import load_table
 from hurricanedb_spark.queries import register
 from hurricanedb_spark.sources.ingestion import IngestionPipeline
@@ -356,13 +360,12 @@ def q_segment_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/tmp/hurricanedb_segments", os.path.basename(os.path.normpath(sf_dir))
     )
     marker = os.path.join(base, "_written")
-    if not os.path.isfile(marker):
+    if fixture_stale(marker, sf_dir):
         sup = load_table(spark, sf_dir, "supplier").select(
             "s_suppkey", "s_nationkey", "s_acctbal"
         )
         ps.export_segments(sup.repartition(4), base, "supplier")
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
+        write_fixture_marker(marker, sf_dir)
     segs = sorted(
         os.path.join(base, d)
         for d in os.listdir(base)
@@ -408,7 +411,7 @@ def q_segment_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir)) + "_orders_ranged",
     )
     marker = os.path.join(base, "_written")
-    if not os.path.isfile(marker):
+    if fixture_stale(marker, sf_dir):
         od = load_table(spark, sf_dir, "orders").select(
             "o_custkey", "o_orderpriority", "o_totalprice"
         )
@@ -417,8 +420,7 @@ def q_segment_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.export_segments(
             od.repartitionByRange(6, "o_custkey"), base, "orders"
         )
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
+        write_fixture_marker(marker, sf_dir)
     segs = sorted(
         os.path.join(base, d)
         for d in os.listdir(base)
@@ -462,7 +464,7 @@ def _orders_startree_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     seg = os.path.join(base, "orders_st")
     # v3: + the distinctCountThetaSketch__o_custkey pair (round 8)
     marker = os.path.join(base, "_written_v3")
-    if not os.path.isfile(marker):
+    if fixture_stale(marker, sf_dir):
         od = load_table(spark, sf_dir, "orders").select(
             "o_orderpriority", "o_orderstatus", "o_custkey", "o_totalprice"
         )
@@ -500,8 +502,7 @@ def _orders_startree_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 )
             ],
         )
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
+        write_fixture_marker(marker, sf_dir)
     return base, seg
 
 
@@ -755,7 +756,7 @@ def q_segment_mixed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir)) + "_mixed_store",
     )
     marker = os.path.join(base, "_written")
-    if not os.path.isfile(marker):
+    if fixture_stale(marker, sf_dir):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "lang", "text", "n_chars"
         )
@@ -795,8 +796,7 @@ def q_segment_mixed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             ps.write_segment_pandas(
                 sl, os.path.join(base, f"segment_{i:02d}"), **cfg
             )
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
+        write_fixture_marker(marker, sf_dir)
     segs = sorted(
         os.path.join(base, d)
         for d in os.listdir(base)
@@ -831,15 +831,14 @@ def _docs_text_store(spark: SparkSession, sf_dir: str) -> str:
         os.path.basename(os.path.normpath(sf_dir)) + "_docs_textidx",
     )
     marker = os.path.join(base, "_written")
-    if not os.path.isfile(marker):
+    if fixture_stale(marker, sf_dir):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "lang", "text", "n_chars"
         )
         ps.export_segments(
             docs.repartition(4), base, text_index_columns=["text"]
         )
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
+        write_fixture_marker(marker, sf_dir)
     return base
 
 
@@ -952,7 +951,7 @@ def _docs_multi_index_store(spark: SparkSession, sf_dir: str) -> str:
         os.path.basename(os.path.normpath(sf_dir)) + "_docs_multiidx",
     )
     marker = os.path.join(base, "_written")
-    if not os.path.isfile(marker):
+    if fixture_stale(marker, sf_dir):
         docs = (
             load_table(spark, sf_dir, "documents")
             .select("doc_id", "lang", "text", "n_chars")
@@ -973,8 +972,7 @@ def _docs_multi_index_store(spark: SparkSession, sf_dir: str) -> str:
             json_index_columns=["props"],
             text_index_columns=["text"],
         )
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
+        write_fixture_marker(marker, sf_dir)
     return base
 
 
@@ -1052,7 +1050,7 @@ def q_segment_fst_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir)) + "_orders_fstidx",
     )
     marker = os.path.join(base, "_written")
-    if not os.path.isfile(marker):
+    if fixture_stale(marker, sf_dir):
         od = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
         )
@@ -1062,8 +1060,7 @@ def q_segment_fst_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
             fst_index_columns=["o_orderpriority"],
             inverted_index_columns=["o_orderpriority"],
         )
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write("ok")
+        write_fixture_marker(marker, sf_dir)
     segs = sorted(
         os.path.join(base, d)
         for d in os.listdir(base)
