@@ -2879,11 +2879,14 @@ class HurricaneSQL:
             group in the view, so min is identity), the
             rewrite_mv_percentile_bounded pattern.
 
-        Non-restructurable shapes (joins/unions/CTEs/DISTINCT/star/
-        ordinal or aliased GROUP BY, unresolvable tables) return the
-        query unchanged — the single-phase grouped-agg with its
-        documented bound. BYTES-column theta calls never reach here
-        (_theta_bytes_rewrite runs first). Returns (query, cleanup)."""
+        Round-11: joins/CTEs/subqueries-in-FROM restructure too, via
+        _rd_wrap_subtree (the FROM subtree becomes a named lazy view and
+        this method re-applies over it). The remaining single-phase
+        fallbacks are genuinely dynamic shapes: set operations, SELECT
+        DISTINCT, star-selects, ordinal/aliased GROUP BY, qualified
+        outer refs, unresolvable tables. BYTES-column theta calls never
+        reach here (_theta_bytes_rewrite runs first). Returns
+        (query, cleanup)."""
         noop = (query, lambda: None)
         names = {
             "percentilerawest",
