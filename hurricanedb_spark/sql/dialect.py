@@ -2646,6 +2646,41 @@ class HurricaneSQL:
         r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\b(?!\s*\()", re.IGNORECASE
     )
 
+    def _theta_bytes_source(self, query: str):
+        """DataFrame of the query's FROM source, for BYTES type dispatch:
+        single bare table via the catalog fast path; join/CTE/subquery
+        shapes (round-11) via a LAZY `SELECT * FROM <subtree>` analysis
+        using the shared _outer_clause_spans scanner — nothing executes,
+        only the analyzer runs. None = unresolvable (set ops, unknown
+        tables): callers leave the query on the value path."""
+        froms = self._FROM_TBL.findall(query)
+        if len(set(froms)) == 1 and not re.search(
+            r"\bJOIN\b|\bWITH\b", query, re.IGNORECASE
+        ):
+            try:
+                return self.spark.table(froms[0])
+            except Exception:  # noqa: BLE001 — unknown table
+                return None
+        src = query.rstrip().rstrip(";")
+        spans = _outer_clause_spans(_mask_literals(src))
+        if spans is None:
+            return None
+
+        def seg(name: str) -> str | None:
+            s, e = spans[name] if name in spans else (-1, -1)
+            return src[s:e].strip() if s != -1 else None
+
+        fromw = seg("fromwhere")
+        if not fromw:
+            return None
+        withp = seg("with")
+        try:
+            return self.spark.sql(
+                (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
+            )
+        except Exception:  # noqa: BLE001 — unresolvable subtree
+            return None
+
     def _theta_bytes_rewrite(self, query: str) -> str:
         """distinctCountThetaSketch / RawThetaSketch over a BYTES column
         unions the PRE-BUILT sketches stored in it — the reference
@@ -2658,6 +2693,13 @@ class HurricaneSQL:
         sql() (not the pure-string rewriter) for the provable shape:
         single-table FROM, bare-identifier argument resolving to a
         BinaryType column. Other shapes keep the value path.
+
+        Round-11: the schema source also resolves for join/CTE/subquery
+        FROM shapes (lazy `SELECT * FROM <subtree>` analysis) — before,
+        a BYTES sketch column on a joined shape silently took the VALUE
+        path: the raw forms failed loudly on the unsupported binary
+        type, but distinctCountHLL / distinctCountThetaSketch quietly
+        counted distinct BLOBS instead of unioning the stored sketches.
 
         Limitation: the theta union is a grouped-agg pandas UDF, which
         Spark cannot place beside JVM aggregates in one SELECT — such a
@@ -2673,16 +2715,12 @@ class HurricaneSQL:
         calls = _find_calls(query, names)
         if not calls:
             return query
-        froms = self._FROM_TBL.findall(query)
-        if len(set(froms)) != 1 or re.search(r"\bJOIN\b", query, re.IGNORECASE):
+        src_df = self._theta_bytes_source(query)
+        if src_df is None:
             return query
-        try:
-            schema = {
-                f.name.lower(): f.dataType
-                for f in self.spark.table(froms[0]).schema.fields
-            }
-        except Exception:  # noqa: BLE001 — unknown table: leave untouched
-            return query
+        schema = {
+            f.name.lower(): f.dataType for f in src_df.schema.fields
+        }
         from pyspark.sql import types as T
 
         out, pos = [], 0
@@ -2712,8 +2750,7 @@ class HurricaneSQL:
                     )
 
                     head = (
-                        self.spark.table(froms[0])
-                        .where(f"{col} IS NOT NULL")
+                        src_df.where(f"{col} IS NOT NULL")
                         .select(col)
                         .head(1)
                     )

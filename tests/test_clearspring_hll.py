@@ -258,6 +258,48 @@ def test_bytes_column_clearspring_sniff(hdb, spark):
     assert raw == full  # union of the per-group sketches == direct build
 
 
+def test_bytes_column_dispatch_on_join_and_cte_shapes(hdb, spark):
+    """Round-11: the BYTES type dispatch resolves join/CTE FROM shapes
+    too. Before, a joined BYTES sketch column silently took the VALUE
+    path — distinctCountHLL counted distinct BLOBS (here 2) instead of
+    unioning the stored sketches (~800 distinct values)."""
+    per = hdb.sql(
+        "SELECT g, unhex(distinctCountRawHLL(v)) AS sk FROM cs_t GROUP BY g",
+        default_limit=None,
+    )
+    hdb.register("cs_bytes_j", per)
+    hdb.register(
+        "cs_dim_j",
+        spark.createDataFrame([("x", "fam"), ("y", "fam")], "g string, f string"),
+    )
+    exact = spark.sql("SELECT count(DISTINCT v) AS dc FROM cs_t").collect()[0][
+        "dc"
+    ]
+    est = hdb.sql(
+        "SELECT f, distinctCountHLL(sk) AS dc FROM cs_bytes_j "
+        "JOIN cs_dim_j ON cs_bytes_j.g = cs_dim_j.g GROUP BY f",
+        default_limit=None,
+    ).collect()[0]["dc"]
+    # sketch union estimate, emphatically not the 2-blob distinct count
+    assert abs(est - exact) <= max(2, exact * 0.05), (est, exact)
+    cte = hdb.sql(
+        "WITH src AS (SELECT sk FROM cs_bytes_j) "
+        "SELECT distinctCountHLL(sk) AS dc FROM src",
+        default_limit=None,
+    ).collect()[0]["dc"]
+    assert abs(cte - exact) <= max(2, exact * 0.05), (cte, exact)
+    # raw form over the join: merged sketch == direct full build
+    raw = hdb.sql(
+        "SELECT distinctCountRawHLL(sk) AS m FROM cs_bytes_j "
+        "JOIN cs_dim_j ON cs_bytes_j.g = cs_dim_j.g",
+        default_limit=None,
+    ).collect()[0]["m"]
+    full = hdb.sql(
+        "SELECT distinctCountRawHLL(v) AS sk FROM cs_t", default_limit=None
+    ).collect()[0]["sk"]
+    assert raw == full
+
+
 def test_bytes_column_all_null_group_yields_null(hdb, spark):
     """clearspringhllunion / clearspringhllunionest over a group whose
     BYTES column is all NULL must return NULL for that group, not fail
