@@ -150,12 +150,19 @@ def _table_sketches(vec: Column, dim: int, n_tables: int, bits: int) -> Column:
     return F.array(*sketches)
 
 
-def _table_sketches_kernel(dim: int, n_tables: int, bits: int):
+def _table_sketches_kernel(dim: int, n_tables: int, bits: int, probe_flips: int = 0):
     """Arrow-batched form of _table_sketches: one numpy matmul computes
     every plane dot for a whole batch (N x d @ d x T*B), instead of
     T*B interpreted aggregate() folds per row. Same planes, same strict
     sign rule; used on the CORPUS side where N is large — the expression
-    form remains for plan-literal contexts and documentation."""
+    form remains for plan-literal contexts and documentation.
+
+    `probe_flips` > 0 is MULTI-PROBE (query-side only): for each table,
+    also emit the buckets reached by flipping the `probe_flips` planes
+    with the smallest |dot| margin — the planes most likely to disagree
+    for a true near neighbor. Each flip multiplies the emitted bucket
+    ids (T*(1+probe_flips) per vector) but recall rises without touching
+    the corpus-side layout or shuffle, which is the expensive side."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -170,9 +177,22 @@ def _table_sketches_kernel(dim: int, n_tables: int, bits: int):
         if len(v) == 0:
             return pd.Series([], dtype=object)
         X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        bits_on = (X @ P.T) > 0.0  # (n, T*B)
+        dots = X @ P.T  # (n, T*B)
+        bits_on = dots > 0.0
         per_table = bits_on.reshape(len(X), n_tables, bits) @ weights
         ids = per_table + offsets[None, :]
+        if probe_flips:
+            margins = np.abs(dots).reshape(len(X), n_tables, bits)
+            order = np.argsort(margins, axis=2, kind="stable")
+            one = np.int64(1)
+            variants = [ids]
+            for f in range(min(probe_flips, bits)):
+                flip_bit = order[:, :, f].astype(np.int64)  # (n, T)
+                variants.append(
+                    (per_table ^ np.left_shift(one, flip_bit))
+                    + offsets[None, :]
+                )
+            ids = np.concatenate(variants, axis=1)
         return pd.Series([row.tolist() for row in ids])
 
     return _sk
@@ -262,21 +282,32 @@ def ann_candidate_pairs(
     target_bucket: int = 64,
     max_bucket_size: int | None = 4096,
     bits_range: tuple[int, int] = (4, 40),
+    probe_flips: int = 1,
     kernel: bool = True,
 ) -> DataFrame:
     """Distinct (query_id, neighbor_id) LSH candidate pairs — the bucket
     join underneath ann_topk, exposed so candidate VOLUME is testable:
     with adaptive bits the expected candidate count per query stays
-    ~n_tables * target_bucket as N grows (flat, not O(N)).
+    ~n_tables * (1 + probe_flips) * target_bucket as N grows (flat, not
+    O(N)).
 
     `bits` defaults adaptive (one count() at plan time, the
     lsh_neardup_pairs convention); explicit bits skips the count AND the
     bucket-overflow guard — a pinned 100 TB pipeline owns its sizing.
     `max_bucket_size` drops degenerate corpus buckets (zero vectors,
     constant embeddings) before the join; the guard raises loudly when
-    the cap would drop every bucket."""
+    the cap would drop every bucket. `probe_flips` is QUERY-side
+    multi-probe (flip the lowest-|margin| planes per table): recall
+    rises at constant corpus shuffle — the query side is broadcast, so
+    extra probes are nearly free at scale."""
     from pyspark.sql import Window as W
 
+    if probe_flips and not kernel:
+        raise ValueError(
+            "ann_candidate_pairs: probe_flips requires the Arrow kernel "
+            "path (kernel=True) — the expression form emits base buckets "
+            "only; pass probe_flips=0 to use it."
+        )
     if bits is None:
         n = corpus.count()
         bits = _adaptive_bits(n, target_bucket, bits_range)
@@ -286,14 +317,19 @@ def ann_candidate_pairs(
             max_bucket_size,
             f"bits_range={bits_range}, target_bucket={target_bucket}",
         )
-    sketches = (
+    corpus_sketches = (
         _table_sketches_kernel(dim, n_tables, bits)
         if kernel
         else lambda col: _table_sketches(col, dim, n_tables, bits)
     )
+    query_sketches = (
+        _table_sketches_kernel(dim, n_tables, bits, probe_flips=probe_flips)
+        if kernel
+        else corpus_sketches
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.explode(sketches(F.col(vec_col))).alias("__bucket"),
+        F.explode(corpus_sketches(F.col(vec_col))).alias("__bucket"),
     )
     if max_bucket_size is not None:
         w = W.partitionBy("__bucket")
@@ -302,9 +338,13 @@ def ann_candidate_pairs(
             .filter(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
+    # no distinct needed: a flipped bucket always differs from the base
+    # and from other flips (distinct planes), so (query_id, __bucket)
+    # rows are unique by construction — and the final pair-level
+    # .distinct() below dedups cross-table collisions anyway
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.explode(sketches(F.col(vec_col))).alias("__bucket"),
+        F.explode(query_sketches(F.col(vec_col))).alias("__bucket"),
     )
     return (
         c.join(F.broadcast(q), "__bucket")
@@ -326,6 +366,7 @@ def ann_topk(
     target_bucket: int = 64,
     max_bucket_size: int | None = 4096,
     bits_range: tuple[int, int] = (4, 40),
+    probe_flips: int = 1,
     kernel: bool = True,
 ) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH + exact cosine re-rank.
@@ -336,11 +377,15 @@ def ann_topk(
     broadcast (query batches are small relative to the corpus). `bits`
     defaults ADAPTIVE — ceil(log2(N / target_bucket)) clamped to
     `bits_range` — so candidate volume per query stays ~n_tables *
-    target_bucket instead of O(N / 2^const) (fixed bits=4 was the same
-    measured defect class as the round-10 near-dup reversion: 16 buckets
-    per table make the bucket join a constant-factor-off brute force).
-    Only candidate ID pairs are deduplicated; vectors travel once per
-    surviving pair via the join-backs."""
+    (1 + probe_flips) * target_bucket instead of O(N / 2^const) (fixed
+    bits=4 was the same measured defect class as the round-10 near-dup
+    reversion: 16 buckets per table make the bucket join a
+    constant-factor-off brute force). `probe_flips` (default 1) is
+    query-side MULTI-PROBE — each query also probes the bucket reached
+    by flipping its lowest-|margin| plane per table, buying recall at
+    constant corpus-side shuffle. Only candidate ID pairs are
+    deduplicated; vectors travel once per surviving pair via the
+    join-backs."""
     from pyspark.sql import Window as W
 
     cand = ann_candidate_pairs(
@@ -354,6 +399,7 @@ def ann_topk(
         target_bucket=target_bucket,
         max_bucket_size=max_bucket_size,
         bits_range=bits_range,
+        probe_flips=probe_flips,
         kernel=kernel,
     )
     cv = corpus.select(

@@ -141,6 +141,51 @@ def test_lsh_neardup_sound_and_recall(spark, sf_dir):
     assert len(got) / len(want) >= 0.8
 
 
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Query-side multi-probe (flip the lowest-|margin| plane per table)
+    strictly widens the candidate set, so recall vs brute force can only
+    rise — measured here as a superset relation on candidate pairs plus
+    a recall comparison, at constant corpus-side layout."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 10)
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_candidate_pairs(
+            em, q, dim=64, probe_flips=0
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_candidate_pairs(
+            em, q, dim=64, probe_flips=1
+        ).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)  # flips reach genuinely new buckets
+    k = 10
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(em, q, k=k).collect()
+    }
+    ann0 = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_topk(em, q, dim=64, k=k, probe_flips=0).collect()
+    }
+    ann1 = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_topk(em, q, dim=64, k=k, probe_flips=1).collect()
+    }
+    r0 = len(brute & ann0) / len(brute)
+    r1 = len(brute & ann1) / len(brute)
+    assert r1 >= r0, (r0, r1)
+    # expression path refuses flips loudly instead of silently probing
+    # base buckets only
+    import pytest
+
+    with pytest.raises(ValueError, match="probe_flips"):
+        sim.ann_candidate_pairs(em, q, dim=64, kernel=False).count()
+
+
 def test_auto_tables_operating_points():
     """Table-count sizing holds the recall target as adaptive bits grow
     (the round-10 ADVICE finding: fixed 8 tables decay from ~0.98 recall
