@@ -288,7 +288,15 @@ def digests_by_group(
     """One row per group with a serialized-digest binary column per spec,
     built partial -> merge in a single pass over `df`. Empty `group_cols`
     = global aggregate (returns one row, or zero rows on empty input —
-    the SQL rewrite coalesces to `empty_state`)."""
+    the SQL rewrite coalesces to `empty_state`).
+
+    Float/double group keys (round-12): Arrow delivers NULL floats as
+    NaN inside the partial phase, so a genuine-NaN key would silently
+    merge into the NULL group. A boolean is-NaN marker column (false for
+    NULL — Spark's IsNaN is null-intolerant) rides along as an extra
+    grouping key through partials + merge, and the true NaN key value is
+    restored afterwards; Spark's own semantics (NaN = NaN in grouping,
+    `<=>`, joins) make the restored key group and join correctly."""
     import pandas as pd
 
     dummy = not group_cols
@@ -300,11 +308,19 @@ def digests_by_group(
         _make_acc_factory(s, dtypes[s.value_col]) for s in specs
     ]
     mergers = {s.alias: _make_merger(s) for s in specs}
+    markers = {
+        c: f"__nan_{c}"
+        for c in group_cols
+        if dtypes[c] in ("float", "double")
+    }
+    key_cols = [*group_cols, *markers.values()]
     src = df.select(
-        *group_cols, *(F.col(s.value_col).alias(s.alias) for s in specs)
+        *group_cols,
+        *(F.isnan(F.col(c)).alias(m) for c, m in markers.items()),
+        *(F.col(s.value_col).alias(s.alias) for s in specs),
     )
     fields = ", ".join(
-        f"`{c}` {src.schema[c].dataType.simpleString()}" for c in group_cols
+        f"`{c}` {src.schema[c].dataType.simpleString()}" for c in key_cols
     )
     out_schema = fields + "".join(f", `{s.alias}` binary" for s in specs)
     aliases = [s.alias for s in specs]
@@ -318,9 +334,10 @@ def digests_by_group(
         for pdf in batches:
             if pdf.empty:
                 continue
-            for key, grp in pdf.groupby(group_cols, dropna=False, sort=False):
+            for key, grp in pdf.groupby(key_cols, dropna=False, sort=False):
                 key = key if isinstance(key, tuple) else (key,)
-                # NaN keys must hash identically across batches
+                # NaN keys must hash identically across batches (the
+                # is-NaN marker keeps NULL and NaN float keys distinct)
                 key = tuple(None if pd.isna(x) else x for x in key)
                 row = accs.get(key)
                 if row is None:
@@ -330,18 +347,35 @@ def digests_by_group(
         if accs:
             yield pd.DataFrame(
                 [(*k, *(acc.emit() for acc in row)) for k, row in accs.items()],
-                columns=[*group_cols, *aliases],
+                columns=[*key_cols, *aliases],
             )
 
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
         merged = {
             a: [mergers[a]([bytes(b) for b in pdf[a]])] for a in aliases
         }
-        return pdf.iloc[:1].assign(**merged)[[*group_cols, *aliases]]
+        return pdf.iloc[:1].assign(**merged)[[*key_cols, *aliases]]
 
     out = (
         src.mapInPandas(partials, schema=out_schema)
-        .groupBy(*group_cols)
+        .groupBy(*key_cols)
         .applyInPandas(merge, schema=out_schema)
     )
+    if markers:
+        out = out.select(
+            *(
+                (
+                    F.when(
+                        F.col(markers[c]),
+                        F.lit(float("nan")).cast(dtypes[c]),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in markers
+                    else F.col(c)
+                )
+                for c in group_cols
+            ),
+            *(F.col(a) for a in aliases),
+        )
     return out.drop("_g_all") if dummy else out

@@ -12,11 +12,16 @@ sf1 scale audit, while the sf0.01/sf0.1 gates (whose parquet never
 changes) stayed green.
 
 The marker now records a fingerprint of every source parquet file
-(name, size, crc32 of the first and last 64 KiB — content-sensitive,
-metadata-cheap); a mismatch wipes the fixture directory (a rebuild
-must never mix old and new segments) and rebuilds. Old "ok" markers
-mismatch by construction, so pre-existing stale caches self-heal on
-first touch.
+(name, size, crc32 of the first, middle and last 64 KiB —
+content-sensitive, metadata-cheap); a mismatch wipes the fixture
+directory (a rebuild must never mix old and new segments) and
+rebuilds. Old "ok" markers mismatch by construction, so pre-existing
+stale caches self-heal on first touch. The middle window (round-11
+ADVICE) catches a same-size regeneration whose changes fall only in
+interior row groups — the head/tail windows alone would pass it as
+fresh; mtime is deliberately NOT part of the key so a byte-identical
+regeneration (gen_scale re-runs every round) does not force a
+rebuild.
 """
 
 from __future__ import annotations
@@ -38,9 +43,13 @@ def _fingerprint(sf_dir: str) -> str:
         size = os.path.getsize(path)
         with open(path, "rb") as f:
             head = f.read(_PROBE)
+            f.seek(max(0, (size - _PROBE) // 2))
+            mid = f.read(_PROBE)
             f.seek(max(0, size - _PROBE))
             tail = f.read(_PROBE)
-        rows.append((name, size, zlib.crc32(head), zlib.crc32(tail)))
+        rows.append(
+            (name, size, zlib.crc32(head), zlib.crc32(mid), zlib.crc32(tail))
+        )
     return json.dumps(rows)
 
 

@@ -1873,13 +1873,93 @@ def _mask_literals(sql: str) -> str:
     return "".join(out)
 
 
-def rewrite_mv_percentile_bounded(sql: str) -> str:
+def _strip_tail_qualifiers(text: str, view_cols: list[str]) -> str | None:
+    """Rewrite two-part qualified references `q.col` in an outer-clause
+    segment (select list / GROUP BY / HAVING / ORDER BY) to bare `col`,
+    so the segment resolves against the collapsed `SELECT * FROM
+    <subtree>` view the bounded restructures generate. Round-12:
+    qualified refs are the MOST COMMON spelling of join queries, and
+    bailing on them silently kept the single-phase unbounded-intermediate
+    path for exactly that shape — the reference's leaf-stage compilation
+    streams partials regardless of how the SELECT spells its columns
+    (ServerRequestPlanVisitor.java:79-133, AggregationFunction.java:42-130).
+
+    Returns the rewritten segment, or None (caller falls back to the
+    single-phase / macro path) unless EVERY dotted ref satisfies all of:
+
+      - exactly two parts (`a.b.c` is out of scope);
+      - the qualifier is NOT itself a view output column — `s.field`
+        where `s` is a struct column is FIELD ACCESS, and stripping it
+        would silently rebind to a same-named top-level column;
+      - the bare name resolves UNIQUELY (case-insensitive) in the view
+        schema — when both join sides carry `col`, the stripped ref
+        would be ambiguous (Spark raises; we decline up front);
+      - not a qualified function call (`q.fn(...)`).
+
+    Refs inside string literals never match (the scan runs on the
+    literal-masked copy; spans map 1:1 because masking is same-length).
+    Callers ALSO dry-run-analyze the rebuilt query, so the strip can
+    never turn a working query into an error — at worst it declines."""
+    masked = _mask_literals(text)
+    counts: dict[str, int] = {}
+    for c in view_cols:
+        counts[c.lower()] = counts.get(c.lower(), 0) + 1
+    out: list[str] = []
+    pos = 0
+    for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_*]\w*)", masked):
+        qual, col = m.group(1), m.group(2)
+        before = masked[: m.start()].rstrip()
+        after = masked[m.end():].lstrip()
+        if before.endswith(".") or after.startswith((".", "(")):
+            return None  # 3+-part ref or qualified function call
+        if (
+            col == "*"
+            or qual.lower() in counts
+            or counts.get(col.lower(), 0) != 1
+        ):
+            return None
+        out.append(text[pos : m.start()])
+        out.append(text[m.start(2) : m.end()])
+        pos = m.end()
+    out.append(text[pos:])
+    return "".join(out)
+
+
+def _strip_clause_qualifiers(
+    parts: dict[str, str | None],
+    view_cols: list[str] | None,
+    clauses: tuple[str, ...] = ("sel", "gby", "having", "oby"),
+) -> bool:
+    """Apply _strip_tail_qualifiers in place to the outer-tail clauses
+    that contain dotted refs. True = every ref stripped safely (or none
+    present); False = some ref is out of scope and the caller must keep
+    the original query."""
+    for name in clauses:
+        part = parts.get(name)
+        if not part or not _DOTTED_REF.search(_mask_literals(part)):
+            continue
+        if view_cols is None:
+            return False
+        stripped = _strip_tail_qualifiers(part, view_cols)
+        if stripped is None:
+            return False
+        parts[name] = stripped
+    return True
+
+
+def rewrite_mv_percentile_bounded(sql: str, analyze=None) -> str:
     """Restructure percentile*TDigest/Est*MV calls into a bounded-state
     explode + percentile_approx CTE; return `sql` unchanged (exact-macro
     fallback) when the query shape doesn't allow it. Round-11:
     non-single-table FROM shapes (joins, CTEs, subqueries in FROM)
     restructure too — the whole FROM subtree (with its WHERE) becomes
-    the `_mvsrc` CTE, same as rewrite_mode_avg_bounded."""
+    the `_mvsrc` CTE, same as rewrite_mode_avg_bounded. Round-12:
+    qualified refs (`t.col`) in the outer tail no longer bail — they are
+    stripped to bare columns when they resolve uniquely in the subtree
+    output (`analyze`: callable mapping a SELECT string to its output
+    column names, or None on failure — supplied by HurricaneSQL.sql,
+    which also dry-run-analyzes the rewritten query so a restructure can
+    never break a working query)."""
     if not _find_calls(sql, _BOUNDED_MV_NAMES):
         return sql
     # clause keywords inside string literals must not steer the shape
@@ -1894,8 +1974,11 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
     spans = _outer_clause_spans(masked)
     if spans is None:
         return sql
+    parts: dict[str, str | None] = {}  # qualifier-stripped overrides
 
     def grp(name: str) -> str | None:
+        if name in parts:
+            return parts[name]
         s, e = spans[name] if name in spans else (-1, -1)
         return src[s:e].strip() if s != -1 else None
 
@@ -1904,26 +1987,41 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
         return sql
     if _find_calls(fromw, _BOUNDED_MV_NAMES):
         return sql  # call inside the subtree: nested shape, macro keeps it
-    tail = " ".join(
-        x for x in (grp("sel"), grp("gby"), grp("having"), grp("oby")) if x
-    )
-    if _DOTTED_REF.search(_mask_literals(tail)):
-        return sql  # qualified refs would dangle after the CTE rename
-    gby = _split_top(grp("gby") or "")
-    if any(g.isdigit() for g in gby):
-        return sql  # ordinal keys aren't reconstructable in the CTE
     if any(it == "*" or it.endswith(".*") for it in _split_top(grp("sel"))):
         return sql  # select-star would leak the helper columns
+    parts.update({n: grp(n) for n in ("sel", "gby", "having", "oby")})
+    # qualified refs (round-12): strip to bare columns that resolve
+    # uniquely in the subtree output, else keep the exact macro
+    view_cols = None
+    if _DOTTED_REF.search(
+        _mask_literals(" ".join(x for x in parts.values() if x))
+    ):
+        if analyze is None:
+            return sql
+        view_cols = analyze(
+            (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
+        )
+    if not _strip_clause_qualifiers(parts, view_cols):
+        return sql
+    gby = _split_top(parts["gby"] or "")
+    if any(g.isdigit() for g in gby):
+        return sql  # ordinal keys aren't reconstructable in the CTE
     # GROUP BY over a select-list alias resolves in plain Spark GROUP BY
     # (spark.sql.groupByAliases) but NOT inside the generated CTE / join
-    # condition — fall back to the exact macro for those shapes
+    # condition — fall back to the exact macro for those shapes. When the
+    # subtree schema is known (qualified-ref path), a key that is a REAL
+    # subtree column is safe even if a select alias shadows its name:
+    # both resolutions pick the column (columns shade aliases in Spark).
     sel_aliases = set()
-    for it in _split_top(grp("sel")):
+    for it in _split_top(parts["sel"]):
         m_alias = re.search(r"\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it)
         if m_alias:
             sel_aliases.add(m_alias.group(1).lower())
+    real_cols = {c.lower() for c in view_cols} if view_cols else set()
     if any(
-        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g) and g.lower() in sel_aliases
+        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g)
+        and g.lower() in sel_aliases
+        and g.lower() not in real_cols
         for g in gby
     ):
         return sql
@@ -2044,7 +2142,7 @@ def rewrite_mv_percentile_bounded(sql: str) -> str:
     return out
 
 
-def rewrite_mode_avg_bounded(sql: str) -> str:
+def rewrite_mode_avg_bounded(sql: str, analyze=None) -> str:
     """Restructure mode(col, 'AVG') into a pre-aggregated value-counts
     shape so per-group state is O(distinct values), matching the
     reference's value->count map (ModeAggregationFunction.java:65-75).
@@ -2065,10 +2163,13 @@ def rewrite_mode_avg_bounded(sql: str) -> str:
     subqueries in FROM) restructure too — the whole FROM subtree
     (including WHERE) becomes the `_msrc` CTE, so the value-counts
     pre-aggregation runs over the join OUTPUT and the O(rows/group)
-    collect_list fold is the exception (set operations, DISTINCT,
-    qualified outer refs), not the default for joined inputs.
-    MIN/MAX reducers already map to Spark's native `mode()`
-    (O(distinct) JVM state) and are untouched."""
+    collect_list fold is the exception (set operations, DISTINCT),
+    not the default for joined inputs. Round-12: qualified outer refs
+    strip to bare columns when they resolve uniquely in the subtree
+    output (`analyze` callback + session-level dry-run, see
+    rewrite_mv_percentile_bounded). MIN/MAX reducers already map to
+    Spark's native `mode()` (O(distinct) JVM state) and are
+    untouched."""
     calls = [
         (s, e, name, args)
         for s, e, name, args in _find_calls(sql, {"mode"})
@@ -2088,40 +2189,55 @@ def rewrite_mode_avg_bounded(sql: str) -> str:
     if spans is None:
         return sql
 
+    parts: dict[str, str | None] = {}  # qualifier-stripped overrides
+
     def grp(name: str) -> str | None:
+        if name in parts:
+            return parts[name]
         s, e = spans[name] if name in spans else (-1, -1)
         return src[s:e].strip() if s != -1 else None
 
     withp, fromw = grp("with"), grp("fromwhere")
     if not grp("sel") or not fromw:
         return sql
-    # mode() inside the subtree is a nested shape — macro fallback; and
-    # qualified refs in the outer tail cannot resolve against _msrc
+    # mode() inside the subtree is a nested shape — macro fallback
     if any(
         len(a) == 2 and a[1].strip().strip("'\"").upper() == "AVG"
         for _s, _e, _n, a in _find_calls(fromw, {"mode"})
     ):
         return sql
-    tail = " ".join(
-        x
-        for x in (grp("sel"), grp("gby"), grp("having"), grp("oby"))
-        if x
-    )
-    if _DOTTED_REF.search(_mask_literals(tail)):
+    if any(it == "*" or it.endswith(".*") for it in _split_top(grp("sel"))):
         return sql
-    gby = _split_top(grp("gby") or "")
+    parts.update({n: grp(n) for n in ("sel", "gby", "having", "oby")})
+    # qualified refs (round-12): strip to bare columns that resolve
+    # uniquely in the subtree output, else keep the collect_list macro
+    view_cols = None
+    if _DOTTED_REF.search(
+        _mask_literals(" ".join(x for x in parts.values() if x))
+    ):
+        if analyze is None:
+            return sql
+        view_cols = analyze(
+            (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
+        )
+    if not _strip_clause_qualifiers(parts, view_cols):
+        return sql
+    gby = _split_top(parts["gby"] or "")
     if any(g.isdigit() for g in gby):
         return sql
-    sel_items = _split_top(grp("sel"))
-    if any(it == "*" or it.endswith(".*") for it in sel_items):
-        return sql
+    sel_items = _split_top(parts["sel"])
     sel_aliases = set()
     for it in sel_items:
         m_alias = re.search(r"\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it)
         if m_alias:
             sel_aliases.add(m_alias.group(1).lower())
+    # alias group keys: see rewrite_mv_percentile_bounded — a key that is
+    # a real subtree column is safe even when a select alias shadows it
+    real_cols = {c.lower() for c in view_cols} if view_cols else set()
     if any(
-        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g) and g.lower() in sel_aliases
+        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g)
+        and g.lower() in sel_aliases
+        and g.lower() not in real_cols
         for g in gby
     ):
         return sql
@@ -2674,10 +2790,13 @@ class HurricaneSQL:
         if not fromw:
             return None
         withp = seg("with")
+        view_sql = (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
         try:
-            return self.spark.sql(
-                (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
-            )
+            # rewrite_functions first, the _rd_wrap_subtree convention: a
+            # subtree containing dialect functions (round-11 ADVICE) must
+            # still resolve here, or a BYTES sketch column silently falls
+            # to the value path and counts distinct BLOBS
+            return self.spark.sql(rewrite_functions(view_sql))
         except Exception:  # noqa: BLE001 — unresolvable subtree
             return None
 
@@ -2812,13 +2931,16 @@ class HurricaneSQL:
         joined fact no longer ships the group's raw values to one Python
         worker.
 
+        Round-12: qualified references in the outer tail (`t.col` — the
+        most common join spelling) restructure too, via
+        _strip_tail_qualifiers against the collapsed view's schema.
+
         Fallback (single-phase, documented bound) is kept for genuinely
         dynamic shapes: set operations / SELECT DISTINCT, digest calls
-        INSIDE the subtree, qualified references in the outer tail
-        (they cannot resolve against the collapsed view), and anything
-        whose rebuilt form fails a dry-run analysis — the final query is
-        analyzed here before committing, so a wrap can never turn a
-        previously-working query into an error."""
+        INSIDE the subtree, ambiguous or struct-shaped dotted refs, and
+        anything whose rebuilt form fails a dry-run analysis — the final
+        query is analyzed here before committing, so a wrap can never
+        turn a previously-working query into an error."""
         noop = (query, lambda: None)
         low = masked.lower()
         if re.search(
@@ -2843,17 +2965,11 @@ class HurricaneSQL:
             return noop
         if _find_calls(fromw, names):
             return noop  # digest built inside the subtree: nested shape
-        tail = " ".join(
-            x for x in (sel, seg("gby"), seg("having"), seg("oby")) if x
-        )
-        if _DOTTED_REF.search(_mask_literals(tail)):
-            return noop  # qualified refs cannot resolve against the view
         view_sql = (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
         uniq = f"__rdsub_{uuid.uuid4().hex}"
         try:
-            self.spark.sql(rewrite_functions(view_sql)).createOrReplaceTempView(
-                uniq
-            )
+            vdf = self.spark.sql(rewrite_functions(view_sql))
+            vdf.createOrReplaceTempView(uniq)
         except Exception:  # noqa: BLE001 — unresolvable subtree: fallback
             return noop
 
@@ -2863,16 +2979,34 @@ class HurricaneSQL:
             except Exception:  # noqa: BLE001 — already gone
                 pass
 
-        rebuilt = f"SELECT {sel} FROM {uniq}"
+        # round-12: qualified refs (`t.col` — the most common join
+        # spelling) no longer bail; strip to bare columns that resolve
+        # uniquely in the collapsed view's schema (the analyzed subtree
+        # df gives the schema for free, nothing executes)
+        parts: dict[str, str | None] = {
+            "sel": sel,
+            "gby": seg("gby"),
+            "having": seg("having"),
+            "oby": seg("oby"),
+        }
+        if not _strip_clause_qualifiers(
+            parts, [f.name for f in vdf.schema.fields]
+        ):
+            drop()
+            return noop
+        rebuilt = f"SELECT {parts['sel']} FROM {uniq}"
         for kw, name in (
             ("GROUP BY", "gby"),
             ("HAVING", "having"),
             ("ORDER BY", "oby"),
-            ("LIMIT", "lim"),
         ):
-            part = seg(name)
+            part = parts[name]
             if part:
                 rebuilt += f" {kw} {part}"
+        lim = seg("lim")
+        if lim:
+            rebuilt += f" LIMIT {lim}"
+        inner_cleanup = None
         try:
             out, inner_cleanup = self._raw_digest_two_phase(rebuilt)
             if out == rebuilt:
@@ -2882,6 +3016,11 @@ class HurricaneSQL:
             # rewrites the caller applies); any failure -> fallback
             self.spark.sql(rewrite_functions(rewrite_json_match(out)))
         except Exception:  # noqa: BLE001 — wrap must never break a query
+            # the inner two-phase may have registered its __rawdg_* view
+            # before the dry-run failed: drop it too or it leaks in the
+            # session catalog (round-11 ADVICE)
+            if inner_cleanup is not None:
+                inner_cleanup()
             drop()
             return noop
 
@@ -2918,10 +3057,11 @@ class HurricaneSQL:
 
         Round-11: joins/CTEs/subqueries-in-FROM restructure too, via
         _rd_wrap_subtree (the FROM subtree becomes a named lazy view and
-        this method re-applies over it). The remaining single-phase
-        fallbacks are genuinely dynamic shapes: set operations, SELECT
-        DISTINCT, star-selects, ordinal/aliased GROUP BY, qualified
-        outer refs, unresolvable tables. BYTES-column theta calls never
+        this method re-applies over it); round-12: qualified outer refs
+        strip to bare view columns instead of bailing. The remaining
+        single-phase fallbacks are genuinely dynamic shapes: set
+        operations, SELECT DISTINCT, star-selects, ordinal/aliased
+        GROUP BY, ambiguous/struct dotted refs, unresolvable tables. BYTES-column theta calls never
         reach here (_theta_bytes_rewrite runs first). Returns
         (query, cleanup)."""
         noop = (query, lambda: None)
@@ -2952,7 +3092,9 @@ class HurricaneSQL:
 
         tbl = m.group("tbl")
         try:
-            self.spark.table(tbl)
+            tbl_cols = {
+                f.name.lower() for f in self.spark.table(tbl).schema.fields
+            }
         except Exception:  # noqa: BLE001 — unresolvable: fall back
             return noop
         gby = _split_top(grp("gby") or "")
@@ -2968,9 +3110,12 @@ class HurricaneSQL:
             )
             if m_alias:
                 sel_aliases.add(m_alias.group(1).lower())
+        # a key that is a REAL table column is safe even when a select
+        # alias shadows its name: both resolutions pick the column
         if any(
             re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g)
             and g.lower() in sel_aliases
+            and g.lower() not in tbl_cols
             for g in gby
         ):
             return noop
@@ -3112,15 +3257,11 @@ class HurricaneSQL:
         ]
         try:
             src = self.spark.sql(rewrite_functions(src_sql))
-            # NaN group keys: Arrow delivers NULL floats/doubles as NaN,
-            # so the partial phase cannot tell a genuine NaN key from
-            # NULL, and the join-back's <=> matches NULL-vs-NULL but
-            # never NaN-vs-NULL — floating-point group keys keep the
-            # single-phase path, where Spark's own grouping handles the
-            # NaN/NULL distinction
-            gk_types = dict(src.dtypes)
-            if any(gk_types[g] in ("float", "double") for g in gk):
-                return noop
+            # float/double group keys two-phase too (round-12): the
+            # is-NaN marker inside digests_by_group keeps genuine NaN
+            # keys distinct from Arrow's NULL-as-NaN, and Spark's own
+            # NaN semantics (NaN = NaN in grouping and <=>) make the
+            # restored key join back correctly
             view = digests_by_group(src, gk, specs)
         except Exception:  # noqa: BLE001 — any analysis/type error here
             # (unsketchable theta column, alias-referencing WHERE, ...)
@@ -3877,9 +4018,40 @@ class HurricaneSQL:
         # from rewrite_functions) still drops the views already registered
         # — otherwise they leak in the session catalog
         cleanups: list = []
+
+        def _analyze_cols(view_sql: str) -> list[str] | None:
+            """Output column names of a SELECT (analyzer only, nothing
+            executes) — the qualifier-strip callback for the bounded
+            restructures. None = unresolvable, caller declines."""
+            try:
+                return [
+                    f.name
+                    for f in self.spark.sql(
+                        rewrite_functions(view_sql)
+                    ).schema.fields
+                ]
+            except Exception:  # noqa: BLE001 — unresolvable subtree
+                return None
+
+        def _guarded(rewrite, q0: str) -> str:
+            """Run a pure-string bounded restructure under the
+            'a rewrite can never break a working query' contract
+            (round-11 ADVICE): when it changed the query, dry-run-analyze
+            the result (same macro expansion the caller applies) and keep
+            the original on ANY failure — e.g. a user CTE named
+            _mvsrc/_msrc, or a subtree column colliding with generated
+            aliases (_mv, _gk_*)."""
+            out = rewrite(q0, analyze=_analyze_cols)
+            if out != q0:
+                try:
+                    self.spark.sql(rewrite_functions(rewrite_json_match(out)))
+                except Exception:  # noqa: BLE001 — macro path still works
+                    return q0
+            return out
+
         try:
-            q = rewrite_mv_percentile_bounded(query)
-            q = rewrite_mode_avg_bounded(q)
+            q = _guarded(rewrite_mv_percentile_bounded, query)
+            q = _guarded(rewrite_mode_avg_bounded, q)
             q = self._theta_bytes_rewrite(q)
             q, drop_multi_view = self._multi_index_rewrite(q)
             cleanups.append(drop_multi_view)

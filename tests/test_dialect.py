@@ -689,12 +689,28 @@ def test_mv_percentile_bounded_restructure_shapes():
     )
     assert "_mvsrc AS (SELECT * FROM t JOIN u ON t.k = u.k)" in joined
     assert "percentile_approx" in joined
+    # r12: qualified outer refs restructure when `analyze` resolves them
+    # uniquely in the subtree output; they strip to bare columns
+    qual = rw(
+        "SELECT u.a, percentileEstMV(t.x, 90) AS p FROM t JOIN u ON t.k = u.k "
+        "GROUP BY u.a",
+        analyze=lambda s: ["k", "x", "kk", "a"],
+    )
+    assert "_mvsrc AS (SELECT * FROM t JOIN u ON t.k = u.k)" in qual
+    assert "explode(x)" in qual and "GROUP BY a" in qual
+    # ...and decline when the bare name is ambiguous (both sides carry
+    # it), when the qualifier is itself a column (struct access), or
+    # when no analyzer is supplied
+    for cols in (["k", "x", "k", "a", "x"], ["k", "x", "u", "a"], None):
+        q = (
+            "SELECT u.a, percentileEstMV(t.x, 90) FROM t JOIN u ON t.k = u.k "
+            "GROUP BY u.a"
+        )
+        assert rw(q, analyze=(lambda s, c=cols: c) if cols else None) == q
     # exact form and genuinely dynamic shapes fall back unchanged:
-    # qualified outer refs, select-star, ordinal keys, set ops
+    # select-star, ordinal keys, set ops
     for q in (
         "SELECT percentileMV(embedding, 50) FROM embeddings",
-        "SELECT u.a, percentileEstMV(x, 90) FROM t JOIN u ON t.k = u.k "
-        "GROUP BY u.a",
         "SELECT *, percentileEstMV(x, 90) FROM t",
         "SELECT percentileEstMV(x, 90) FROM t GROUP BY 1",
         "SELECT percentileEstMV(x, 90) FROM t UNION "
@@ -1427,9 +1443,18 @@ def test_mode_avg_join_shape_restructures(hdb):
     assert df.collect()[0]["m"] == 2.5  # avg of tied modes {1, 4}
 
 
-def test_mode_avg_fold_path_kept_for_qualified_tail(hdb):
-    """Qualified outer refs cannot resolve against the collapsed _msrc
-    CTE, so those shapes keep the linear-fold macro — exact on ties."""
+def test_mode_avg_qualified_tail_restructures(hdb):
+    """Round-12 (r11 verdict #1): qualified outer refs — the most common
+    join spelling — restructure too: `d.fam` strips to `fam` against the
+    collapsed _msrc output (unique, non-struct), so the value-counts
+    shape replaces the linear fold for this spelling as well."""
+    hdb.spark.createDataFrame(
+        [("one", 1), ("one", 1), ("one", 4), ("one", 4), ("one", 9)],
+        "g string, x int",
+    ).createOrReplaceTempView("mode_join_t")
+    hdb.spark.createDataFrame(
+        [("one", "fam")], "g string, fam string"
+    ).createOrReplaceTempView("mode_join_dim")
     df = hdb.sql(
         "SELECT d.fam AS fam, mode(x, 'AVG') AS m FROM mode_join_t t "
         "JOIN mode_join_dim d ON t.g = d.g GROUP BY d.fam",
@@ -1438,8 +1463,33 @@ def test_mode_avg_fold_path_kept_for_qualified_tail(hdb):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "collect_list" in plan  # the documented fold-path bound
+    assert "collect_list" not in plan
     assert df.collect()[0]["m"] == 2.5  # avg of tied modes {1, 4}
+    # ambiguous bare name (g on both sides): the strip declines and the
+    # fold macro keeps the query correct
+    df2 = hdb.sql(
+        "SELECT t.g, mode(x, 'AVG') AS m FROM mode_join_t t "
+        "JOIN mode_join_dim d ON t.g = d.g GROUP BY t.g",
+        default_limit=None,
+    )
+    plan2 = df2._sc._jvm.PythonSQLUtils.explainString(
+        df2._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_list" in plan2  # the documented fold-path bound
+    assert df2.collect()[0]["m"] == 2.5
+
+
+def test_mode_avg_reserved_cte_name_falls_back(hdb):
+    """Round-11 ADVICE: a user CTE named _msrc would collide with the
+    generated CTE (duplicate-name AnalysisException) — the session-level
+    dry-run catches it and keeps the fold macro, so the wrap never turns
+    a working query into an error."""
+    df = hdb.sql(
+        "WITH _msrc AS (SELECT g, x FROM mode_join_t WHERE x < 9) "
+        "SELECT g, mode(x, 'AVG') AS m FROM _msrc GROUP BY g",
+        default_limit=None,
+    )
+    assert df.collect()[0]["m"] == 2.5  # {1,1,4,4}: tied modes 1 and 4
 
 
 def test_mode_avg_cte_shape_restructures(hdb):

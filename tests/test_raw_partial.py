@@ -313,19 +313,25 @@ def test_cte_shape_restructures_two_phase(hdb, spark):  # noqa: F811
         assert got[key] == expect
 
 
-def test_genuinely_dynamic_shapes_fall_back(hdb, spark):  # noqa: F811
-    """Qualified outer refs (cannot resolve against the collapsed view)
-    and set operations keep the single-phase grouped-agg — still
-    correct, documented bound."""
+def test_qualified_refs_restructure_two_phase(hdb, spark):  # noqa: F811
+    """Round-12 (r11 verdict #1): the MOST COMMON join spelling —
+    qualified `t.col` refs in the outer SELECT/GROUP BY — streams
+    MapInPandas partials too. The subtree wrap strips the qualifiers
+    against the collapsed view's schema instead of bailing to the
+    single-phase grouped agg, and the digest bytes stay equal to a
+    direct build (the reference's leaf stages stream partials for every
+    spelling, ServerRequestPlanVisitor.java:79-133)."""
     hdb.register("rp_dim2", spark.createDataFrame(
         [("a", "x"), ("b", "y"), ("c", "y")], "g string, fam string"
     ))
     df = hdb.sql(
-        "SELECT rp_dim2.fam, percentileRawEst(v, 50) AS qd FROM rp_t "
+        "SELECT rp_dim2.fam, percentileRawEst(rp_t.v, 50) AS qd FROM rp_t "
         "JOIN rp_dim2 ON rp_t.g = rp_dim2.g GROUP BY rp_dim2.fam",
         default_limit=None,
     )
-    assert "ArrowAggregatePython" in _plan(df)
+    plan = _plan(df)
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+    assert "ArrowAggregatePython" not in plan
     rows = spark.table("rp_t").join(
         spark.table("rp_dim2"), "g"
     ).select("fam", "v").collect()
@@ -335,7 +341,59 @@ def test_genuinely_dynamic_shapes_fall_back(hdb, spark):  # noqa: F811
             int(r["v"]) for r in rows if r["fam"] == fam and r["v"] is not None
         ]
         assert got[fam] == build_qdigest(vals).hex()
-    # set operation: the wrap declines (distinct branch semantics)
+
+
+def test_qualified_ref_strip_safety_fallbacks(hdb, spark):  # noqa: F811
+    """The qualifier strip must decline (single-phase, still correct)
+    when stripping could change semantics: a dotted ref whose bare name
+    appears on BOTH join sides (ambiguous after collapse), and a STRUCT
+    field access `s.field` (the qualifier is itself a view column)."""
+    hdb.register("rp_amb", spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "g string, v bigint"
+    ))
+    # rp_t.v vs rp_amb.v: 'v' lands twice in SELECT * over the join
+    df = hdb.sql(
+        "SELECT rp_amb.g, percentileRawEst(rp_t.v, 50) AS qd FROM rp_t "
+        "JOIN rp_amb ON rp_t.g = rp_amb.g GROUP BY rp_amb.g",
+        default_limit=None,
+    )
+    plan = _plan(df)
+    assert "ArrowAggregatePython" in plan and "MapInPandas" not in plan
+    rows = spark.table("rp_t").select("g", "v").collect()
+    got = {r["g"]: r["qd"] for r in df.collect()}
+    for key in ("a", "b", "c"):
+        vals = [int(r["v"]) for r in rows if r["g"] == key and r["v"] is not None]
+        assert got[key] == build_qdigest(vals).hex()
+    # struct field access: `s.band` must NOT strip to the same-named
+    # top-level column `band` (different values by construction)
+    hdb.register(
+        "rp_struct",
+        spark.sql(
+            "SELECT g, v, named_struct('band', CASE WHEN v < 50000 "
+            "THEN 'lo' ELSE 'hi' END) AS s, 'all' AS band "
+            "FROM rp_t"
+        ),
+    )
+    df2 = hdb.sql(
+        "SELECT s.band, percentileRawEst(v, 50) AS qd "
+        "FROM (SELECT * FROM rp_struct) GROUP BY s.band",
+        default_limit=None,
+    )
+    assert "ArrowAggregatePython" in _plan(df2)
+    got2 = {r["band"]: r["qd"] for r in df2.collect()}
+    rows2 = spark.table("rp_struct").select("s.band", "v").collect()
+    for band in ("lo", "hi"):
+        vals = [
+            int(r["v"])
+            for r in rows2
+            if r["band"] == band and r["v"] is not None
+        ]
+        assert got2[band] == build_qdigest(vals).hex()
+
+
+def test_set_operations_fall_back(hdb, spark):  # noqa: F811
+    """Set operations keep the single-phase grouped-agg — still
+    correct, documented bound."""
     df2 = hdb.sql(
         "SELECT percentileRawEst(v, 50) AS qd FROM "
         "(SELECT v FROM rp_t UNION SELECT v + 1000000 AS v FROM rp_t)",
@@ -353,13 +411,13 @@ def test_genuinely_dynamic_shapes_fall_back(hdb, spark):  # noqa: F811
     assert df2.collect()[0]["qd"] == build_qdigest(vals).hex()
 
 
-def test_float_group_key_falls_back_single_phase(spark):  # noqa: F811
-    """Floating-point group keys stay single-phase (round-10 ADVICE):
-    Arrow delivers NULL doubles as NaN inside the partial phase, so the
-    two-phase restructure cannot distinguish a genuine NaN key from NULL
-    (NaN rows would merge into the NULL group's digest and the
-    join-back's <=> never matches NaN). Spark's own grouping keeps them
-    distinct on the fallback path."""
+def test_float_group_key_two_phase_keeps_nan_null_distinct(spark):  # noqa: F811
+    """Round-12 (r11 verdict #6): floating-point group keys take the
+    two-phase path too. Arrow delivers NULL doubles as NaN inside the
+    partial phase, so digests_by_group threads an explicit is-NaN marker
+    key through the partials and the merge — a genuine NaN key and a
+    NULL key stay distinct groups, and each digest is byte-equal to a
+    direct build over exactly its group's rows."""
     import math
 
     hdb = HurricaneSQL(spark)
@@ -378,7 +436,7 @@ def test_float_group_key_falls_back_single_phase(spark):  # noqa: F811
         default_limit=None,
     )
     plan = _plan(df)
-    assert "ArrowAggregatePython" in plan and "MapInPandas" not in plan
+    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
     got = {}
     for r in df.collect():
         key = (
@@ -388,6 +446,31 @@ def test_float_group_key_falls_back_single_phase(spark):  # noqa: F811
         )
         got[key] = r["qd"]
     assert len(got) == 3
+    assert got[1.5] == build_qdigest([10, 20]).hex()
+    assert got["nan"] == build_qdigest([30, 40]).hex()
+    assert got["null"] == build_qdigest([50]).hex()
+    # join-back form (extra JVM aggregate) over a float key: the view's
+    # restored NaN key must <=>-match the outer grouping
+    df2 = hdb.sql(
+        "SELECT g, percentileRawEst(v, 50) AS qd, count(*) AS n "
+        "FROM rp_fkey GROUP BY g",
+        default_limit=None,
+    )
+    plan2 = _plan(df2)
+    assert "MapInPandas" in plan2 and "ArrowAggregatePython" not in plan2
+    got2 = {}
+    for r in df2.collect():
+        key = (
+            "nan"
+            if r["g"] is not None and math.isnan(r["g"])
+            else ("null" if r["g"] is None else r["g"])
+        )
+        got2[key] = (r["qd"], r["n"])
+    assert got2 == {
+        1.5: (build_qdigest([10, 20]).hex(), 2),
+        "nan": (build_qdigest([30, 40]).hex(), 2),
+        "null": (build_qdigest([50]).hex(), 1),
+    }
     assert got[1.5] == build_qdigest([10, 20]).hex()
     assert got["nan"] == build_qdigest([30, 40]).hex()
     assert got["null"] == build_qdigest([50]).hex()
@@ -437,14 +520,16 @@ def test_filtered_theta_two_phase_matches_single_phase(hdb, spark):  # noqa: F81
     two = hdb.sql(body.format(src="rp_t"), default_limit=None)
     plan = _plan(two)
     assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
-    # a qualified outer ref defeats both the single-table matcher and
-    # the r11 subtree wrap -> single-phase fallback (a bare WITH wrapper
-    # no longer does: the wrap restructures it)
+    # a set operation in the FROM subtree still defeats the wrap (r12:
+    # qualified refs no longer do — they restructure), forcing the
+    # single-phase grouped agg for the byte comparison; UNION ALL keeps
+    # the row multiset identical to rp_t
     single = hdb.sql(
-        "SELECT w.g AS g, distinctCountRawThetaSketch(v, "
+        "SELECT g, distinctCountRawThetaSketch(v, "
         "'nominalEntries=256', 'd > 500', 'v % 2 = 0', "
         "'SET_INTERSECT($1, $2)') AS sk "
-        "FROM (SELECT * FROM rp_t) w GROUP BY w.g",
+        "FROM (SELECT * FROM rp_t WHERE v IS NULL UNION ALL "
+        "SELECT * FROM rp_t WHERE v IS NOT NULL) GROUP BY g",
         default_limit=None,
     )
     assert "ArrowAggregatePython" in _plan(single)
