@@ -256,18 +256,40 @@ def _auto_tables(
     Holding recall as bits grows is NOT free — T grows like p1^-bits
     (threshold 0.95: 9 bits -> 9 tables, 14 -> 15, 20 -> 31, 27 -> 64 =
     the default cap, beyond which recall decays: ~0.93 at 30 bits, ~0.59
-    at 40). The cap bounds the O(N * T) shuffle; past it the recall curve
-    is the documented trade, not a silent one — pass a larger
-    `max_tables` to buy recall with shuffle volume."""
+    at 40). The cap bounds the O(N * T) shuffle; past it the recall
+    curve is a WARNED trade (round-12, the LshBucketOverflowError
+    loud-guard convention applied to the last silent degradation in this
+    path): when the computed T exceeds `max_tables`, a RuntimeWarning
+    names the projected recall at the cap and the knobs — pass a larger
+    `max_tables` to buy recall with shuffle volume, or lower bits via
+    target_bucket/bits_range."""
     import math as _math
+    import warnings as _warnings
 
     theta = _math.acos(max(-1.0, min(1.0, threshold)))
     p_table = (1.0 - theta / _math.pi) ** bits
+
+    def _warn_capped(t_needed: float) -> None:
+        recall_at_cap = 1.0 - (1.0 - p_table) ** max_tables
+        _warnings.warn(
+            f"_auto_tables: holding recall_target={recall_target} for "
+            f"pairs at cosine {threshold} with bits={bits} needs "
+            f"{t_needed:.0f} hash tables, above max_tables={max_tables}; "
+            f"projected recall AT THE CAP is ~{recall_at_cap:.3f}. Raise "
+            "max_tables (shuffle volume grows O(N*T)) or lower bits "
+            "(target_bucket / bits_range) to restore the target.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
     if p_table >= 1.0 or recall_target <= 0.0:
         return 1
     if p_table <= 0.0:
+        _warn_capped(float("inf"))
         return max_tables
     t = _math.ceil(_math.log(1.0 - recall_target) / _math.log(1.0 - p_table))
+    if t > max_tables:
+        _warn_capped(t)
     return max(1, min(max_tables, t))
 
 
@@ -299,9 +321,18 @@ def ann_candidate_pairs(
     the cap would drop every bucket. `probe_flips` is QUERY-side
     multi-probe (flip the lowest-|margin| planes per table): recall
     rises at constant corpus shuffle — the query side is broadcast, so
-    extra probes are nearly free at scale."""
-    from pyspark.sql import Window as W
+    extra probes are nearly free at scale.
 
+    Round-12 (r11 verdict #2 of 'what's wrong'): the hot-bucket cap no
+    longer shuffles the corpus sketches. The old
+    count().over(Window.partitionBy(__bucket)) moved EVERY corpus sketch
+    row by bucket before the (broadcast) bucket join — a full corpus
+    shuffle paid purely for bucket sizes. Now the sizes come from a
+    groupBy(__bucket).count() (map-side partial aggregation: the shuffle
+    carries (bucket, partial count) pairs, not rows) and the few
+    oversized buckets — few by construction, expected population is
+    target_bucket — are removed with a broadcast LEFT ANTI join, so the
+    corpus side of this operator plans ZERO full-data exchanges."""
     if probe_flips and not kernel:
         raise ValueError(
             "ann_candidate_pairs: probe_flips requires the Arrow kernel "
@@ -332,12 +363,13 @@ def ann_candidate_pairs(
         F.explode(corpus_sketches(F.col(vec_col))).alias("__bucket"),
     )
     if max_bucket_size is not None:
-        w = W.partitionBy("__bucket")
-        c = (
-            c.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+        hot = (
+            c.groupBy("__bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("__bucket")
         )
+        c = c.join(F.broadcast(hot), "__bucket", "left_anti")
     # no distinct needed: a flipped bucket always differs from the base
     # and from other flips (distinct planes), so (query_id, __bucket)
     # rows are unique by construction — and the final pair-level
@@ -632,8 +664,8 @@ def lsh_neardup_pairs(
     bits but only ~0.64 at 20 (the round-10 ADVICE finding). The table
     count is sized to hold `recall_target` at `threshold`, capped at
     `max_tables` (=64: recall holds to 27 bits / N ~= 8.6e9 at
-    target_bucket=64; past the cap the decay curve is documented in
-    _auto_tables, not silent). Valid-N per bits and the overflow guard:
+    target_bucket=64; hitting the cap emits a RuntimeWarning naming the
+    projected recall and the knobs — round-12, see _auto_tables). Valid-N per bits and the overflow guard:
     _adaptive_bits / _check_bucket_overflow — when N/2^bits would exceed
     `max_bucket_size` (clamp hit, N >~ 2.9e14 at defaults) the function
     RAISES LshBucketOverflowError instead of silently dropping every

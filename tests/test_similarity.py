@@ -263,6 +263,63 @@ def test_ann_candidate_volume_flat_in_n(spark, sf_dir):
     assert large <= 2.0 * small + 16, (small, large)
 
 
+def test_ann_hot_bucket_cap_single_corpus_shuffle(spark, sf_dir):
+    """Round-12 (r11 verdict #3): the hot-bucket cap must not shuffle
+    corpus sketch ROWS. Bucket sizes come from groupBy().count() (the
+    only by-bucket exchange carries map-side partial counts) and the few
+    oversized buckets are removed by a broadcast LEFT ANTI join — the
+    old Window.partitionBy(__bucket) count shuffled every corpus sketch
+    row by bucket before the bucket join."""
+    import re
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 8)
+    df = sim.ann_candidate_pairs(em, q, dim=64)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan  # the full-row bucket shuffle is gone
+    assert "LeftAnti" in plan  # broadcast anti-join removes hot buckets
+    # exactly ONE by-bucket exchange, and it sits in the aggregated
+    # count branch (partial_count = map-side combine), so it carries
+    # (bucket, count) pairs — never the sketch rows
+    bucket_ex = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"hashpartitioning\(__bucket", ln)
+    ]
+    assert len(bucket_ex) == 1, bucket_ex
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    # cap semantics unchanged: a degenerate constant-embedding corpus
+    # concentrates in one bucket per table; with a small cap every
+    # candidate from those buckets is dropped
+    const = em.limit(40).select(
+        "vec_id", F.expr("transform(embedding, x -> float(0.5))").alias("embedding")
+    )
+    pairs = sim.ann_candidate_pairs(
+        const, const.limit(2), dim=64, bits=4, max_bucket_size=8
+    )
+    assert pairs.count() == 0
+
+
+def test_auto_tables_warns_at_cap():
+    """Round-12 (r11 verdict #4): past the cap the recall decay is no
+    longer silent — a RuntimeWarning names the projected recall at the
+    cap and the knobs (the LshBucketOverflowError loud-guard convention
+    applied to the last silent degradation in the similarity path)."""
+    import warnings
+
+    import pytest
+
+    with pytest.warns(RuntimeWarning, match="max_tables"):
+        assert sim._auto_tables(40, 0.95) == 64
+    # inside the cap: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert sim._auto_tables(9, 0.95) == 9
+
+
 def test_lsh_neardup_plan_never_quadratic(spark, sf_dir):
     """The candidate join must be an equi-join on the bucket key — no
     cartesian/broadcast-nested-loop over the corpus."""
