@@ -141,7 +141,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_segment_compose_and",
     "q_startree_binary_agg",
     "q_startree_theta_redirect",
-    "q_theta_sketch_many_filters",
+    # BYTES-sketch-over-join (promoted r12): the round-11 silent-failure
+    # class — a joined BYTES column counting distinct BLOBS instead of
+    # unioning stored sketches — gains driver-hard signal with an exact
+    # oracle. q_theta_sketch_many_filters rotated out (the theta family
+    # keeps filtered_sql + raw_theta_filtered_sketch + this row; still
+    # green in the full local gate).
+    "q_sketch_bytes_join_union",
     # raw qdigest wire format (promoted r11): percentileRawEst's
     # HEX-serialized QuantileDigest deserialized and queried, with an
     # exact rank-rule oracle — the r10 dtype-strict oracle row gains

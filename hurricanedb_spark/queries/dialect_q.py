@@ -276,6 +276,62 @@ def q_raw_theta_filtered_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sketch_bytes_join_union",
+    oracle="""
+    SELECT r_name,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS dc_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    doc="distinctCountThetaSketch over a BYTES column of PRE-BUILT "
+    "sketches in a JOIN query — the round-11 bug class promoted to a "
+    "driver-hard row (it was pytest-only): per-nation raw theta "
+    "sketches are persisted as a BINARY column (the "
+    "persist-sketches-then-union-at-rollup workflow the raw forms exist "
+    "for, DistinctCountThetaSketchAggregationFunction.aggregate()'s "
+    "BYTES type-dispatch), then unioned per REGION through a "
+    "two-table join. Before the r11 fix, a joined BYTES column silently "
+    "counted distinct BLOBS (25 sketches -> '25') instead of unioning "
+    "the stored sketches; the exact oracle (per-region NDV far below "
+    "nominalEntries=65536, so the union estimate is exact) hash-pins "
+    "the dispatch through the join FROM shape.",
+    tags=("dialect", "sketch", "join", "bytes"),
+)
+def q_sketch_bytes_join_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    nominal = 65536
+    hdb = _hdb(spark, sf_dir)
+    store = hdb.sql(
+        "SELECT c_nationkey, distinctCountRawThetaSketch(c_custkey, "
+        f"'nominalEntries={nominal}') AS sk_b64 "
+        "FROM customer GROUP BY c_nationkey",
+        default_limit=None,
+    )
+    # the raw form's base64 STRING envelope decodes to the sketch's wire
+    # bytes — the BYTES column a migrated reference store would hold
+    store.select(
+        "c_nationkey", F.unbase64("sk_b64").alias("sk")
+    ).createOrReplaceTempView("__theta_store_custkey")
+    return hdb.sql(
+        f"""
+        SELECT r_name,
+               distinctCountThetaSketch(sk, 'nominalEntries={nominal}')
+                 AS dc_cust
+        FROM __theta_store_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+        """,
+        default_limit=None,
+    )
+
+
+@register(
     "q_raw_qdigest_quantile",
     oracle="""
     WITH ranked AS (
