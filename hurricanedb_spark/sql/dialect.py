@@ -2810,8 +2810,9 @@ class HurricaneSQL:
         same for serialized HLLs). Rewriting needs the schema, so this
         runs in
         sql() (not the pure-string rewriter) for the provable shape:
-        single-table FROM, bare-identifier argument resolving to a
-        BinaryType column. Other shapes keep the value path.
+        a bare or table-qualified (round-12) identifier argument
+        resolving to a UNIQUE BinaryType column of the FROM source.
+        Other shapes keep the value path.
 
         Round-11: the schema source also resolves for join/CTE/subquery
         FROM shapes (lazy `SELECT * FROM <subtree>` analysis) — before,
@@ -2840,15 +2841,40 @@ class HurricaneSQL:
         schema = {
             f.name.lower(): f.dataType for f in src_df.schema.fields
         }
+        counts: dict[str, int] = {}
+        for f in src_df.schema.fields:
+            counts[f.name.lower()] = counts.get(f.name.lower(), 0) + 1
         from pyspark.sql import types as T
+
+        def _bin_base(col_text: str) -> str | None:
+            """Base column name when the argument is a (possibly
+            table-qualified, round-12) reference to a unique BinaryType
+            column of the FROM source; None keeps the value path. A
+            qualified `t.sk` used to fail the bare-identifier check and
+            silently count distinct BLOBS — the same spelling gap the
+            subtree restructures closed this round. Declines when the
+            qualifier is itself a source column (struct-field access)
+            or the base name lands on both join sides (ambiguous)."""
+            m = re.fullmatch(
+                r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)", col_text
+            )
+            if not m:
+                return None
+            qual, base = m.group(1), m.group(2)
+            if qual is not None and qual.lower() in counts:
+                return None
+            if counts.get(base.lower(), 0) != 1:
+                return None
+            if isinstance(schema.get(base.lower()), T.BinaryType):
+                return base
+            return None
 
         out, pos = [], 0
         for start, end, name, args in calls:
             out.append(query[pos:start])
             col = args[0].strip()
-            is_bin = bool(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col)) and isinstance(
-                schema.get(col.lower()), T.BinaryType
-            )
+            bin_base = _bin_base(col)
+            is_bin = bin_base is not None
             if is_bin and name in (
                 "distinctcounthll",
                 "distinctcountrawhll",
@@ -2868,9 +2894,11 @@ class HurricaneSQL:
                         is_clearspring_hll,
                     )
 
+                    # probe by BASE name: src_df is the collapsed
+                    # SELECT * view, where table qualifiers don't exist
                     head = (
-                        src_df.where(f"{col} IS NOT NULL")
-                        .select(col)
+                        src_df.where(f"{bin_base} IS NOT NULL")
+                        .select(bin_base)
                         .head(1)
                     )
                     clearspring = bool(head) and is_clearspring_hll(

@@ -752,6 +752,21 @@ def test_mv_percentile_bounded_live(hdb, spark):
     for a, b in zip(cte.collect(), exact):
         assert a.label == b.label
         assert abs(a.p95 - b.p95) <= max(1e-9, abs(b.p95) * 0.02)
+    # r12: the qualified join spelling (`e.embedding`, `e.label`)
+    # restructures too — qualifiers strip against the subtree output
+    hdb.spark.sql(
+        "SELECT label AS lbl FROM embeddings GROUP BY label"
+    ).createOrReplaceTempView("mv_qual_dim")
+    qual = hdb.sql(
+        "SELECT e.label, percentileTDigestMV(e.embedding, 95) AS p95 "
+        "FROM embeddings e JOIN mv_qual_dim d ON e.label = d.lbl "
+        "GROUP BY e.label ORDER BY e.label",
+        default_limit=None,
+    )
+    assert "collect_list" not in qual._jdf.queryExecution().executedPlan().toString()
+    for a, b in zip(qual.collect(), exact):
+        assert a.label == b.label
+        assert abs(a.p95 - b.p95) <= max(1e-9, abs(b.p95) * 0.02)
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         r = hdb.sql(
@@ -1774,6 +1789,45 @@ def test_theta_over_bytes_column_unions_sketches(hdb, spark):
             "SELECT distinctCountThetaSketch(sk, '', 'g = ''g1''', "
             "'SET_UNION($0, $1)') FROM theta_bytes_t"
         )
+
+
+def test_theta_over_qualified_bytes_column_unions(hdb, spark):
+    """Round-12: a table-QUALIFIED BYTES argument (`t.sk` — how join
+    queries are written) must type-dispatch to the sketch union too; the
+    bare-identifier check used to silently count distinct BLOBS for this
+    spelling. Ambiguous base names (both join sides carry `sk`) decline
+    to the value path rather than guessing."""
+    from hurricanedb_spark.operators.theta_ds import build_sketch, serialize
+
+    pops = [range(0, 10), range(5, 20), range(15, 30)]
+    rows = [
+        (i, bytearray(serialize(build_sketch(list(p), k=1024), 10)))
+        for i, p in enumerate(pops)
+    ]
+    spark.createDataFrame(rows, "kid int, sk binary") \
+        .createOrReplaceTempView("theta_bytes_q_t")
+    spark.createDataFrame(
+        [(0, "g1"), (1, "g1"), (2, "g1")], "kid int, fam string"
+    ).createOrReplaceTempView("theta_bytes_q_dim")
+    row = hdb.sql(
+        "SELECT d.fam, distinctCountThetaSketch(t.sk) AS dc "
+        "FROM theta_bytes_q_t t JOIN theta_bytes_q_dim d "
+        "ON t.kid = d.kid GROUP BY d.fam",
+        default_limit=None,
+    ).collect()[0]
+    assert row["dc"] == 30  # union of the stored sketches, not 3 blobs
+    # ambiguous: a second binary `sk` on the dim side -> value path
+    # (counts distinct blobs - the documented non-provable shape)
+    spark.createDataFrame(
+        [(0, bytearray(b"x")), (1, bytearray(b"y")), (2, bytearray(b"z"))],
+        "kid int, sk binary",
+    ).createOrReplaceTempView("theta_bytes_q_dim2")
+    row2 = hdb.sql(
+        "SELECT count(DISTINCT t.sk) AS dc "
+        "FROM theta_bytes_q_t t JOIN theta_bytes_q_dim2 d ON t.kid = d.kid",
+        default_limit=None,
+    ).collect()[0]
+    assert row2["dc"] == 3
 
 
 def test_hll_over_bytes_column_merges_sketches(hdb, spark):
