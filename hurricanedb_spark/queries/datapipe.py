@@ -559,6 +559,82 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_neardup_pairs(both, dim=64, threshold=0.95)
 
 
+@register(
+    "q_ann_lsh_topk_oracle",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    copies AS (
+      SELECT q.vec_id AS query_id,
+             q.vec_id * 100 + t.j + 1000000 AS neighbor_id,
+             q.embedding AS qemb,
+             list_transform(range(1, 65), i ->
+               CAST(CAST(q.embedding[i] AS DOUBLE)
+                    * (1.0 + 0.002 * (t.j + 1) * (((i - 1) % 5) - 2) / 10.0)
+                    AS REAL)
+             ) AS cemb
+      FROM q CROSS JOIN range(0, 10) t(j)
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(range(1, 65), i ->
+          CAST(qemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))) AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform(range(1, 65), i ->
+            CAST(qemb[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE))) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(range(1, 65), i ->
+            CAST(cemb[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE))) AS DOUBLE)))
+        AS cosine
+      FROM copies
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS rank
+    FROM scored
+    ORDER BY query_id, rank
+    """,
+    doc="LSH ANN top-k with an EXACT oracle — the q_embedding_neardup_lsh "
+    "construction applied to the full ann_topk path (bucket join + "
+    "multi-probe + cosine re-rank + per-query ranking): the corpus is "
+    "embeddings UNION 10 deterministic perturbed copies of each of the "
+    "5 query vectors, scaled so copy j sits at cosine ~1 - c*(0.002*(j+1))^2 "
+    "to its query — every copy ranks strictly above every natural vector "
+    "(max natural pair cosine 0.513, measured) with inter-copy gaps "
+    ">= ~1e-6, far above double rounding, so BOTH engines order them "
+    "identically and the true top-10 per query is exactly its 10 copies "
+    "in ascending-j order. Oracle-able because the planes are fixed "
+    "(similarity._planes, seed 9176) and candidate recall at the "
+    "adaptive operating point is 1.0 (per-pair miss (1-p1^bits)^tables "
+    "~= 1e-14 at gate SF, ~1e-11 at sf1, before multi-probe; "
+    "deterministic given the planes — verified exact-match at "
+    "sf0.001/0.01/0.1/1). The cosine column is excluded from the "
+    "output: ranks are cross-engine stable, last-bit float folds are "
+    "not. ann_topk itself stays rows-only as q_ann_lsh_topk (natural "
+    "corpus, no constructed ground truth).",
+    tags=("datapipe", "similarity", "ann"),
+)
+def q_ann_lsh_topk_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = em.filter(F.col("vec_id") < 5)
+    copies = q.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("j"),
+    ).select(
+        (F.col("vec_id") * 100 + F.col("j") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x * (1.0 + 0.002 * (j + 1)"
+            " * ((i % 5) - 2) / 10.0) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    corpus = em.unionByName(copies)
+    ann = sim.ann_topk(corpus, q, dim=64, k=10)
+    return ann.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
 # --- multimodal plumbing -----------------------------------------------------
 
 

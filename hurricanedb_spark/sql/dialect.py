@@ -1873,7 +1873,9 @@ def _mask_literals(sql: str) -> str:
     return "".join(out)
 
 
-def _strip_tail_qualifiers(text: str, view_cols: list[str]) -> str | None:
+def _strip_tail_qualifiers(
+    text: str, view_cols: list[str], struct_cols: list[str] = ()
+) -> str | None:
     """Rewrite two-part qualified references `q.col` in an outer-clause
     segment (select list / GROUP BY / HAVING / ORDER BY) to bare `col`,
     so the segment resolves against the collapsed `SELECT * FROM
@@ -1888,9 +1890,13 @@ def _strip_tail_qualifiers(text: str, view_cols: list[str]) -> str | None:
     single-phase / macro path) unless EVERY dotted ref satisfies all of:
 
       - exactly two parts (`a.b.c` is out of scope);
-      - the qualifier is NOT itself a view output column — `s.field`
-        where `s` is a struct column is FIELD ACCESS, and stripping it
-        would silently rebind to a same-named top-level column;
+      - the qualifier is NOT a STRUCT-typed view column (`struct_cols`)
+        — `s.field` where `s` is a struct is FIELD ACCESS, and
+        stripping it would silently rebind to a same-named top-level
+        column; a qualifier colliding with a NON-struct column is fine
+        (only structs support dot access, so the ref can only be
+        relation-qualified — and Spark resolves relation aliases before
+        struct fields anyway);
       - the bare name resolves UNIQUELY (case-insensitive) in the view
         schema — when both join sides carry `col`, the stripped ref
         would be ambiguous (Spark raises; we decline up front);
@@ -1904,6 +1910,7 @@ def _strip_tail_qualifiers(text: str, view_cols: list[str]) -> str | None:
     counts: dict[str, int] = {}
     for c in view_cols:
         counts[c.lower()] = counts.get(c.lower(), 0) + 1
+    structs = {c.lower() for c in struct_cols}
     out: list[str] = []
     pos = 0
     for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_*]\w*)", masked):
@@ -1914,7 +1921,7 @@ def _strip_tail_qualifiers(text: str, view_cols: list[str]) -> str | None:
             return None  # 3+-part ref or qualified function call
         if (
             col == "*"
-            or qual.lower() in counts
+            or qual.lower() in structs
             or counts.get(col.lower(), 0) != 1
         ):
             return None
@@ -1927,20 +1934,22 @@ def _strip_tail_qualifiers(text: str, view_cols: list[str]) -> str | None:
 
 def _strip_clause_qualifiers(
     parts: dict[str, str | None],
-    view_cols: list[str] | None,
+    schema_info: tuple[list[str], list[str]] | None,
     clauses: tuple[str, ...] = ("sel", "gby", "having", "oby"),
 ) -> bool:
     """Apply _strip_tail_qualifiers in place to the outer-tail clauses
-    that contain dotted refs. True = every ref stripped safely (or none
+    that contain dotted refs. `schema_info` is (column_names,
+    struct_column_names) of the collapsed subtree, or None when it
+    could not be analyzed. True = every ref stripped safely (or none
     present); False = some ref is out of scope and the caller must keep
     the original query."""
     for name in clauses:
         part = parts.get(name)
         if not part or not _DOTTED_REF.search(_mask_literals(part)):
             continue
-        if view_cols is None:
+        if schema_info is None:
             return False
-        stripped = _strip_tail_qualifiers(part, view_cols)
+        stripped = _strip_tail_qualifiers(part, *schema_info)
         if stripped is None:
             return False
         parts[name] = stripped
@@ -2017,14 +2026,26 @@ def rewrite_mv_percentile_bounded(sql: str, analyze=None) -> str:
         m_alias = re.search(r"\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it)
         if m_alias:
             sel_aliases.add(m_alias.group(1).lower())
-    real_cols = {c.lower() for c in view_cols} if view_cols else set()
-    if any(
-        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g)
-        and g.lower() in sel_aliases
-        and g.lower() not in real_cols
+    conflicts = [
+        g
         for g in gby
-    ):
-        return sql
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g)
+        and g.lower() in sel_aliases
+    ]
+    if conflicts:
+        # resolve lazily: a shadowed key that is a REAL subtree column
+        # is safe (both resolutions pick the column) — fetch the schema
+        # on demand so `fam AS fam` doesn't decline just because no
+        # dotted ref happened to trigger the analysis earlier
+        if view_cols is None and analyze is not None:
+            view_cols = analyze(
+                (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
+            )
+        real_cols = (
+            {c.lower() for c in view_cols[0]} if view_cols else set()
+        )
+        if any(g.lower() not in real_cols for g in conflicts):
+            return sql
 
     def _norm(s: str) -> str:
         return " ".join(s.split())
@@ -2232,15 +2253,24 @@ def rewrite_mode_avg_bounded(sql: str, analyze=None) -> str:
         if m_alias:
             sel_aliases.add(m_alias.group(1).lower())
     # alias group keys: see rewrite_mv_percentile_bounded — a key that is
-    # a real subtree column is safe even when a select alias shadows it
-    real_cols = {c.lower() for c in view_cols} if view_cols else set()
-    if any(
-        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g)
-        and g.lower() in sel_aliases
-        and g.lower() not in real_cols
+    # a real subtree column is safe even when a select alias shadows it;
+    # the schema is fetched lazily when the guard needs it
+    conflicts = [
+        g
         for g in gby
-    ):
-        return sql
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", g)
+        and g.lower() in sel_aliases
+    ]
+    if conflicts:
+        if view_cols is None and analyze is not None:
+            view_cols = analyze(
+                (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
+            )
+        real_cols = (
+            {c.lower() for c in view_cols[0]} if view_cols else set()
+        )
+        if any(g.lower() not in real_cols for g in conflicts):
+            return sql
 
     def _norm(s: str) -> str:
         return " ".join(s.split())
@@ -3017,8 +3047,18 @@ class HurricaneSQL:
             "having": seg("having"),
             "oby": seg("oby"),
         }
+        from pyspark.sql import types as _T
+
         if not _strip_clause_qualifiers(
-            parts, [f.name for f in vdf.schema.fields]
+            parts,
+            (
+                [f.name for f in vdf.schema.fields],
+                [
+                    f.name
+                    for f in vdf.schema.fields
+                    if isinstance(f.dataType, _T.StructType)
+                ],
+            ),
         ):
             drop()
             return noop
@@ -4047,17 +4087,27 @@ class HurricaneSQL:
         # — otherwise they leak in the session catalog
         cleanups: list = []
 
-        def _analyze_cols(view_sql: str) -> list[str] | None:
-            """Output column names of a SELECT (analyzer only, nothing
-            executes) — the qualifier-strip callback for the bounded
-            restructures. None = unresolvable, caller declines."""
+        def _analyze_cols(
+            view_sql: str,
+        ) -> tuple[list[str], list[str]] | None:
+            """(column names, struct-typed column names) of a SELECT
+            (analyzer only, nothing executes) — the qualifier-strip
+            callback for the bounded restructures. None = unresolvable,
+            caller declines."""
+            from pyspark.sql import types as _T
+
             try:
-                return [
-                    f.name
-                    for f in self.spark.sql(
-                        rewrite_functions(view_sql)
-                    ).schema.fields
-                ]
+                fields = self.spark.sql(
+                    rewrite_functions(view_sql)
+                ).schema.fields
+                return (
+                    [f.name for f in fields],
+                    [
+                        f.name
+                        for f in fields
+                        if isinstance(f.dataType, _T.StructType)
+                    ],
+                )
             except Exception:  # noqa: BLE001 — unresolvable subtree
                 return None
 

@@ -694,14 +694,25 @@ def test_mv_percentile_bounded_restructure_shapes():
     qual = rw(
         "SELECT u.a, percentileEstMV(t.x, 90) AS p FROM t JOIN u ON t.k = u.k "
         "GROUP BY u.a",
-        analyze=lambda s: ["k", "x", "kk", "a"],
+        analyze=lambda s: (["k", "x", "kk", "a"], []),
     )
     assert "_mvsrc AS (SELECT * FROM t JOIN u ON t.k = u.k)" in qual
     assert "explode(x)" in qual and "GROUP BY a" in qual
     # ...and decline when the bare name is ambiguous (both sides carry
-    # it), when the qualifier is itself a column (struct access), or
-    # when no analyzer is supplied
-    for cols in (["k", "x", "k", "a", "x"], ["k", "x", "u", "a"], None):
+    # it), when the qualifier is a STRUCT column (field access), or
+    # when no analyzer is supplied; a qualifier colliding with a
+    # NON-struct column is fine (dot access needs a struct)
+    ok = rw(
+        "SELECT u.a, percentileEstMV(t.x, 90) AS p FROM t JOIN u ON t.k = u.k "
+        "GROUP BY u.a",
+        analyze=lambda s: (["k", "x", "u", "a"], []),  # u a plain column
+    )
+    assert "_mvsrc" in ok
+    for cols in (
+        (["k", "x", "k", "a", "x"], []),  # ambiguous x
+        (["k", "x", "u", "a"], ["u"]),  # u is a struct: field access
+        None,
+    ):
         q = (
             "SELECT u.a, percentileEstMV(t.x, 90) FROM t JOIN u ON t.k = u.k "
             "GROUP BY u.a"

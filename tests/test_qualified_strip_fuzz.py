@@ -1,0 +1,133 @@
+"""Differential fuzz for the round-12 qualifier strip.
+
+For a join query, the table-qualified spelling (`t.col`) and the
+unqualified spelling are the SAME query — so across a seeded space of
+aggregate choices (two-phase digests, mode-AVG, bounded MV percentile),
+group-key spellings, aliases, HAVING and ORDER BY, the two spellings
+must return identical rows, and the qualified one must restructure to
+the same plan class as the unqualified one (no ArrowAggregatePython /
+collect_list reappearing just because the user wrote `t.col`).
+
+This pins the space around _strip_tail_qualifiers the way the theta
+fuzz pins the set-op rewrites: any future edge where the strip rewrites
+to something semantically different (instead of declining) shows up as
+a row mismatch here.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def qf(spark):  # noqa: F811
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(41)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], size=n),
+            "v": rng.integers(0, 10_000, size=n),
+            "d": rng.normal(100.0, 25.0, size=n).round(3),
+        }
+    )
+    pdf.loc[::23, "v"] = None
+    h = HurricaneSQL(spark)
+    h.register(
+        "qf_t",
+        spark.createDataFrame(pdf)
+        .withColumn("v", F.col("v").cast("bigint"))
+        .withColumn("arr", F.array(F.col("d"), F.col("d") * 2, F.col("d") * 3)),
+    )
+    # join key named gk on the dim side so unqualified spellings stay
+    # unambiguous (same-named keys on both sides are the DECLINE case,
+    # covered by test_qualified_ref_strip_safety_fallbacks)
+    h.register(
+        "qf_dim",
+        spark.createDataFrame(
+            [("a", "x"), ("b", "x"), ("c", "y"), ("d", "y")],
+            "gk string, fam string",
+        ),
+    )
+    return h
+
+
+AGGS = [
+    # (call over qf_t columns, needs_plan_marker)
+    ("percentileRawEst({q}v, 50)", "MapInPandas"),
+    ("percentileRawTDigest({q}d, 90)", "MapInPandas"),
+    ("distinctCountRawThetaSketch({q}v, 'nominalEntries=256')", "MapInPandas"),
+    ("distinctCountRawHLL({q}v)", "MapInPandas"),
+    ("mode({q}v, 'AVG')", None),  # marker: collect_list must be ABSENT
+    ("percentileTDigestMV({q}arr, 95)", None),
+]
+
+
+def _case(rng: random.Random):
+    agg, marker = rng.choice(AGGS)
+    key = rng.choice(["fam", "g"])
+    key_qual = ("d." if key == "fam" else "t.") + key
+    alias = rng.random() < 0.5
+    extra = rng.random() < 0.4  # JVM aggregate alongside -> join-back
+
+    def build(qual: bool) -> str:
+        k = key_qual if qual else key
+        call = agg.format(q="t." if qual else "")
+        key_sel = f"{k} AS {key}" if alias else k
+        sel = f"{key_sel}, {call} AS a0" + (
+            ", count(*) AS n" if extra else ""
+        )
+        return (
+            f"SELECT {sel} FROM qf_t t JOIN qf_dim d ON t.g = d.gk "
+            f"GROUP BY {k} ORDER BY {k}"
+        )
+
+    return build(True), build(False), marker
+
+
+def _rows(df):
+    # mode-AVG emits doubles; digests are hex/base64 strings — compare
+    # with float rounding to absorb nothing (values must be identical;
+    # round only guards repr noise on doubles)
+    out = []
+    for r in df.collect():
+        out.append(
+            tuple(
+                round(x, 9) if isinstance(x, float) else x for x in r
+            )
+        )
+    return sorted(out)
+
+
+def test_qualified_vs_unqualified_spellings_agree(qf):
+    rng = random.Random(1207)
+    checked_markers = 0
+    for i in range(24):
+        qualified, unqualified, marker = _case(rng)
+        dq = qf.sql(qualified, default_limit=None)
+        du = qf.sql(unqualified, default_limit=None)
+        assert _rows(dq) == _rows(du), (i, qualified)
+        pq, pu = _plan(dq), _plan(du)
+        if marker == "MapInPandas":
+            # the unqualified form restructures; the qualified one must
+            # not fall back to the raw-value grouped agg
+            assert "MapInPandas" in pu and "ArrowAggregatePython" not in pu
+            assert "MapInPandas" in pq and "ArrowAggregatePython" not in pq
+            checked_markers += 1
+        else:
+            assert "collect_list" not in pu.lower()
+            assert "collect_list" not in pq.lower(), (i, qualified)
+    assert checked_markers >= 8  # the digest forms actually sampled
