@@ -702,6 +702,14 @@ def lsh_neardup_pairs(
         F.explode(sk(F.col(vec_col))).alias("__bucket"),
     )
     if max_bucket_size is not None:
+        # Window cap is DELIBERATE here (unlike ann_candidate_pairs,
+        # round-12): the bucket SELF-join below requires a by-bucket
+        # exchange anyway, so the window rides a shuffle the join needs
+        # (Spark reuses the exchange across both join sides); a
+        # groupBy+anti-join cap would instead evaluate the sketch kernel
+        # twice over the corpus. Degenerate buckets spill inside
+        # WindowExec rather than OOM, and the overflow guard above
+        # refuses the regime where the cap would drop every bucket.
         w = W.partitionBy("__bucket")
         banded = (
             banded.withColumn("__bsz", F.count(F.lit(1)).over(w))

@@ -82,17 +82,20 @@ def _case(rng: random.Random):
     key_qual = ("d." if key == "fam" else "t.") + key
     alias = rng.random() < 0.5
     extra = rng.random() < 0.4  # JVM aggregate alongside -> join-back
+    having = rng.random() < 0.3  # qualified ref inside HAVING too
 
     def build(qual: bool) -> str:
         k = key_qual if qual else key
-        call = agg.format(q="t." if qual else "")
+        q = "t." if qual else ""
+        call = agg.format(q=q)
         key_sel = f"{k} AS {key}" if alias else k
         sel = f"{key_sel}, {call} AS a0" + (
             ", count(*) AS n" if extra else ""
         )
+        hv = f" HAVING min({q}v) >= 0" if having else ""
         return (
             f"SELECT {sel} FROM qf_t t JOIN qf_dim d ON t.g = d.gk "
-            f"GROUP BY {k} ORDER BY {k}"
+            f"GROUP BY {k}{hv} ORDER BY {k}"
         )
 
     return build(True), build(False), marker
