@@ -12,18 +12,29 @@ raw form's contract is byte-level: the registers, the hash function AND
 the value->bytes mapping must all match, or a re-merged union
 double-counts every value.
 
-Everything here is implemented from the PUBLIC stream-lib source
+Everything here matches the ACTUAL stream-2.9.8 jar bundled with this
+container's pyspark — byte-compared in tests/test_reallib_golden.py
 (com.clearspring.analytics:stream, Apache-2.0 — the reference depends
 on it, pinot-core/pom.xml:159):
 
-  - MurmurHash.hash64(Object): numbers hash by their Java
-    `toString()` UTF-8 bytes, strings by their bytes, through
-    MurmurHash2-64A with seed 0xe17a1465 (MurmurHash.java hash64).
-  - HyperLogLog.offerHashed: bucket = top log2m hash bits; rank =
-    numberOfLeadingZeros((h << log2m) | (1 << (log2m-1)) + 1) + 1 —
-    NOTE the Java operator precedence: `+` binds tighter than `|`, so
-    the OR-mask is ((1 << (log2m-1)) + 1); this quirk is part of the
-    wire contract and reproduced verbatim.
+  - HyperLogLog.offer(Object) uses the 32-BIT MurmurHash.hash(Object)
+    and offerHashed(int) — NOT hash64 (hash64 belongs to
+    HyperLogLogPlus). Round-12 correction, caught by the real-jar
+    capture: the earlier re-derivation offered 64-bit hashes of
+    toString bytes, which put every register in the wrong place.
+  - MurmurHash.hash(Object) type-dispatch: Long/Integer ->
+    hashLong(value) (RAW BITS, not toString!), Double ->
+    hashLong(doubleToRawLongBits) (raw: NaN payloads and -0.0 are
+    distinct values), Float -> hashLong((long) floatToRawIntBits)
+    (sign-extended), String -> hash(getBytes()) (MurmurHash2 32-bit,
+    seed -1, Java signed-byte tail XORs).
+  - hashLong: a two-block 32-bit MurmurHash2 over the long's halves,
+    h seeded 0, no length mix (MurmurHash.hashLong verbatim).
+  - HyperLogLog.offerHashed(int): bucket = top log2m hash bits; rank =
+    Integer.numberOfLeadingZeros((h << log2m) | (1 << (log2m-1)) + 1)
+    + 1 — the parenthesized-shift-plus-one mask (2^(log2m-1) + 1),
+    part of the wire contract and reproduced verbatim (bytecode- and
+    byte-verified against the real jar).
   - RegisterSet: 5-bit registers packed six per 32-bit word (low bits
     first; RegisterSet.java REGISTER_SIZE=5, LOG2_BITS_PER_WORD=6),
     size = count/6 words (+1 unless divisible by 32).
@@ -38,21 +49,17 @@ RegisterSet merge), which commutes — so this digest is natively
 partial-aggregable and plugs into operators/raw_partial two-phase
 builds with byte-identical results.
 
-Divergence (documented, unreachable in practice): clearspring writes
-the raw rank into the 5-bit register without clamping, corrupting a
-neighbor register if rank > 31 — possible only when a hash value has
-31+ leading zeros after the bucket shift (p ~ 2^-31 per value). This
-implementation clamps at 31 instead of reproducing the corruption.
+With the (real) 32-bit offer path the rank is bounded by
+32 - log2m + 1 <= 29 for log2m >= 4, so it always fits the 5-bit
+register — the old 64-bit path's theoretical rank-32+ register
+corruption is structurally unreachable and the clamp is gone.
 
-Java float/double toString formatting (shortest round-trip decimal;
-plain notation in [1e-3, 1e7), else `d.dddE±x`) is reproduced by
-`_java_double_str` / `_java_float_str` so FLOAT/DOUBLE columns hash
-the same bytes a reference server offers. Caveat: pre-JDK-19
-Double.toString occasionally emits a non-shortest digit string
-(JDK-4511638, fixed by the Ryu rewrite in 19); for those rare values a
-JDK<19 reference server hashes different bytes than this (shortest)
-rendering — integers and strings, the dominant HLL column types, are
-unaffected.
+`_java_double_str` / `_java_float_str` (Java shortest-decimal
+rendering) remain for the hash64(Object) toString path — the entry
+HyperLogLogPlus and generic-object offers use — and stay pinned by the
+JDK goldens; since round-12 they no longer participate in this class's
+offer path (numbers hash by RAW BITS through the 32-bit hashLong, as
+the real jar does).
 """
 
 from __future__ import annotations
@@ -110,6 +117,64 @@ def murmur64(data: bytes, seed: int = _MURMUR_SEED) -> int:
     h ^= h >> _R64
     h = (h * _M64) & _MASK64
     h ^= h >> _R64
+    return h
+
+
+_MASK32 = (1 << 32) - 1
+_M32 = 0x5BD1E995
+_R32 = 24
+
+
+def murmur32(data: bytes, seed: int = -1) -> int:
+    """stream-lib MurmurHash.hash(byte[], length, seed): MurmurHash2
+    32-bit, default seed -1 (`hash(byte[])` passes -1), with Java's
+    SIGNED-byte tail XORs. Returns the signed Java int as an unsigned
+    32-bit value."""
+    length = len(data)
+    h = (seed ^ length) & _MASK32
+    n4 = length // 4
+    for i in range(n4):
+        k = int.from_bytes(data[i * 4 : i * 4 + 4], "little")
+        k = (k * _M32) & _MASK32
+        k ^= k >> _R32
+        k = (k * _M32) & _MASK32
+        h = (h * _M32) & _MASK32
+        h ^= k
+    left = length - (n4 * 4)
+    if left:
+        # Java `h ^= data[i] << s` sign-extends the byte before shifting
+        def sb(b: int) -> int:
+            return b - 256 if b >= 128 else b
+        if left >= 3:
+            h ^= (sb(data[length - 3]) << 16) & _MASK32
+        if left >= 2:
+            h ^= (sb(data[length - 2]) << 8) & _MASK32
+        if left >= 1:
+            h ^= sb(data[length - 1]) & _MASK32
+        h = (h * _M32) & _MASK32
+    h ^= h >> 13
+    h = (h * _M32) & _MASK32
+    h ^= h >> 15
+    return h
+
+
+def murmur32_long(v: int) -> int:
+    """stream-lib MurmurHash.hashLong(long): a two-block 32-bit
+    MurmurHash2 over the long's low/high halves, h seeded 0, no length
+    mix. `v` is the signed Java long (arbitrary Python int accepted)."""
+    lo = v & _MASK32
+    hi = (v >> 32) & _MASK32  # arithmetic shift sign-extends
+    h = 0
+    k = (lo * _M32) & _MASK32
+    k ^= k >> _R32
+    h ^= (k * _M32) & _MASK32
+    k = (hi * _M32) & _MASK32
+    k ^= k >> _R32
+    h = (h * _M32) & _MASK32
+    h ^= (k * _M32) & _MASK32
+    h ^= h >> 13
+    h = (h * _M32) & _MASK32
+    h ^= h >> 15
     return h
 
 
@@ -191,16 +256,30 @@ class ClearspringHLL:
         )
 
     def offer_hashed(self, h: int) -> None:
-        j = h >> (64 - self.log2m)
-        w = ((h << self.log2m) & _MASK64) | ((1 << (self.log2m - 1)) + 1)
-        r = 65 - w.bit_length()  # numberOfLeadingZeros + 1
-        if r > 31:
-            r = 31  # documented divergence: clearspring would corrupt
+        """offerHashed(int) — the entry HyperLogLog.offer(Object) uses
+        (round-12: the real jar's offer path is 32-bit; offerHashed(long)
+        exists in the library but nothing in the reference calls it).
+        `h` is the 32-bit hash as unsigned."""
+        h &= _MASK32
+        j = h >> (32 - self.log2m)
+        # (h << log2m) | (1 << (log2m - 1)) + 1 — the parenthesized
+        # shift plus one: OR-mask = 2^(log2m-1) + 1 (bytecode-verified
+        # against the real jar; bucket-0 rank caps at 25 for log2m=8)
+        w = ((h << self.log2m) & _MASK32) | ((1 << (self.log2m - 1)) + 1)
+        r = 33 - w.bit_length()  # Integer.numberOfLeadingZeros + 1
         if r > self.registers[j]:
             self.registers[j] = r
 
     def offer_bytes(self, data: bytes) -> None:
-        self.offer_hashed(murmur64(data))
+        """offer(byte[]) / offer(String): 32-bit MurmurHash over the
+        bytes (strings hash their getBytes())."""
+        self.offer_hashed(murmur32(data))
+
+    def offer_long(self, v: int) -> None:
+        """offer(Long/Integer): hashLong of the value; also the Double/
+        Float path after the caller converts to raw bits (MurmurHash
+        .hash(Object) dispatch)."""
+        self.offer_hashed(murmur32_long(v))
 
     def merge(self, other: "ClearspringHLL") -> "ClearspringHLL":
         if other.log2m != self.log2m:
@@ -280,27 +359,40 @@ def is_clearspring_hll(data: bytes) -> bool:
     return 4 <= log2m <= 30 and nbytes == len(data) - 8
 
 
-_TO_BYTES = {
-    # MurmurHash.hash64(Object): non-String falls to o.toString();
-    # Java Integer/Long.toString == decimal; Float/Double.toString have
-    # their own layout rules (reproduced above)
-    "tinyint": lambda v: str(int(v)).encode(),
-    "smallint": lambda v: str(int(v)).encode(),
-    "int": lambda v: str(int(v)).encode(),
-    "integer": lambda v: str(int(v)).encode(),
-    "bigint": lambda v: str(int(v)).encode(),
-    "long": lambda v: str(int(v)).encode(),
-    "float": lambda v: _java_float_str(float(v)).encode(),
-    "double": lambda v: _java_double_str(float(v)).encode(),
-    "string": lambda v: str(v).encode("utf-8"),
+def _float_raw_bits(v: float) -> int:
+    """Float.floatToRawIntBits sign-extended to long (the i2l in
+    MurmurHash.hash(Object)'s Float branch)."""
+    return struct.unpack("<i", struct.pack("<f", float(v)))[0]
+
+
+def _double_raw_bits(v: float) -> int:
+    """Double.doubleToRawLongBits — RAW: NaN payloads and -0.0 are
+    distinct hash inputs (the real jar's Double branch)."""
+    return struct.unpack("<q", struct.pack("<d", float(v)))[0]
+
+
+_TO_HASH = {
+    # MurmurHash.hash(Object) type dispatch (real stream-2.9.8, r12):
+    # integers by VALUE through hashLong (int widens to long, so INT 5
+    # and BIGINT 5 hash identically); floats/doubles by RAW BITS;
+    # strings by getBytes() through the 32-bit byte hash
+    "tinyint": lambda h, v: h.offer_long(int(v)),
+    "smallint": lambda h, v: h.offer_long(int(v)),
+    "int": lambda h, v: h.offer_long(int(v)),
+    "integer": lambda h, v: h.offer_long(int(v)),
+    "bigint": lambda h, v: h.offer_long(int(v)),
+    "long": lambda h, v: h.offer_long(int(v)),
+    "float": lambda h, v: h.offer_long(_float_raw_bits(v)),
+    "double": lambda h, v: h.offer_long(_double_raw_bits(v)),
+    "string": lambda h, v: h.offer_bytes(str(v).encode("utf-8")),
 }
 
 
 def offer_series(hll: ClearspringHLL, values, spark_type: str) -> None:
     """Offer a pandas Series of `spark_type` values into `hll` (NULLs
     skipped — the reference offers primitive arrays, never nulls)."""
-    enc = _TO_BYTES.get(spark_type.lower())
-    if enc is None:
+    offer = _TO_HASH.get(spark_type.lower())
+    if offer is None:
         raise ValueError(
             f"distinctCountRawHLL: unsupported column type {spark_type!r} "
             "(supported: int/long/float/double/string)"
@@ -308,7 +400,7 @@ def offer_series(hll: ClearspringHLL, values, spark_type: str) -> None:
     for v in values:
         if v is None or (isinstance(v, float) and v != v):
             continue
-        hll.offer_bytes(enc(v))
+        offer(hll, v)
 
 
 def build_hll(values, spark_type: str, log2m: int) -> bytes:

@@ -60,7 +60,17 @@ MAX_THETA = (1 << 63) - 1  # Long.MAX_VALUE
 
 _MASK = (1 << 64) - 1
 _C1 = 0x87C37B91114253D5
-_C2 = 0x4CF5AB832BE87313
+# round-12: _C2 was 0x4CF5AB832BE87313 — a corrupted transcription of
+# the canonical MurmurHash3 x64-128 constant, caught by byte-comparing
+# against the REAL datasketches-java-6.2.0 jar bundled with pyspark
+# (tests/test_reallib_golden.py). The wrong constant was internally
+# self-consistent (every build/union/estimate shared it, so all
+# round-trip and accuracy tests passed) but put every sketch in a
+# different hash space than real DataSketches/Pinot — a migrated
+# reference store's sketches would have double-counted on union, and
+# the seed-hash (also derived through murmur3) mismatched, so real
+# readers would have rejected our bytes outright.
+_C2 = 0x4CF5AD432745937F
 
 _SER_VER = 3
 _FAMILY_COMPACT = 3
@@ -68,6 +78,7 @@ _FLAG_READ_ONLY = 2
 _FLAG_EMPTY = 4
 _FLAG_COMPACT = 8
 _FLAG_ORDERED = 16
+_FLAG_SINGLE_ITEM = 32  # real readers require it on the 1-prelong form
 
 
 def _rotl(x: int, r: int) -> int:
@@ -205,11 +216,17 @@ class CompactTheta(NamedTuple):
 
 
 def _check_seeds(sketches: Iterable[CompactTheta]) -> int:
-    seed_hashes = {sk.seed_hash for sk in sketches}
+    """Common seed hash of the NON-EMPTY inputs. Empty sketches are
+    excluded: the canonical serialized empty carries seedHash 0
+    (EmptyCompactSketch — real-jar capture, round-12), and real readers
+    likewise ignore an empty's seed in set operations."""
+    seed_hashes = {sk.seed_hash for sk in sketches if not sk.is_empty}
     if len(seed_hashes) > 1:
         raise ValueError(
             f"cannot combine sketches with different seed hashes: {seed_hashes}"
         )
+    if not seed_hashes:
+        return compute_seed_hash(DEFAULT_SEED)
     return next(iter(seed_hashes))
 
 
@@ -302,26 +319,34 @@ def eval_set_tree(tree, sketches: Sequence[CompactTheta], k: int) -> CompactThet
 
 def serialize(sk: CompactTheta, lg_nom_longs: int = 12) -> bytes:
     """Serialize to the DataSketches compact ordered layout (see module
-    docstring for the byte map)."""
+    docstring for the byte map), byte-identical to datasketches-java
+    6.2.0 (tests/test_reallib_golden.py, real-jar capture):
+
+      - byte 3 (lgNomLongs) is written as 0 — compact sketches do not
+        carry the build-time nominal (the `lg_nom_longs` parameter is
+        kept for API compatibility but ignored, matching the library);
+      - the EMPTY sketch is the canonical 8-byte preamble with seedHash
+        ZERO (EmptyCompactSketch — real readers ignore an empty's seed);
+      - the single-item layout sets flag bit 0x20 (SINGLE_ITEM), which
+        real readers require to disambiguate the 1-preamble-long form."""
     flags = _FLAG_READ_ONLY | _FLAG_COMPACT | _FLAG_ORDERED
     n = len(sk.hashes)
     if sk.is_empty:
-        pre = struct.pack(
-            "<BBBBBBH", 1, _SER_VER, _FAMILY_COMPACT, lg_nom_longs, 0,
-            flags | _FLAG_EMPTY, sk.seed_hash,
+        return struct.pack(
+            "<BBBBBBH", 1, _SER_VER, _FAMILY_COMPACT, 0, 0,
+            flags | _FLAG_EMPTY, 0,
         )
-        return pre
     if n == 1 and sk.theta_long == MAX_THETA:
         # single-item layout: 1 preamble long + the hash
         pre = struct.pack(
-            "<BBBBBBH", 1, _SER_VER, _FAMILY_COMPACT, lg_nom_longs, 0,
-            flags, sk.seed_hash,
+            "<BBBBBBH", 1, _SER_VER, _FAMILY_COMPACT, 0, 0,
+            flags | _FLAG_SINGLE_ITEM, sk.seed_hash,
         )
         return pre + struct.pack("<q", sk.hashes[0])
     pre_longs = 2 if sk.theta_long == MAX_THETA else 3
     out = [
         struct.pack(
-            "<BBBBBBH", pre_longs, _SER_VER, _FAMILY_COMPACT, lg_nom_longs, 0,
+            "<BBBBBBH", pre_longs, _SER_VER, _FAMILY_COMPACT, 0, 0,
             flags, sk.seed_hash,
         ),
         struct.pack("<if", n, 1.0),  # curCount | p
@@ -348,12 +373,19 @@ def deserialize(data: bytes, expected_seed_hash: int | None = None) -> CompactTh
         raise ValueError(
             f"unsupported family id {family} (expected {_FAMILY_COMPACT} = COMPACT)"
         )
+    if flags & _FLAG_EMPTY:
+        # the canonical empty carries seedHash 0 (and real readers skip
+        # the seed check on empties) — never reject an empty on seed;
+        # restore the caller's expected seed so round-trips compare equal
+        return CompactTheta(
+            MAX_THETA,
+            (),
+            expected_seed_hash if expected_seed_hash is not None else seed_hash,
+        )
     if expected_seed_hash is not None and seed_hash != expected_seed_hash:
         raise ValueError(
             f"seed hash mismatch: sketch {seed_hash} vs expected {expected_seed_hash}"
         )
-    if flags & _FLAG_EMPTY:
-        return CompactTheta(MAX_THETA, (), seed_hash)
     if pre_longs == 1:  # single-item layout
         (h,) = struct.unpack_from("<q", data, 8)
         return CompactTheta(MAX_THETA, (h,), seed_hash)

@@ -33,9 +33,17 @@ import zlib
 
 _PROBE = 65536
 
+# Wire-format epoch: bump when serialized bytes STORED inside fixture
+# stores change meaning, so every cached store rebuilds once even
+# though its source parquet is unchanged. r12: the real-jar capture
+# corrected the theta murmur3 constant/seed-hash/compact preamble and
+# the clearspring offer path — sketch blobs inside pre-r12 stores are
+# in the old hash space and must not be unioned with fresh builds.
+_FORMAT_EPOCH = "sketch-wire-r12"
+
 
 def _fingerprint(sf_dir: str) -> str:
-    rows = []
+    rows: list = [_FORMAT_EPOCH]
     for name in sorted(os.listdir(sf_dir)):
         if not name.endswith(".parquet"):
             continue

@@ -10,15 +10,19 @@ Infinity -> Long.MAX_VALUE branch the zeros==0 small-range estimate
 hits), Long.numberOfLeadingZeros-based ranks, and the big-endian
 DataOutputStream serialization. The HyperLogLog algorithm itself is
 re-derived in the generator from the PUBLIC stream-lib format
-(Apache-2.0; the jar is absent in this container, so a live stream-lib
-byte capture remains the documented residual — these fixtures close the
-Java-semantics half of that gap).
+(Apache-2.0). Round-12 closes the long-documented residual: pyspark's
+own jar directory bundles the REAL stream-2.9.8, and
+tests/test_reallib_golden.py byte-compares against it — which CAUGHT
+the re-derivation offering 64-bit toString hashes where the real
+HyperLogLog.offer(Object) uses the 32-bit raw-bits path; both the
+generator and operators/clearspring_hll.py now implement the real
+contract and all blobs are byte-identical to the actual library.
 
 The JDK<19 Double.toString caveat (JDK-4511638, fixed by the Ryu
-rewrite in 19) stops being a prose note here: the fixture run against
-JDK 17 empirically found the divergent values, and they are pinned
-below as KNOWN_JDK17_DOUBLE_DIVERGENCES — a JDK<19 reference server
-hashes different bytes for exactly these renderings.
+rewrite in 19): since the r12 correction the offer path hashes numbers
+by RAW BITS, so toString rendering no longer affects HLL bytes at all;
+the renderings stay pinned below (KNOWN_JDK17_DOUBLE_DIVERGENCES) for
+the toString-dependent surfaces that remain (hash64(Object) generics).
 """
 
 from __future__ import annotations
@@ -108,25 +112,31 @@ def test_murmur64_matches_jvm(golden):
 
 
 def _build(name: str, log2m: int, golden) -> ClearspringHLL:
-    """Rebuild the generator's HLL: same typed inputs, rendered through
-    the module's Java-toString reproduction (the generator used REAL
-    Java toString — byte equality proves the renderings agree for these
-    inputs)."""
+    """Rebuild the generator's HLL with the same typed inputs through
+    the module's offer dispatch — round-12: the REAL offer(Object) path
+    (32-bit MurmurHash; numbers by raw bits via hashLong, strings by
+    UTF-8 bytes), byte-verified against the actual stream-2.9.8 jar in
+    tests/test_reallib_golden.py."""
+    from hurricanedb_spark.operators.clearspring_hll import (
+        _double_raw_bits,
+        _float_raw_bits,
+    )
+
     h = ClearspringHLL(log2m)
     if name == "ints_x500":
         for i in range(500):
-            h.offer_bytes(str(i * 7 - 250).encode())
+            h.offer_long(i * 7 - 250)
     elif name == "longs_x300":
         for i in range(300):
-            h.offer_bytes(str(i * 1_000_000_007).encode())
+            h.offer_long(i * 1_000_000_007)
     elif name == "doubles_x400":
         for i in range(400):
-            h.offer_bytes(_java_double_str(i * 0.37 - 20.0).encode())
+            h.offer_long(_double_raw_bits(i * 0.37 - 20.0))
     elif name == "floats_x400":
         # Java computes i * 0.37f - 20.0f in FLOAT32 arithmetic
         for i in range(400):
             v = np.float32(i) * np.float32(0.37) - np.float32(20.0)
-            h.offer_bytes(_java_float_str(v).encode())
+            h.offer_long(_float_raw_bits(float(v)))
     elif name == "strings_x350":
         for i in range(350):
             h.offer_bytes(f"doc-{i}-body".encode())

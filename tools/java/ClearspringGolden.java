@@ -8,7 +8,7 @@
 // serialization. The HyperLogLog/RegisterSet/MurmurHash2-64A algorithm
 // itself is re-derived here from the PUBLIC stream-lib format
 // (com.clearspring.analytics:stream, Apache-2.0; HyperLogLog.java
-// offerHashed / RegisterSet.java REGISTER_SIZE=5 LOG2_BITS_PER_WORD=6 /
+// offer(Object) -> 32-bit MurmurHash.hash + offerHashed(int) (r12) /
 // MurmurHash.hash64 seed 0xe17a1465) — the library jar is not in this
 // container, so these fixtures pin Java-semantics parity; a live
 // stream-lib byte capture remains the documented residual.
@@ -63,6 +63,58 @@ public class ClearspringGolden {
         return h;
     }
 
+    // 32-bit MurmurHash2 (MurmurHash.hash(byte[], len, seed); the
+    // hash(byte[]) entry passes seed -1) and hashLong — the entry
+    // points HyperLogLog.offer(Object) actually uses (round-12).
+    static int hash32(byte[] data, int seed) {
+        final int m = 0x5bd1e995;
+        final int r = 24;
+        int len = data.length;
+        int h = seed ^ len;
+        int len4 = len >> 2;
+        for (int i = 0; i < len4; i++) {
+            int i4 = i << 2;
+            int k = data[i4 + 3];
+            k = (k << 8) | (data[i4 + 2] & 0xff);
+            k = (k << 8) | (data[i4 + 1] & 0xff);
+            k = (k << 8) | (data[i4] & 0xff);
+            k *= m;
+            k ^= k >>> r;
+            k *= m;
+            h *= m;
+            h ^= k;
+        }
+        int left = len - (len4 << 2);
+        if (left != 0) {
+            // Java signed-byte tail XORs, verbatim
+            if (left >= 3) h ^= (int) data[len - 3] << 16;
+            if (left >= 2) h ^= (int) data[len - 2] << 8;
+            if (left >= 1) h ^= (int) data[len - 1];
+            h *= m;
+        }
+        h ^= h >>> 13;
+        h *= m;
+        h ^= h >>> 15;
+        return h;
+    }
+
+    static int hashLong(long data) {
+        final int m = 0x5bd1e995;
+        final int r = 24;
+        int h = 0;
+        int k = (int) data * m;
+        k ^= k >>> r;
+        h ^= k * m;
+        k = (int) (data >> 32) * m;
+        k ^= k >>> r;
+        h *= m;
+        h ^= k * m;
+        h ^= h >>> 13;
+        h *= m;
+        h ^= h >>> 15;
+        return h;
+    }
+
     // RegisterSet: six 5-bit registers per int word, word count padded
     // per the published sizing rule.
     static int wordsFor(int count) {
@@ -81,22 +133,30 @@ public class ClearspringGolden {
             this.regs = new int[1 << log2m];
         }
 
+        // ROUND-12 correction (caught by the real-jar capture,
+        // RealLibGolden.java / tests/test_reallib_golden.py): the real
+        // HyperLogLog.offer(Object) routes through the 32-BIT
+        // MurmurHash.hash(Object) and offerHashed(int) — hash64 belongs
+        // to HyperLogLogPlus. The earlier re-derivation offered 64-bit
+        // toString hashes here, which put every register in the wrong
+        // place. Numbers hash by RAW BITS through hashLong; strings by
+        // their UTF-8 bytes through the 32-bit byte hash (seed -1).
         void offer(Object o) {
-            // stream-lib HyperLogLog.offer: hash64 of o.toString() UTF-8
-            byte[] b = o.toString().getBytes(StandardCharsets.UTF_8);
-            offerHashed(hash64(b, 0xe17a1465));
+            if (o instanceof Long) offerHashed(hashLong((Long) o));
+            else if (o instanceof Integer) offerHashed(hashLong((Integer) o));
+            else if (o instanceof Double)
+                offerHashed(hashLong(Double.doubleToRawLongBits((Double) o)));
+            else if (o instanceof Float)
+                offerHashed(hashLong(Float.floatToRawIntBits((Float) o)));
+            else offerHashed(hash32(o.toString().getBytes(StandardCharsets.UTF_8), -1));
         }
 
-        void offerHashed(long hashedValue) {
-            // verbatim stream-lib expression incl. the operator-precedence
-            // quirk: '+' binds tighter than '|'
-            final int j = (int) (hashedValue >>> (Long.SIZE - log2m));
-            final int r = Long.numberOfLeadingZeros(
+        void offerHashed(int hashedValue) {
+            // verbatim stream-lib offerHashed(int): the OR-mask is the
+            // parenthesized shift plus one, (1 << (log2m-1)) + 1
+            final int j = hashedValue >>> (Integer.SIZE - log2m);
+            final int r = Integer.numberOfLeadingZeros(
                     (hashedValue << this.log2m) | (1 << (this.log2m - 1)) + 1) + 1;
-            // python-side documented divergence: clamp at 31 instead of
-            // corrupting a neighbor register (p ~ 2^-31 per value; never
-            // reachable for these fixed inputs — asserted at generation)
-            if (r > 31) throw new IllegalStateException("rank > 31 in fixture inputs");
             if (r > regs[j]) regs[j] = r;
         }
 
@@ -279,9 +339,9 @@ public class ClearspringGolden {
         int i = 0;
         while (satInputs.size() < 16) {
             String s = "zz" + (i++);
-            long h = hash64(s.getBytes(StandardCharsets.UTF_8), 0xe17a1465);
-            int j = (int) (h >>> 60);
-            int r = Long.numberOfLeadingZeros((h << 4) | (1 << 3) + 1) + 1;
+            int h = hash32(s.getBytes(StandardCharsets.UTF_8), -1);
+            int j = h >>> 28;
+            int r = Integer.numberOfLeadingZeros((h << 4) | (1 << 3) + 1) + 1;
             if (r == 1 && sat.regs[j] == 0) {
                 sat.offerHashed(h);
                 satInputs.add(s);

@@ -32,7 +32,7 @@ import java.util.TreeSet;
 public class ThetaGolden {
 
     static final long C1 = 0x87c37b91114253d5L;
-    static final long C2 = 0x4cf5ab832be87313L;
+    static final long C2 = 0x4cf5ad432745937fL; // canonical (r12: was a corrupted transcription, caught by the real-jar capture)
 
     static long fmix64(long k) {
         k ^= k >>> 33;
@@ -109,7 +109,11 @@ public class ThetaGolden {
     static final int FLAGS = 2 | 8 | 16; // READ_ONLY | COMPACT | ORDERED
     static final long MAX_THETA = Long.MAX_VALUE;
 
-    // Compact ordered serialization (CompactSketch byte map).
+    // Compact ordered serialization (CompactSketch byte map),
+    // r12-corrected to match the REAL datasketches-java 6.2.0 bytes
+    // (RealLibGolden capture): lgNomLongs byte is 0 in compact form,
+    // the canonical EMPTY zeroes the seedHash, and the single-item
+    // layout sets flag bit 0x20 (SINGLE_ITEM).
     static byte[] serialize(long thetaLong, long[] sortedHashes,
                             int seedHash, int lgNomLongs) {
         int n = sortedHashes.length;
@@ -119,9 +123,9 @@ public class ThetaGolden {
         int size = empty ? 8 : single ? 16 : preLongs * 8 + n * 8;
         ByteBuffer bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN);
         bb.put((byte) preLongs).put((byte) SER_VER).put((byte) FAMILY_COMPACT)
-          .put((byte) lgNomLongs).put((byte) 0)
-          .put((byte) (empty ? FLAGS | 4 : FLAGS))
-          .putShort((short) seedHash);
+          .put((byte) 0).put((byte) 0)
+          .put((byte) (empty ? FLAGS | 4 : single ? FLAGS | 32 : FLAGS))
+          .putShort((short) (empty ? 0 : seedHash));
         if (empty) return bb.array();
         if (single) { bb.putLong(sortedHashes[0]); return bb.array(); }
         bb.putInt(n).putFloat(1.0f);
