@@ -21,6 +21,14 @@ implementations (and their JDK-17 re-derived goldens) shared:
 
 These tests pin byte-identity against the real libraries so neither
 class of bug can silently return.
+
+Version note: the reference pins com.clearspring:stream 2.7.0
+(pom.xml:884) while the bundled jar is 2.9.8 — the surfaces exercised
+here (HyperLogLog.offer(Object) -> 32-bit MurmurHash.hash dispatch ->
+offerHashed(int), RegisterSet packing, getBytes, cardinality) are
+unchanged between those releases (the public history adds the separate
+offerHashed(long) entry without touching offer(Object)); datasketches
+theta's serial-version-3 compact format is stable by spec.
 """
 
 from __future__ import annotations
