@@ -363,6 +363,14 @@ def ann_candidate_pairs(
         F.explode(corpus_sketches(F.col(vec_col))).alias("__bucket"),
     )
     if max_bucket_size is not None:
+        # Deliberate compute-vs-shuffle trade (same one lsh_neardup_pairs
+        # documents): referencing `c` twice re-evaluates the sketch
+        # kernel over the corpus for the `hot` side, but that pass is a
+        # map-only scan feeding a partial-aggregated (bucket, count)
+        # shuffle — no full-row exchange. Caching `c` instead would pin
+        # the exploded corpus (n_tables × rows) in executor storage with
+        # no safe unpersist point (the returned plan is lazy), which at
+        # 100 TB is a worse failure mode than one extra kernel scan.
         hot = (
             c.groupBy("__bucket")
             .count()

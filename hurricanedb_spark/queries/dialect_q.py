@@ -312,23 +312,32 @@ def q_sketch_bytes_join_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_limit=None,
     )
     # the raw form's base64 STRING envelope decodes to the sketch's wire
-    # bytes — the BYTES column a migrated reference store would hold
+    # bytes — the BYTES column a migrated reference store would hold.
+    # Per-call unique view name + drop after the (eagerly analyzed)
+    # result plan has inlined it — matching the __rdsub_* convention, so
+    # repeated driver runs don't accrete views in the session catalog.
+    import uuid as _uuid
+
+    view = f"__theta_store_custkey_{_uuid.uuid4().hex}"
     store.select(
         "c_nationkey", F.unbase64("sk_b64").alias("sk")
-    ).createOrReplaceTempView("__theta_store_custkey")
-    return hdb.sql(
-        f"""
-        SELECT r_name,
-               distinctCountThetaSketch(sk, 'nominalEntries={nominal}')
-                 AS dc_cust
-        FROM __theta_store_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name
-        ORDER BY r_name
-        """,
-        default_limit=None,
-    )
+    ).createOrReplaceTempView(view)
+    try:
+        return hdb.sql(
+            f"""
+            SELECT r_name,
+                   distinctCountThetaSketch(sk, 'nominalEntries={nominal}')
+                     AS dc_cust
+            FROM {view}
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name
+            """,
+            default_limit=None,
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 @register(

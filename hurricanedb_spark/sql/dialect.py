@@ -1873,9 +1873,55 @@ def _mask_literals(sql: str) -> str:
     return "".join(out)
 
 
+def _dot_accessible_cols(fields) -> list[str]:
+    """Names of schema fields whose TYPE supports dot syntax in Spark —
+    not only StructType (`s.field` -> GetStructField) but also MapType
+    (`m.key` -> GetMapValue) and ArrayType-of-StructType (`arr.field`
+    -> GetArrayStructFields). A qualifier naming any of these may be
+    FIELD ACCESS, so the strip must decline (round-12 ADVICE: treating
+    only structs as dot-accessible let `m.score` strip to bare `score`,
+    silently rebinding a map lookup to a different column)."""
+    from pyspark.sql import types as _T
+
+    out = []
+    for f in fields:
+        t = f.dataType
+        if isinstance(t, (_T.StructType, _T.MapType)) or (
+            isinstance(t, _T.ArrayType)
+            and isinstance(t.elementType, _T.StructType)
+        ):
+            out.append(f.name)
+    return out
+
+
+_ALIAS_AS = re.compile(r"(?is)^(.*\S)\s+as\s+([A-Za-z_]\w*)\s*$")
+
+
+def _select_alias_map(sel: str) -> dict[str, str]:
+    """lower(alias) -> aliased expression text for explicit `AS` aliases
+    in a select list. Matches on the literal-masked copy (an `as` inside
+    a string can never create an alias), slices the original by span."""
+    out: dict[str, str] = {}
+    for item in _split_top(sel):
+        item = item.strip()
+        m = _ALIAS_AS.match(_mask_literals(item))
+        if m:
+            out[m.group(2).lower()] = item[m.start(1) : m.end(1)].strip()
+    return out
+
+
+def _ref_base(expr: str) -> str:
+    """Base column name of a bare or two-part column reference, lowered;
+    '' for anything else (function calls, arithmetic, ...)."""
+    m = re.fullmatch(
+        r"\s*(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)\s*", expr
+    )
+    return m.group(1).lower() if m else ""
+
+
 def _strip_tail_qualifiers(
     text: str, view_cols: list[str], struct_cols: list[str] = ()
-) -> str | None:
+) -> tuple[str, set[str]] | None:
     """Rewrite two-part qualified references `q.col` in an outer-clause
     segment (select list / GROUP BY / HAVING / ORDER BY) to bare `col`,
     so the segment resolves against the collapsed `SELECT * FROM
@@ -1886,17 +1932,19 @@ def _strip_tail_qualifiers(
     streams partials regardless of how the SELECT spells its columns
     (ServerRequestPlanVisitor.java:79-133, AggregationFunction.java:42-130).
 
-    Returns the rewritten segment, or None (caller falls back to the
-    single-phase / macro path) unless EVERY dotted ref satisfies all of:
+    Returns (rewritten segment, set of lowered bare names produced), or
+    None (caller falls back to the single-phase / macro path) unless
+    EVERY dotted ref satisfies all of:
 
       - exactly two parts (`a.b.c` is out of scope);
-      - the qualifier is NOT a STRUCT-typed view column (`struct_cols`)
-        — `s.field` where `s` is a struct is FIELD ACCESS, and
-        stripping it would silently rebind to a same-named top-level
-        column; a qualifier colliding with a NON-struct column is fine
-        (only structs support dot access, so the ref can only be
+      - the qualifier is NOT a dot-accessible view column
+        (`struct_cols`: struct / map / array-of-struct names, see
+        _dot_accessible_cols) — `s.field` where `s` is such a column is
+        FIELD ACCESS, and stripping it would silently rebind to a
+        same-named top-level column; a qualifier colliding with a
+        non-dot-accessible column is fine (the ref can only be
         relation-qualified — and Spark resolves relation aliases before
-        struct fields anyway);
+        field access anyway);
       - the bare name resolves UNIQUELY (case-insensitive) in the view
         schema — when both join sides carry `col`, the stripped ref
         would be ambiguous (Spark raises; we decline up front);
@@ -1912,6 +1960,7 @@ def _strip_tail_qualifiers(
         counts[c.lower()] = counts.get(c.lower(), 0) + 1
     structs = {c.lower() for c in struct_cols}
     out: list[str] = []
+    stripped: set[str] = set()
     pos = 0
     for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_*]\w*)", masked):
         qual, col = m.group(1), m.group(2)
@@ -1927,9 +1976,10 @@ def _strip_tail_qualifiers(
             return None
         out.append(text[pos : m.start()])
         out.append(text[m.start(2) : m.end()])
+        stripped.add(col.lower())
         pos = m.end()
     out.append(text[pos:])
-    return "".join(out)
+    return "".join(out), stripped
 
 
 def _strip_clause_qualifiers(
@@ -1939,20 +1989,37 @@ def _strip_clause_qualifiers(
 ) -> bool:
     """Apply _strip_tail_qualifiers in place to the outer-tail clauses
     that contain dotted refs. `schema_info` is (column_names,
-    struct_column_names) of the collapsed subtree, or None when it
-    could not be analyzed. True = every ref stripped safely (or none
+    dot_accessible_column_names) of the collapsed subtree, or None when
+    it could not be analyzed. True = every ref stripped safely (or none
     present); False = some ref is out of scope and the caller must keep
-    the original query."""
+    the original query.
+
+    ORDER BY / HAVING alias safety (round-12 ADVICE): Spark resolves
+    those clauses against the select-list OUTPUT first, so stripping
+    `t.x` to bare `x` when the select list carries `... AS x` over a
+    DIFFERENT expression would silently rebind the sort/filter to the
+    alias (`SELECT t.y AS x ... ORDER BY t.x` sorts by t.y once
+    stripped) — the rebuilt query still analyzes, so the dry-run guard
+    cannot catch it. Decline whenever a name stripped in oby/having
+    collides with an explicit select alias whose expression is not that
+    same (possibly qualified) column."""
     for name in clauses:
         part = parts.get(name)
         if not part or not _DOTTED_REF.search(_mask_literals(part)):
             continue
         if schema_info is None:
             return False
-        stripped = _strip_tail_qualifiers(part, *schema_info)
-        if stripped is None:
+        result = _strip_tail_qualifiers(part, *schema_info)
+        if result is None:
             return False
-        parts[name] = stripped
+        new_text, names = result
+        if name in ("oby", "having") and names:
+            aliases = _select_alias_map(parts.get("sel") or "")
+            for col in names:
+                expr = aliases.get(col)
+                if expr is not None and _ref_base(expr) != col:
+                    return False
+        parts[name] = new_text
     return True
 
 
@@ -3047,17 +3114,11 @@ class HurricaneSQL:
             "having": seg("having"),
             "oby": seg("oby"),
         }
-        from pyspark.sql import types as _T
-
         if not _strip_clause_qualifiers(
             parts,
             (
                 [f.name for f in vdf.schema.fields],
-                [
-                    f.name
-                    for f in vdf.schema.fields
-                    if isinstance(f.dataType, _T.StructType)
-                ],
+                _dot_accessible_cols(vdf.schema.fields),
             ),
         ):
             drop()
@@ -4090,23 +4151,17 @@ class HurricaneSQL:
         def _analyze_cols(
             view_sql: str,
         ) -> tuple[list[str], list[str]] | None:
-            """(column names, struct-typed column names) of a SELECT
-            (analyzer only, nothing executes) — the qualifier-strip
-            callback for the bounded restructures. None = unresolvable,
-            caller declines."""
-            from pyspark.sql import types as _T
-
+            """(column names, dot-accessible column names — struct/map/
+            array-of-struct) of a SELECT (analyzer only, nothing
+            executes) — the qualifier-strip callback for the bounded
+            restructures. None = unresolvable, caller declines."""
             try:
                 fields = self.spark.sql(
                     rewrite_functions(view_sql)
                 ).schema.fields
                 return (
                     [f.name for f in fields],
-                    [
-                        f.name
-                        for f in fields
-                        if isinstance(f.dataType, _T.StructType)
-                    ],
+                    _dot_accessible_cols(fields),
                 )
             except Exception:  # noqa: BLE001 — unresolvable subtree
                 return None

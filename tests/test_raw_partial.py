@@ -391,6 +391,77 @@ def test_qualified_ref_strip_safety_fallbacks(hdb, spark):  # noqa: F811
         assert got2[band] == build_qdigest(vals).hex()
 
 
+def test_map_dot_access_qualifier_declines(hdb, spark):  # noqa: F811
+    """Round-12 ADVICE (medium): Spark resolves dot syntax on MapType
+    (`m.key` -> GetMapValue) too, not only on structs. A ref like
+    `m.score` where `m` is a map column and `score` is a unique
+    top-level column must NOT strip to bare `score` — that would
+    silently rebind a map lookup to a different column AND the dry-run
+    analysis would pass (both spellings analyze). The strip now treats
+    map / array-of-struct columns as dot-accessible and declines."""
+    hdb.register(
+        "rp_map",
+        spark.sql(
+            "SELECT g, v, map('score', CASE WHEN v < 50000 THEN 0 ELSE 1 "
+            "END) AS m, 9 AS score FROM rp_t"
+        ),
+    )
+    df = hdb.sql(
+        "SELECT m.score AS band, percentileRawEst(v, 50) AS qd "
+        "FROM (SELECT * FROM rp_map) GROUP BY m.score",
+        default_limit=None,
+    )
+    # declined -> single-phase fallback, but semantics preserved
+    assert "ArrowAggregatePython" in _plan(df)
+    got = {r["band"]: r["qd"] for r in df.collect()}
+    # the map value (0/1), NOT the constant top-level score (9)
+    assert set(got) == {0, 1}
+    rows = spark.table("rp_map").select(
+        F.col("m")["score"].alias("band"), "v"
+    ).collect()
+    for band in (0, 1):
+        vals = [
+            int(r["v"])
+            for r in rows
+            if r["band"] == band and r["v"] is not None
+        ]
+        assert got[band] == build_qdigest(vals).hex()
+
+
+def test_order_by_alias_rebind_declines(hdb, spark):  # noqa: F811
+    """Round-12 ADVICE (medium): ORDER BY resolves against select-list
+    ALIASES first. `SELECT d.fam AS g ... ORDER BY t.g` sorts by the
+    input column t.g — but stripped to `ORDER BY g` it would sort by
+    the alias (= fam), silently reordering rows (and changing them
+    under LIMIT) while still analyzing fine. The strip now declines
+    when a name stripped in ORDER BY / HAVING collides with a select
+    alias over a different expression."""
+    hdb.register("rp_dim3", spark.createDataFrame(
+        [("a", "z"), ("b", "m"), ("c", "a")], "gk string, fam string"
+    ))
+    df = hdb.sql(
+        "SELECT d.fam AS g, percentileRawEst(t.v, 50) AS qd "
+        "FROM rp_t t JOIN rp_dim3 d ON t.g = d.gk "
+        "GROUP BY d.fam, t.g ORDER BY t.g",
+        default_limit=None,
+    )
+    assert "ArrowAggregatePython" in _plan(df)  # declined, single-phase
+    # row order follows t.g (a,b,c) -> fam sequence z,m,a; the rebind
+    # would have produced fam order a,m,z
+    assert [r["g"] for r in df.collect()] == ["z", "m", "a"]
+    # positive control: an alias over the SAME column keeps the
+    # restructure (no false declines for the common spelling)
+    df2 = hdb.sql(
+        "SELECT t.g AS g, percentileRawEst(t.v, 50) AS qd "
+        "FROM rp_t t JOIN rp_dim3 d ON t.g = d.gk "
+        "GROUP BY t.g ORDER BY t.g",
+        default_limit=None,
+    )
+    plan2 = _plan(df2)
+    assert "MapInPandas" in plan2 and "ArrowAggregatePython" not in plan2
+    assert [r["g"] for r in df2.collect()] == ["a", "b", "c"]
+
+
 def test_set_operations_fall_back(hdb, spark):  # noqa: F811
     """Set operations keep the single-phase grouped-agg — still
     correct, documented bound."""
