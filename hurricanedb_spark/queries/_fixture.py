@@ -39,7 +39,10 @@ _PROBE = 65536
 # corrected the theta murmur3 constant/seed-hash/compact preamble and
 # the clearspring offer path — sketch blobs inside pre-r12 stores are
 # in the old hash space and must not be unioned with fresh builds.
-_FORMAT_EPOCH = "sketch-wire-r12"
+# r13: .bloom index buffers gained the reference's 8-byte TYPE/VERSION
+# envelope and guava-exact sizing — pre-r13 bloom blobs fail the new
+# reader's envelope check, so stores rebuild once.
+_FORMAT_EPOCH = "segment-wire-r13"
 
 
 def _fingerprint(sf_dir: str) -> str:

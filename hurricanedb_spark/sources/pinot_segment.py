@@ -155,9 +155,21 @@ _ROARING_NO_OFFSET_THRESHOLD = 4  # with-run streams omit offsets below this
 
 
 def roaring_serialize(values) -> bytes:
-    """Sorted distinct uint32 values -> portable RoaringBitmap bytes
-    (no-run cookie 12346: header, key/cardinality pairs, offsets, then
-    array containers <=4096 values / bitmap containers above)."""
+    """Sorted distinct uint32 values -> portable RoaringBitmap bytes,
+    byte-identical to what the reference writes (round-13, pinned by
+    the real-jar golden against RoaringBitmap-1.3.0): the reference
+    builds bitmaps through RoaringBitmapWriter.writer() whose default
+    runCompress flushes every container through runOptimize()
+    (OnHeapBitmapInvertedIndexCreator.java:41-45), so dense data
+    serializes RUN containers under cookie 12347 — the previous
+    no-run-only writer was readable by the real library but not
+    byte-identical to the reference's files. Per-container runOptimize
+    rule (RoaringBitmap Array/BitmapContainer.runOptimize): convert to
+    a run container iff its serialized size 2 + 4*numRuns is strictly
+    smaller than the current form's (2*cardinality for arrays, 8192
+    for bitmaps). With-run streams write the run-flag bitset after the
+    cookie and omit the offset table below 4 containers
+    (NO_OFFSET_THRESHOLD)."""
     import numpy as np
 
     vals = np.unique(np.asarray(list(values), dtype=np.uint32))
@@ -165,25 +177,52 @@ def roaring_serialize(values) -> bytes:
     lows_all = (vals & np.uint32(0xFFFF)).astype(np.uint16)
     keys = np.unique(keys_all)
     size = len(keys)
-    header = struct.pack("<ii", _ROARING_COOKIE_NO_RUN, size)
-    desc, containers = [], []
+    desc, containers, run_flags = [], [], []
     for k in keys:
-        lows = lows_all[keys_all == k]
-        desc.append(struct.pack("<HH", int(k), len(lows) - 1))
-        if len(lows) <= 4096:
+        lows = lows_all[keys_all == k].astype(np.uint32)
+        card = len(lows)
+        desc.append(struct.pack("<HH", int(k), card - 1))
+        # run boundaries: starts where the gap to the previous value > 1
+        gaps = np.flatnonzero(np.diff(lows) > 1)
+        num_runs = 1 + len(gaps) if card else 0
+        run_size = 2 + 4 * num_runs
+        current_size = 2 * card if card <= 4096 else 8192
+        if run_size < current_size:
+            starts = np.concatenate(([0], gaps + 1))
+            ends = np.concatenate((gaps, [card - 1]))
+            runs = np.empty(2 * num_runs, dtype="<u2")
+            runs[0::2] = lows[starts]
+            runs[1::2] = lows[ends] - lows[starts]  # stored as length-1
+            containers.append(struct.pack("<H", num_runs) + runs.tobytes())
+            run_flags.append(1)
+        elif card <= 4096:
             containers.append(lows.astype("<u2").tobytes())
+            run_flags.append(0)
         else:
             bitmap = np.zeros(1024, dtype="<u8")
-            idx = lows.astype(np.uint32)
             np.bitwise_or.at(
-                bitmap, idx >> np.uint32(6), np.uint64(1) << (idx & np.uint32(63)).astype(np.uint64)
+                bitmap,
+                lows >> np.uint32(6),
+                np.uint64(1) << (lows & np.uint32(63)).astype(np.uint64),
             )
             containers.append(bitmap.tobytes())
-    offset_pos = len(header) + 4 * size + 4 * size  # after desc + offsets
+            run_flags.append(0)
+    if any(run_flags):
+        header = struct.pack(
+            "<i", _ROARING_COOKIE_RUN | ((size - 1) << 16)
+        ) + np.packbits(
+            np.asarray(run_flags, dtype=np.uint8), bitorder="little"
+        ).tobytes()
+        has_offsets = size >= _ROARING_NO_OFFSET_THRESHOLD
+    else:
+        header = struct.pack("<ii", _ROARING_COOKIE_NO_RUN, size)
+        has_offsets = True
+    offset_pos = len(header) + 4 * size + (4 * size if has_offsets else 0)
     offsets, pos = [], offset_pos
-    for c in containers:
-        offsets.append(struct.pack("<i", pos))
-        pos += len(c)
+    if has_offsets:
+        for c in containers:
+            offsets.append(struct.pack("<i", pos))
+            pos += len(c)
     return header + b"".join(desc) + b"".join(offsets) + b"".join(containers)
 
 
@@ -648,7 +687,11 @@ def _compress_chunk(data: bytes, compression: str) -> bytes:
     if compression == "SNAPPY":
         return bytes(pa.Codec("snappy").compress(data))
     if compression == "ZSTANDARD":
-        return bytes(pa.Codec("zstd").compress(data))
+        # level 3 = zstd-jni's default, the reference's Zstd.compress
+        # call (ZstandardCompressor.java:42); pyarrow's default is 1 —
+        # with 3 the frames are byte-identical to the real jar
+        # (reallib_segment_golden fixture), not merely cross-readable
+        return bytes(pa.Codec("zstd", compression_level=3).compress(data))
     if compression in ("LZ4", "LZ4_LENGTH_PREFIXED"):
         block = bytes(pa.Codec("lz4_raw").compress(data))
         if compression == "LZ4_LENGTH_PREFIXED":
@@ -1151,14 +1194,22 @@ def range_index_candidates(meta: SegmentMeta, psf: bytes, col: str, lo, hi):
 
 
 # ---------------------------------------------------------------------------
-# guava-compatible bloom filter (BaseGuavaBloomFilterReader.java:34-40
-# layout: byte strategyOrdinal=1 | byte numHashFunctions | int numLongs |
-# numLongs big-endian longs; OnHeapGuavaBloomFilterReader.java:41-53
-# membership: murmur3-128 of the UTF-8 value, hash1/hash2 = little-endian
-# longs of the digest halves, k probes at (hash1 + i*hash2) % numBits with
-# bits stored LSB-first within each long)
+# guava-compatible bloom filter. On-disk buffer layout (round-13: the
+# index buffer carries Pinot's OWN 8-byte envelope BEFORE the guava
+# bytes — BloomFilterReaderFactory.java:31-41 reads int typeValue=1,
+# int versionValue=1 at offsets 0/4 and views the rest; the previous
+# header-less form would fail the reference's type check and real
+# migrated segments failed ours):
+#   int TYPE_VALUE=1 | int VERSION=1        (OnHeapGuavaBloomFilterCreator.java:45-46,76-78)
+#   byte strategyOrdinal=1 | byte numHashFunctions | int numLongs |
+#   numLongs big-endian longs               (guava BloomFilter.writeTo;
+#                                            BaseGuavaBloomFilterReader.java:31-52)
+# membership: murmur3-128 of the UTF-8 value, hash1/hash2 =
+# little-endian longs of the digest halves, k probes at
+# (hash1 + i*hash2) & Long.MAX_VALUE % numBits, bits LSB-first per long.
 
 _LONG_MASK = (1 << 64) - 1
+_BLOOM_ENVELOPE = struct.pack(">ii", 1, 1)  # TYPE_VALUE, VERSION
 
 
 def _bloom_hashes(value: str) -> tuple[int, int]:
@@ -1168,19 +1219,29 @@ def _bloom_hashes(value: str) -> tuple[int, int]:
 
 
 def _bloom_sizing(n: int, fpp: float) -> tuple[int, int]:
-    """Guava BloomFilter.optimalNumOfBits / optimalNumOfHashFunctions."""
+    """Guava BloomFilter.create sizing, bit-exact (round-13, pinned by
+    the real-jar golden): optimalNumOfBits truncates toward zero and is
+    NOT floored at one long — the long count rounds up only at array
+    allocation — and optimalNumOfHashFunctions uses the PRE-rounding
+    bit count with Java's ties-toward-+inf Math.round (the old version
+    floored bits at 64 first, giving e.g. k=44 instead of guava's k=4
+    at n=1, fpp=0.05 — readable both ways but not byte-identical)."""
     import math
 
+    from hurricanedb_spark.operators.clearspring_hll import _java_round
+
     n = max(n, 1)
-    bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
-    num_longs = (bits + 63) // 64
-    bits = num_longs * 64
-    k = max(1, round(bits / n * math.log(2)))
+    if fpp == 0.0:
+        fpp = 4.9e-324  # guava substitutes Double.MIN_VALUE
+    bits = int(-n * math.log(fpp) / (math.log(2) ** 2))  # toward zero
+    num_longs = max(1, (bits + 63) // 64)
+    k = max(1, _java_round(bits / n * math.log(2)))
     return num_longs, min(k, 255)
 
 
 def bloom_serialize(values, fpp: float = 0.05) -> bytes:
-    """Build guava-format bloom filter bytes over stringified values."""
+    """Build the reference's .bloom index bytes (8-byte Pinot envelope +
+    guava-format filter) over stringified values."""
     import numpy as np
 
     vals = list(values)
@@ -1195,13 +1256,20 @@ def bloom_serialize(values, fpp: float = 0.05) -> bytes:
             data[bit >> 6] |= np.uint64(1 << (bit & 63))
             combined = (combined + h2) & _LONG_MASK
     return (
-        struct.pack(">BBi", 1, k, num_longs)
+        _BLOOM_ENVELOPE
+        + struct.pack(">BBi", 1, k, num_longs)
         + data.byteswap().tobytes()  # big-endian longs
     )
 
 
 def bloom_might_contain(buf: bytes, value: str) -> bool:
-    strategy, k, num_longs = struct.unpack_from(">BBi", buf, 0)
+    type_value, version = struct.unpack_from(">ii", buf, 0)
+    if (type_value, version) != (1, 1):
+        raise UnsupportedSegmentError(
+            f"bloom filter type/version {(type_value, version)} "
+            "(expected guava on-heap v1)"
+        )
+    strategy, k, num_longs = struct.unpack_from(">BBi", buf, 8)
     if strategy != 1:
         raise UnsupportedSegmentError(f"bloom strategy ordinal {strategy}")
     num_bits = num_longs * 64
@@ -1209,7 +1277,7 @@ def bloom_might_contain(buf: bytes, value: str) -> bool:
     combined = h1
     for _ in range(k):
         bit = (combined & (1 << 63) - 1) % num_bits
-        (word,) = struct.unpack_from(">Q", buf, 6 + 8 * (bit >> 6))
+        (word,) = struct.unpack_from(">Q", buf, 14 + 8 * (bit >> 6))
         if not word & (1 << (bit & 63)):
             return False
         combined = (combined + h2) & _LONG_MASK

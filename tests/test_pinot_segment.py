@@ -167,16 +167,22 @@ def test_missing_column(tmp_path):
 
 
 def test_roaring_round_trip_array_and_bitmap_containers():
-    # array container (sparse), bitmap container (dense, card > 4096),
-    # and a second 16-bit key space
+    # dense low key -> RUN container under the reference's runOptimize
+    # rule (round-13: the writer matches RoaringBitmapWriter's
+    # runCompress flush, so the dense range serializes as one run and
+    # the stream carries the with-run cookie); key-1 stays array
     vals = (
-        list(range(0, 5000))  # dense low key -> bitmap container
+        list(range(0, 5000))
         + [70000, 70002, 99999]  # key 1 -> array container
     )
     data = ps.roaring_serialize(vals)
-    assert struct.unpack_from("<i", data, 0)[0] == 12346  # no-run cookie
+    cookie = struct.unpack_from("<i", data, 0)[0]
+    assert cookie & 0xFFFF == 12347 and (cookie >> 16) + 1 == 2
     back = ps.roaring_deserialize(data)
     assert sorted(back.tolist()) == sorted(vals)
+    # genuinely run-free data keeps the no-run cookie
+    sparse = ps.roaring_serialize([1, 5, 7, 100, 65535])
+    assert struct.unpack_from("<i", sparse, 0)[0] == 12346
 
 
 def test_roaring_run_container_decode():
@@ -625,10 +631,14 @@ def test_bloom_filter_layout_and_membership(tmp_path):
     with open(f"{meta.segment_dir}/columns.psf", "rb") as f:
         psf = f.read()
     buf = ps._index_buffer(meta, psf, "name", "bloom_filter")
-    # guava reader header: strategy ordinal 1, k, numLongs
-    strategy, k, num_longs = struct.unpack_from(">BBi", buf, 0)
+    # Pinot envelope (BloomFilterReaderFactory.java:31-41): int
+    # TYPE_VALUE=1, int VERSION=1, then the guava reader header:
+    # strategy ordinal 1, k, numLongs
+    type_value, version = struct.unpack_from(">ii", buf, 0)
+    assert (type_value, version) == (1, 1)
+    strategy, k, num_longs = struct.unpack_from(">BBi", buf, 8)
     assert strategy == 1 and k >= 1 and num_longs >= 1
-    assert len(buf) == 6 + 8 * num_longs
+    assert len(buf) == 8 + 6 + 8 * num_longs
     # no false negatives
     for i in range(300):
         assert ps.bloom_might_contain(buf, f"user-{i}")
