@@ -94,10 +94,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # promoted r11 — round 10's headline scale fix gains driver-hard
     # signal: deterministic LSH over a corpus with constructed near-dup
     # pairs, exact-oracle because the re-rank is the exact quantized
-    # cosine and recall at the adaptive operating point is 1.0)
-    "q_embedding_neardup",
+    # cosine and recall at the adaptive operating point is 1.0).
+    # r13 rotation (r12 verdict #3): q_ann_lsh_topk_oracle promoted —
+    # the full ann_topk path (adaptive bits, multi-probe, hot-bucket
+    # cap) under a constructed-corpus exact oracle; the ANN family's
+    # window row was only the brute-force baseline. q_embedding_neardup
+    # (the guarded exact baseline) rotated out — its scale path
+    # q_embedding_neardup_lsh stays in-window; still green in the full
+    # local gate.
     "q_embedding_neardup_lsh",
     "q_ann_bruteforce_topk",
+    "q_ann_lsh_topk_oracle",
     "q_contamination_ngram",
     # sketches (q_theta_sketch_distinct rotated out r11 — the theta
     # family keeps three driver rows: filtered_sql, many_filters, and

@@ -1867,3 +1867,99 @@ def test_hll_over_bytes_column_merges_sketches(hdb, spark):
         "SELECT hll_sketch_estimate(X'" + raw + "') AS e"
     ).collect()[0]["e"]
     assert abs(est - 300) / 300 < 0.05
+
+
+def test_theta_above_cap_estimate_optin_bounded(hdb):
+    """Round-13 (r12 'what's wrong' #1): OPTION(thetaEstimate=true)
+    routes the >6-sketch filtered ESTIMATE form through the bounded
+    mergeable theta_ds sketches (one O(nominalEntries) sketch per
+    referenced filter, set ops folded post-aggregation, rounded
+    estimate out — the reference's actual always-estimate semantics,
+    DistinctCountThetaSketchAggregationFunction.java:60-151) instead of
+    the O(ndv)-per-group collect_set algebra. Default stays exact."""
+    hdb.spark.createDataFrame(
+        [(i,) for i in range(100)], "v int"
+    ).createOrReplaceTempView("theta_cap_opt_t")
+    filters = [f"v % {p} = 0" for p in (2, 3, 5, 7, 11, 13, 17)]
+    expr = "SET_UNION(" + ", ".join(f"${i}" for i in range(1, 8)) + ")"
+    q = (
+        "SELECT distinctCountThetaSketch(v, 'nominalEntries=65536', "
+        + ", ".join(f"'{f}'" for f in filters)
+        + f", '{expr}') AS x FROM theta_cap_opt_t"
+    )
+    want = len({
+        i for i in range(100)
+        if any(i % p == 0 for p in (2, 3, 5, 7, 11, 13, 17))
+    })
+    # opt-in: sketch path (no collect_set anywhere in the plan), and at
+    # NDV far below nominalEntries the theta estimate is exact
+    df = hdb.sql(f"SET thetaEstimate=true; {q}", default_limit=None)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_set" not in plan
+    assert df.collect()[0]["x"] == want
+    # trailing OPTION(...) spelling reaches the same path
+    df_opt = hdb.sql(
+        f"{q} OPTION(thetaEstimate=true)", default_limit=None
+    )
+    assert df_opt.collect()[0]["x"] == want
+    # default (no option): exact collect_set fallback, same number here
+    df2 = hdb.sql(q, default_limit=None)
+    plan2 = df2._sc._jvm.PythonSQLUtils.explainString(
+        df2._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_set" in plan2
+    assert df2.collect()[0]["x"] == want
+    # the option must not leak into subsequent queries
+    df3 = hdb.sql(q, default_limit=None)
+    plan3 = df3._sc._jvm.PythonSQLUtils.explainString(
+        df3._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_set" in plan3
+
+
+def test_mv_exact_distinct_explode_restructure(hdb, spark):
+    """Round-13 (r12 'what's wrong' #2): the EXACT MV distinct macros
+    (distinctCountMV / distinctCountBitmapMV / distinctSumMV /
+    distinctAvgMV) restructure to explode + count/sum/avg(DISTINCT) —
+    shuffle-bound (Spark's Expand-based distinct agg) instead of
+    collect_set array state per group — with values identical to the
+    macro and the macro's empty-group defaults (0 / 0.0 / NaN)."""
+    import math
+
+    from hurricanedb_spark.sql.dialect import rewrite_functions
+
+    q = (
+        "SELECT label, distinctCountMV(embedding) AS dc, "
+        "distinctCountBitmapMV(embedding) AS dcb, "
+        "distinctSumMV(embedding) AS ds, "
+        "distinctAvgMV(embedding) AS da "
+        "FROM embeddings GROUP BY label ORDER BY label"
+    )
+    df = hdb.sql(q, default_limit=None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    rows = df.collect()
+    # ground truth: the exact macro, expanded directly (no restructure)
+    exact = spark.sql(rewrite_functions(q)).collect()
+    assert len(rows) == len(exact) > 0
+    for a, b in zip(rows, exact):
+        assert (a.label, a.dc, a.dcb) == (b.label, b.dc, b.dcb)
+        assert abs(a.ds - b.ds) < 1e-6 and abs(a.da - b.da) < 1e-9
+    # schema parity with the macro (the gate is dtype-strict)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        f.dataType.simpleString()
+        for f in spark.sql(rewrite_functions(q)).schema.fields
+    ]
+    # all-empty-array group: macro defaults 0 / 0.0 / NaN
+    hdb.register(
+        "mv_empty_t",
+        spark.sql("SELECT 'g' AS g, array() AS arr"),
+    )
+    r = hdb.sql(
+        "SELECT g, distinctCountMV(arr) AS dc, distinctSumMV(arr) AS ds, "
+        "distinctAvgMV(arr) AS da FROM mv_empty_t GROUP BY g",
+        default_limit=None,
+    ).collect()[0]
+    assert r.dc == 0 and r.ds == 0.0 and math.isnan(r.da)

@@ -134,3 +134,41 @@ def test_qualified_vs_unqualified_spellings_agree(qf):
             assert "collect_list" not in pu.lower()
             assert "collect_list" not in pq.lower(), (i, qualified)
     assert checked_markers >= 8  # the digest forms actually sampled
+
+
+def test_ambiguous_join_columns_restructure_via_projection(qf, spark):
+    """Round-13 (r12 verdict #2 done-criterion): a qualified ref whose
+    bare name exists on BOTH join sides — the strip's hard decline case
+    — restructures through alias PROJECTION with the same plan class as
+    the unambiguous spelling, and identical rows. The decoy `v` on the
+    dim side carries different values, so a mis-bound projection would
+    change the digests, not only the plan."""
+    qf.register(
+        "qf_amb",
+        spark.sql(
+            "SELECT gk, fam, 42 AS v FROM qf_dim"  # decoy v on dim side
+        ),
+    )
+    rng = random.Random(1309)
+    checked = 0
+    for agg, marker in AGGS:
+        if marker != "MapInPandas":
+            continue  # mode/MV keep their own rewrite paths
+        call = agg.format(q="t.")
+        ambiguous = (
+            f"SELECT t.g, {call} AS a0 FROM qf_t t "
+            "JOIN qf_amb d ON t.g = d.gk GROUP BY t.g ORDER BY t.g"
+        )
+        baseline = (
+            f"SELECT g, {agg.format(q='')} AS a0 FROM qf_t t "
+            "JOIN (SELECT gk FROM qf_amb) d ON t.g = d.gk "
+            "GROUP BY g ORDER BY g"
+        )
+        dq = qf.sql(ambiguous, default_limit=None)
+        du = qf.sql(baseline, default_limit=None)
+        pq, pu = _plan(dq), _plan(du)
+        assert "MapInPandas" in pu and "ArrowAggregatePython" not in pu
+        assert "MapInPandas" in pq and "ArrowAggregatePython" not in pq, agg
+        assert _rows(dq) == _rows(du), agg
+        checked += 1
+    assert checked == 4

@@ -344,28 +344,34 @@ def test_qualified_refs_restructure_two_phase(hdb, spark):  # noqa: F811
 
 
 def test_qualified_ref_strip_safety_fallbacks(hdb, spark):  # noqa: F811
-    """The qualifier strip must decline (single-phase, still correct)
-    when stripping could change semantics: a dotted ref whose bare name
-    appears on BOTH join sides (ambiguous after collapse), and a STRUCT
-    field access `s.field` (the qualifier is itself a view column)."""
+    """The strip's decline cases — a dotted ref whose bare name appears
+    on BOTH join sides (ambiguous after collapse) and STRUCT field
+    access `s.field` (the qualifier is itself a view column) — must
+    still produce correct results. Round-13 (r12 verdict #2): they now
+    restructure TWO-PHASE via alias projection (the ref is projected
+    into the subtree view under a generated alias, resolved in the
+    original FROM scope where its binding is unambiguous), instead of
+    falling back to the single-phase grouped agg."""
     hdb.register("rp_amb", spark.createDataFrame(
         [("a", 1), ("b", 2), ("c", 3)], "g string, v bigint"
     ))
-    # rp_t.v vs rp_amb.v: 'v' lands twice in SELECT * over the join
+    # rp_t.v vs rp_amb.v: 'v' lands twice in SELECT * over the join —
+    # stripping would be ambiguous; projection binds by relation alias
     df = hdb.sql(
         "SELECT rp_amb.g, percentileRawEst(rp_t.v, 50) AS qd FROM rp_t "
         "JOIN rp_amb ON rp_t.g = rp_amb.g GROUP BY rp_amb.g",
         default_limit=None,
     )
     plan = _plan(df)
-    assert "ArrowAggregatePython" in plan and "MapInPandas" not in plan
+    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
     rows = spark.table("rp_t").select("g", "v").collect()
     got = {r["g"]: r["qd"] for r in df.collect()}
     for key in ("a", "b", "c"):
         vals = [int(r["v"]) for r in rows if r["g"] == key and r["v"] is not None]
         assert got[key] == build_qdigest(vals).hex()
-    # struct field access: `s.band` must NOT strip to the same-named
-    # top-level column `band` (different values by construction)
+    # struct field access: `s.band` must bind to the struct FIELD, not
+    # the same-named top-level column `band` (different values by
+    # construction) — the projection preserves that binding
     hdb.register(
         "rp_struct",
         spark.sql(
@@ -379,7 +385,8 @@ def test_qualified_ref_strip_safety_fallbacks(hdb, spark):  # noqa: F811
         "FROM (SELECT * FROM rp_struct) GROUP BY s.band",
         default_limit=None,
     )
-    assert "ArrowAggregatePython" in _plan(df2)
+    plan2 = _plan(df2)
+    assert "MapInPandas" in plan2 and "ArrowAggregatePython" not in plan2
     got2 = {r["band"]: r["qd"] for r in df2.collect()}
     rows2 = spark.table("rp_struct").select("s.band", "v").collect()
     for band in ("lo", "hi"):
@@ -389,6 +396,16 @@ def test_qualified_ref_strip_safety_fallbacks(hdb, spark):  # noqa: F811
             if r["band"] == band and r["v"] is not None
         ]
         assert got2[band] == build_qdigest(vals).hex()
+    # a qualified STAR stays out of scope: single-phase, still correct
+    df3 = hdb.sql(
+        "SELECT rp_amb.g, percentileRawEst(rp_t.v, 50) AS qd FROM rp_t "
+        "JOIN rp_amb ON rp_t.g = rp_amb.g GROUP BY rp_amb.g "
+        "ORDER BY rp_amb.g",
+        default_limit=None,
+    )
+    assert "MapInPandas" in _plan(df3)  # chains restructure with ORDER BY too
+    got3 = [r["qd"] for r in df3.collect()]
+    assert got3 == [got["a"], got["b"], got["c"]]
 
 
 def test_map_dot_access_qualifier_declines(hdb, spark):  # noqa: F811
@@ -397,8 +414,10 @@ def test_map_dot_access_qualifier_declines(hdb, spark):  # noqa: F811
     `m.score` where `m` is a map column and `score` is a unique
     top-level column must NOT strip to bare `score` — that would
     silently rebind a map lookup to a different column AND the dry-run
-    analysis would pass (both spellings analyze). The strip now treats
-    map / array-of-struct columns as dot-accessible and declines."""
+    analysis would pass (both spellings analyze). The strip treats
+    map / array-of-struct columns as dot-accessible and declines;
+    round-13's alias projection then restructures the query anyway,
+    binding `m.score` in the original scope (the map lookup)."""
     hdb.register(
         "rp_map",
         spark.sql(
@@ -411,8 +430,9 @@ def test_map_dot_access_qualifier_declines(hdb, spark):  # noqa: F811
         "FROM (SELECT * FROM rp_map) GROUP BY m.score",
         default_limit=None,
     )
-    # declined -> single-phase fallback, but semantics preserved
-    assert "ArrowAggregatePython" in _plan(df)
+    # projected -> two-phase, with the MAP binding preserved
+    plan = _plan(df)
+    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
     got = {r["band"]: r["qd"] for r in df.collect()}
     # the map value (0/1), NOT the constant top-level score (9)
     assert set(got) == {0, 1}
@@ -433,9 +453,11 @@ def test_order_by_alias_rebind_declines(hdb, spark):  # noqa: F811
     ALIASES first. `SELECT d.fam AS g ... ORDER BY t.g` sorts by the
     input column t.g — but stripped to `ORDER BY g` it would sort by
     the alias (= fam), silently reordering rows (and changing them
-    under LIMIT) while still analyzing fine. The strip now declines
-    when a name stripped in ORDER BY / HAVING collides with a select
-    alias over a different expression."""
+    under LIMIT) while still analyzing fine. The strip declines on
+    such alias collisions; round-13's alias projection restructures
+    instead, with the ORDER BY bound to the projected input column —
+    the sort order is the proof (the generated __q aliases can never
+    collide with user select aliases)."""
     hdb.register("rp_dim3", spark.createDataFrame(
         [("a", "z"), ("b", "m"), ("c", "a")], "gk string, fam string"
     ))
@@ -445,7 +467,8 @@ def test_order_by_alias_rebind_declines(hdb, spark):  # noqa: F811
         "GROUP BY d.fam, t.g ORDER BY t.g",
         default_limit=None,
     )
-    assert "ArrowAggregatePython" in _plan(df)  # declined, single-phase
+    plan = _plan(df)
+    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
     # row order follows t.g (a,b,c) -> fam sequence z,m,a; the rebind
     # would have produced fam order a,m,z
     assert [r["g"] for r in df.collect()] == ["z", "m", "a"]
