@@ -197,6 +197,49 @@ def q_theta_sketch_many_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_theta_many_filters_estimate",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT CASE WHEN o_orderpriority IN
+             ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+             OR o_orderstatus = 'F' OR o_totalprice > 100000
+             THEN o_custkey END) AS BIGINT) AS dc_union7
+    FROM orders
+    """,
+    doc="Round-13: the >6-sketch filtered theta ESTIMATE form under "
+    "OPTION(thetaEstimate=true) — routes through the bounded mergeable "
+    "theta_ds sketches (one O(nominalEntries) sketch per referenced "
+    "filter, set ops folded post-aggregation, rounded estimate out; "
+    "the reference's always-estimate semantics, "
+    "DistinctCountThetaSketchAggregationFunction.java:60-151) instead "
+    "of the O(ndv)-per-group collect_set algebra. The oracle is EXACT "
+    "because NDV(o_custkey) at every audit SF stays far below "
+    "nominalEntries=262144, so the sketch never enters estimation "
+    "mode — the same exactness argument as q_sketch_bytes_join_union.",
+    tags=("dialect", "aggregation", "sketch", "setops"),
+)
+def q_theta_many_filters_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _hdb(spark, sf_dir).sql(
+        """
+        SELECT distinctCountThetaSketch(o_custkey,
+                 'nominalEntries=262144',
+                 'o_orderpriority = ''1-URGENT''',
+                 'o_orderpriority = ''2-HIGH''',
+                 'o_orderpriority = ''3-MEDIUM''',
+                 'o_orderpriority = ''4-NOT SPECIFIED''',
+                 'o_orderpriority = ''5-LOW''',
+                 'o_orderstatus = ''F''',
+                 'o_totalprice > 100000',
+                 'SET_UNION($1, $2, $3, $4, $5, $6, $7)') AS dc_union7
+        FROM orders
+        OPTION(thetaEstimate=true)
+        """,
+        default_limit=None,
+    )
+
+
+@register(
     "q_raw_theta_filtered_sketch",
     oracle="""
     WITH per AS (

@@ -2205,8 +2205,18 @@ def rewrite_mv_percentile_bounded(sql: str, analyze=None) -> str:
         view_cols = analyze(
             (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
         )
+    src_proj = ""
     if not _strip_clause_qualifiers(parts, view_cols):
-        return sql
+        # round-13: the strip's decline cases restructure via alias
+        # PROJECTION into the source CTE (see _alias_project_refs) —
+        # the strip may have partially mutated parts; reset from spans
+        for n in ("sel", "gby", "having", "oby"):
+            s_, e_ = spans[n] if n in spans else (-1, -1)
+            parts[n] = src[s_:e_].strip() if s_ != -1 else None
+        proj = _alias_project_refs(parts, uuid.uuid4().hex[:8])
+        if not proj:
+            return sql
+        src_proj = ", " + ", ".join(proj)
     gby = _split_top(parts["gby"] or "")
     if any(g.isdigit() for g in gby):
         return sql  # ordinal keys aren't reconstructable in the CTE
@@ -2354,7 +2364,7 @@ def rewrite_mv_percentile_bounded(sql: str, analyze=None) -> str:
         return sql
 
     ctes = ([withp] if withp else []) + [
-        f"_mvsrc AS (SELECT * FROM {fromw})"
+        f"_mvsrc AS (SELECT *{src_proj} FROM {fromw})"
     ]
     joined = "_mvsrc"
     for j, (orig_col, plist) in enumerate(colinfo.values()):
@@ -2463,8 +2473,17 @@ def rewrite_mode_avg_bounded(sql: str, analyze=None) -> str:
         view_cols = analyze(
             (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
         )
+    src_proj = ""
     if not _strip_clause_qualifiers(parts, view_cols):
-        return sql
+        # round-13: alias-projection fallback, same as the MV rewrite —
+        # reset parts from spans first (the strip mutates on the way out)
+        for n in ("sel", "gby", "having", "oby"):
+            s_, e_ = spans[n] if n in spans else (-1, -1)
+            parts[n] = src[s_:e_].strip() if s_ != -1 else None
+        proj = _alias_project_refs(parts, uuid.uuid4().hex[:8])
+        if not proj:
+            return sql
+        src_proj = ", " + ", ".join(proj)
     gby = _split_top(parts["gby"] or "")
     if any(g.isdigit() for g in gby):
         return sql
@@ -2527,7 +2546,7 @@ def rewrite_mode_avg_bounded(sql: str, analyze=None) -> str:
         return "".join(out)
 
     ctes = ([withp] if withp else []) + [
-        f"_msrc AS (SELECT * FROM {fromw})"
+        f"_msrc AS (SELECT *{src_proj} FROM {fromw})"
     ]
     joined = "_msrc"
     for nk, j in order.items():
