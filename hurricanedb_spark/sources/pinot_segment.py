@@ -259,14 +259,22 @@ def roaring_deserialize(buf: bytes):
         if run_flags[i]:
             (n_runs,) = struct.unpack_from("<H", buf, pos)
             pos += 2
-            runs = struct.unpack_from(f"<{2 * n_runs}H", buf, pos)
+            runs = np.frombuffer(
+                buf, dtype="<u2", count=2 * n_runs, offset=pos
+            ).astype(np.uint32)
             pos += 4 * n_runs
-            lows = np.concatenate(
-                [
-                    np.arange(runs[2 * j], runs[2 * j] + runs[2 * j + 1] + 1, dtype=np.uint32)
-                    for j in range(n_runs)
-                ]
-            ) if n_runs else np.empty(0, dtype=np.uint32)
+            if n_runs:
+                # vectorized run expansion (round-13: the per-run
+                # np.arange loop was O(n_runs) python-level calls —
+                # measurable on many-run postings): value = start of
+                # its run + offset within the run
+                starts, counts = runs[0::2], runs[1::2] + np.uint32(1)
+                ends_cum = np.cumsum(counts, dtype=np.uint32)
+                idx = np.arange(int(ends_cum[-1]), dtype=np.uint32)
+                within = idx - np.repeat(ends_cum - counts, counts)
+                lows = np.repeat(starts, counts) + within
+            else:
+                lows = np.empty(0, dtype=np.uint32)
         elif card <= 4096:
             lows = np.frombuffer(buf, dtype="<u2", count=card, offset=pos).astype(
                 np.uint32
