@@ -547,6 +547,31 @@ def register_all(spark: SparkSession) -> None:
         return round(_d(raw).estimate())
 
     spark.udf.register("thetasketchestimate", _theta_estimate, "bigint")
+
+    # inidsetblob(col, 'base64-idset'): membership probe against a
+    # reference-wire IdSet literal (operators/idset_wire.py) — the
+    # fallback the dialect's inIdSet rewrite emits for BLOOM_FILTER
+    # IdSets (approximate by design, BloomFilterIdSet.java) and for
+    # exact sets too large to inline as an IN list. Arrow-batched; the
+    # literal decodes once per batch.
+    def _in_idset_blob(s, lit):
+        import base64 as _b64
+
+        import pandas as _pd
+
+        from hurricanedb_spark.operators.idset_wire import (
+            decode_idset as _dec,
+        )
+
+        ids = _dec(_b64.b64decode(lit.iloc[0]))
+        return s.map(
+            lambda v: False if v is None else ids.contains(v)
+        ).astype("boolean")
+
+    spark.udf.register(
+        "inidsetblob",
+        _F.pandas_udf(_in_idset_blob, "boolean"),
+    )
     # distinctCountRawHLL builder: the reference serializes the
     # CLEARSPRING HyperLogLog (CustomSerDeUtils.HYPER_LOG_LOG_SER_DE ->
     # HyperLogLog.getBytes), hashing each value's Java toString bytes

@@ -1,0 +1,325 @@
+"""Pinot IdSet wire format — byte-compatible encode/decode.
+
+The reference serializes ID_SET(...) aggregate results (and the
+IN_SUBQUERY protocol's shipped literals) as one of four structures
+behind a 1-byte type tag
+(pinot-core/.../query/utils/idset/IdSet.java:30-35 — ids are part of
+the wire contract):
+
+  0 EMPTY                   no payload (EmptyIdSet.java)
+  1 ROARING_BITMAP          portable RoaringBitmap bytes, built by plain
+                            adds — never run-optimized
+                            (RoaringBitmapIdSet.java:40-48)
+  2 ROARING_64_NAVIGABLE_MAP Roaring64NavigableMap legacy serialization:
+                            1-byte signed flag, big-endian key count,
+                            then per high-32 key: big-endian int key +
+                            portable RoaringBitmap of the low 32 bits
+                            (Roaring64NavigableMapIdSet.java:41-50)
+  3 BLOOM_FILTER            1-byte funnel tag (INT=0 LONG=1 STRING=2
+                            BYTES=3) + guava BloomFilter.writeTo bytes
+                            (BloomFilterIdSet.java:34-56,150-162)
+
+Type selection (IdSets.java:60-78): INT -> roaring, LONG -> roaring64,
+FLOAT/DOUBLE/STRING/BYTES -> bloom (floats/doubles enter the bloom by
+RAW BITS through the int/long funnels, BloomFilterIdSet.java:88-96);
+sizeThresholdInBytes <= 0 forces bloom, and an exact set whose
+serialized size exceeds the threshold converts to bloom
+(IdSets.java:96-137 merge/convert; defaults 8 MiB threshold, 5M
+expected insertions, fpp 0.03).
+
+Guava funnel byte encodings (what murmur3-128 actually hashes):
+integerFunnel = 4 bytes little-endian; longFunnel = 8 bytes LE;
+unencodedCharsFunnel = UTF-16LE code units; byteArrayFunnel = raw.
+The bloom bit algebra is the same MURMUR128_MITZ_64 strategy as the
+segment bloom filter (sources/pinot_segment.py), with sizing by the
+EXPECTED-insertions parameter, not the actual count.
+
+Byte-identity with the real guava-33.4.8 / RoaringBitmap-1.3.0 jars is
+pinned by tests/fixtures/reallib_segment_golden.json ("idset" section,
+tools/gen_reallib_segment_golden.py).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+TYPE_EMPTY = 0
+TYPE_ROARING = 1
+TYPE_ROARING64 = 2
+TYPE_BLOOM = 3
+
+FUNNEL_INT = 0
+FUNNEL_LONG = 1
+FUNNEL_STRING = 2
+FUNNEL_BYTES = 3
+
+DEFAULT_SIZE_THRESHOLD = 8 * 1024 * 1024  # IdSets.java:33
+DEFAULT_EXPECTED_INSERTIONS = 5_000_000  # IdSets.java:35
+DEFAULT_FPP = 0.03  # IdSets.java:36
+
+_LONG_MASK = (1 << 64) - 1
+
+
+def _funnel_bytes(funnel: int, value) -> bytes:
+    """The bytes guava's funnel feeds the hasher for one id."""
+    if funnel == FUNNEL_INT:
+        return struct.pack("<i", int(np.int32(int(value) & 0xFFFFFFFF)))
+    if funnel == FUNNEL_LONG:
+        return struct.pack("<q", int(np.int64(int(value) & _LONG_MASK)))
+    if funnel == FUNNEL_STRING:
+        return str(value).encode("utf-16-le")
+    if funnel == FUNNEL_BYTES:
+        return bytes(value)
+    raise ValueError(f"unknown funnel {funnel}")
+
+
+def _bloom_value_bytes(funnel: int, value, data_type: str) -> bytes:
+    """Funnel bytes for one id, applying the reference's raw-bits
+    dispatch for FLOAT/DOUBLE (BloomFilterIdSet.java:88-96)."""
+    if data_type == "FLOAT":
+        return struct.pack("<i", struct.unpack("<i", struct.pack("<f", float(value)))[0])
+    if data_type == "DOUBLE":
+        return struct.pack("<q", struct.unpack("<q", struct.pack("<d", float(value)))[0])
+    return _funnel_bytes(funnel, value)
+
+
+_FUNNEL_FOR_TYPE = {
+    "INT": FUNNEL_INT,
+    "FLOAT": FUNNEL_INT,
+    "LONG": FUNNEL_LONG,
+    "DOUBLE": FUNNEL_LONG,
+    "STRING": FUNNEL_STRING,
+    "BYTES": FUNNEL_BYTES,
+}
+
+
+def _encode_bloom(
+    values, data_type: str, expected_insertions: int, fpp: float
+) -> bytes:
+    from hurricanedb_spark.operators.theta_ds import murmur3_x64_128
+    from hurricanedb_spark.sources.pinot_segment import _bloom_sizing
+
+    funnel = _FUNNEL_FOR_TYPE[data_type]
+    num_longs, k = _bloom_sizing(expected_insertions, fpp)
+    num_bits = num_longs * 64
+    data = np.zeros(num_longs, dtype=np.uint64)
+    for v in values:
+        h1, h2 = murmur3_x64_128(_bloom_value_bytes(funnel, v, data_type), 0)
+        combined = h1
+        for _ in range(k):
+            bit = (combined & (1 << 63) - 1) % num_bits
+            data[bit >> 6] |= np.uint64(1 << (bit & 63))
+            combined = (combined + h2) & _LONG_MASK
+    return (
+        bytes([TYPE_BLOOM, funnel])
+        + struct.pack(">BBi", 1, k, num_longs)
+        + data.byteswap().tobytes()
+    )
+
+
+def _encode_roaring64(values) -> bytes:
+    from hurricanedb_spark.sources.pinot_segment import roaring_serialize
+
+    # two's-complement 64-bit; keys are the UNSIGNED high-32 bits in
+    # unsigned ascending order — `new Roaring64NavigableMap()` defaults
+    # to unsigned long ordering, so serializeLegacy writes boolean
+    # signedLongs=false then big-endian (key count, key) ints (pinned
+    # byte-for-byte by the real-jar golden; a negative id's 0xFFFFFFFF
+    # key sorts last)
+    buckets: dict[int, list[int]] = {}
+    for v in values:
+        u = int(v) & _LONG_MASK
+        buckets.setdefault(u >> 32, []).append(u & 0xFFFFFFFF)
+    out = [bytes([TYPE_ROARING64]), b"\x00", struct.pack(">i", len(buckets))]
+    for high in sorted(buckets):
+        out.append(struct.pack(">I", high))
+        out.append(roaring_serialize(buckets[high], run_optimize=False))
+    return b"".join(out)
+
+
+def encode_idset(
+    values,
+    data_type: str,
+    size_threshold_in_bytes: int = DEFAULT_SIZE_THRESHOLD,
+    expected_insertions: int = DEFAULT_EXPECTED_INSERTIONS,
+    fpp: float = DEFAULT_FPP,
+) -> bytes:
+    """values (nulls excluded by the caller) + Pinot DataType name ->
+    the reference's IdSet.toBytes bytes. Empty input returns the EMPTY
+    IdSet like the reference's aggregate over no rows."""
+    from hurricanedb_spark.sources.pinot_segment import roaring_serialize
+
+    data_type = data_type.upper()
+    if data_type not in _FUNNEL_FOR_TYPE:
+        raise ValueError(f"unsupported IdSet data type {data_type!r}")
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return bytes([TYPE_EMPTY])
+    if size_threshold_in_bytes <= 0 or data_type in (
+        "FLOAT",
+        "DOUBLE",
+        "STRING",
+        "BYTES",
+    ):
+        return _encode_bloom(vals, data_type, expected_insertions, fpp)
+    if data_type == "INT":
+        blob = bytes([TYPE_ROARING]) + roaring_serialize(
+            [int(v) & 0xFFFFFFFF for v in vals], run_optimize=False
+        )
+    else:  # LONG
+        blob = _encode_roaring64(vals)
+    if len(blob) > size_threshold_in_bytes:
+        # IdSets.merge's exact->bloom conversion bound (IdSets.java:96+)
+        return _encode_bloom(vals, data_type, expected_insertions, fpp)
+    return blob
+
+
+class PinotIdSet:
+    """Decoded IdSet: exact types expose .values(); bloom exposes
+    approximate .contains(value, data_type)."""
+
+    def __init__(self, type_id: int, payload):
+        self.type_id = type_id
+        self._payload = payload
+
+    @property
+    def exact(self) -> bool:
+        return self.type_id != TYPE_BLOOM
+
+    def values(self):
+        if self.type_id == TYPE_EMPTY:
+            return []
+        if self.type_id in (TYPE_ROARING, TYPE_ROARING64):
+            return self._payload
+        raise ValueError("bloom IdSet has no enumerable values")
+
+    def contains(self, value, data_type: str | None = None) -> bool:
+        if self.type_id == TYPE_EMPTY:
+            return False
+        if self.type_id == TYPE_ROARING:
+            return (int(value) & 0xFFFFFFFF) in self._payload_set()
+        if self.type_id == TYPE_ROARING64:
+            return (int(value) & _LONG_MASK) in self._payload_set()
+        funnel, k, num_longs, data = self._payload
+        if data_type is None:
+            # infer the funnel route from the value's python type — a
+            # float against an int/long funnel means the reference's
+            # raw-bits FLOAT/DOUBLE dispatch
+            if isinstance(value, float):
+                data_type = "FLOAT" if funnel == FUNNEL_INT else "DOUBLE"
+            elif isinstance(value, (bytes, bytearray)):
+                data_type = "BYTES"
+            elif isinstance(value, str):
+                data_type = "STRING"
+            else:
+                data_type = "INT" if funnel == FUNNEL_INT else "LONG"
+        from hurricanedb_spark.operators.theta_ds import murmur3_x64_128
+
+        h1, h2 = murmur3_x64_128(
+            _bloom_value_bytes(funnel, value, data_type.upper()), 0
+        )
+        num_bits = num_longs * 64
+        combined = h1
+        for _ in range(k):
+            bit = (combined & (1 << 63) - 1) % num_bits
+            if not int(data[bit >> 6]) & (1 << (bit & 63)):
+                return False
+            combined = (combined + h2) & _LONG_MASK
+        return True
+
+    def _payload_set(self):
+        if not isinstance(self._payload, (set, frozenset)):
+            self._payload = set(self._payload)
+        return self._payload
+
+
+def decode_idset(buf: bytes) -> PinotIdSet:
+    from hurricanedb_spark.sources.pinot_segment import roaring_deserialize
+
+    if not buf:
+        raise ValueError("empty IdSet buffer")
+    type_id = buf[0]
+    if type_id == TYPE_EMPTY:
+        return PinotIdSet(TYPE_EMPTY, None)
+    if type_id == TYPE_ROARING:
+        vals = roaring_deserialize(buf[1:])
+        return PinotIdSet(TYPE_ROARING, [int(v) for v in vals])
+    if type_id == TYPE_ROARING64:
+        pos = 2  # skip signed flag (membership is flag-independent)
+        (n_keys,) = struct.unpack_from(">i", buf, pos)
+        pos += 4
+        out: list[int] = []
+        for _ in range(n_keys):
+            (high,) = struct.unpack_from(">i", buf, pos)
+            pos += 4
+            sub = buf[pos:]
+            lows = roaring_deserialize(sub)
+            pos += _roaring_stream_len(sub)
+            base = (int(high) & 0xFFFFFFFF) << 32
+            out.extend(base | int(lo) for lo in lows)
+        return PinotIdSet(TYPE_ROARING64, out)
+    if type_id == TYPE_BLOOM:
+        funnel = buf[1]
+        strategy, k, num_longs = struct.unpack_from(">BBi", buf, 2)
+        if strategy != 1:
+            raise ValueError(f"bloom strategy ordinal {strategy}")
+        data = np.frombuffer(
+            buf, dtype=">u8", count=num_longs, offset=8
+        ).astype(np.uint64)
+        return PinotIdSet(TYPE_BLOOM, (funnel, k, num_longs, data))
+    raise ValueError(f"unknown IdSet type {type_id}")
+
+
+def _roaring_stream_len(buf: bytes) -> int:
+    """Byte length of one portable RoaringBitmap stream at buf[0] —
+    needed to walk the concatenated per-key bitmaps in the legacy
+    Roaring64 layout (which carries no per-bitmap length)."""
+    (cookie,) = struct.unpack_from("<i", buf, 0)
+    if (cookie & 0xFFFF) == 12347:
+        size = (cookie >> 16) + 1
+        pos = 4 + (size + 7) // 8
+        run_flags = np.unpackbits(
+            np.frombuffer(buf, np.uint8, (size + 7) // 8, 4),
+            bitorder="little",
+        )[:size]
+        has_offsets = size >= 4
+    elif cookie == 12346:
+        (size,) = struct.unpack_from("<i", buf, 4)
+        pos = 8
+        run_flags = [0] * size
+        has_offsets = True
+    else:
+        raise ValueError(f"not a RoaringBitmap stream (cookie {cookie})")
+    desc = struct.unpack_from(f"<{2 * size}H", buf, pos)
+    pos += 4 * size
+    if has_offsets:
+        pos += 4 * size
+    for i in range(size):
+        card = desc[2 * i + 1] + 1
+        if run_flags[i]:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2 + 4 * n_runs
+        elif card <= 4096:
+            pos += 2 * card
+        else:
+            pos += 8192
+    return pos
+
+
+def spark_type_to_pinot(dtype: str) -> str:
+    """Spark simpleString -> Pinot DataType for the IdSet dispatch."""
+    return {
+        "int": "INT",
+        "integer": "INT",
+        "bigint": "LONG",
+        "long": "LONG",
+        "float": "FLOAT",
+        "double": "DOUBLE",
+        "string": "STRING",
+        "binary": "BYTES",
+        "smallint": "INT",
+        "tinyint": "INT",
+    }.get(dtype.lower(), "")

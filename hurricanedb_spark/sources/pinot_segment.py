@@ -154,7 +154,7 @@ _ROARING_COOKIE_RUN = 12347
 _ROARING_NO_OFFSET_THRESHOLD = 4  # with-run streams omit offsets below this
 
 
-def roaring_serialize(values) -> bytes:
+def roaring_serialize(values, run_optimize: bool = True) -> bytes:
     """Sorted distinct uint32 values -> portable RoaringBitmap bytes,
     byte-identical to what the reference writes (round-13, pinned by
     the real-jar golden against RoaringBitmap-1.3.0): the reference
@@ -169,7 +169,12 @@ def roaring_serialize(values) -> bytes:
     smaller than the current form's (2*cardinality for arrays, 8192
     for bitmaps). With-run streams write the run-flag bitset after the
     cookie and omit the offset table below 4 containers
-    (NO_OFFSET_THRESHOLD)."""
+    (NO_OFFSET_THRESHOLD).
+
+    `run_optimize=False` reproduces plain RoaringBitmap.add + serialize
+    with NO run conversion — the reference's IdSet path
+    (RoaringBitmapIdSet.java builds by bare adds, never through the
+    writer wizard), which always emits the no-run cookie."""
     import numpy as np
 
     vals = np.unique(np.asarray(list(values), dtype=np.uint32))
@@ -187,7 +192,7 @@ def roaring_serialize(values) -> bytes:
         num_runs = 1 + len(gaps) if card else 0
         run_size = 2 + 4 * num_runs
         current_size = 2 * card if card <= 4096 else 8192
-        if run_size < current_size:
+        if run_optimize and run_size < current_size:
             starts = np.concatenate(([0], gaps + 1))
             ends = np.concatenate((gaps, [card - 1]))
             runs = np.empty(2 * num_runs, dtype="<u2")

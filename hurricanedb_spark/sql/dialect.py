@@ -1573,7 +1573,58 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
             if kv.strip() and "=" not in kv:
                 raise ValueError(f"malformed idSet parameter: {kv!r}")
         return f"collect_set({args[0]})"
+    if name == "inidset" and len(args) == 2:
+        lit = args[1].strip()
+        if lit.startswith("'") and lit.endswith("'"):
+            return _in_id_set_sql(
+                args[0], _unquote_literal(args[1], "inIdSet literal")
+            )
+        return None  # non-literal second arg: legacy JSON macro path
     return None
+
+
+def _in_id_set_sql(col: str, literal: str) -> str:
+    """inIdSet(col, '<base64>') with a CONSTANT literal — decoded at
+    rewrite time (round-13). Reference-wire IdSets
+    (operators/idset_wire.py, InIdSetTransformFunction.java) of exact
+    types become an in-plan IN list (JVM-side, scan-pushable) up to
+    1000 ids, else the Arrow-batched `inidsetblob` probe; BLOOM
+    literals always probe (the reference's approximate semantics).
+    Legacy base64-JSON literals keep decoding."""
+    import base64 as _b64
+    import json as _json
+
+    raw = _b64.b64decode(literal)
+
+    def render(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    if raw[:1] in (b"[", b" ", b"\t"):  # legacy JSON array literal
+        vals = _json.loads(raw.decode())
+        if not vals:
+            return "(FALSE)"
+        return f"(({col}) IN ({', '.join(render(v) for v in vals)}))"
+    from hurricanedb_spark.operators.idset_wire import (
+        TYPE_BLOOM,
+        TYPE_ROARING64,
+        decode_idset,
+    )
+
+    ids = decode_idset(raw)
+    if ids.type_id == TYPE_BLOOM:
+        return f"inidsetblob(({col}), '{literal}')"
+    vals = ids.values()
+    if not vals:
+        return "(FALSE)"
+    width = 64 if ids.type_id == TYPE_ROARING64 else 32
+    signed = [
+        v - (1 << width) if v >= 1 << (width - 1) else v for v in vals
+    ]
+    if len(signed) > 1000:
+        return f"inidsetblob(({col}), '{literal}')"
+    return f"(({col}) IN ({', '.join(str(v) for v in sorted(signed))}))"
 
 
 def rewrite_functions(sql: str, max_passes: int = 10) -> str:

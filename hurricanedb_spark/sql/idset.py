@@ -1,7 +1,7 @@
 """IdSet two-phase subquery — the reference's IN_SUBQUERY protocol.
 
 The broker executes the inner query, serializes its ID_SET(...) result
-(bitmap/bloom) to a base64 literal, and rewrites the outer filter to
+to a base64 literal, and rewrites the outer filter to
 IN_ID_SET(col, '<base64>')
 (pinot-broker/.../BaseBrokerRequestHandler.java:783-820 handleSubquery;
 pinot-core/.../transform/function/InIdSetTransformFunction.java).
@@ -11,11 +11,24 @@ live in one engine (Catalyst pushes it down; `q_in_subquery` covers it).
 This module reproduces the *protocol* itself for the cases it exists for —
 shipping a computed set to a different query, session, or service:
 
-  id_set(df, col)          driver-side inner-query execution -> portable
-                           base64 literal (sorted distinct values, JSON)
-  in_id_set(col, literal)  membership predicate; the literal decodes to an
-                           in-plan array constant, so the filter stays
-                           JVM-side and pushes into the scan as an IN list.
+  id_set(df, col)          driver-side inner-query execution -> base64
+                           literal in the reference's ACTUAL IdSet wire
+                           format (round-13, operators/idset_wire.py:
+                           type tag + roaring / roaring64 / guava-bloom
+                           payload, byte-identical to pinot-core's
+                           IdSet.toBase64String) — a literal produced
+                           here round-trips through a real reference
+                           deployment and vice versa.
+  in_id_set(col, literal)  membership predicate. Reference-wire literals
+                           of exact types (EMPTY / ROARING_BITMAP /
+                           ROARING_64) decode to an in-plan IN list, so
+                           the filter stays JVM-side and pushes into the
+                           scan; BLOOM_FILTER literals probe through an
+                           Arrow-batched pandas UDF (approximate, like
+                           the reference's BloomFilterIdSet.contains).
+                           The pre-round-13 base64-JSON literals still
+                           decode (legacy sniff: a JSON array's first
+                           byte '[' can never be a valid type tag).
 
 At scale: an IdSet is only shippable because it is small (the reference
 bounds it the same way); for large inner results use the semi-join path.
@@ -38,27 +51,106 @@ class IdSetTooLargeError(ValueError):
     semi-join formulation (q_in_subquery) instead — it never collects."""
 
 
-def id_set(df: DataFrame, col: str, max_ids: int = DEFAULT_MAX_IDS) -> str:
-    """Execute the inner query: distinct values of `col`, serialized as a
-    base64 JSON array literal (sorted for determinism).
+def id_set(
+    df: DataFrame,
+    col: str,
+    max_ids: int = DEFAULT_MAX_IDS,
+    size_threshold_in_bytes: int | None = None,
+    expected_insertions: int | None = None,
+    fpp: float | None = None,
+) -> str:
+    """Execute the inner query: distinct values of `col`, serialized as
+    the reference's base64 IdSet wire literal (IdSets.create semantics:
+    int -> RoaringBitmapIdSet, long -> Roaring64NavigableMapIdSet,
+    float/double/string/binary -> BloomFilterIdSet).
 
     Guarded: collects at most max_ids+1 distinct values and raises
     IdSetTooLargeError past the bound instead of pulling an unbounded
     result onto the driver."""
-    rows = df.select(col).distinct().limit(max_ids + 1).collect()
+    from hurricanedb_spark.operators.idset_wire import (
+        DEFAULT_EXPECTED_INSERTIONS,
+        DEFAULT_FPP,
+        DEFAULT_SIZE_THRESHOLD,
+        encode_idset,
+        spark_type_to_pinot,
+    )
+
+    sel = df.select(col)
+    data_type = spark_type_to_pinot(sel.schema.fields[0].dataType.simpleString())
+    if not data_type:
+        raise ValueError(
+            f"id_set: unsupported column type "
+            f"{sel.schema.fields[0].dataType.simpleString()!r}"
+        )
+    rows = sel.distinct().limit(max_ids + 1).collect()
     if len(rows) > max_ids:
         raise IdSetTooLargeError(
             f"inner query produced more than {max_ids} distinct ids; "
             "use the LEFT SEMI JOIN path for unbounded sets"
         )
-    vals = sorted(r[0] for r in rows if r[0] is not None)
-    return base64.b64encode(json.dumps(vals).encode()).decode()
+    vals = [r[0] for r in rows if r[0] is not None]
+    blob = encode_idset(
+        vals,
+        data_type,
+        size_threshold_in_bytes=(
+            DEFAULT_SIZE_THRESHOLD
+            if size_threshold_in_bytes is None
+            else size_threshold_in_bytes
+        ),
+        expected_insertions=(
+            DEFAULT_EXPECTED_INSERTIONS
+            if expected_insertions is None
+            else expected_insertions
+        ),
+        fpp=DEFAULT_FPP if fpp is None else fpp,
+    )
+    return base64.b64encode(blob).decode()
+
+
+def _decode_literal(idset_literal: str):
+    """base64 literal -> ('json', values) | ('idset', PinotIdSet)."""
+    from hurricanedb_spark.operators.idset_wire import decode_idset
+
+    raw = base64.b64decode(idset_literal)
+    if raw[:1] in (b"[", b" ", b"\t"):  # legacy base64-JSON array
+        return "json", json.loads(raw.decode())
+    return "idset", decode_idset(raw)
 
 
 def in_id_set(col: Column, idset_literal: str) -> Column:
-    """IN_ID_SET(col, '<base64>'): membership in a serialized IdSet. The
-    literal is decoded at plan build; the comparison is a JVM-side
-    array_contains against a constant array (Catalyst folds it to an IN
-    list and pushes it toward the scan)."""
-    vals = json.loads(base64.b64decode(idset_literal).decode())
-    return col.isin(vals)
+    """IN_ID_SET(col, '<base64>'): membership in a serialized IdSet.
+    Exact forms decode at plan build into a JVM-side IN-list constant
+    (Catalyst folds and pushes it toward the scan); bloom forms probe
+    through a pandas UDF (the reference's approximate semantics for
+    FLOAT/DOUBLE/STRING/BYTES sets, BloomFilterIdSet.java)."""
+    kind, payload = _decode_literal(idset_literal)
+    if kind == "json":
+        return col.isin(payload)
+    idset = payload
+    if idset.exact:
+        from hurricanedb_spark.operators.idset_wire import TYPE_ROARING64
+
+        vals = idset.values()
+        if not vals:
+            return F.lit(False)
+        if idset.type_id == TYPE_ROARING64:
+            # stored as unsigned 64-bit; compare in two's complement
+            vals = [v - (1 << 64) if v >= 1 << 63 else v for v in vals]
+        else:
+            vals = [v - (1 << 32) if v >= 1 << 31 else v for v in vals]
+        return col.isin(vals)
+
+    blob_b64 = idset_literal
+
+    def _probe_fn(s):
+        from hurricanedb_spark.operators.idset_wire import decode_idset as _d
+
+        ids = _d(base64.b64decode(blob_b64))
+        return s.map(
+            lambda v: False if v is None else ids.contains(v)
+        ).astype("boolean")
+
+    # explicit SCALAR type: `from __future__ import annotations`
+    # stringifies hints, which pyspark's inference cannot read
+    _probe = F.pandas_udf(_probe_fn, "boolean", F.PandasUDFType.SCALAR)
+    return _probe(col)

@@ -327,12 +327,27 @@ def test_idset_roundtrip_small(spark):
 
     inner = spark.createDataFrame([(3,), (1,), (3,), (None,)], "k int")
     lit = id_set(inner, "k")
-    import base64, json
+    # round-13: the literal IS the reference's IdSet wire format —
+    # INT column -> RoaringBitmapIdSet (type tag 1 + portable roaring
+    # bytes, RoaringBitmapIdSet.java), distinct, no nulls
+    import base64
 
-    assert json.loads(base64.b64decode(lit)) == [1, 3]  # sorted, distinct, no nulls
+    from hurricanedb_spark.operators.idset_wire import decode_idset
+
+    blob = base64.b64decode(lit)
+    assert blob[0] == 1  # ROARING_BITMAP
+    assert sorted(decode_idset(blob).values()) == [1, 3]
     outer = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
     got = sorted(r.v for r in outer.filter(in_id_set(F.col("k"), lit)).collect())
     assert got == ["a", "c"]
+    # legacy base64-JSON literals still decode
+    import json
+
+    legacy = base64.b64encode(json.dumps([1, 3]).encode()).decode()
+    got2 = sorted(
+        r.v for r in outer.filter(in_id_set(F.col("k"), legacy)).collect()
+    )
+    assert got2 == ["a", "c"]
 
 
 def test_text_match_fuzzy_translation():

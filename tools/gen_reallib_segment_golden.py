@@ -99,6 +99,62 @@ def roaring_cases() -> dict[str, list[int]]:
     }
 
 
+def idset_cases() -> dict[str, tuple]:
+    """(data_type, size_threshold, expected_insertions, fpp, values,
+    member_probes, absent_probes) — exercising every IdSet type tag:
+    INT -> RoaringBitmapIdSet, LONG -> Roaring64NavigableMapIdSet
+    (incl. negative and >32-bit ids — multiple high keys), FLOAT /
+    DOUBLE (raw-bits funnel routes) / STRING (unencodedChars, incl.
+    non-BMP) / BYTES -> BloomFilterIdSet, and a forced conversion via
+    sizeThresholdInBytes=0 (IdSets.java:60-78)."""
+    return {
+        "int_roaring": (
+            "INT", 8 << 20, 100, 0.03,
+            [1, 5, 7, 4096, 70000, -3], [1, -3, 70000], [2, 9999999],
+        ),
+        "long_roaring64": (
+            "LONG", 8 << 20, 100, 0.03,
+            [1, 2, (1 << 40) + 7, -5, 1 << 33], [1, -5, (1 << 40) + 7],
+            [3, 1 << 41],
+        ),
+        "float_bloom": (
+            "FLOAT", 8 << 20, 50, 0.03,
+            [1.5, -2.25, 0.0], [1.5, -2.25], [9.75],
+        ),
+        "double_bloom": (
+            "DOUBLE", 8 << 20, 50, 0.03,
+            [3.141592653589793, -1e300], [3.141592653589793], [2.5],
+        ),
+        "string_bloom": (
+            "STRING", 8 << 20, 100, 0.01,
+            ["", "héllo", "日本語", "emoji-😀", "plain text"],
+            ["héllo", "emoji-😀", "plain text"], ["nope", "絶対ない"],
+        ),
+        "bytes_bloom": (
+            "BYTES", 8 << 20, 30, 0.05,
+            [b"\x01\x02\x03", b"", b"\xff" * 16], [b"\x01\x02\x03"],
+            [b"\x00"],
+        ),
+        "int_forced_bloom": (
+            "INT", 0, 200, 0.02,
+            list(range(100)), [0, 50, 99], [1000, -7],
+        ),
+    }
+
+
+def _idset_valhex(dtype: str, vals) -> str:
+    import numpy as np
+
+    if dtype in ("INT", "LONG"):
+        return np.asarray([int(v) for v in vals], "<i8").tobytes().hex()
+    if dtype in ("FLOAT", "DOUBLE"):
+        return np.asarray([float(v) for v in vals], "<f8").tobytes().hex()
+    if dtype == "STRING":
+        assert not any("\x00" in v for v in vals)
+        return "\x00".join(vals).encode("utf-8").hex()
+    return ":".join(v.hex() for v in vals)  # BYTES
+
+
 def main() -> None:
     jars = os.path.join(
         os.path.dirname(__import__("pyspark").__file__), "jars"
@@ -127,6 +183,27 @@ def main() -> None:
         le = np.asarray(values, dtype="<u4").tobytes()
         rows.append(f"roar\t{name}\t{le.hex()}")
         rows.append(f"pyroar\t{name}\t{roaring_serialize(values).hex()}")
+
+    from hurricanedb_spark.operators.idset_wire import encode_idset
+
+    for name, (
+        dtype, threshold, insertions, fpp, vals, members, absents
+    ) in idset_cases().items():
+        rows.append(
+            f"idset\t{name}\t{dtype}\t{threshold}\t{insertions}\t{fpp}"
+            f"\t{_idset_valhex(dtype, vals)}"
+        )
+        blob = encode_idset(
+            vals, dtype,
+            size_threshold_in_bytes=threshold,
+            expected_insertions=insertions,
+            fpp=fpp,
+        )
+        rows.append(f"pyidset\t{name}\t{blob.hex()}")
+        for probe in list(members) + list(absents):
+            rows.append(
+                f"idsetprobe\t{name}\t{_idset_valhex(dtype, [probe])}"
+            )
 
     with tempfile.TemporaryDirectory() as tmp:
         tsv = os.path.join(tmp, "cases.tsv")
@@ -164,6 +241,8 @@ def main() -> None:
             r["py_identical"] for r in parsed["compression"]
         ),
         "comp_total": len(parsed["compression"]),
+        "idset_py_equal": sum(r["py_equal"] for r in parsed["idset"]),
+        "idset_total": len(parsed["idset"]),
     }
     print(json.dumps(summary, indent=2))
 

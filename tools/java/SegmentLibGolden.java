@@ -70,6 +70,9 @@ public class SegmentLibGolden {
         Map<String, List<String>> bloomProbes = new LinkedHashMap<>(); // name -> value hexes
         Map<String, byte[]> roarCases = new LinkedHashMap<>();      // name -> LE uint32 array bytes
         Map<String, byte[]> pyRoar = new LinkedHashMap<>();
+        Map<String, String[]> idsetCases = new LinkedHashMap<>();   // name -> [dtype, threshold, insertions, fpp, valhex]
+        Map<String, byte[]> pyIdset = new LinkedHashMap<>();
+        Map<String, List<String>> idsetProbes = new LinkedHashMap<>();
         for (String line : lines) {
             if (line.isEmpty()) continue;
             String[] f = line.split("\t", -1);  // keep trailing empties (empty roar case)
@@ -83,6 +86,13 @@ public class SegmentLibGolden {
                     break;
                 case "roar": roarCases.put(f[1], unhex(f[2])); break;
                 case "pyroar": pyRoar.put(f[1], unhex(f[2])); break;
+                case "idset":
+                    idsetCases.put(f[1], new String[] {f[2], f[3], f[4], f[5], f[6]});
+                    break;
+                case "pyidset": pyIdset.put(f[1], unhex(f[2])); break;
+                case "idsetprobe":
+                    idsetProbes.computeIfAbsent(f[1], k -> new ArrayList<>()).add(f[2]);
+                    break;
                 default: throw new IllegalArgumentException("row kind " + f[0]);
             }
         }
@@ -233,7 +243,133 @@ public class SegmentLibGolden {
                         + ", \"py_decompress_ok\": " + pyOk + "}");
             }
         }
-        out.append(String.join(",\n", compRows)).append("\n  ]\n}\n");
+        out.append(String.join(",\n", compRows)).append("\n  ],\n");
+
+        // --- Pinot IdSet wire format: reconstruct IdSet.toBytes with
+        // the same library calls the reference's thin wrappers make
+        // (IdSet.java type tags; RoaringBitmapIdSet.java plain adds +
+        // serialize; Roaring64NavigableMapIdSet.java legacy serialize;
+        // BloomFilterIdSet.java funnel tag + guava writeTo with the
+        // int/long/unencodedChars/byteArray funnels and raw-bits
+        // float/double dispatch) ---
+        out.append("  \"idset\": [\n");
+        List<String> idsetRows = new ArrayList<>();
+        for (Map.Entry<String, String[]> e : idsetCases.entrySet()) {
+            String name = e.getKey();
+            String dtype = e.getValue()[0];
+            int threshold = Integer.parseInt(e.getValue()[1]);
+            int insertions = Integer.parseInt(e.getValue()[2]);
+            double fpp = Double.parseDouble(e.getValue()[3]);
+            String valhex = e.getValue()[4];
+            byte[] real;
+            java.util.function.Predicate<String> containsHex;
+            if (threshold > 0 && dtype.equals("INT")) {
+                RoaringBitmap rb = new RoaringBitmap();
+                for (long v : longsLE(valhex)) rb.add((int) v);
+                ByteArrayOutputStream b = new ByteArrayOutputStream();
+                b.write(1);
+                rb.serialize(new DataOutputStream(b));
+                real = b.toByteArray();
+                containsHex = h -> rb.contains((int) longsLE(h)[0]);
+            } else if (threshold > 0 && dtype.equals("LONG")) {
+                org.roaringbitmap.longlong.Roaring64NavigableMap m =
+                        new org.roaringbitmap.longlong.Roaring64NavigableMap();
+                for (long v : longsLE(valhex)) m.addLong(v);
+                ByteArrayOutputStream b = new ByteArrayOutputStream();
+                b.write(2);
+                try { m.serialize(new DataOutputStream(b)); } catch (Exception ex) { throw new RuntimeException(ex); }
+                real = b.toByteArray();
+                containsHex = h -> m.contains(longsLE(h)[0]);
+            } else {
+                BloomFilter bf;
+                byte funnelId;
+                java.util.function.Predicate<String> c;
+                switch (dtype) {
+                    case "INT": case "FLOAT": {
+                        BloomFilter<Integer> f = BloomFilter.create(
+                                com.google.common.hash.Funnels.integerFunnel(), insertions, fpp);
+                        if (dtype.equals("FLOAT")) {
+                            for (double v : doublesLE(valhex)) f.put(Float.floatToRawIntBits((float) v));
+                            c = h -> f.mightContain(Float.floatToRawIntBits((float) doublesLE(h)[0]));
+                        } else {
+                            for (long v : longsLE(valhex)) f.put((int) v);
+                            c = h -> f.mightContain((int) longsLE(h)[0]);
+                        }
+                        bf = f; funnelId = 0; break;
+                    }
+                    case "LONG": case "DOUBLE": {
+                        BloomFilter<Long> f = BloomFilter.create(
+                                com.google.common.hash.Funnels.longFunnel(), insertions, fpp);
+                        if (dtype.equals("DOUBLE")) {
+                            for (double v : doublesLE(valhex)) f.put(Double.doubleToRawLongBits(v));
+                            c = h -> f.mightContain(Double.doubleToRawLongBits(doublesLE(h)[0]));
+                        } else {
+                            for (long v : longsLE(valhex)) f.put(v);
+                            c = h -> f.mightContain(longsLE(h)[0]);
+                        }
+                        bf = f; funnelId = 1; break;
+                    }
+                    case "STRING": {
+                        BloomFilter<CharSequence> f = BloomFilter.create(
+                                com.google.common.hash.Funnels.unencodedCharsFunnel(), insertions, fpp);
+                        for (String s : nulJoined(valhex)) f.put(s);
+                        c = h -> f.mightContain(nulJoined(h)[0]);
+                        bf = f; funnelId = 2; break;
+                    }
+                    default: {
+                        BloomFilter<byte[]> f = BloomFilter.create(
+                                com.google.common.hash.Funnels.byteArrayFunnel(), insertions, fpp);
+                        // keep empty parts: an empty byte[] is a legal id
+                        for (String part : valhex.split(":", -1)) f.put(unhex(part));
+                        c = h -> f.mightContain(unhex(h));
+                        bf = f; funnelId = 3; break;
+                    }
+                }
+                ByteArrayOutputStream b = new ByteArrayOutputStream();
+                b.write(3);
+                b.write(funnelId);
+                try { bf.writeTo(b); } catch (Exception ex) { throw new RuntimeException(ex); }
+                real = b.toByteArray();
+                containsHex = c;
+            }
+            byte[] py = pyIdset.get(name);
+            boolean pyEqual = py != null && Arrays.equals(real, py);
+            StringBuilder probes = new StringBuilder("[");
+            List<String> pl = idsetProbes.getOrDefault(name, new ArrayList<>());
+            for (int i = 0; i < pl.size(); i++) {
+                if (i > 0) probes.append(", ");
+                probes.append("{\"value_hex\": ").append(jstr(pl.get(i)))
+                      .append(", \"contains\": ").append(containsHex.test(pl.get(i))).append("}");
+            }
+            probes.append("]");
+            idsetRows.add("    {\"name\": " + jstr(name) + ", \"dtype\": " + jstr(dtype)
+                    + ", \"hex\": " + jstr(hex(real))
+                    + ", \"py_equal\": " + pyEqual
+                    + ", \"probes\": " + probes + "}");
+        }
+        out.append(String.join(",\n", idsetRows)).append("\n  ]\n}\n");
         System.out.print(out);
+    }
+
+    static long[] longsLE(String hexstr) {
+        byte[] b = unhex(hexstr);
+        long[] out = new long[b.length / 8];
+        for (int i = 0; i < out.length; i++) {
+            long v = 0;
+            for (int j = 7; j >= 0; j--) v = (v << 8) | (b[8 * i + j] & 0xFFL);
+            out[i] = v;
+        }
+        return out;
+    }
+
+    static double[] doublesLE(String hexstr) {
+        long[] bits = longsLE(hexstr);
+        double[] out = new double[bits.length];
+        for (int i = 0; i < bits.length; i++) out[i] = Double.longBitsToDouble(bits[i]);
+        return out;
+    }
+
+    static String[] nulJoined(String hexstr) {
+        return new String(unhex(hexstr), StandardCharsets.UTF_8).split("\u0000", -1);
     }
 }
