@@ -572,6 +572,54 @@ def register_all(spark: SparkSession) -> None:
         "inidsetblob",
         _F.pandas_udf(_in_idset_blob, "boolean"),
     )
+
+    # idsetwireagg(col, typeof(col), 'params'): per-group reference-wire
+    # IdSet bytes (operators/idset_wire.py — IdSetAggregationFunction's
+    # result is the base64 of exactly these bytes; the SQL surface wraps
+    # base64()). typeof pins the DECLARED type: NULL-bearing int Arrow
+    # batches degrade to float64, and the reference dispatches on the
+    # column type, not the batch dtype.
+    def _idset_agg(v, t, params):
+        from hurricanedb_spark.operators.idset_wire import (
+            DEFAULT_EXPECTED_INSERTIONS,
+            DEFAULT_FPP,
+            DEFAULT_SIZE_THRESHOLD,
+            encode_idset,
+            spark_type_to_pinot,
+        )
+
+        dtype = spark_type_to_pinot(t.iloc[0])
+        th, ins, fpp = (
+            DEFAULT_SIZE_THRESHOLD,
+            DEFAULT_EXPECTED_INSERTIONS,
+            DEFAULT_FPP,
+        )
+        for kv in (params.iloc[0] or "").split(";"):
+            k, sep, val = kv.partition("=")
+            if not sep:
+                continue
+            k = k.strip().lower()
+            if k == "sizethresholdinbytes":
+                th = int(val)
+            elif k == "expectedinsertions":
+                ins = int(val)
+            elif k == "fpp":
+                fpp = float(val)
+        vals = v.dropna()
+        if dtype in ("INT", "LONG"):
+            vals = vals.astype("int64")
+        return encode_idset(
+            vals.tolist(),
+            dtype,
+            size_threshold_in_bytes=th,
+            expected_insertions=ins,
+            fpp=fpp,
+        )
+
+    spark.udf.register(
+        "idsetwireagg",
+        _F.pandas_udf(_idset_agg, "binary", _F.PandasUDFType.GROUPED_AGG),
+    )
     # distinctCountRawHLL builder: the reference serializes the
     # CLEARSPRING HyperLogLog (CustomSerDeUtils.HYPER_LOG_LOG_SER_DE ->
     # HyperLogLog.getBytes), hashing each value's Java toString bytes

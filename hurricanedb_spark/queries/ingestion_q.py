@@ -232,6 +232,52 @@ def q_idset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_idset_sql_wire",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 350000
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Round-13: the full IN_SUBQUERY protocol through the SQL "
+    "surface with the reference's ACTUAL IdSet wire format — the inner "
+    "query's idSet(o_orderkey) aggregate returns the base64 of the "
+    "reference's IdSet bytes (Roaring64NavigableMapIdSet for the LONG "
+    "key; operators/idset_wire.py, byte-identical to the real jars), "
+    "and the outer inIdSet(l_orderkey, '<literal>') decodes it to an "
+    "in-plan IN list. Exact oracle: the wire round-trip must equal the "
+    "plain semi-join.",
+    tags=("join", "idset", "dialect"),
+)
+def q_idset_sql_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hdb = HurricaneSQL(spark, sf_dir)
+    lit = hdb.sql(
+        "SELECT idset(o_orderkey) AS s FROM orders "
+        "WHERE o_totalprice > 350000",
+        default_limit=None,
+    ).collect()[0]["s"]
+    return hdb.sql(
+        f"""
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE inidset(l_orderkey, '{lit}')
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        default_limit=None,
+    )
+
+
+@register(
     "q_text_match_slop",
     oracle="""
     SELECT lang,

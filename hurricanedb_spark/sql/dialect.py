@@ -103,7 +103,12 @@ _AGG_REWRITES: dict[str, str] = {
     "stddevpop": "stddev_pop($1)",
     "stddevsamp": "stddev_samp($1)",
     "boolOr".lower(): "bool_or($1)",
-    "idset": "collect_set($1)",
+    # idSet(col) returns the reference's base64 IdSet WIRE string
+    # (IdSetAggregationFunction -> IdSet.toBase64String; round-13:
+    # operators/idset_wire.py is byte-identical to the real jars), so
+    # the result feeds inIdSet()/IN_ID_SET on EITHER engine. typeof
+    # pins the declared column type for the IdSets.create dispatch.
+    "idset": "base64(idsetwireagg($1, typeof($1), ''))",
     # documented superset: the reference REFUSES a standalone fourthMoment
     # (FourthMomentAggregationFunction.java:167 — the moment state exists
     # only as the carrier for skewness/kurtosis) so any defined answer is
@@ -1565,14 +1570,26 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
             "explode() the column and use distinctCountRawHLL"
         )
     if name == "idset" and len(args) == 2:
-        # IdSetAggregationFunction optional params only bound memory by
-        # degrading to a Bloom IdSet; the exact collect_set is the ideal
-        # answer those params approximate. Validate shape, keep exact.
+        # IdSetAggregationFunction 2-arg form: the params string tunes
+        # the exact->bloom degradation
+        # ('sizeThresholdInBytes=...;expectedInsertions=...;fpp=...',
+        # IdSetAggregationFunction.java:48-76) — passed through to the
+        # wire builder, which applies the same IdSets.create rules
         params = _unquote_literal(args[1], "idSet parameters")
         for kv in params.split(";"):
-            if kv.strip() and "=" not in kv:
+            if not kv.strip():
+                continue
+            k, sep, _v = kv.partition("=")
+            if not sep or k.strip().lower() not in (
+                "sizethresholdinbytes",
+                "expectedinsertions",
+                "fpp",
+            ):
                 raise ValueError(f"malformed idSet parameter: {kv!r}")
-        return f"collect_set({args[0]})"
+        return (
+            f"base64(idsetwireagg({args[0]}, typeof({args[0]}), "
+            f"'{params}'))"
+        )
     if name == "inidset" and len(args) == 2:
         lit = args[1].strip()
         if lit.startswith("'") and lit.endswith("'"):

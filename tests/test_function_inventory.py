@@ -146,7 +146,8 @@ AGGREGATE = {
     "percentileTDigest": "percentileTDigest(v, 50)",
     "percentileRawTDigest": "percentileRawTDigest(v, 50)",
     "percentileSmartTDigest": "percentileSmartTDigest(v, 50)",
-    "idSet": "array_join(array_sort(idSet(v)), ',')",
+    # round-13: idSet returns the reference's base64 IdSet wire STRING
+    "idSet": "idSet(v)",
     "histogram": "CAST(histogram(v, 0, 10, 5) AS STRING)",
     "covarPop": "covarPop(v, v)",
     "covarSamp": "covarSamp(v, v)",

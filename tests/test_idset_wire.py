@@ -182,3 +182,38 @@ def test_in_id_set_large_exact_set_uses_probe(spark):
         ).collect()
     )
     assert got == [0, 2, 4, 6, 8]
+
+
+def test_idset_sql_aggregate_emits_wire_string(spark):
+    """The SQL idSet() aggregate returns the reference's base64 wire
+    string (IdSetAggregationFunction semantics) — decodable by
+    decode_idset AND by inIdSet in a follow-up query; the 2-arg params
+    form tunes the bloom degradation (sizeThresholdInBytes=0 forces
+    BLOOM_FILTER like IdSets.create)."""
+    from hurricanedb_spark.functions.registry import register_all
+    from hurricanedb_spark.sql.dialect import rewrite_functions
+
+    register_all(spark)
+    spark.createDataFrame(
+        [(1, 10), (1, 12), (2, 10), (2, None)], "g int, v bigint"
+    ).createOrReplaceTempView("idw_agg_t")
+    rows = spark.sql(
+        rewrite_functions(
+            "SELECT g, idset(v) AS s FROM idw_agg_t GROUP BY g ORDER BY g"
+        )
+    ).collect()
+    blob1 = base64.b64decode(rows[0]["s"])
+    assert blob1[0] == TYPE_ROARING64  # bigint -> Roaring64
+    assert sorted(decode_idset(blob1).values()) == [10, 12]
+    assert sorted(decode_idset(base64.b64decode(rows[1]["s"])).values()) == [10]
+    # params form: forced bloom
+    r2 = spark.sql(
+        rewrite_functions(
+            "SELECT idset(v, 'sizeThresholdInBytes=0;"
+            "expectedInsertions=100;fpp=0.01') AS s FROM idw_agg_t"
+        )
+    ).collect()[0]
+    b2 = base64.b64decode(r2["s"])
+    assert b2[0] == TYPE_BLOOM
+    ids = decode_idset(b2)
+    assert ids.contains(10, "LONG") and not ids.contains(999, "LONG")
