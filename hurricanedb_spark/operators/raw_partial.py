@@ -67,8 +67,11 @@ class DigestSpec:
 
     alias: str
     value_col: str
-    kind: str  # qdigest | tdigest | theta | hll
+    kind: str  # qdigest | tdigest | theta | hll | idset
     k: int = 4096  # theta nominalEntries / hll log2m; unused otherwise
+    extra: str = ""  # idset: the params string
+    #   'sizeThresholdInBytes=..;expectedInsertions=..;fpp=..' (defaults
+    #   when empty — IdSets.java:33-36)
 
 
 def empty_state(kind: str, k: int = 4096) -> bytes:
@@ -98,6 +101,9 @@ def empty_state(kind: str, k: int = 4096) -> bytes:
         from hurricanedb_spark.operators.clearspring_hll import ClearspringHLL
 
         return ClearspringHLL(k).serialize()
+    if kind == "idset":
+        # IdSets.emptyIdSet().toBytes() — the single type tag byte
+        return b"\x00"
     raise ValueError(f"unknown digest kind {kind!r}")
 
 
@@ -247,7 +253,75 @@ def _make_acc_factory(spec: DigestSpec, spark_type: str):
                 return self.hll.serialize()
 
         return _HAcc
+    if spec.kind == "idset":
+        from hurricanedb_spark.operators.idset_wire import (
+            encode_idset,
+            spark_type_to_pinot,
+        )
+
+        dtype = spark_type_to_pinot(spark_type)
+        if not dtype:
+            raise ValueError(f"idset over unsupported type {spark_type!r}")
+        th, ins, fpp = _idset_params(spec.extra)
+
+        class _IdAcc:
+            """Partial IdSet: the reference's own partial state
+            (IdSetAggregationFunction aggregates into an IdSet per
+            group). Exact types keep a value set (O(distinct) per
+            partition x group, the qdigest-counts bound class) —
+            emit() applies the same threshold->bloom conversion
+            IdSets.create/merge does, so partial->merge is
+            byte-identical to a single-pass build (bloom bit-OR and
+            roaring union are order-insensitive)."""
+
+            __slots__ = ("vals",)
+
+            def __init__(self):
+                self.vals: set = set()
+
+            def update(self, v):
+                vv = v.dropna()
+                if dtype in ("INT", "LONG"):
+                    vv = vv.astype("int64")
+                self.vals.update(vv.tolist())
+
+            def emit(self) -> bytes:
+                return encode_idset(
+                    self.vals,
+                    dtype,
+                    size_threshold_in_bytes=th,
+                    expected_insertions=ins,
+                    fpp=fpp,
+                )
+
+        return _IdAcc
     raise ValueError(f"unknown digest kind {spec.kind!r}")
+
+
+def _idset_params(extra: str) -> tuple[int, int, float]:
+    from hurricanedb_spark.operators.idset_wire import (
+        DEFAULT_EXPECTED_INSERTIONS,
+        DEFAULT_FPP,
+        DEFAULT_SIZE_THRESHOLD,
+    )
+
+    th, ins, fpp = (
+        DEFAULT_SIZE_THRESHOLD,
+        DEFAULT_EXPECTED_INSERTIONS,
+        DEFAULT_FPP,
+    )
+    for kv in (extra or "").split(";"):
+        k, sep, v = kv.partition("=")
+        if not sep:
+            continue
+        k = k.strip().lower()
+        if k == "sizethresholdinbytes":
+            th = int(v)
+        elif k == "expectedinsertions":
+            ins = int(v)
+        elif k == "fpp":
+            fpp = float(v)
+    return th, ins, fpp
 
 
 def _make_merger(spec: DigestSpec):
@@ -279,6 +353,19 @@ def _make_merger(spec: DigestSpec):
         from hurricanedb_spark.operators.clearspring_hll import merge_hlls
 
         return merge_hlls
+    if spec.kind == "idset":
+        from functools import reduce
+
+        from hurricanedb_spark.operators.idset_wire import merge_idset_blobs
+
+        th, ins, fpp = _idset_params(spec.extra)
+
+        def merge_idsets(blobs):
+            return reduce(
+                lambda a, b: merge_idset_blobs(a, b, th, ins, fpp), blobs
+            )
+
+        return merge_idsets
     raise ValueError(f"unknown digest kind {spec.kind!r}")
 
 

@@ -3479,6 +3479,10 @@ class HurricaneSQL:
             "percentilerawtdigest",
             "distinctcountrawthetasketch",
             "distinctcountrawhll",
+            # round-13: idSet() streams mergeable IdSet partials too —
+            # the reference's own partial/merge contract
+            # (IdSetAggregationFunction + IdSets.merge)
+            "idset",
         }
         if not _find_calls(query, names):
             return noop
@@ -3545,8 +3549,8 @@ class HurricaneSQL:
                 if not 0 <= pct <= 100:
                     return None
                 if name == "percentilerawest":
-                    return (f"CAST(({args[0]}) AS BIGINT)", "qdigest", 0)
-                return (f"CAST(({args[0]}) AS DOUBLE)", "tdigest", 0)
+                    return (f"CAST(({args[0]}) AS BIGINT)", "qdigest", 0, "")
+                return (f"CAST(({args[0]}) AS DOUBLE)", "tdigest", 0, "")
             if name == "distinctcountrawhll":
                 if len(args) > 2:
                     return None
@@ -3560,7 +3564,30 @@ class HurricaneSQL:
                     return None
                 if not 4 <= log2m <= 30:
                     return None
-                return (f"({args[0]})", "hll", log2m)
+                return (f"({args[0]})", "hll", log2m, "")
+            if name == "idset":
+                # 1/2-arg forms; the params literal rides in `extra` so
+                # the partial emit and the merge apply the same
+                # threshold/bloom rules as the single-phase aggregate
+                if len(args) > 2:
+                    return None
+                params = ""
+                if len(args) == 2:
+                    lit = args[1].strip()
+                    if not (lit.startswith("'") and lit.endswith("'")):
+                        return None
+                    params = lit[1:-1]
+                    for kv in params.split(";"):
+                        if not kv.strip():
+                            continue
+                        kk, sep, _v = kv.partition("=")
+                        if not sep or kk.strip().lower() not in (
+                            "sizethresholdinbytes",
+                            "expectedinsertions",
+                            "fpp",
+                        ):
+                            return None
+                return (f"({args[0]})", "idset", 0, params)
             # theta: simple union form here; the filtered set-op form is
             # a COMPOSITE call (several specs + a fold) — _call_parts
             if len(args) > 2:
@@ -3569,7 +3596,7 @@ class HurricaneSQL:
                 k = _theta_params(args[1]) if len(args) == 2 else 4096
             except ValueError:
                 return None
-            return (f"({args[0]})", "theta", k)
+            return (f"({args[0]})", "theta", k, "")
 
         def _call_parts(name: str, args: list[str]):
             """-> (specs, render): `specs` is a list of
@@ -3591,7 +3618,11 @@ class HurricaneSQL:
             preserved without the explicit typeof() argument."""
             k = _call_key(name, args)
             if k is not None:
-                env = "base64({})" if k[1] == "theta" else "lower(hex({}))"
+                env = (
+                    "base64({})"
+                    if k[1] in ("theta", "idset")
+                    else "lower(hex({}))"
+                )
                 return [k], lambda bodies, env=env: env.format(bodies[0])
             if name != "distinctcountrawthetasketch" or len(args) < 4:
                 return None
@@ -3618,6 +3649,7 @@ class HurricaneSQL:
                     else f"CASE WHEN ({filters[a - 1]}) THEN ({col}) END",
                     "theta",
                     nominal,
+                    "",
                 )
                 for a in ids
             ]
@@ -3637,8 +3669,8 @@ class HurricaneSQL:
                 parts = _call_parts(name, args)
                 if parts is None:
                     continue
-                for expr, kd, k in parts[0]:
-                    nk = (_norm(expr), kd, k)
+                for expr, kd, k, ex in parts[0]:
+                    nk = (_norm(expr), kd, k, ex)
                     if nk not in assign:
                         assign[nk] = f"_rd_{len(assign)}"
 
@@ -3658,11 +3690,14 @@ class HurricaneSQL:
         where = grp("where")
         src_sql = "SELECT " + ", ".join(
             [f"({g}) AS _gk_{i}" for i, g in enumerate(gby)]
-            + [f"({expr}) AS {al}" for (expr, _kd, _k), al in assign.items()]
+            + [
+                f"({expr}) AS {al}"
+                for (expr, _kd, _k, _ex), al in assign.items()
+            ]
         ) + f" FROM {tbl}" + (f" WHERE {where}" if where else "")
         specs = [
-            DigestSpec(alias=al, value_col=al, kind=kd, k=k or 4096)
-            for (_expr, kd, k), al in assign.items()
+            DigestSpec(alias=al, value_col=al, kind=kd, k=k or 4096, extra=ex)
+            for (_expr, kd, k, ex), al in assign.items()
         ]
         try:
             src = self.spark.sql(rewrite_functions(src_sql))
@@ -3694,8 +3729,8 @@ class HurricaneSQL:
             specs, render = parts
             return render(
                 [
-                    _body(kd, k, assign[(_norm(ex), kd, k)], qualify)
-                    for ex, kd, k in specs
+                    _body(kd, k, assign[(_norm(expr), kd, k, ex)], qualify)
+                    for expr, kd, k, ex in specs
                 ]
             )
 

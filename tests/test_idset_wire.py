@@ -217,3 +217,69 @@ def test_idset_sql_aggregate_emits_wire_string(spark):
     assert b2[0] == TYPE_BLOOM
     ids = decode_idset(b2)
     assert ids.contains(10, "LONG") and not ids.contains(999, "LONG")
+
+
+def test_idset_two_phase_bytes_match_single_phase(spark):
+    """idSet() restructures through the partial->merge framework
+    (MapInPandas partials over the data, merged blobs in the exchange —
+    the reference's IdSetAggregationFunction + IdSets.merge contract);
+    the wire bytes are identical to the single-phase grouped agg, and
+    the params form rides through (forced-bloom partials bit-OR)."""
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], size=2000),
+            "v": rng.integers(0, 5000, size=2000),
+        }
+    )
+    h = HurricaneSQL(spark)
+    h.register(
+        "idw_tp",
+        spark.createDataFrame(pdf).selectExpr("g", "CAST(v AS BIGINT) AS v"),
+    )
+    q = "SELECT g, idset(v) AS s FROM idw_tp GROUP BY g ORDER BY g"
+    df = h.sql(q, default_limit=None)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    rows = {r["g"]: r["s"] for r in df.collect()}
+    # ground truth: the single-phase grouped-agg macro, expanded direct
+    from hurricanedb_spark.functions.registry import register_all
+    from hurricanedb_spark.sql.dialect import rewrite_functions
+
+    register_all(spark)
+    single = {
+        r["g"]: r["s"]
+        for r in spark.sql(rewrite_functions(q)).collect()
+    }
+    assert rows == single
+    for g, s in rows.items():
+        blob = base64.b64decode(s)
+        assert blob[0] == TYPE_ROARING64
+        want = sorted(
+            int(v) for v in pdf.loc[pdf["g"] == g, "v"].unique()
+        )
+        assert sorted(decode_idset(blob).values()) == want
+    # params form (forced bloom) two-phase == single-phase bytes
+    q2 = (
+        "SELECT g, idset(v, 'sizeThresholdInBytes=0;"
+        "expectedInsertions=4000;fpp=0.02') AS s "
+        "FROM idw_tp GROUP BY g ORDER BY g"
+    )
+    df2 = h.sql(q2, default_limit=None)
+    plan2 = df2._sc._jvm.PythonSQLUtils.explainString(
+        df2._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in plan2
+    rows2 = {r["g"]: r["s"] for r in df2.collect()}
+    single2 = {
+        r["g"]: r["s"] for r in spark.sql(rewrite_functions(q2)).collect()
+    }
+    assert rows2 == single2
+    assert base64.b64decode(rows2["a"])[0] == TYPE_BLOOM
