@@ -3719,17 +3719,22 @@ class HurricaneSQL:
         def cleanup(uniq=uniq):
             self.spark.catalog.dropTempView(uniq)
 
-        def _body(kind: str, k: int, alias: str, qualify: bool) -> str:
+        def _body(
+            kind: str, k: int, alias: str, agg: bool, qualify: bool
+        ) -> str:
             col = f"{uniq}.{alias}" if qualify else alias
-            agg = f"min({col})" if qualify else col
+            expr = f"min({col})" if agg else col
             empty = f"X'{empty_state(kind, k or 4096).hex()}'"
-            return f"coalesce({agg}, {empty})"
+            return f"coalesce({expr}, {empty})"
 
-        def _emit_call(parts, qualify: bool) -> str:
+        def _emit_call(parts, qualify: bool, agg: bool | None = None) -> str:
             specs, render = parts
+            agg = qualify if agg is None else agg
             return render(
                 [
-                    _body(kd, k, assign[(_norm(expr), kd, k, ex)], qualify)
+                    _body(
+                        kd, k, assign[(_norm(expr), kd, k, ex)], agg, qualify
+                    )
                     for expr, kd, k, ex in specs
                 ]
             )
@@ -3802,18 +3807,57 @@ class HurricaneSQL:
             _pure_oby_item(it) for it in _split_top(grp("oby") or "")
         ]
         if (
-            gby  # global shape must return one row on empty input:
-            # only the CROSS JOIN + aggregate form guarantees that
-            and all(p is not None for p in pure_sel)
+            all(p is not None for p in pure_sel)
             and all(p is not None for p in pure_oby)
             and not grp("having")
         ):
-            out = f"SELECT {', '.join(pure_sel)} FROM {uniq}"
-            if pure_oby:
-                out += f" ORDER BY {', '.join(pure_oby)}"
-            if grp("lim"):
-                out += f" LIMIT {grp('lim')}"
-            return out, cleanup
+            if not gby:
+                # GLOBAL pure-digest select (round-13, found by the sf1
+                # idset OOM): aggregate over the VIEW itself — min()
+                # over its 0-or-1 rows returns one row even on empty
+                # input (global aggregates always do), so the empty
+                # guarantee holds WITHOUT the CROSS JOIN, which
+                # attached the serialized digest to EVERY base row
+                # (450k rows x a 188KB IdSet blob = tens of GB through
+                # the aggregate's input batches)
+                def _pure_global(it: str) -> str | None:
+                    m_alias = re.search(
+                        r"\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it
+                    )
+                    body, alias_sfx = (
+                        (it[: m_alias.start()], it[m_alias.start():])
+                        if m_alias
+                        else (it, "")
+                    )
+                    calls = _find_calls(body, names)
+                    if len(calls) == 1:
+                        cs, ce, cname, cargs = calls[0]
+                        parts = _call_parts(cname, cargs)
+                        if (
+                            parts
+                            and not body[:cs].strip()
+                            and not body[ce:].strip()
+                        ):
+                            return (
+                                f"{_emit_call(parts, False, agg=True)}"
+                                f"{alias_sfx}"
+                            )
+                    return None
+
+                gsel = [_pure_global(it) for it in sel_items]
+                if all(g is not None for g in gsel):
+                    out = f"SELECT {', '.join(gsel)} FROM {uniq}"
+                    if grp("lim"):
+                        out += f" LIMIT {grp('lim')}"
+                    return out, cleanup
+                # fall through to the join-back (mixed shapes)
+            else:
+                out = f"SELECT {', '.join(pure_sel)} FROM {uniq}"
+                if pure_oby:
+                    out += f" ORDER BY {', '.join(pure_oby)}"
+                if grp("lim"):
+                    out += f" LIMIT {grp('lim')}"
+                return out, cleanup
 
         # JOIN-BACK path
         if gby:
