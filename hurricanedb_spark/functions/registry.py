@@ -555,18 +555,9 @@ def register_all(spark: SparkSession) -> None:
     # exact sets too large to inline as an IN list. Arrow-batched; the
     # literal decodes once per batch.
     def _in_idset_blob(s, lit):
-        import base64 as _b64
+        from hurricanedb_spark.operators.idset_wire import probe_series
 
-        import pandas as _pd
-
-        from hurricanedb_spark.operators.idset_wire import (
-            decode_idset as _dec,
-        )
-
-        ids = _dec(_b64.b64decode(lit.iloc[0]))
-        return s.map(
-            lambda v: False if v is None else ids.contains(v)
-        ).astype("boolean")
+        return probe_series(s, lit.iloc[0])
 
     spark.udf.register(
         "inidsetblob",

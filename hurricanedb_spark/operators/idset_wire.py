@@ -235,6 +235,18 @@ class PinotIdSet:
             self._payload = set(self._payload)
         return self._payload
 
+    def signed_values(self):
+        """Exact values as a two's-complement int64 numpy array —
+        directly comparable to Spark int/bigint columns (vectorized
+        Series.isin membership, the probe hot path)."""
+        width = 64 if self.type_id == TYPE_ROARING64 else 32
+        vals = np.fromiter(
+            (int(v) for v in self.values()), dtype=np.uint64
+        )
+        if width == 32:
+            return vals.astype(np.uint32).astype(np.int32).astype(np.int64)
+        return vals.astype(np.int64)
+
 
 def decode_idset(buf: bytes) -> PinotIdSet:
     from hurricanedb_spark.sources.pinot_segment import roaring_deserialize
@@ -388,6 +400,40 @@ def merge_idset_blobs(
         + struct.pack(">BBi", 1, k, num_longs)
         + data.byteswap().tobytes()
     )
+
+
+def probe_series(s, literal_b64: str):
+    """Vectorized membership of a pandas Series against a base64 IdSet
+    literal — the pandas-UDF hot path for IN_ID_SET. The decoded IdSet
+    (and, for exact types, its signed int64 value array) is cached per
+    worker process, so a 6M-row scan decodes the blob once, not once
+    per Arrow batch; exact membership is numpy Series.isin, bloom
+    membership stays the per-value probe (k murmur hashes each —
+    inherent to the structure)."""
+    import pandas as pd
+
+    ids, signed = _cached_literal(literal_b64)
+    if signed is not None:
+        return pd.Series(s.isin(signed) & s.notna()).astype("boolean")
+    return s.map(
+        lambda v: False if v is None else ids.contains(v)
+    ).astype("boolean")
+
+
+import functools as _functools  # noqa: E402
+
+
+@_functools.lru_cache(maxsize=64)
+def _cached_literal(literal_b64: str):
+    import base64 as _b64
+
+    ids = decode_idset(_b64.b64decode(literal_b64))
+    signed = (
+        ids.signed_values()
+        if ids.exact and ids.type_id != TYPE_EMPTY
+        else (np.empty(0, dtype=np.int64) if ids.type_id == TYPE_EMPTY else None)
+    )
+    return ids, signed
 
 
 def spark_type_to_pinot(dtype: str) -> str:

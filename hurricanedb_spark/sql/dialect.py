@@ -1630,18 +1630,47 @@ def _in_id_set_sql(col: str, literal: str) -> str:
     )
 
     ids = decode_idset(raw)
-    if ids.type_id == TYPE_BLOOM:
+    if ids.type_id != TYPE_BLOOM:
+        vals = ids.values()
+        if not vals:
+            return "(FALSE)"
+        if len(vals) <= 1000:
+            width = 64 if ids.type_id == TYPE_ROARING64 else 32
+            signed = sorted(
+                v - (1 << width) if v >= 1 << (width - 1) else v
+                for v in vals
+            )
+            return f"(({col}) IN ({', '.join(str(v) for v in signed)}))"
+    # bloom, or an exact set too large to inline: probe UDF. Prefer a
+    # per-literal CLOSURE registration (the blob ships once in the task
+    # binary) over passing the literal as a UDF argument — Arrow
+    # materializes a literal argument on EVERY ROW of every batch
+    # (round-13, found at sf1: a 250KB literal x 6M lineitem rows made
+    # the probe 25x slower than the closure form)
+    return _register_inidset_probe(col, literal)
+
+
+def _register_inidset_probe(col: str, literal: str) -> str:
+    import hashlib
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        # no session (bare rewrite_functions): the literal-argument
+        # form still works, just with the per-row materialization cost
         return f"inidsetblob(({col}), '{literal}')"
-    vals = ids.values()
-    if not vals:
-        return "(FALSE)"
-    width = 64 if ids.type_id == TYPE_ROARING64 else 32
-    signed = [
-        v - (1 << width) if v >= 1 << (width - 1) else v for v in vals
-    ]
-    if len(signed) > 1000:
-        return f"inidsetblob(({col}), '{literal}')"
-    return f"(({col}) IN ({', '.join(str(v) for v in sorted(signed))}))"
+    name = f"__inidset_{hashlib.sha1(literal.encode()).hexdigest()[:16]}"
+
+    def _fn(s, lit=literal):
+        from hurricanedb_spark.operators.idset_wire import probe_series
+
+        return probe_series(s, lit)
+
+    spark.udf.register(
+        name, F.pandas_udf(_fn, "boolean", F.PandasUDFType.SCALAR)
+    )
+    return f"{name}(({col}))"
 
 
 def rewrite_functions(sql: str, max_passes: int = 10) -> str:

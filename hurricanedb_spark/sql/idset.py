@@ -133,22 +133,27 @@ def in_id_set(col: Column, idset_literal: str) -> Column:
         vals = idset.values()
         if not vals:
             return F.lit(False)
-        if idset.type_id == TYPE_ROARING64:
-            # stored as unsigned 64-bit; compare in two's complement
-            vals = [v - (1 << 64) if v >= 1 << 63 else v for v in vals]
-        else:
-            vals = [v - (1 << 32) if v >= 1 << 31 else v for v in vals]
-        return col.isin(vals)
+        if len(vals) <= 1000:
+            # small exact set: in-plan IN list, scan-pushable
+            if idset.type_id == TYPE_ROARING64:
+                vals = [
+                    v - (1 << 64) if v >= 1 << 63 else v for v in vals
+                ]
+            else:
+                vals = [
+                    v - (1 << 32) if v >= 1 << 31 else v for v in vals
+                ]
+            return col.isin(vals)
+        # large exact set (round-13, found at sf1: a 450k-value isin
+        # literal list inflates plan construction and ships ~20MB task
+        # binaries): probe through the cached-decode vectorized UDF
 
     blob_b64 = idset_literal
 
     def _probe_fn(s):
-        from hurricanedb_spark.operators.idset_wire import decode_idset as _d
+        from hurricanedb_spark.operators.idset_wire import probe_series
 
-        ids = _d(base64.b64decode(blob_b64))
-        return s.map(
-            lambda v: False if v is None else ids.contains(v)
-        ).astype("boolean")
+        return probe_series(s, blob_b64)
 
     # explicit SCALAR type: `from __future__ import annotations`
     # stringifies hints, which pyspark's inference cannot read

@@ -141,9 +141,10 @@ def test_id_set_in_id_set_sql_and_python_paths(spark):
     rows = souter.filter(in_id_set(F.col("s"), slit)).collect()
     vals = {r.s for r in rows}
     assert {"alpha", "héllo"} <= vals and len(vals) <= 3
-    # SQL bloom path routes through the registered inidsetblob UDF
+    # SQL bloom path routes through a per-literal probe UDF (closure
+    # registration when a session is active; inidsetblob fallback)
     sql2 = rewrite_functions(f"SELECT inidset(s, '{slit}') FROM t")
-    assert "inidsetblob" in sql2
+    assert "__inidset_" in sql2 or "inidsetblob" in sql2
     from hurricanedb_spark.functions.registry import register_all
 
     register_all(spark)
@@ -166,7 +167,7 @@ def test_in_id_set_large_exact_set_uses_probe(spark):
     inner = spark.range(0, 5000, 2).selectExpr("CAST(id AS INT) AS k")
     lit = id_set(inner, "k")
     sql = rewrite_functions(f"SELECT inidset(k, '{lit}') FROM t")
-    assert "inidsetblob" in sql and " IN (" not in sql
+    assert ("__inidset_" in sql or "inidsetblob" in sql) and " IN (" not in sql
     from hurricanedb_spark.functions.registry import register_all
 
     register_all(spark)
