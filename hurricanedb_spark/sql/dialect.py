@@ -2034,16 +2034,45 @@ def _dot_accessible_cols(fields) -> list[str]:
 
 _ALIAS_AS = re.compile(r"(?is)^(.*\S)\s+as\s+([A-Za-z_]\w*)\s*$")
 
+# implicit (AS-less) select alias: `expr ident`. The trailing identifier
+# is NOT an alias when it is a reserved literal/terminator, or when the
+# preceding text ends with an operator character or an infix keyword
+# (then it is an operand of the expression, e.g. `a + b`, `x LIKE p`).
+_IMPLICIT_ALIAS = re.compile(r"(?s)^(.*\S)\s+([A-Za-z_]\w*)\s*$")
+_NON_ALIAS_TAILS = frozenset(
+    {"null", "true", "false", "end", "unknown", "asc", "desc"}
+)
+_OPERAND_TAIL = re.compile(
+    r"(?si).*(?:[-+*/%(,.<>=!|&^~]|\b(?:and|or|not|in|like|rlike|ilike|"
+    r"between|escape|is|distinct|from|when|then|else|case|div|interval|"
+    r"by|over|exists|all|any|some|select|where))\s*$"
+)
+
 
 def _select_alias_map(sel: str) -> dict[str, str]:
-    """lower(alias) -> aliased expression text for explicit `AS` aliases
-    in a select list. Matches on the literal-masked copy (an `as` inside
-    a string can never create an alias), slices the original by span."""
+    """lower(alias) -> aliased expression text for select-list aliases,
+    both explicit `AS` and implicit (`expr ident` with no AS — round-13
+    ADVICE: the rebind guard missed the implicit spelling, so `SELECT
+    d.fam g ... ORDER BY t.g` silently re-sorted by the alias once the
+    qualifier was stripped). Matches on the literal-masked copy (an `as`
+    inside a string can never create an alias), slices the original by
+    span. Implicit detection may over-match an operand in rare spellings
+    (`INTERVAL 5 day`); that only makes the callers' guards MORE
+    conservative (they decline the strip), never less."""
     out: dict[str, str] = {}
     for item in _split_top(sel):
         item = item.strip()
-        m = _ALIAS_AS.match(_mask_literals(item))
+        masked = _mask_literals(item)
+        m = _ALIAS_AS.match(masked)
         if m:
+            out[m.group(2).lower()] = item[m.start(1) : m.end(1)].strip()
+            continue
+        m = _IMPLICIT_ALIAS.match(masked)
+        if (
+            m
+            and m.group(2).lower() not in _NON_ALIAS_TAILS
+            and not _OPERAND_TAIL.match(m.group(1))
+        ):
             out[m.group(2).lower()] = item[m.start(1) : m.end(1)].strip()
     return out
 
@@ -2143,9 +2172,14 @@ def _alias_project_refs(
     alias; a select item that IS a bare dotted ref keeps its output
     name (`__q0_<tag> AS <lastpart>`). Returns the projection items
     (`ref AS alias`), or None when a chain is out of scope: a
-    qualified star (`t.*`) or a qualified function call (`q.fn(...)`).
-    Callers dry-run-analyze the rebuilt query, so at worst this
-    declines."""
+    qualified star (`t.*`) or a qualified function call (`q.fn(...)`),
+    or — round-13 ADVICE — a COMPOSITE select item containing a dotted
+    chain but carrying no explicit alias: rewriting the refs inside it
+    would change Spark's auto-generated output column name
+    (`sum(t.x)` -> `sum(__q0_ab12cd34)`), an observable result-schema
+    change for the same query text, so those shapes keep the
+    single-phase form. Callers dry-run-analyze the rebuilt query, so
+    at worst this declines."""
     mapping: dict[str, str] = {}
     items: list[str] = []
 
@@ -2189,6 +2223,10 @@ def _alias_project_refs(
             continue
         r = repl(it)
         if r is None:
+            return None
+        if r != it and not _ALIAS_AS.match(_mask_literals(it)):
+            # composite item with dotted refs but no explicit alias:
+            # projecting would change the auto-generated output name
             return None
         sel_items.append(r)
     new_sel = ", ".join(sel_items)

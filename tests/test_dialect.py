@@ -3,6 +3,8 @@ default LIMIT 10, function rewrites, TEXT_MATCH translation, lookUp join."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -682,6 +684,43 @@ def test_groovy_embedded_quote_and_malformed_escape():
         translate_groovy([meta, "'arg0 == ''it''s'''", "x"])
 
 
+def test_strip_declines_on_implicit_select_alias_collision():
+    """Round-13 ADVICE (medium): the ORDER BY/HAVING alias-rebind guard
+    only detected explicit `AS` aliases. With an IMPLICIT alias —
+    `SELECT d.fam g ... ORDER BY t.g` — the strip proceeded and
+    `ORDER BY g` silently rebound to the select alias (fam), reordering
+    rows under LIMIT; the dry-run analysis passes so it was silent. The
+    guard now catches `expr ident` spellings too and declines."""
+    from hurricanedb_spark.sql.dialect import rewrite_mv_percentile_bounded as rw
+
+    # subtree carries a real column g (from t) AND the select list
+    # implicitly aliases d.fam as g: stripping ORDER BY t.g -> g would
+    # rebind the sort to fam. Must decline (query returned unchanged).
+    q = (
+        "SELECT d.fam g, percentileEstMV(t.x, 90) AS p "
+        "FROM t JOIN u d ON t.k = d.k GROUP BY d.fam ORDER BY t.g"
+    )
+    assert rw(q, analyze=lambda s: (["k", "x", "g", "kk", "fam"], [])) == q
+    # the explicit-AS spelling of the same collision restructures via
+    # alias PROJECTION (every item carries an AS): ORDER BY t.g binds
+    # to the projected alias for t.g — resolved in the original FROM
+    # scope — never to the select alias g, so no rebind is possible
+    q_as = (
+        "SELECT d.fam AS g, percentileEstMV(t.x, 90) AS p "
+        "FROM t JOIN u d ON t.k = d.k GROUP BY d.fam ORDER BY t.g"
+    )
+    out_as = rw(q_as, analyze=lambda s: (["k", "x", "g", "kk", "fam"], []))
+    m = re.search(r"t\.g AS (__q\d+_\w+)", out_as)
+    assert m and out_as.rstrip().endswith(f"ORDER BY {m.group(1)}")
+    # an implicit alias that IS the same column does not block the strip
+    ok = rw(
+        "SELECT t.g g, percentileEstMV(t.x, 90) AS p "
+        "FROM t JOIN u d ON t.k = d.k GROUP BY t.g ORDER BY t.g",
+        analyze=lambda s: (["k", "x", "g", "kk", "fam"], []),
+    )
+    assert "_mvsrc" in ok and "ORDER BY g" in ok
+
+
 def test_mv_percentile_bounded_restructure_shapes():
     from hurricanedb_spark.sql.dialect import rewrite_mv_percentile_bounded as rw
 
@@ -1010,11 +1049,31 @@ def test_mv_raw_hll_returns_serialized_sketch(hdb, spark):
         # default log2m=8 (the reference's DEFAULT_HYPERLOGLOG_LOG2M):
         # rsd = 1.04/sqrt(256) = 6.5%; bound at ~2 sigma
         assert abs(est - want) <= max(2, want * 0.14), (r["label"], est, want)
-    # non-restructurable shapes refuse loudly instead of silently
-    # returning a wrong-typed count (the r8 raw-theta defect class)
+    # r13 alias projection: the ambiguous-qualified self-join shape
+    # (embedding on BOTH sides, so the qualifier strip declines) now
+    # RESTRUCTURES via `e.embedding AS __q0_<tag>` instead of raising —
+    # it returns a valid clearspring sketch whose estimate tracks the
+    # exact distinct count (the join on vec_id pairs each row with
+    # itself, so the element population is unchanged)
+    row = hdb.sql(
+        "SELECT distinctCountRawHLLMV(e.embedding) AS sk "
+        "FROM embeddings e JOIN embeddings e2 ON e.vec_id = e2.vec_id",
+        default_limit=None,
+    ).collect()[0]
+    assert isinstance(row["sk"], str) and row["sk"] == row["sk"].lower()
+    est = ClearspringHLL.deserialize(bytes.fromhex(row["sk"])).cardinality()
+    exact_all = hdb.sql(
+        "SELECT distinctCountMV(embedding) AS dc FROM embeddings",
+        default_limit=None,
+    ).collect()[0]["dc"]
+    assert abs(est - exact_all) <= max(2, exact_all * 0.14), (est, exact_all)
+    # the UNALIASED composite spelling still declines the restructure
+    # (r13 ADVICE: projecting refs inside an unaliased item would change
+    # the auto-generated output column name) and refuses loudly instead
+    # of silently returning a wrong-typed count (the r8 raw-theta class)
     with pytest.raises(Exception, match="serialized HLL sketch"):
         hdb.sql(
-            "SELECT distinctCountRawHLLMV(e.embedding) AS sk "
+            "SELECT distinctCountRawHLLMV(e.embedding) "
             "FROM embeddings e JOIN embeddings e2 ON e.vec_id = e2.vec_id",
             default_limit=None,
         ).collect()
@@ -1506,8 +1565,12 @@ def test_mode_avg_qualified_tail_restructures(hdb):
     )
     assert "collect_list" not in plan
     assert df.collect()[0]["m"] == 2.5  # avg of tied modes {1, 4}
-    # ambiguous bare name (g on both sides): the strip declines and the
-    # fold macro keeps the query correct
+    # ambiguous bare name (g on both sides): the strip declines, but
+    # r13 alias PROJECTION restructures anyway — `t.g` is projected into
+    # the source CTE under a generated alias resolved in the original
+    # FROM scope (no rebinding possible), the select item keeps its
+    # output name (`__q0_<tag> AS g`), and the value-counts shape still
+    # replaces the linear collect_list fold
     df2 = hdb.sql(
         "SELECT t.g, mode(x, 'AVG') AS m FROM mode_join_t t "
         "JOIN mode_join_dim d ON t.g = d.g GROUP BY t.g",
@@ -1516,7 +1579,8 @@ def test_mode_avg_qualified_tail_restructures(hdb):
     plan2 = df2._sc._jvm.PythonSQLUtils.explainString(
         df2._jdf.queryExecution(), "formatted"
     )
-    assert "collect_list" in plan2  # the documented fold-path bound
+    assert "collect_list" not in plan2  # restructured, not the fold macro
+    assert df2.columns == ["g", "m"]  # output name preserved
     assert df2.collect()[0]["m"] == 2.5
 
 
