@@ -564,13 +564,18 @@ def register_all(spark: SparkSession) -> None:
         _F.pandas_udf(_in_idset_blob, "boolean"),
     )
 
-    # idsetwireagg(col, typeof(col), 'params'): per-group reference-wire
-    # IdSet bytes (operators/idset_wire.py — IdSetAggregationFunction's
-    # result is the base64 of exactly these bytes; the SQL surface wraps
-    # base64()). typeof pins the DECLARED type: NULL-bearing int Arrow
-    # batches degrade to float64, and the reference dispatches on the
-    # column type, not the batch dtype.
-    def _idset_agg(v, t, params):
+    # idsetwireagg(col, CAST(col AS STRING), typeof(col), 'params'):
+    # per-group reference-wire IdSet bytes (operators/idset_wire.py —
+    # IdSetAggregationFunction's result is the base64 of exactly these
+    # bytes; the SQL surface wraps base64()). typeof pins the DECLARED
+    # type: NULL-bearing int Arrow batches degrade to float64, and the
+    # reference dispatches on the column type, not the batch dtype.
+    # The string column (round-13 ADVICE) is the LOSSLESS channel for
+    # INT/LONG when the batch degraded: float64 silently rounds ids
+    # past 2^53 BEFORE the UDF runs, so exact longs must cross the
+    # Arrow boundary as decimal strings whenever the int column
+    # carries a null; a null-free batch keeps the int64 fast path.
+    def _idset_agg(v, vstr, t, params):
         from hurricanedb_spark.operators.idset_wire import (
             DEFAULT_EXPECTED_INSERTIONS,
             DEFAULT_FPP,
@@ -596,9 +601,15 @@ def register_all(spark: SparkSession) -> None:
                 ins = int(val)
             elif k == "fpp":
                 fpp = float(val)
-        vals = v.dropna()
         if dtype in ("INT", "LONG"):
-            vals = vals.astype("int64")
+            if str(v.dtype).startswith("int"):
+                vals = v.dropna()  # null-free batch: exact already
+            else:
+                # degraded (null-bearing) batch: parse the exact
+                # decimal strings instead of the rounded float64s
+                vals = vstr.dropna().astype("int64")
+        else:
+            vals = v.dropna()
         return encode_idset(
             vals.tolist(),
             dtype,

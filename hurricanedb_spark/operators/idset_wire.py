@@ -289,9 +289,11 @@ def _roaring_stream_len(buf: bytes) -> int:
     """Byte length of one portable RoaringBitmap stream at buf[0] —
     needed to walk the concatenated per-key bitmaps in the legacy
     Roaring64 layout (which carries no per-bitmap length)."""
-    (cookie,) = struct.unpack_from("<i", buf, 0)
+    # unsigned decode (round-13 ADVICE): ≥32769 containers push the
+    # with-run cookie past INT32_MAX (Java wraps negative on write)
+    (cookie,) = struct.unpack_from("<I", buf, 0)
     if (cookie & 0xFFFF) == 12347:
-        size = (cookie >> 16) + 1
+        size = ((cookie >> 16) & 0xFFFF) + 1
         pos = 4 + (size + 7) // 8
         run_flags = np.unpackbits(
             np.frombuffer(buf, np.uint8, (size + 7) // 8, 4),

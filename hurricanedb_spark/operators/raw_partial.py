@@ -280,6 +280,11 @@ def _make_acc_factory(spec: DigestSpec, spark_type: str):
                 self.vals: set = set()
 
             def update(self, v):
+                # INT/LONG arrive as decimal STRINGS (digests_by_group
+                # projects a CAST — round-13 ADVICE: a null-bearing
+                # int Arrow batch degrades to float64, silently
+                # rounding ids past 2^53 before this code runs; the
+                # string channel is lossless and astype parses exactly)
                 vv = v.dropna()
                 if dtype in ("INT", "LONG"):
                     vv = vv.astype("int64")
@@ -401,10 +406,21 @@ def digests_by_group(
         if dtypes[c] in ("float", "double")
     }
     key_cols = [*group_cols, *markers.values()]
+    def _value_col(s: DigestSpec):
+        # idset over INT/LONG ships as decimal strings: a null-bearing
+        # int Arrow batch otherwise degrades to float64 in pandas,
+        # silently rounding ids past 2^53 (round-13 ADVICE). The cast
+        # is JVM-side and exact; _IdAcc parses back exactly.
+        if s.kind == "idset" and dtypes[s.value_col] in (
+            "int", "bigint", "smallint", "tinyint",
+        ):
+            return F.col(s.value_col).cast("string").alias(s.alias)
+        return F.col(s.value_col).alias(s.alias)
+
     src = df.select(
         *group_cols,
         *(F.isnan(F.col(c)).alias(m) for c, m in markers.items()),
-        *(F.col(s.value_col).alias(s.alias) for s in specs),
+        *(_value_col(s) for s in specs),
     )
     fields = ", ".join(
         f"`{c}` {src.schema[c].dataType.simpleString()}" for c in key_cols

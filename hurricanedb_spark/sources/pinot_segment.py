@@ -213,8 +213,10 @@ def roaring_serialize(values, run_optimize: bool = True) -> bytes:
             containers.append(bitmap.tobytes())
             run_flags.append(0)
     if any(run_flags):
+        # unsigned pack (round-13 ADVICE): for size > 32768 the cookie
+        # exceeds INT32_MAX (Java wraps negative); '<i' raises instead
         header = struct.pack(
-            "<i", _ROARING_COOKIE_RUN | ((size - 1) << 16)
+            "<I", (_ROARING_COOKIE_RUN | ((size - 1) << 16)) & 0xFFFFFFFF
         ) + np.packbits(
             np.asarray(run_flags, dtype=np.uint8), bitorder="little"
         ).tobytes()
@@ -236,9 +238,12 @@ def roaring_deserialize(buf: bytes):
     Handles both cookies (12346 no-run / 12347 with run containers)."""
     import numpy as np
 
-    (cookie,) = struct.unpack_from("<i", buf, 0)
+    # unsigned decode (round-13 ADVICE): real-library streams with
+    # ≥32769 containers carry a cookie past INT32_MAX (Java wrote it
+    # wrapped negative); a signed read would yield a negative size
+    (cookie,) = struct.unpack_from("<I", buf, 0)
     if (cookie & 0xFFFF) == _ROARING_COOKIE_RUN:
-        size = (cookie >> 16) + 1
+        size = ((cookie >> 16) & 0xFFFF) + 1
         run_flag_bytes = (size + 7) // 8
         run_flags = np.unpackbits(
             np.frombuffer(buf, dtype=np.uint8, count=run_flag_bytes, offset=4),

@@ -108,7 +108,10 @@ _AGG_REWRITES: dict[str, str] = {
     # operators/idset_wire.py is byte-identical to the real jars), so
     # the result feeds inIdSet()/IN_ID_SET on EITHER engine. typeof
     # pins the declared column type for the IdSets.create dispatch.
-    "idset": "base64(idsetwireagg($1, typeof($1), ''))",
+    # the CAST-AS-STRING arg is the lossless channel for null-bearing
+    # INT/LONG batches (Arrow degrades them to float64, rounding ids
+    # past 2^53 before the UDF runs — round-13 ADVICE)
+    "idset": "base64(idsetwireagg($1, CAST($1 AS STRING), typeof($1), ''))",
     # documented superset: the reference REFUSES a standalone fourthMoment
     # (FourthMomentAggregationFunction.java:167 — the moment state exists
     # only as the carrier for skewness/kurtosis) so any defined answer is
@@ -1587,8 +1590,8 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
             ):
                 raise ValueError(f"malformed idSet parameter: {kv!r}")
         return (
-            f"base64(idsetwireagg({args[0]}, typeof({args[0]}), "
-            f"'{params}'))"
+            f"base64(idsetwireagg({args[0]}, CAST({args[0]} AS STRING), "
+            f"typeof({args[0]}), '{params}'))"
         )
     if name == "inidset" and len(args) == 2:
         lit = args[1].strip()
@@ -1658,7 +1661,19 @@ def _register_inidset_probe(col: str, literal: str) -> str:
     spark = SparkSession.getActiveSession()
     if spark is None:
         # no session (bare rewrite_functions): the literal-argument
-        # form still works, just with the per-row materialization cost
+        # form still works for SMALL literals, but Arrow materializes
+        # a UDF literal argument on EVERY ROW of every batch, so a
+        # large blob here is the measured-410s sf1 pathology — refuse
+        # loudly past 1KB instead of leaving the known-slow form live
+        # (round-13 verdict #3)
+        if len(literal) > 1024:
+            raise ValueError(
+                f"inIdSet literal is {len(literal)} base64 chars with no "
+                "active SparkSession: the literal-argument fallback "
+                "materializes the blob per row. Create the session "
+                "first so _register_inidset_probe can ship it as a "
+                "closure-captured UDF instead."
+            )
         return f"inidsetblob(({col}), '{literal}')"
     name = f"__inidset_{hashlib.sha1(literal.encode()).hexdigest()[:16]}"
 

@@ -284,3 +284,61 @@ def test_idset_two_phase_bytes_match_single_phase(spark):
     }
     assert rows2 == single2
     assert base64.b64decode(rows2["a"])[0] == TYPE_BLOOM
+
+
+def test_idset_exact_longs_past_2_53_with_nulls(spark):
+    """Round-13 ADVICE: a null-bearing LONG Arrow batch degrades to
+    float64 in pandas, silently rounding ids past 2^53 BEFORE the UDF
+    runs. idSet() must still encode the EXACT longs (membership is the
+    whole point of an IdSet) — the decimal-string channel added to both
+    the single-phase grouped agg and the two-phase partial build is
+    lossless. Pinned on adjacent huge ids whose float64 images collide."""
+    from hurricanedb_spark.functions.registry import register_all
+    from hurricanedb_spark.sql.dialect import HurricaneSQL, rewrite_functions
+
+    register_all(spark)
+    big = 2**61 + 12345  # float64 rounds this to a multiple of 256
+    ids = [big, big + 1, -(2**60) - 7]
+    rows = [("a", v) for v in ids] + [("a", None), ("b", None)]
+    spark.createDataFrame(rows, "g string, v bigint").createOrReplaceTempView(
+        "idw_big_t"
+    )
+    q = "SELECT g, idset(v) AS s FROM idw_big_t GROUP BY g ORDER BY g"
+    # single-phase grouped agg (the non-restructured macro)
+    single = spark.sql(rewrite_functions(q)).collect()
+    got = sorted(
+        v - (1 << 64) if v >= 1 << 63 else v
+        for v in decode_idset(base64.b64decode(single[0]["s"])).values()
+    )
+    assert got == sorted(ids)
+    # the all-null group still yields the EMPTY IdSet
+    assert decode_idset(base64.b64decode(single[1]["s"])).values() == []
+    # two-phase partial->merge build (the restructured dialect path)
+    h = HurricaneSQL(spark)
+    two = h.sql(q, default_limit=None).collect()
+    assert [r["s"] for r in two] == [r["s"] for r in single]
+
+
+def test_inidset_no_session_fallback_refuses_large_literal():
+    """Round-13 verdict #3: with no active session the inIdSet rewrite
+    used to pass the literal as a UDF argument — the measured per-row
+    Arrow materialization pathology. Small literals still work; past
+    1KB it must refuse loudly, naming the closure registration path."""
+    from hurricanedb_spark.operators.idset_wire import encode_idset
+    from hurricanedb_spark.sql.dialect import _register_inidset_probe
+
+    small = base64.b64encode(encode_idset([1, 2, 3], "LONG")).decode()
+    big = base64.b64encode(
+        encode_idset(list(range(0, 500000, 3)), "LONG")
+    ).decode()
+    assert len(big) > 1024
+    from unittest import mock
+
+    from pyspark.sql import SparkSession
+
+    with mock.patch.object(
+        SparkSession, "getActiveSession", staticmethod(lambda: None)
+    ):
+        assert "inidsetblob" in _register_inidset_probe("c", small)
+        with pytest.raises(ValueError, match="_register_inidset_probe"):
+            _register_inidset_probe("c", big)

@@ -170,3 +170,24 @@ def test_roaring_runoptimize_rule_boundaries():
         list(range(0, 10000, 2)),
     ):
         assert roaring_deserialize(roaring_serialize(vals)).tolist() == vals
+
+
+def test_roaring_with_run_cookie_past_int32(tmp_path):
+    """Round-13 ADVICE: ≥32769 containers push the with-run cookie
+    `12347 | ((size-1) << 16)` past INT32_MAX — Java writes it wrapped
+    negative; the writer must pack unsigned (struct '<i' raised) and
+    both decoders must mask the size instead of sign-extending it."""
+    import numpy as np
+
+    from hurricanedb_spark.operators.idset_wire import _roaring_stream_len
+
+    n_containers = 32769  # (size-1)<<16 | 12347 = 0x8000303B > INT32_MAX
+    keys = np.arange(n_containers, dtype=np.uint64)
+    # 4 consecutive lows per key -> every container is a RUN container
+    vals = ((keys << 16)[:, None] | np.arange(4, dtype=np.uint64)).ravel()
+    blob = roaring_serialize(vals)
+    cookie = int.from_bytes(blob[:4], "little")
+    assert cookie > 0x7FFFFFFF and (cookie & 0xFFFF) == 12347
+    got = roaring_deserialize(blob)
+    assert len(got) == len(vals) and got[0] == 0 and int(got[-1]) == int(vals[-1])
+    assert _roaring_stream_len(blob) == len(blob)
