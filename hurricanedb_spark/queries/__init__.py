@@ -67,7 +67,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_join_inner",
     "q_join_nonequi_residual",
     "q_lookup_join",
-    "q_in_subquery",
+    # r14 (r13 verdict #2): q_idset_sql_wire replaces q_in_subquery —
+    # it supersets the semi-join semantics while also exercising the
+    # real IdSet wire codec (idSet -> base64 literal -> inIdSet probe)
+    # and the two-phase aggregate in one exact-oracle row; q_in_subquery
+    # stays registered (local gate + sf1 audit still run it)
+    "q_idset_sql_wire",
     # star-schema join aggregates stay covered by the bench set and the
     # join/agg rows above; the slot instead samples the segment-migration
     # composite (v3 + pre-v3 + raw/V4 + MV + raw-MV in one store)

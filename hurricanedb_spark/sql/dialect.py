@@ -2260,6 +2260,65 @@ def _alias_project_refs(
     return items
 
 
+def _expand_qualified_stars(sel: str, expand) -> str | None:
+    """Round-14 (r13 verdict #3): expand select items that are EXACTLY a
+    qualified star (`t.*`) into explicit per-column refs `t.c1, t.c2,
+    ...` so the qualifier strip / alias projection can restructure the
+    query instead of declining — the reference streams leaf-stage
+    partials regardless of how the SELECT spells its columns
+    (ServerRequestPlanVisitor.java:79-133). `expand` maps a qualifier to
+    its column-name list by analyzing `SELECT <q>.* FROM <subtree>` in
+    the ORIGINAL scope (relation-alias binding is exactly the outer
+    ref's), or returns None when unresolvable.
+
+    Returns the rewritten select list, or None when a `.*` appears in
+    any non-item position (expression context), a qualifier doesn't
+    resolve, or an expanded column name isn't a plain identifier (the
+    downstream chain scan can't carry quoting). Callers dry-run the
+    rebuilt query, so at worst this declines."""
+    items: list[str] = []
+    changed = False
+    for item in _split_top(sel):
+        it = item.strip()
+        masked = _mask_literals(it)
+        m = re.fullmatch(r"([A-Za-z_]\w*)\s*\.\s*\*", masked)
+        if m:
+            cols = expand(m.group(1))
+            if not cols or any(
+                not re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols
+            ):
+                return None
+            items.append(", ".join(f"{m.group(1)}.{c}" for c in cols))
+            changed = True
+        elif re.search(r"\.\s*\*", masked):
+            return None
+        else:
+            items.append(it)
+    return ", ".join(items) if changed else sel
+
+
+def _maybe_expand_stars(parts, grp, withp, fromw, analyze) -> None:
+    """Apply _expand_qualified_stars to the select list in place when an
+    analyzer is available; silently leaves `parts` untouched when the
+    expansion declines (the caller's own `.*` guard then keeps the
+    macro/single-phase form)."""
+    sel = grp("sel")
+    if analyze is None or not sel or not re.search(
+        r"\.\s*\*", _mask_literals(sel)
+    ):
+        return
+
+    def _star_cols(q: str):
+        r = analyze(
+            (f"WITH {withp} " if withp else "") + f"SELECT {q}.* FROM {fromw}"
+        )
+        return r[0] if r else None
+
+    expanded = _expand_qualified_stars(sel, _star_cols)
+    if expanded is not None:
+        parts["sel"] = expanded
+
+
 def _strip_clause_qualifiers(
     parts: dict[str, str | None],
     schema_info: tuple[list[str], list[str]] | None,
@@ -2341,6 +2400,10 @@ def rewrite_mv_percentile_bounded(sql: str, analyze=None) -> str:
         return sql
     if _find_calls(fromw, _BOUNDED_MV_NAMES):
         return sql  # call inside the subtree: nested shape, macro keeps it
+    # round-14 (r13 verdict #3): qualified stars expand to explicit
+    # per-column refs via the analyzer so `t.*` spellings restructure
+    # instead of keeping the macro; bare `*` still declines below
+    _maybe_expand_stars(parts, grp, withp, fromw, analyze)
     if any(it == "*" or it.endswith(".*") for it in _split_top(grp("sel"))):
         return sql  # select-star would leak the helper columns
     parts.update({n: grp(n) for n in ("sel", "gby", "having", "oby")})
@@ -2609,6 +2672,8 @@ def rewrite_mode_avg_bounded(sql: str, analyze=None) -> str:
         for _s, _e, _n, a in _find_calls(fromw, {"mode"})
     ):
         return sql
+    # round-14: `t.*` expands via the analyzer (see _expand_qualified_stars)
+    _maybe_expand_stars(parts, grp, withp, fromw, analyze)
     if any(it == "*" or it.endswith(".*") for it in _split_top(grp("sel"))):
         return sql
     parts.update({n: grp(n) for n in ("sel", "gby", "having", "oby")})
@@ -3436,6 +3501,30 @@ class HurricaneSQL:
             except Exception:  # noqa: BLE001 — already gone
                 pass
 
+        # round-14 (r13 verdict #3): qualified stars (`t.*`) expand to
+        # explicit per-column refs against the ORIGINAL FROM scope, so
+        # those spellings restructure too instead of single-phasing
+        if re.search(r"\.\s*\*", _mask_literals(sel)):
+
+            def _star_cols(q):
+                try:
+                    return [
+                        f.name
+                        for f in self.spark.sql(
+                            rewrite_functions(
+                                (f"WITH {withp} " if withp else "")
+                                + f"SELECT {q}.* FROM {fromw}"
+                            )
+                        ).schema.fields
+                    ]
+                except Exception:  # noqa: BLE001 — unresolvable qualifier
+                    return None
+
+            expanded = _expand_qualified_stars(sel, _star_cols)
+            if expanded is None:
+                drop()
+                return noop
+            sel = expanded
         # round-12: qualified refs (`t.col` — the most common join
         # spelling) no longer bail; strip to bare columns that resolve
         # uniquely in the collapsed view's schema (the analyzed subtree

@@ -684,6 +684,44 @@ def test_groovy_embedded_quote_and_malformed_escape():
         translate_groovy([meta, "'arg0 == ''it''s'''", "x"])
 
 
+def test_expand_qualified_stars_edges():
+    """`t.*` expands only as a WHOLE select item; expression-context
+    stars, unresolvable qualifiers, and non-identifier column names
+    decline (None) so the caller keeps the single-phase form."""
+    from hurricanedb_spark.sql.dialect import _expand_qualified_stars as ex
+
+    schema = {"t": ["a", "b"], "u": ["c"]}
+    look = lambda q: schema.get(q)  # noqa: E731
+    assert ex("t.*, sum(x) AS s", look) == "t.a, t.b, sum(x) AS s"
+    assert ex("u.*, t.*", look) == "u.c, t.a, t.b"
+    assert ex("a, sum(x) AS s", look) == "a, sum(x) AS s"  # unchanged
+    assert ex("count(t.*)", look) is None  # expression context
+    assert ex("z.*", look) is None  # unresolvable qualifier
+    assert ex("t.*", lambda q: ["weird col"]) is None  # needs quoting
+
+
+def test_mv_percentile_qualified_star_restructures():
+    """Round-14: the bounded-MV restructure expands `u.*` through the
+    analyzer instead of declining on the `.*` guard (r13 verdict #3)."""
+    from hurricanedb_spark.sql.dialect import rewrite_mv_percentile_bounded as rw
+
+    def analyze(s):
+        if "SELECT u.*" in s:
+            return (["a", "b"], [])
+        return (["k", "x", "kk", "a", "b"], [])
+
+    q = (
+        "SELECT u.*, percentileEstMV(t.x, 90) AS p "
+        "FROM t JOIN u ON t.k = u.kk GROUP BY u.a, u.b"
+    )
+    out = rw(q, analyze=analyze)
+    assert out != q and "percentile_approx" in out
+    assert "explode(x)" in out and "GROUP BY a, b" in out
+    # bare `*` still declines (helper-column leak)
+    q2 = "SELECT *, percentileEstMV(x, 90) AS p FROM t GROUP BY a"
+    assert rw(q2, analyze=analyze) == q2
+
+
 def test_strip_declines_on_implicit_select_alias_collision():
     """Round-13 ADVICE (medium): the ORDER BY/HAVING alias-rebind guard
     only detected explicit `AS` aliases. With an IMPLICIT alias —

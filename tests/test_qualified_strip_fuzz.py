@@ -179,3 +179,38 @@ def test_ambiguous_join_columns_restructure_via_projection(qf, spark):
         assert _rows(dq) == _rows(du), agg
         checked += 1
     assert checked == 6
+
+
+def test_qualified_star_expands_and_restructures(qf):
+    """Round-14 (r13 verdict #3): `d.*` in the select list of a
+    restructurable digest query expands against the analyzed subtree
+    schema (each of d's columns under its own name) and then rides the
+    normal strip / alias-projection path — the digest forms must show
+    MapInPandas (no single-phase fallback just because the user wrote a
+    qualified star), with rows identical to the explicit spelling."""
+    checked = 0
+    for agg, marker in AGGS:
+        call = agg.format(q="t.")
+        star = (
+            f"SELECT d.*, {call} AS a0 FROM qf_t t "
+            "JOIN qf_dim d ON t.g = d.gk "
+            "GROUP BY d.gk, d.fam ORDER BY d.gk"
+        )
+        explicit = (
+            f"SELECT d.gk, d.fam, {call} AS a0 FROM qf_t t "
+            "JOIN qf_dim d ON t.g = d.gk "
+            "GROUP BY d.gk, d.fam ORDER BY d.gk"
+        )
+        ds = qf.sql(star, default_limit=None)
+        de = qf.sql(explicit, default_limit=None)
+        assert ds.columns == de.columns == ["gk", "fam", "a0"], agg
+        assert _rows(ds) == _rows(de), agg
+        ps = _plan(ds)
+        if marker == "MapInPandas":
+            assert (
+                "MapInPandas" in ps and "ArrowAggregatePython" not in ps
+            ), agg
+        else:
+            assert "collect_list" not in ps.lower(), agg
+        checked += 1
+    assert checked == 6
