@@ -580,7 +580,7 @@ def register_all(spark: SparkSession) -> None:
             DEFAULT_EXPECTED_INSERTIONS,
             DEFAULT_FPP,
             DEFAULT_SIZE_THRESHOLD,
-            encode_idset,
+            IdSetAccumulator,
             spark_type_to_pinot,
         )
 
@@ -610,13 +610,21 @@ def register_all(spark: SparkSession) -> None:
                 vals = vstr.dropna().astype("int64")
         else:
             vals = v.dropna()
-        return encode_idset(
-            vals.tolist(),
+        # streaming accumulator (round-13 verdict #6): chunked folds
+        # with the incremental threshold->bloom conversion keep even a
+        # single-phase high-cardinality group under a fixed state
+        # bound; bytes identical to a one-shot encode_idset
+        acc = IdSetAccumulator(
             dtype,
             size_threshold_in_bytes=th,
             expected_insertions=ins,
             fpp=fpp,
         )
+        arr = vals.to_numpy()
+        step = 1 << 20
+        for i in range(0, len(arr), step):
+            acc.add(arr[i : i + step])
+        return acc.emit()
 
     spark.udf.register(
         "idsetwireagg",

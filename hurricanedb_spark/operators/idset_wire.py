@@ -66,9 +66,12 @@ _LONG_MASK = (1 << 64) - 1
 def _funnel_bytes(funnel: int, value) -> bytes:
     """The bytes guava's funnel feeds the hasher for one id."""
     if funnel == FUNNEL_INT:
-        return struct.pack("<i", int(np.int32(int(value) & 0xFFFFFFFF)))
+        # unsigned pack of the masked value = little-endian two's
+        # complement of the signed id (np.int32(masked) raised
+        # OverflowError for negative ids under numpy 2)
+        return struct.pack("<I", int(value) & 0xFFFFFFFF)
     if funnel == FUNNEL_LONG:
-        return struct.pack("<q", int(np.int64(int(value) & _LONG_MASK)))
+        return struct.pack("<Q", int(value) & _LONG_MASK)
     if funnel == FUNNEL_STRING:
         return str(value).encode("utf-16-le")
     if funnel == FUNNEL_BYTES:
@@ -342,6 +345,135 @@ _FUNNEL_DTYPE = {
     FUNNEL_STRING: "STRING",
     FUNNEL_BYTES: "BYTES",
 }
+
+
+def exact_wire_size(vals, data_type: str) -> int:
+    """Exact byte length of encode_idset's EXACT form for a set of
+    INT/LONG ids, computed from container cardinalities WITHOUT
+    serializing — the streaming accumulator's conversion trigger must
+    agree bit-for-bit with encode_idset's `len(blob) > threshold` so
+    under-threshold groups keep identical bytes. Mirrors the no-run
+    layouts: INT = type + roaring (8 header + 8/container desc+offset +
+    payload); LONG = type + signed flag + bucket count + per-bucket
+    (4 key + nested roaring). Array payload is 2*card (card <= 4096),
+    bitmap payload 8192."""
+    if not vals:
+        return 1
+    if data_type == "INT":
+        u = np.asarray(list(vals), dtype=np.int64).astype(np.uint32)
+        _keys, cards = np.unique(u >> np.uint32(16), return_counts=True)
+        payload = np.where(cards <= 4096, 2 * cards, 8192).sum()
+        return int(1 + 8 + 8 * len(cards) + payload)
+    u = np.asarray(list(vals), dtype=np.int64).astype(np.uint64)
+    keys48, cards = np.unique(u >> np.uint64(16), return_counts=True)
+    payload = np.where(cards <= 4096, 2 * cards, 8192).sum()
+    n_buckets = len(np.unique(keys48 >> np.uint64(16)))
+    return int(6 + 12 * n_buckets + 8 * len(keys48) + payload)
+
+
+class IdSetAccumulator:
+    """Streaming IdSets.create (round-13 verdict #6): per-group IdSet
+    state with the threshold->bloom conversion applied INCREMENTALLY —
+    once the running exact set's wire size crosses the threshold, the
+    state collapses to the fixed-size bloom bit array and every later
+    id is k bit-inserts, so even a single-phase high-cardinality build
+    stays under a fixed state bound, exactly like IdSets.merge's
+    convert-then-OR behavior (IdSets.java:96-137). Bloom insertion is
+    idempotent and order-insensitive, so the emitted bytes are
+    identical to a single-pass encode_idset over all values:
+    under-threshold groups never convert (the trigger IS encode_idset's
+    own `len(blob) > threshold` test, via exact_wire_size), and
+    over-threshold groups produce the same bloom bits whichever side of
+    the conversion each id landed on. FLOAT/DOUBLE/STRING/BYTES (and
+    threshold <= 0) are bloom-from-the-start like the reference."""
+
+    __slots__ = (
+        "_dtype", "_th", "_ins", "_fpp", "_vals", "_bloom",
+        "_k", "_num_longs", "_n", "_check_at",
+    )
+
+    def __init__(
+        self,
+        data_type: str,
+        size_threshold_in_bytes: int = DEFAULT_SIZE_THRESHOLD,
+        expected_insertions: int = DEFAULT_EXPECTED_INSERTIONS,
+        fpp: float = DEFAULT_FPP,
+    ):
+        data_type = data_type.upper()
+        if data_type not in _FUNNEL_FOR_TYPE:
+            raise ValueError(f"unsupported IdSet data type {data_type!r}")
+        self._dtype = data_type
+        self._th = size_threshold_in_bytes
+        self._ins = expected_insertions
+        self._fpp = fpp
+        self._vals: set | None = set()
+        self._bloom = None
+        self._n = 0
+        if size_threshold_in_bytes <= 0 or data_type in (
+            "FLOAT", "DOUBLE", "STRING", "BYTES",
+        ):
+            self._start_bloom()
+        else:
+            # cheapest NECESSARY condition for crossing the threshold:
+            # one id adds at most 10 (INT: 2 payload + 8 desc/offset)
+            # or 22 (LONG: worst case opens a bucket) wire bytes, so
+            # no exact-size computation happens below this count
+            per = 10 if data_type == "INT" else 22
+            self._check_at = max(1, (size_threshold_in_bytes - 9) // per)
+
+    def _start_bloom(self) -> None:
+        from hurricanedb_spark.sources.pinot_segment import _bloom_sizing
+
+        self._num_longs, self._k = _bloom_sizing(self._ins, self._fpp)
+        self._bloom = np.zeros(self._num_longs, dtype=np.uint64)
+        funnel = _FUNNEL_FOR_TYPE[self._dtype]
+        num_bits = self._num_longs * 64
+        for v in self._vals or ():
+            _bloom_insert_bits(
+                self._bloom, self._k, num_bits,
+                _bloom_value_bytes(funnel, v, self._dtype),
+            )
+        self._vals = None
+
+    def add(self, values) -> None:
+        """Fold an iterable of non-null ids into the state."""
+        if self._bloom is not None:
+            funnel = _FUNNEL_FOR_TYPE[self._dtype]
+            num_bits = self._num_longs * 64
+            for v in values:
+                self._n += 1
+                _bloom_insert_bits(
+                    self._bloom, self._k, num_bits,
+                    _bloom_value_bytes(funnel, v, self._dtype),
+                )
+            return
+        self._vals.update(
+            values.tolist() if hasattr(values, "tolist") else values
+        )
+        self._n = len(self._vals)
+        if (
+            self._n >= self._check_at
+            and exact_wire_size(self._vals, self._dtype) > self._th
+        ):
+            self._start_bloom()
+
+    def emit(self) -> bytes:
+        """The reference's IdSet.toBytes for everything added so far."""
+        if self._n == 0:
+            return bytes([TYPE_EMPTY])
+        if self._bloom is None:
+            return encode_idset(
+                self._vals,
+                self._dtype,
+                size_threshold_in_bytes=self._th,
+                expected_insertions=self._ins,
+                fpp=self._fpp,
+            )
+        return (
+            bytes([TYPE_BLOOM, _FUNNEL_FOR_TYPE[self._dtype]])
+            + struct.pack(">BBi", 1, self._k, self._num_longs)
+            + self._bloom.byteswap().tobytes()
+        )
 
 
 def merge_idset_blobs(

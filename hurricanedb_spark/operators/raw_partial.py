@@ -255,7 +255,7 @@ def _make_acc_factory(spec: DigestSpec, spark_type: str):
         return _HAcc
     if spec.kind == "idset":
         from hurricanedb_spark.operators.idset_wire import (
-            encode_idset,
+            IdSetAccumulator,
             spark_type_to_pinot,
         )
 
@@ -267,17 +267,22 @@ def _make_acc_factory(spec: DigestSpec, spark_type: str):
         class _IdAcc:
             """Partial IdSet: the reference's own partial state
             (IdSetAggregationFunction aggregates into an IdSet per
-            group). Exact types keep a value set (O(distinct) per
-            partition x group, the qdigest-counts bound class) —
-            emit() applies the same threshold->bloom conversion
-            IdSets.create/merge does, so partial->merge is
-            byte-identical to a single-pass build (bloom bit-OR and
-            roaring union are order-insensitive)."""
+            group). IdSetAccumulator applies the threshold->bloom
+            conversion INCREMENTALLY (round-13 verdict #6), so the
+            per-partition state is bounded even before emit; bloom
+            bit-OR and roaring union are order-insensitive, so
+            partial->merge stays byte-identical to a single-pass
+            build."""
 
-            __slots__ = ("vals",)
+            __slots__ = ("acc",)
 
             def __init__(self):
-                self.vals: set = set()
+                self.acc = IdSetAccumulator(
+                    dtype,
+                    size_threshold_in_bytes=th,
+                    expected_insertions=ins,
+                    fpp=fpp,
+                )
 
             def update(self, v):
                 # INT/LONG arrive as decimal STRINGS (digests_by_group
@@ -288,16 +293,10 @@ def _make_acc_factory(spec: DigestSpec, spark_type: str):
                 vv = v.dropna()
                 if dtype in ("INT", "LONG"):
                     vv = vv.astype("int64")
-                self.vals.update(vv.tolist())
+                self.acc.add(vv.to_numpy())
 
             def emit(self) -> bytes:
-                return encode_idset(
-                    self.vals,
-                    dtype,
-                    size_threshold_in_bytes=th,
-                    expected_insertions=ins,
-                    fpp=fpp,
-                )
+                return self.acc.emit()
 
         return _IdAcc
     raise ValueError(f"unknown digest kind {spec.kind!r}")

@@ -342,3 +342,99 @@ def test_inidset_no_session_fallback_refuses_large_literal():
         assert "inidsetblob" in _register_inidset_probe("c", small)
         with pytest.raises(ValueError, match="_register_inidset_probe"):
             _register_inidset_probe("c", big)
+
+
+def test_exact_wire_size_matches_encoder():
+    """The streaming accumulator's conversion trigger must agree with
+    encode_idset's `len(blob) > threshold` byte-for-byte — pin the size
+    formula against real encodes across container shapes (array,
+    bitmap, multi-container, multi-bucket, negative ids)."""
+    import numpy as np
+
+    from hurricanedb_spark.operators.idset_wire import (
+        encode_idset,
+        exact_wire_size,
+    )
+
+    rng = np.random.default_rng(14)
+    cases = [
+        ("INT", [1, 2, 3]),
+        ("INT", list(range(5000))),  # bitmap container
+        ("INT", [int(v) for v in rng.integers(-(2**31), 2**31, 3000)]),
+        ("INT", [0, 65536, 131072, -1]),  # one id per container
+        ("LONG", [10, 12]),
+        ("LONG", [int(v) for v in rng.integers(-(2**62), 2**62, 2000)]),
+        ("LONG", list(range(0, 300000, 3))),  # dense single bucket
+        ("LONG", [(i << 33) | 5 for i in range(50)]),  # many buckets
+    ]
+    for dtype, vals in cases:
+        blob = encode_idset(
+            vals, dtype, size_threshold_in_bytes=1 << 40
+        )  # huge threshold: force the exact form
+        assert exact_wire_size(set(vals), dtype) == len(blob), (
+            dtype,
+            len(vals),
+        )
+
+
+def test_idset_accumulator_incremental_conversion():
+    """Round-13 verdict #6: the accumulator converts exact->bloom the
+    moment the running set's wire size crosses the threshold, bounding
+    the state; emitted bytes are identical to a one-shot encode_idset
+    regardless of where the conversion landed or the chunking."""
+    import numpy as np
+
+    from hurricanedb_spark.operators.idset_wire import (
+        IdSetAccumulator,
+        TYPE_BLOOM,
+        TYPE_ROARING64,
+        encode_idset,
+        exact_wire_size,
+    )
+
+    rng = np.random.default_rng(7)
+    ids = [int(v) for v in rng.integers(-(2**62), 2**62, 6000)]
+    th = exact_wire_size(set(ids[:3000]), "LONG") + 1  # crosses mid-stream
+    one_shot = encode_idset(
+        ids, "LONG", size_threshold_in_bytes=th,
+        expected_insertions=10000, fpp=0.03,
+    )
+    assert one_shot[0] == TYPE_BLOOM  # the full set exceeds th
+    acc = IdSetAccumulator(
+        "LONG", size_threshold_in_bytes=th,
+        expected_insertions=10000, fpp=0.03,
+    )
+    converted_at = None
+    for i in range(0, len(ids), 500):
+        acc.add(np.asarray(ids[i : i + 500], dtype=np.int64))
+        if converted_at is None and acc._bloom is not None:
+            converted_at = i + 500
+            # state collapsed BEFORE all ids were folded
+            assert acc._vals is None
+    assert converted_at is not None and converted_at < len(ids)
+    assert acc.emit() == one_shot
+    # an under-threshold group never converts and keeps exact bytes
+    small = ids[:100]
+    acc2 = IdSetAccumulator("LONG", size_threshold_in_bytes=1 << 22)
+    acc2.add(np.asarray(small, dtype=np.int64))
+    blob2 = acc2.emit()
+    assert blob2[0] == TYPE_ROARING64
+    assert blob2 == encode_idset(small, "LONG", size_threshold_in_bytes=1 << 22)
+    # empty stays EMPTY even for bloom-typed dtypes
+    acc3 = IdSetAccumulator("STRING")
+    assert acc3.emit() == b"\x00"
+
+
+def test_bloom_funnel_handles_negative_ids():
+    """numpy-2 latent defect found by the accumulator fuzz: np.int32 /
+    np.int64 of a masked (positive) image of a negative id raised
+    OverflowError, so bloom encodes over negative INT/LONG ids crashed.
+    The funnel must feed guava's little-endian two's complement."""
+    for dtype, ids in (("INT", [-1, -(2**31), 5]), ("LONG", [-1, -(2**63), 5])):
+        blob = encode_idset(
+            ids, dtype, size_threshold_in_bytes=0, expected_insertions=10
+        )
+        assert blob[0] == TYPE_BLOOM
+        s = decode_idset(blob)
+        for v in ids:
+            assert s.contains(v, dtype), (dtype, v)
