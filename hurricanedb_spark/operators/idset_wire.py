@@ -543,10 +543,32 @@ def probe_series(s, literal_b64: str):
     worker process, so a 6M-row scan decodes the blob once, not once
     per Arrow batch; exact membership is numpy Series.isin, bloom
     membership stays the per-value probe (k murmur hashes each —
-    inherent to the structure)."""
+    inherent to the structure).
+
+    Decimal-string input (round-14): when the emitted probe casts the
+    column to STRING (_register_inidset_probe does so exactly when an
+    EXACT set can distinguish ids past 2^53 — a null-bearing LONG Arrow
+    batch otherwise degrades to float64, rounding the PROBE values
+    before this code runs), the strings parse back to exact int64
+    before membership. Blooms never take the channel: their wire
+    format shares the INT/LONG funnels with FLOAT/DOUBLE idsets, so
+    the id type is ambiguous at rewrite time (the LONG-bloom +
+    degraded-probe residual is documented in COVERAGE.md)."""
     import pandas as pd
 
     ids, signed = _cached_literal(literal_b64)
+    if signed is not None and str(s.dtype) == "object":
+        mask = s.notna()
+        out = pd.Series(False, index=s.index, dtype="boolean")
+        if mask.any():
+            try:
+                exact_vals = s[mask].astype("int64")
+            except (ValueError, TypeError):
+                # non-integral strings (a float column routed through
+                # the cast): numeric compare like the un-cast path
+                exact_vals = pd.to_numeric(s[mask], errors="coerce")
+            out[mask] = exact_vals.isin(signed).to_numpy()
+        return out
     if signed is not None:
         return pd.Series(s.isin(signed) & s.notna()).astype("boolean")
     return s.map(

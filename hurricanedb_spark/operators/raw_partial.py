@@ -406,12 +406,18 @@ def digests_by_group(
     }
     key_cols = [*group_cols, *markers.values()]
     def _value_col(s: DigestSpec):
-        # idset over INT/LONG ships as decimal strings: a null-bearing
-        # int Arrow batch otherwise degrades to float64 in pandas,
-        # silently rounding ids past 2^53 (round-13 ADVICE). The cast
-        # is JVM-side and exact; _IdAcc parses back exactly.
-        if s.kind == "idset" and dtypes[s.value_col] in (
-            "int", "bigint", "smallint", "tinyint",
+        # BIGINT inputs of exact-valued digests ship as decimal
+        # strings: a null-bearing int Arrow batch otherwise degrades to
+        # float64 in pandas, silently rounding ids past 2^53 BEFORE the
+        # accumulator runs (round-13 ADVICE) — wrong idset membership,
+        # and reference-divergent hashes for theta/HLL/qdigest, whose
+        # wire contracts hash/count the EXACT long. The cast is
+        # JVM-side and exact; every accumulator parses back exactly
+        # (pandas astype / int() on decimal strings). int32-family
+        # types are always float64-exact, and tdigest converts to
+        # double by contract, so neither pays the cast.
+        if s.kind in ("idset", "hll", "theta", "qdigest") and (
+            dtypes[s.value_col] == "bigint"
         ):
             return F.col(s.value_col).cast("string").alias(s.alias)
         return F.col(s.value_col).alias(s.alias)

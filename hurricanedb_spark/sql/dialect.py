@@ -1654,9 +1654,37 @@ def _in_id_set_sql(col: str, literal: str) -> str:
 
 
 def _register_inidset_probe(col: str, literal: str) -> str:
+    import base64 as _b64
     import hashlib
 
     from pyspark.sql import SparkSession, functions as F
+
+    from hurricanedb_spark.operators.idset_wire import (
+        TYPE_ROARING64,
+        decode_idset,
+    )
+
+    # exact LONG sets holding ids past 2^53 take the decimal-string
+    # channel (round-14): a null-bearing LONG probe column degrades to
+    # float64 in the Arrow batch, rounding the PROBE values — adjacent
+    # huge ids would collide. CAST is JVM-side and exact; probe_series
+    # parses back to exact int64. Sets without huge ids stay numeric
+    # (float64 images of both sides are then collision-free), so the
+    # hot scan path pays the cast only when exactness demands it.
+    try:
+        ids = decode_idset(_b64.b64decode(literal))
+
+        def _huge(u: int) -> bool:  # |signed image| past float64-exact
+            sv = u - (1 << 64) if u >= (1 << 63) else u
+            return abs(sv) >= (1 << 53)
+
+        needs_exact_strings = ids.type_id == TYPE_ROARING64 and any(
+            _huge(int(v)) for v in ids.values()
+        )
+    except Exception:  # noqa: BLE001 — legacy/opaque literal
+        needs_exact_strings = False
+    if needs_exact_strings:
+        col = f"CAST(({col}) AS STRING)"
 
     spark = SparkSession.getActiveSession()
     if spark is None:

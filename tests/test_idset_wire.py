@@ -438,3 +438,42 @@ def test_bloom_funnel_handles_negative_ids():
         s = decode_idset(blob)
         for v in ids:
             assert s.contains(v, dtype), (dtype, v)
+
+
+def test_inidset_probe_exact_past_2_53_with_null_probe_column(spark):
+    """Round-14: the PROBE side of the float64-degrade hazard — a
+    null-bearing LONG probe column arrives rounded, so adjacent huge
+    ids collide and a numeric isin returns false positives. Exact LONG
+    sets holding ids past 2^53 now route the probe through the
+    decimal-string channel (CAST emitted at rewrite time), keeping
+    membership exact; sets without huge ids stay on the numeric fast
+    path (no cast in the emitted SQL)."""
+    from hurricanedb_spark.functions.registry import register_all
+    from hurricanedb_spark.operators.idset_wire import encode_idset
+    from hurricanedb_spark.sql.dialect import rewrite_functions
+
+    register_all(spark)
+    big = 2**61 + 256  # float64-exact boundary: +256 is representable,
+    members = [big] + list(range(2000))  # >1000 ids -> probe UDF path
+    lit = base64.b64encode(encode_idset(members, "LONG")).decode()
+    sql = rewrite_functions(f"inidset(v, '{lit}')")
+    assert "CAST((v) AS STRING)" in sql and " IN (" not in sql
+    # big+1 and big+255 round to big's float64 image but are NOT members
+    rows = [(big, True), (big + 1, False), (big + 255, False),
+            (5, True), (2001, False), (None, False)]
+    spark.createDataFrame(
+        [(v,) for v, _ in rows], "v bigint"
+    ).createOrReplaceTempView("idw_probe_big")
+    got = spark.sql(
+        f"SELECT v, {rewrite_functions(f'''inidset(v, '{lit}')''')} AS m "
+        "FROM idw_probe_big"
+    ).collect()
+    want = {v: m for v, m in rows}
+    for r in got:
+        assert r["m"] == want[r["v"]], (r["v"], r["m"])
+    # a huge-id-free set keeps the numeric fast path: no cast emitted
+    lit2 = base64.b64encode(
+        encode_idset(list(range(2000)), "LONG")
+    ).decode()
+    sql2 = rewrite_functions(f"inidset(v, '{lit2}')")
+    assert "CAST" not in sql2

@@ -657,3 +657,59 @@ def test_filtered_theta_two_phase_diff_with_default_sketch(hdb, spark):  # noqa:
         sk = deserialize(base64.b64decode(r["sk"]))
         # NDV per group << nominalEntries=4096 -> sketch is exact
         assert round(sk.estimate()) == exact[r["g"]]
+
+
+def test_two_phase_digests_exact_longs_past_2_53(spark):  # noqa: F811
+    """Round-14 (extends the r13 idset ADVICE to every exact-valued
+    digest): a null-bearing BIGINT Arrow batch degrades to float64,
+    rounding ids past 2^53 BEFORE the accumulators run — theta/HLL hash
+    and qdigest count the EXACT long in the reference wire contracts.
+    digests_by_group now ships BIGINT inputs as decimal strings; the
+    built digests must be byte-identical to direct builds over the
+    exact values."""
+    from hurricanedb_spark.operators.clearspring_hll import build_hll
+    from hurricanedb_spark.operators.raw_partial import (
+        DigestSpec,
+        digests_by_group,
+    )
+    from hurricanedb_spark.operators.theta_ds import (
+        DEFAULT_SEED,
+        compute_seed_hash,
+        from_hashes,
+        hash_column_np,
+        serialize,
+    )
+
+    import pandas as pd
+
+    big = 2**61
+    ids = [big + i for i in range(64)] + [-(2**60) - i for i in range(64)]
+    rows = [("a", v) for v in ids] + [("a", None)] * 4
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = digests_by_group(
+        df,
+        ["g"],
+        [
+            DigestSpec("th", "v", "theta", 4096, ""),
+            DigestSpec("hl", "v", "hll", 8, ""),
+            DigestSpec("qd", "v", "qdigest", 0, ""),
+        ],
+    ).collect()[0]
+    # direct theta over the EXACT longs
+    hs = {
+        int(h)
+        for h in hash_column_np(pd.Series(ids, dtype="int64"), "long")
+        if h
+    }
+    want_theta = serialize(
+        from_hashes(hs, 4096, compute_seed_hash(DEFAULT_SEED)), 12
+    )
+    assert bytes(out["th"]) == want_theta
+    # direct clearspring HLL over the EXACT longs
+    assert bytes(out["hl"]) == build_hll(
+        pd.Series(ids, dtype="int64"), "bigint", 8
+    )
+    # qdigest counts keyed by the EXACT longs
+    got_qd = deserialize_qdigest(bytes(out["qd"]))
+    want_qd = deserialize_qdigest(build_qdigest(ids))
+    assert got_qd == want_qd or bytes(out["qd"]) == build_qdigest(ids)
