@@ -511,7 +511,12 @@ def register_all(spark: SparkSession) -> None:
         build_qdigest as _qd_build,
     )
 
-    def _raw_qdigest(v):
+    def _raw_qdigest(v, vstr):
+        # round-14: QuantileDigest keys the EXACT long — a null-bearing
+        # batch degrades to float64 (rounding past 2^53); the decimal
+        # strings parse back exactly. Null-free batches stay numeric.
+        if not str(v.dtype).startswith("int"):
+            return _qd_build(vstr.dropna().astype("int64").tolist())
         return _qd_build(v.dropna().astype("int64").tolist())
 
     spark.udf.register(
@@ -643,11 +648,20 @@ def register_all(spark: SparkSession) -> None:
         merge_hlls as _cs_merge,
     )
 
-    def _raw_cs_hll(v, k, t):
+    def _raw_cs_hll(v, vstr, k, t):
         log2m = int(k.iloc[0]) if len(k) else 8
         if len(v) == 0:
             return _CsHLL(log2m).serialize()
-        return _cs_build(v, str(t.iloc[0]), log2m)
+        spark_type = str(t.iloc[0])
+        # round-14: the reference hashes the EXACT long; a null-bearing
+        # BIGINT batch degrades to float64, rounding ids past 2^53
+        # before this code runs — the decimal-string channel restores
+        # them (offer_long int-parses); null-free batches stay numeric
+        if spark_type.lower() in ("bigint", "long") and not str(
+            v.dtype
+        ).startswith("int"):
+            return _cs_build(vstr, spark_type, log2m)
+        return _cs_build(v, spark_type, log2m)
 
     spark.udf.register(
         "rawclearspringhll",

@@ -64,7 +64,7 @@ _AGG_REWRITES: dict[str, str] = {
     # -> HyperLogLog.getBytes, operators/clearspring_hll) so reference
     # clients can persist/deserialize/re-merge them; default log2m = 8
     # (CommonConstants.Helix.DEFAULT_HYPERLOGLOG_LOG2M)
-    "distinctcountrawhll": "lower(hex(rawclearspringhll($1, 8, typeof($1))))",
+    "distinctcountrawhll": "lower(hex(rawclearspringhll($1, CAST($1 AS STRING), 8, typeof($1))))",
     # SmartHLL is exact below its threshold (default 100k) and HLL above
     # — a single-node memory bound; Spark's distributed count(DISTINCT)
     # is exact at every size, dominating both regimes
@@ -1417,8 +1417,8 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
         if not 4 <= log2m <= 30:
             raise ValueError(f"distinctCountRawHLL log2m out of range: {log2m}")
         return (
-            f"lower(hex(rawclearspringhll({args[0]}, {log2m}, "
-            f"typeof({args[0]}))))"
+            f"lower(hex(rawclearspringhll({args[0]}, "
+            f"CAST({args[0]} AS STRING), {log2m}, typeof({args[0]}))))"
         )
     if name in ("firstwithtime", "lastwithtime") and len(args) == 3:
         # 3-arg reference form: (dataCol, timeCol, 'dataType')
@@ -1548,7 +1548,10 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
             raise ValueError(
                 f"percentileRawEst: percentile out of range: {pct}"
             )
-        return f"lower(hex(rawqdigest(CAST(({args[0]}) AS BIGINT))))"
+        return (
+            f"lower(hex(rawqdigest(CAST(({args[0]}) AS BIGINT), "
+            f"CAST(CAST(({args[0]}) AS BIGINT) AS STRING))))"
+        )
     if name in ("percentilerawtdigestmv", "percentilerawestmv"):
         # reachable only when rewrite_mv_percentile_bounded could NOT
         # restructure the query: the raw MV forms return HEX-serialized
@@ -2541,11 +2544,17 @@ def rewrite_mv_percentile_bounded(sql: str, analyze=None) -> str:
                 # MV element; MurmurHash.hash64 hashes its Java
                 # toString bytes — operators/clearspring_hll); default
                 # log2m = 8 like the SV raw form
-                agg_sql = "rawclearspringhll(_mv, 8, typeof(_mv))"
+                agg_sql = (
+                    "rawclearspringhll(_mv, CAST(_mv AS STRING), "
+                    "8, typeof(_mv))"
+                )
             elif k[1] == "#rawtd":
                 agg_sql = "rawtdigest(CAST(_mv AS DOUBLE))"
             elif k[1] == "#rawqd":
-                agg_sql = "rawqdigest(CAST(_mv AS BIGINT))"
+                agg_sql = (
+                    "rawqdigest(CAST(_mv AS BIGINT), "
+                    "CAST(CAST(_mv AS BIGINT) AS STRING))"
+                )
             elif k[1] == "#dc":
                 # exact, shuffle-bound (Expand-based distinct agg)
                 agg_sql = "count(DISTINCT _mv)"

@@ -713,3 +713,33 @@ def test_two_phase_digests_exact_longs_past_2_53(spark):  # noqa: F811
     got_qd = deserialize_qdigest(bytes(out["qd"]))
     want_qd = deserialize_qdigest(build_qdigest(ids))
     assert got_qd == want_qd or bytes(out["qd"]) == build_qdigest(ids)
+
+
+def test_single_phase_raw_hll_qdigest_exact_longs(spark):  # noqa: F811
+    """Round-14: the SINGLE-PHASE grouped-agg forms (the fallback for
+    non-restructurable spellings) get the same decimal-string channel —
+    rawclearspringhll and rawqdigest over a null-bearing BIGINT batch
+    must hash/count the EXACT longs, byte-identical to direct builds."""
+    import pandas as pd
+
+    from hurricanedb_spark.functions.registry import register_all
+    from hurricanedb_spark.operators.clearspring_hll import build_hll
+    from hurricanedb_spark.sql.dialect import rewrite_functions
+
+    register_all(spark)
+    big = 2**61
+    ids = [big + i for i in range(40)] + [-(2**59) - 3 * i for i in range(40)]
+    rows = [(v,) for v in ids] + [(None,)] * 3
+    spark.createDataFrame(rows, "v bigint").createOrReplaceTempView(
+        "sp_big_t"
+    )
+    got = spark.sql(
+        rewrite_functions(
+            "SELECT distinctCountRawHLL(v) AS h, percentileRawEst(v, 50) "
+            "AS q FROM sp_big_t"
+        )
+    ).collect()[0]
+    assert got["h"] == build_hll(
+        pd.Series(ids, dtype="int64"), "bigint", 8
+    ).hex()
+    assert got["q"] == build_qdigest(ids).hex()
