@@ -61,6 +61,7 @@ DEFAULT_EXPECTED_INSERTIONS = 5_000_000  # IdSets.java:35
 DEFAULT_FPP = 0.03  # IdSets.java:36
 
 _LONG_MASK = (1 << 64) - 1
+_RR_NO_RUN_COOKIE = 12346  # RoaringBitmap SERIAL_COOKIE_NO_RUNCONTAINER
 
 
 def _funnel_bytes(funnel: int, value) -> bytes:
@@ -123,6 +124,23 @@ def _encode_bloom(
     )
 
 
+def _as_uint64(values) -> "np.ndarray":
+    """values (iterable / set / numpy array of signed or unsigned ids)
+    -> their unsigned 64-bit images, vectorized for arrays (round-14:
+    the per-value int()&mask loops dominated large-set encodes)."""
+    if isinstance(values, np.ndarray):
+        if values.dtype == np.uint64:
+            return values
+        if values.dtype.kind in "iu":
+            return values.astype(np.int64).astype(np.uint64)
+        values = values.tolist()
+    return np.fromiter(
+        (int(v) & _LONG_MASK for v in values),
+        dtype=np.uint64,
+        count=len(values) if hasattr(values, "__len__") else -1,
+    )
+
+
 def _encode_roaring64(values) -> bytes:
     from hurricanedb_spark.sources.pinot_segment import roaring_serialize
 
@@ -131,15 +149,84 @@ def _encode_roaring64(values) -> bytes:
     # to unsigned long ordering, so serializeLegacy writes boolean
     # signedLongs=false then big-endian (key count, key) ints (pinned
     # byte-for-byte by the real-jar golden; a negative id's 0xFFFFFFFF
-    # key sorts last)
-    buckets: dict[int, list[int]] = {}
-    for v in values:
-        u = int(v) & _LONG_MASK
-        buckets.setdefault(u >> 32, []).append(u & 0xFFFFFFFF)
-    out = [bytes([TYPE_ROARING64]), b"\x00", struct.pack(">i", len(buckets))]
-    for high in sorted(buckets):
-        out.append(struct.pack(">I", high))
-        out.append(roaring_serialize(buckets[high], run_optimize=False))
+    # key sorts last). Vectorized bucketing: one sort, sliced per
+    # unsigned-high-32 boundary.
+    u = np.unique(_as_uint64(values))  # sorted unsigned
+    if len(u) == 0:
+        return bytes([TYPE_ROARING64]) + b"\x00" + struct.pack(">i", 0)
+    highs = (u >> np.uint64(32)).astype(np.uint32)
+    lows = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bounds = np.flatnonzero(np.diff(highs)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(u)]))
+    header = bytes([TYPE_ROARING64]) + b"\x00" + struct.pack(">i", len(starts))
+    # hashed/random long ids put ~1 id per high-32 bucket — the
+    # per-bucket roaring_serialize loop was 27us/bucket (11s for a
+    # 400k-id set). When EVERY bucket is a single array container
+    # (card <= 4096, one 16-bit key), the per-bucket wire layout is
+    # fixed-shape: BE key + {cookie 12346, size 1} + one desc + one
+    # offset (16) + '<u2' lows — assembled for all buckets at once
+    # with numpy scatter writes. Mixed/clustered shapes (few, large
+    # buckets) keep the loop, which is cheap there.
+    counts = ends - starts
+    k48 = u >> np.uint64(16)
+    fast = (k48[starts] == k48[ends - 1]) & (counts <= 4096)
+    if int(fast.sum()) <= 64:
+        out = [header]
+        for s, e in zip(starts, ends):
+            out.append(struct.pack(">I", int(highs[s])))
+            out.append(roaring_serialize(lows[s:e], run_optimize=False))
+        return b"".join(out)
+
+    def assemble(bsel: np.ndarray) -> bytes:
+        # batch-write a run of single-container buckets
+        n_b = len(bsel)
+        bs, be = starts[bsel], ends[bsel]
+        bc = be - bs
+        rec_len = 20 + 2 * bc
+        off = np.zeros(n_b, dtype=np.int64)
+        np.cumsum(rec_len[:-1], out=off[1:])
+        buf = np.zeros(int(rec_len.sum()), dtype=np.uint8)
+        cols4 = np.arange(4)
+        buf[off[:, None] + cols4] = (
+            highs[bs].astype(">u4").view(np.uint8).reshape(n_b, 4)
+        )
+        buf[off[:, None] + 4 + np.arange(8)] = np.frombuffer(
+            struct.pack("<ii", 12346, 1), dtype=np.uint8
+        )
+        desc = np.empty((n_b, 2), dtype="<u2")
+        desc[:, 0] = (k48[bs] & np.uint64(0xFFFF)).astype(np.uint16)
+        desc[:, 1] = (bc - 1).astype(np.uint16)
+        buf[off[:, None] + 12 + cols4] = desc.view(np.uint8).reshape(n_b, 4)
+        buf[off[:, None] + 16 + cols4] = np.frombuffer(
+            struct.pack("<i", 16), dtype=np.uint8
+        )
+        val_idx = np.repeat(bs, bc) + _within(bc)
+        pay_bytes = lows[val_idx].astype("<u2").view(np.uint8)
+        n_pay = 2 * bc
+        positions = np.repeat(off + 20, n_pay) + _within(n_pay)
+        buf[positions] = pay_bytes
+        return buf.tobytes()
+
+    def _within(seg_counts: np.ndarray) -> np.ndarray:
+        excl = np.zeros(len(seg_counts), dtype=np.int64)
+        np.cumsum(seg_counts[:-1], out=excl[1:])
+        return np.arange(int(seg_counts.sum())) - np.repeat(excl, seg_counts)
+
+    # stitch runs of fast buckets (vectorized) with the rare slow ones
+    # (multi-container high-32 collisions), preserving bucket order
+    out = [header]
+    run_bounds = np.flatnonzero(np.diff(fast)) + 1
+    seg_starts = np.concatenate(([0], run_bounds))
+    seg_ends = np.concatenate((run_bounds, [len(fast)]))
+    for ss, se in zip(seg_starts, seg_ends):
+        if fast[ss]:
+            out.append(assemble(np.arange(ss, se)))
+        else:
+            for i in range(ss, se):
+                s, e = starts[i], ends[i]
+                out.append(struct.pack(">I", int(highs[s])))
+                out.append(roaring_serialize(lows[s:e], run_optimize=False))
     return b"".join(out)
 
 
@@ -158,8 +245,11 @@ def encode_idset(
     data_type = data_type.upper()
     if data_type not in _FUNNEL_FOR_TYPE:
         raise ValueError(f"unsupported IdSet data type {data_type!r}")
-    vals = [v for v in values if v is not None]
-    if not vals:
+    if isinstance(values, np.ndarray):
+        vals = values  # arrays carry no Nones
+    else:
+        vals = [v for v in values if v is not None]
+    if len(vals) == 0:
         return bytes([TYPE_EMPTY])
     if size_threshold_in_bytes <= 0 or data_type in (
         "FLOAT",
@@ -170,7 +260,7 @@ def encode_idset(
         return _encode_bloom(vals, data_type, expected_insertions, fpp)
     if data_type == "INT":
         blob = bytes([TYPE_ROARING]) + roaring_serialize(
-            [int(v) & 0xFFFFFFFF for v in vals], run_optimize=False
+            _as_uint64(vals).astype(np.uint32), run_optimize=False
         )
     else:  # LONG
         blob = _encode_roaring64(vals)
@@ -187,12 +277,15 @@ class PinotIdSet:
     def __init__(self, type_id: int, payload):
         self.type_id = type_id
         self._payload = payload
+        self._set = None  # lazy membership set for contains()
 
     @property
     def exact(self) -> bool:
         return self.type_id != TYPE_BLOOM
 
     def values(self):
+        """Unsigned ids — a sorted numpy uint64 array for the exact
+        types ([] for EMPTY); raises for blooms."""
         if self.type_id == TYPE_EMPTY:
             return []
         if self.type_id in (TYPE_ROARING, TYPE_ROARING64):
@@ -234,19 +327,20 @@ class PinotIdSet:
         return True
 
     def _payload_set(self):
-        if not isinstance(self._payload, (set, frozenset)):
-            self._payload = set(self._payload)
-        return self._payload
+        # cached SEPARATELY from the payload array — contains() must
+        # not destroy the vectorized values()/signed_values() view
+        if self._set is None:
+            self._set = {int(v) for v in self._payload}
+        return self._set
 
     def signed_values(self):
         """Exact values as a two's-complement int64 numpy array —
         directly comparable to Spark int/bigint columns (vectorized
         Series.isin membership, the probe hot path)."""
-        width = 64 if self.type_id == TYPE_ROARING64 else 32
-        vals = np.fromiter(
-            (int(v) for v in self.values()), dtype=np.uint64
-        )
-        if width == 32:
+        if self.type_id == TYPE_EMPTY:
+            return np.empty(0, dtype=np.int64)
+        vals = np.asarray(self.values(), dtype=np.uint64)
+        if self.type_id == TYPE_ROARING:
             return vals.astype(np.uint32).astype(np.int32).astype(np.int64)
         return vals.astype(np.int64)
 
@@ -261,21 +355,71 @@ def decode_idset(buf: bytes) -> PinotIdSet:
         return PinotIdSet(TYPE_EMPTY, None)
     if type_id == TYPE_ROARING:
         vals = roaring_deserialize(buf[1:])
-        return PinotIdSet(TYPE_ROARING, [int(v) for v in vals])
+        # sorted numpy uint64 payload: keeps multi-million-id sets
+        # vectorized end-to-end (round-14 — the per-value int() loop
+        # dominated decode at the 8MB threshold scale)
+        return PinotIdSet(TYPE_ROARING, vals.astype(np.uint64))
     if type_id == TYPE_ROARING64:
         pos = 2  # skip signed flag (membership is flag-independent)
         (n_keys,) = struct.unpack_from(">i", buf, pos)
         pos += 4
-        out: list[int] = []
+        chunks: list[np.ndarray] = []
+        # Round-14 scale path: hashed/random long ids put ~1 id per
+        # high-32 bucket, so the stream is n_buckets tiny fixed-shape
+        # records. The walk stays a (cheap) python loop — record
+        # lengths chain sequentially — but single-array-container
+        # buckets only record (key, payload pos, card) and the values
+        # materialize in ONE numpy gather per run; the generic decoder
+        # handles multi-container buckets via zero-copy memoryview
+        # slices (a bytes slice per bucket was O(n^2): 127s for 9MB)
+        mv = memoryview(buf)
+        bufarr = np.frombuffer(buf, dtype=np.uint8)
+        run: list[tuple[int, int, int, int]] = []  # (high, key16, pay_pos, card)
+
+        def flush_run() -> None:
+            if not run:
+                return
+            highs = np.asarray([r[0] for r in run], dtype=np.uint64)
+            key16 = np.asarray([r[1] for r in run], dtype=np.uint64)
+            pays = np.asarray([r[2] for r in run], dtype=np.int64)
+            cards = np.asarray([r[3] for r in run], dtype=np.int64)
+            run.clear()
+            n_pay = 2 * cards
+            excl = np.zeros(len(cards), dtype=np.int64)
+            np.cumsum(n_pay[:-1], out=excl[1:])
+            positions = np.repeat(pays, n_pay) + (
+                np.arange(int(n_pay.sum())) - np.repeat(excl, n_pay)
+            )
+            lows16 = (
+                bufarr[positions].copy().view("<u2").astype(np.uint64)
+            )
+            base = (highs << np.uint64(32)) | (key16 << np.uint64(16))
+            chunks.append(np.repeat(base, cards) | lows16)
+
         for _ in range(n_keys):
-            (high,) = struct.unpack_from(">i", buf, pos)
+            (high,) = struct.unpack_from(">I", buf, pos)
             pos += 4
-            sub = buf[pos:]
+            cookie, size = struct.unpack_from("<Ii", buf, pos)
+            if cookie == _RR_NO_RUN_COOKIE and size == 1:
+                k16, card_m1 = struct.unpack_from("<HH", buf, pos + 8)
+                card = card_m1 + 1
+                if card <= 4096:  # single array container: fast shape
+                    run.append((high, k16, pos + 16, card))
+                    pos += 16 + 2 * card
+                    continue
+            flush_run()
+            sub = mv[pos:]
             lows = roaring_deserialize(sub)
             pos += _roaring_stream_len(sub)
-            base = (int(high) & 0xFFFFFFFF) << 32
-            out.extend(base | int(lo) for lo in lows)
-        return PinotIdSet(TYPE_ROARING64, out)
+            base = np.uint64((int(high) & 0xFFFFFFFF) << 32)
+            chunks.append(base | lows.astype(np.uint64))
+        flush_run()
+        return PinotIdSet(
+            TYPE_ROARING64,
+            np.concatenate(chunks)
+            if chunks
+            else np.empty(0, dtype=np.uint64),
+        )
     if type_id == TYPE_BLOOM:
         funnel = buf[1]
         strategy, k, num_longs = struct.unpack_from(">BBi", buf, 2)
@@ -357,14 +501,14 @@ def exact_wire_size(vals, data_type: str) -> int:
     payload); LONG = type + signed flag + bucket count + per-bucket
     (4 key + nested roaring). Array payload is 2*card (card <= 4096),
     bitmap payload 8192."""
-    if not vals:
+    if len(vals) == 0:
         return 1
     if data_type == "INT":
-        u = np.asarray(list(vals), dtype=np.int64).astype(np.uint32)
+        u = _as_uint64(vals).astype(np.uint32)
         _keys, cards = np.unique(u >> np.uint32(16), return_counts=True)
         payload = np.where(cards <= 4096, 2 * cards, 8192).sum()
         return int(1 + 8 + 8 * len(cards) + payload)
-    u = np.asarray(list(vals), dtype=np.int64).astype(np.uint64)
+    u = _as_uint64(vals)
     keys48, cards = np.unique(u >> np.uint64(16), return_counts=True)
     payload = np.where(cards <= 4096, 2 * cards, 8192).sum()
     n_buckets = len(np.unique(keys48 >> np.uint64(16)))
@@ -476,6 +620,69 @@ class IdSetAccumulator:
         )
 
 
+def merge_idset_blobs_many(
+    blobs,
+    size_threshold_in_bytes: int = DEFAULT_SIZE_THRESHOLD,
+    expected_insertions: int = DEFAULT_EXPECTED_INSERTIONS,
+    fpp: float = DEFAULT_FPP,
+) -> bytes:
+    """N-way IdSets.merge (round-14): the pairwise reduce re-encoded the
+    running union once PER PARTIAL — O(partitions x encode) at the merge
+    stage. All-exact partials now union as one numpy concatenate+unique
+    and encode ONCE; any bloom partial switches to bit-OR with exact
+    partials inserted value-by-value (the reference's own exact-into-
+    bloom path). Associativity/order-insensitivity make the bytes
+    identical to the pairwise fold."""
+    blobs = [b for b in blobs if b and b[0] != TYPE_EMPTY]
+    if not blobs:
+        return bytes([TYPE_EMPTY])
+    if len(blobs) == 1:
+        return bytes(blobs[0])
+    exact = [b for b in blobs if b[0] != TYPE_BLOOM]
+    blooms = [b for b in blobs if b[0] == TYPE_BLOOM]
+    union = (
+        np.unique(
+            np.concatenate([decode_idset(b).values() for b in exact])
+        )
+        if exact
+        else None
+    )
+    if not blooms:
+        tags = {b[0] for b in exact}
+        if len(tags) != 1:
+            raise ValueError(f"cannot merge IdSet types {sorted(tags)}")
+        return encode_idset(
+            union.astype(np.int64),
+            _TAG_DTYPE[tags.pop()],
+            size_threshold_in_bytes=size_threshold_in_bytes,
+            expected_insertions=expected_insertions,
+            fpp=fpp,
+        )
+    first = blooms[0]
+    funnel = first[1]
+    _strategy, k, num_longs = struct.unpack_from(">BBi", first, 2)
+    data = (
+        np.frombuffer(first, dtype=">u8", count=num_longs, offset=8)
+        .astype(np.uint64)
+        .copy()
+    )
+    for b in blooms[1:]:
+        if b[1] != funnel or b[2:8] != first[2:8]:
+            raise ValueError("incompatible bloom IdSets")
+        data |= np.frombuffer(
+            b, dtype=">u8", count=num_longs, offset=8
+        ).astype(np.uint64)
+    if union is not None:
+        num_bits = num_longs * 64
+        for v in union:
+            _bloom_insert_bits(data, k, num_bits, _funnel_bytes(funnel, v))
+    return (
+        bytes([TYPE_BLOOM, funnel])
+        + struct.pack(">BBi", 1, k, num_longs)
+        + data.byteswap().tobytes()
+    )
+
+
 def merge_idset_blobs(
     a: bytes,
     b: bytes,
@@ -498,10 +705,10 @@ def merge_idset_blobs(
     if ta != TYPE_BLOOM and tb != TYPE_BLOOM:
         if ta != tb:
             raise ValueError(f"cannot merge IdSet types {ta} and {tb}")
-        # exact union: signed view matches what encode_idset re-masks
-        vals = set(decode_idset(a).values()) | set(decode_idset(b).values())
+        # vectorized exact union (the arrays are already sorted)
+        vals = np.union1d(decode_idset(a).values(), decode_idset(b).values())
         return encode_idset(
-            sorted(vals),
+            vals.astype(np.int64),
             _TAG_DTYPE[ta],
             size_threshold_in_bytes=size_threshold_in_bytes,
             expected_insertions=expected_insertions,

@@ -358,16 +358,16 @@ def _make_merger(spec: DigestSpec):
 
         return merge_hlls
     if spec.kind == "idset":
-        from functools import reduce
-
-        from hurricanedb_spark.operators.idset_wire import merge_idset_blobs
+        from hurricanedb_spark.operators.idset_wire import (
+            merge_idset_blobs_many,
+        )
 
         th, ins, fpp = _idset_params(spec.extra)
 
         def merge_idsets(blobs):
-            return reduce(
-                lambda a, b: merge_idset_blobs(a, b, th, ins, fpp), blobs
-            )
+            # n-way union: ONE encode for all-exact partials instead of
+            # a re-encode per pairwise fold (round-14 merge-stage fix)
+            return merge_idset_blobs_many(list(blobs), th, ins, fpp)
 
         return merge_idsets
     raise ValueError(f"unknown digest kind {spec.kind!r}")

@@ -177,7 +177,15 @@ def roaring_serialize(values, run_optimize: bool = True) -> bytes:
     writer wizard), which always emits the no-run cookie."""
     import numpy as np
 
-    vals = np.unique(np.asarray(list(values), dtype=np.uint32))
+    if isinstance(values, np.ndarray):
+        # vectorized path (no per-value list()): int dtypes wrap to
+        # their uint32 images like the python-int path's & 0xFFFFFFFF
+        vals = np.unique(
+            values if values.dtype == np.uint32
+            else values.astype(np.uint32)
+        )
+    else:
+        vals = np.unique(np.asarray(list(values), dtype=np.uint32))
     keys_all = (vals >> np.uint32(16)).astype(np.uint16)
     lows_all = (vals & np.uint32(0xFFFF)).astype(np.uint16)
     keys = np.unique(keys_all)

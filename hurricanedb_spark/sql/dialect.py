@@ -1638,12 +1638,12 @@ def _in_id_set_sql(col: str, literal: str) -> str:
     ids = decode_idset(raw)
     if ids.type_id != TYPE_BLOOM:
         vals = ids.values()
-        if not vals:
+        if len(vals) == 0:
             return "(FALSE)"
         if len(vals) <= 1000:
             width = 64 if ids.type_id == TYPE_ROARING64 else 32
             signed = sorted(
-                v - (1 << width) if v >= 1 << (width - 1) else v
+                int(v) - (1 << width) if v >= 1 << (width - 1) else int(v)
                 for v in vals
             )
             return f"(({col}) IN ({', '.join(str(v) for v in signed)}))"

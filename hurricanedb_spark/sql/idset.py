@@ -131,17 +131,19 @@ def in_id_set(col: Column, idset_literal: str) -> Column:
         from hurricanedb_spark.operators.idset_wire import TYPE_ROARING64
 
         vals = idset.values()
-        if not vals:
+        if len(vals) == 0:
             return F.lit(False)
         if len(vals) <= 1000:
             # small exact set: in-plan IN list, scan-pushable
             if idset.type_id == TYPE_ROARING64:
                 vals = [
-                    v - (1 << 64) if v >= 1 << 63 else v for v in vals
+                    int(v) - (1 << 64) if v >= 1 << 63 else int(v)
+                    for v in vals
                 ]
             else:
                 vals = [
-                    v - (1 << 32) if v >= 1 << 31 else v for v in vals
+                    int(v) - (1 << 32) if v >= 1 << 31 else int(v)
+                    for v in vals
                 ]
             return col.isin(vals)
         # large exact set (round-13, found at sf1: a 450k-value isin

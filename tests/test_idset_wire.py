@@ -477,3 +477,55 @@ def test_inidset_probe_exact_past_2_53_with_null_probe_column(spark):
     ).decode()
     sql2 = rewrite_functions(f"inidset(v, '{lit2}')")
     assert "CAST" not in sql2
+
+
+def test_roaring64_vectorized_paths_differential():
+    """Round-14 scale paths: hashed/random longs put ~1 id per high-32
+    bucket, so encode/decode were per-bucket python loops (10.9s/127s
+    for a 400k-id 9MB set — the decode slice was O(n^2) bytes). The
+    batch scatter/gather fast paths must be byte-identical to the
+    per-bucket loop across bucket shapes: random, same-high32
+    multi-container collisions, dense bitmap-container buckets, and
+    negative ids (0xFFFFFFFF keys sort last)."""
+    import struct
+
+    import numpy as np
+
+    import hurricanedb_spark.operators.idset_wire as iw
+    from hurricanedb_spark.sources.pinot_segment import roaring_serialize
+
+    def loop_encode(values):
+        u = np.unique(iw._as_uint64(values))
+        highs = (u >> np.uint64(32)).astype(np.uint32)
+        lows = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        bounds = np.flatnonzero(np.diff(highs)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(u)]))
+        out = [bytes([TYPE_ROARING64]), b"\x00", struct.pack(">i", len(starts))]
+        for s, e in zip(starts, ends):
+            out.append(struct.pack(">I", int(highs[s])))
+            out.append(roaring_serialize(lows[s:e], run_optimize=False))
+        return b"".join(out)
+
+    for trial in range(10):
+        r = np.random.default_rng(1400 + trial)
+        vals = r.integers(-(1 << 62), 1 << 62, int(r.integers(1, 6000)))
+        if trial % 3 == 0:  # same-high32, different 16-bit containers
+            vals = np.concatenate([vals, vals + (1 << 17), vals + 3])
+        if trial % 4 == 0:  # dense bucket -> bitmap containers
+            vals = np.concatenate([vals, np.arange(150000) + (7 << 32)])
+        blob = iw._encode_roaring64(vals)
+        assert blob == loop_encode(vals), trial
+        got = np.sort(decode_idset(bytes(blob)).values())
+        assert np.array_equal(got, np.unique(vals.astype(np.uint64))), trial
+    # n-way merge == one-shot encode over the union (all-exact path)
+    r = np.random.default_rng(77)
+    a = r.integers(0, 1 << 62, 40_000)
+    blob = encode_idset(a, "LONG", size_threshold_in_bytes=1 << 31)
+    parts = [
+        encode_idset(a[i::5], "LONG", size_threshold_in_bytes=1 << 31)
+        for i in range(5)
+    ]
+    from hurricanedb_spark.operators.idset_wire import merge_idset_blobs_many
+
+    assert merge_idset_blobs_many(parts, 1 << 31) == blob
