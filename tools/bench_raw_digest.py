@@ -45,7 +45,8 @@ def main() -> int:
         ),
     )
     single_sql = (
-        "SELECT g, lower(hex(rawqdigest(CAST(v AS BIGINT)))) AS qd "
+        "SELECT g, lower(hex(rawqdigest(CAST(v AS BIGINT), "
+        "CAST(CAST(v AS BIGINT) AS STRING)))) AS qd "
         "FROM rb_hot GROUP BY g"
     )
     two_sql = "SELECT g, percentileRawEst(v, 50) AS qd FROM rb_hot GROUP BY g"
