@@ -456,7 +456,7 @@ def register_all(spark: SparkSession) -> None:
         serialize as _theta_serialize,
     )
 
-    def _raw_theta(v, k, t):
+    def _raw_theta(v, vstr, k, t):
         nominal = int(k.iloc[0])
         lg = max(4, (nominal - 1).bit_length())
         if len(v) == 0:
@@ -470,6 +470,14 @@ def register_all(spark: SparkSession) -> None:
                 f"rawthetasketch: unsupported input type {t.iloc[0]!r} "
                 "(sketchable: int/long/float/double/string)"
             )
+        # round-14: BIGINT batches that degraded to float64 (nulls —
+        # which the filtered CASE WHEN forms ALWAYS inject) hash the
+        # EXACT longs via the decimal-string channel; the hash kernel
+        # parses object strings exactly. Null-free batches stay numeric.
+        if dtype == "long" and not str(v.dtype).startswith("int") and str(
+            t.iloc[0]
+        ).lower() in ("bigint", "long"):
+            v = vstr
         hs = _theta_hash_col(v, dtype)
         sk = _theta_from_hashes(
             (int(h) for h in hs if h), nominal, _theta_seed_hash(_theta_seed)

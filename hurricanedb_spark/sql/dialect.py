@@ -1269,7 +1269,8 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
             # type so int values hash as longs even when NULL-bearing
             # Arrow batches arrive as float64
             return (
-                f"base64(rawthetasketch({args[0]}, {nominal}, "
+                f"base64(rawthetasketch({args[0]}, "
+                f"CAST({args[0]} AS STRING), {nominal}, "
                 f"typeof({args[0]})))"
             )
         return f"approx_count_distinct({args[0]})"
@@ -1303,11 +1304,13 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
         # to float64 — without the type pin, $0 (NULL-free, hashed as
         # longs) and $i (hashed as doubles) would never intersect
         sk_exprs = [
-            f"rawthetasketch(({col}), {nominal}, typeof({col}))"
+            f"rawthetasketch(({col}), CAST(({col}) AS STRING), "
+            f"{nominal}, typeof({col}))"
             if a == 0
             else (
                 f"rawthetasketch(CASE WHEN ({filters[a - 1]}) "
-                f"THEN ({col}) END, {nominal}, typeof({col}))"
+                f"THEN ({col}) END, CAST(CASE WHEN ({filters[a - 1]}) "
+                f"THEN ({col}) END AS STRING), {nominal}, typeof({col}))"
             )
             for a in ids
         ]
@@ -1335,11 +1338,13 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
         pos = {a: i for i, a in enumerate(ids)}
         rendered = _theta_render_tree(tree, pos)
         sk_exprs = [
-            f"rawthetasketch(({col}), {nominal}, typeof({col}))"
+            f"rawthetasketch(({col}), CAST(({col}) AS STRING), "
+            f"{nominal}, typeof({col}))"
             if a == 0
             else (
                 f"rawthetasketch(CASE WHEN ({filters[a - 1]}) "
-                f"THEN ({col}) END, {nominal}, typeof({col}))"
+                f"THEN ({col}) END, CAST(CASE WHEN ({filters[a - 1]}) "
+                f"THEN ({col}) END AS STRING), {nominal}, typeof({col}))"
             )
             for a in ids
         ]

@@ -743,3 +743,56 @@ def test_single_phase_raw_hll_qdigest_exact_longs(spark):  # noqa: F811
         pd.Series(ids, dtype="int64"), "bigint", 8
     ).hex()
     assert got["q"] == build_qdigest(ids).hex()
+
+
+def test_single_phase_raw_theta_exact_longs(spark):  # noqa: F811
+    """Round-14: rawthetasketch (the filtered/raw single-phase theta
+    builder — its CASE WHEN filter forms ALWAYS inject nulls, so BIGINT
+    batches ALWAYS degrade) hashes the EXACT longs via the string
+    channel; bytes identical to a direct build over exact values, and
+    the filtered form's $0/$1 sketches intersect correctly."""
+    import pandas as pd
+
+    from hurricanedb_spark.functions.registry import register_all
+    from hurricanedb_spark.operators.theta_ds import (
+        DEFAULT_SEED,
+        compute_seed_hash,
+        from_hashes,
+        hash_column_np,
+        serialize,
+    )
+    from hurricanedb_spark.sql.dialect import rewrite_functions
+
+    register_all(spark)
+    big = 2**61
+    ids = [big + i for i in range(50)] + [-(2**59) - 7 * i for i in range(30)]
+    rows = [(v, v >= 0) for v in ids] + [(None, True)] * 3
+    spark.createDataFrame(rows, "v bigint, flag boolean").createOrReplaceTempView(
+        "sp_theta_big"
+    )
+    got = spark.sql(
+        rewrite_functions(
+            "SELECT distinctCountRawThetaSketch(v, 'nominalEntries=4096') "
+            "AS sk FROM sp_theta_big"
+        )
+    ).collect()[0]["sk"]
+    hs = {
+        int(h)
+        for h in hash_column_np(pd.Series(ids, dtype="int64"), "long")
+        if h
+    }
+    want = serialize(
+        from_hashes(hs, 4096, compute_seed_hash(DEFAULT_SEED)), 12
+    )
+    import base64 as b64
+
+    assert b64.b64decode(got) == want
+    # filtered form: the $1 (flagged) sketch holds exactly the huge
+    # positives — an intersect with $0 must count them, not 0
+    est = spark.sql(
+        rewrite_functions(
+            "SELECT distinctCountThetaSketch(v, 'nominalEntries=4096', "
+            "'flag', 'SET_INTERSECT($0, $1)') AS n FROM sp_theta_big "
+        )
+    ).collect()[0]["n"]
+    assert est == 50, est
