@@ -577,6 +577,22 @@ def register_all(spark: SparkSession) -> None:
         _F.pandas_udf(_in_idset_blob, "boolean"),
     )
 
+    # inidsetblobx(col, CAST(col AS STRING), 'base64-idset'): the
+    # exact-channel variant of the fallback (round-15) — emitted when
+    # the set demands the decimal-string channel (ROARING64 past 2^53
+    # or a LONG-funnel bloom) and no session was active at rewrite
+    # time; the string column carries exact values for batches the
+    # Arrow transfer degraded to float64
+    def _in_idset_blobx(s, t, lit):
+        from hurricanedb_spark.operators.idset_wire import probe_series_pair
+
+        return probe_series_pair(s, t, lit.iloc[0])
+
+    spark.udf.register(
+        "inidsetblobx",
+        _F.pandas_udf(_in_idset_blobx, "boolean"),
+    )
+
     # idsetwireagg(col, CAST(col AS STRING), typeof(col), 'params'):
     # per-group reference-wire IdSet bytes (operators/idset_wire.py —
     # IdSetAggregationFunction's result is the base64 of exactly these

@@ -283,6 +283,11 @@ class PinotIdSet:
     def exact(self) -> bool:
         return self.type_id != TYPE_BLOOM
 
+    @property
+    def funnel(self) -> int | None:
+        """Bloom wire funnel id (FUNNEL_*); None for exact/empty sets."""
+        return self._payload[0] if self.type_id == TYPE_BLOOM else None
+
     def values(self):
         """Unsigned ids — a sorted numpy uint64 array for the exact
         types ([] for EMPTY); raises for blooms."""
@@ -743,6 +748,33 @@ def merge_idset_blobs(
     )
 
 
+def needs_exact_channel(ids: "PinotIdSet") -> bool:
+    """True when a float64 image of the PROBE column could change the
+    answer, i.e. the emitted probe must carry the exact values through
+    the decimal-string channel (a null-bearing LONG Arrow batch
+    degrades to float64 in pandas, rounding values past 2^53 BEFORE
+    any UDF runs):
+
+    - exact ROARING64 sets that distinguish ids past 2^53 — a rounded
+      probe value collides with a set neighbor (false positive);
+    - LONG-funnel blooms — a rounded probe hashes DIFFERENT funnel
+      bytes, so a genuine member can probe false. A bloom contract
+      permits false positives, never false negatives
+      (BloomFilterIdSet.java contains) — round-15, closing the
+      round-14 residual. Bloom members are not enumerable, so the
+      gate is the funnel, not the stored ids.
+
+    INT-funnel blooms and ROARING/ROARING32 sets never need it: their
+    id space is within float64-exact range."""
+    if ids.type_id == TYPE_ROARING64:
+        vals = np.asarray(ids.values(), dtype=np.uint64)
+        # vectorized signed-image magnitude test (round-15 ADVICE — the
+        # per-value any() loop added rewrite latency on huge sets)
+        sv = vals.view(np.int64)
+        return bool(np.any((sv >= 1 << 53) | (sv <= -(1 << 53))))
+    return ids.type_id == TYPE_BLOOM and ids.funnel == FUNNEL_LONG
+
+
 def probe_series(s, literal_b64: str):
     """Vectorized membership of a pandas Series against a base64 IdSet
     literal — the pandas-UDF hot path for IN_ID_SET. The decoded IdSet
@@ -753,14 +785,10 @@ def probe_series(s, literal_b64: str):
     inherent to the structure).
 
     Decimal-string input (round-14): when the emitted probe casts the
-    column to STRING (_register_inidset_probe does so exactly when an
-    EXACT set can distinguish ids past 2^53 — a null-bearing LONG Arrow
-    batch otherwise degrades to float64, rounding the PROBE values
-    before this code runs), the strings parse back to exact int64
-    before membership. Blooms never take the channel: their wire
-    format shares the INT/LONG funnels with FLOAT/DOUBLE idsets, so
-    the id type is ambiguous at rewrite time (the LONG-bloom +
-    degraded-probe residual is documented in COVERAGE.md)."""
+    column to STRING, the strings parse back to exact int64 before
+    membership. Round-15 probes emit the TWO-column form
+    (probe_series_pair) instead — this single-series entry remains for
+    the small-literal `inidsetblob` fallback and legacy callers."""
     import pandas as pd
 
     ids, signed = _cached_literal(literal_b64)
@@ -770,17 +798,78 @@ def probe_series(s, literal_b64: str):
         if mask.any():
             try:
                 exact_vals = s[mask].astype("int64")
-            except (ValueError, TypeError):
+            except (ValueError, TypeError, OverflowError):
                 # non-integral strings (a float column routed through
-                # the cast): numeric compare like the un-cast path
+                # the cast) or numeric strings outside int64 (pandas
+                # raises OverflowError there, round-15 ADVICE): numeric
+                # compare like the un-cast path
                 exact_vals = pd.to_numeric(s[mask], errors="coerce")
             out[mask] = exact_vals.isin(signed).to_numpy()
         return out
     if signed is not None:
         return pd.Series(s.isin(signed) & s.notna()).astype("boolean")
     return s.map(
-        lambda v: False if v is None else ids.contains(v)
+        lambda v: False if pd.isna(v) else ids.contains(v)
     ).astype("boolean")
+
+
+def probe_series_pair(s_num, s_str, literal_b64: str):
+    """Two-column membership probe: the column itself plus its
+    JVM-exact CAST-AS-STRING image (round-15). Emitted whenever
+    needs_exact_channel(set) — the numeric column keeps NULL-FREE
+    batches on the exact int64 fast path (no per-row string parse),
+    and the string column carries the exact values for batches the
+    Arrow transfer degraded to float64. Dispatch:
+
+    - integer batch dtype: exact already — numeric isin / contains.
+    - object batch dtype: the probe column is itself STRING/DECIMAL
+      (the CAST was an identity) — keep single-series semantics, so a
+      genuine string column still takes the reference's STRING-funnel
+      route against blooms.
+    - float batch dtype (degraded int column, or a real FLOAT/DOUBLE
+      column): parse the string image. Integral strings take the
+      exact int64 route (LONG funnel for blooms); '.'/'E' strings are
+      a real FLOAT/DOUBLE column and keep the raw-bits route
+      (BloomFilterIdSet.java:88-96) — Spark renders doubles with
+      shortest round-trip repr, so float() recovers the exact value."""
+    import pandas as pd
+
+    ids, signed = _cached_literal(literal_b64)
+    kind = getattr(s_num.dtype, "kind", "O")
+    if kind in "iu":
+        if signed is not None:
+            return pd.Series(s_num.isin(signed) & s_num.notna()).astype(
+                "boolean"
+            )
+        return s_num.map(
+            lambda v: False if pd.isna(v) else ids.contains(v)
+        ).astype("boolean")
+    if kind not in "fc":
+        return probe_series(s_num, literal_b64)
+    mask = s_str.notna()
+    out = pd.Series(False, index=s_num.index, dtype="boolean")
+    if not mask.any():
+        return out
+    sv = s_str[mask]
+    if signed is not None:
+        try:
+            exact_vals = sv.astype("int64")
+        except (ValueError, TypeError, OverflowError):
+            exact_vals = pd.to_numeric(sv, errors="coerce")
+        out[mask] = exact_vals.isin(signed).to_numpy()
+        return out
+
+    def _probe(x):
+        try:
+            return ids.contains(int(x))
+        except (ValueError, TypeError):
+            try:
+                return ids.contains(float(x))
+            except (ValueError, TypeError):
+                return ids.contains(x)
+
+    out[mask] = sv.map(_probe).to_numpy()
+    return out
 
 
 import functools as _functools  # noqa: E402

@@ -177,15 +177,28 @@ def roaring_serialize(values, run_optimize: bool = True) -> bytes:
     writer wizard), which always emits the no-run cookie."""
     import numpy as np
 
-    if isinstance(values, np.ndarray):
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
         # vectorized path (no per-value list()): int dtypes wrap to
-        # their uint32 images like the python-int path's & 0xFFFFFFFF
+        # their uint32 images like the python-int path's & 0xFFFFFFFF.
+        # Restricted to integer dtypes (round-15 ADVICE): a float array
+        # would truncate toward zero here (UB for negatives) instead of
+        # the two's-complement masking the list path applies.
         vals = np.unique(
             values if values.dtype == np.uint32
             else values.astype(np.uint32)
         )
     else:
-        vals = np.unique(np.asarray(list(values), dtype=np.uint32))
+        arr = np.asarray(list(values))
+        if arr.dtype.kind in "iu":
+            vals = np.unique(arr.astype(np.uint32))  # two's-complement wrap
+        else:
+            # huge/object/float inputs: per-value masking (exact ints
+            # only — float truncation here matches int()'s toward-zero)
+            vals = np.unique(
+                np.asarray(
+                    [int(v) & 0xFFFFFFFF for v in values], dtype=np.uint32
+                )
+            )
     keys_all = (vals >> np.uint32(16)).astype(np.uint16)
     lows_all = (vals & np.uint32(0xFFFF)).astype(np.uint16)
     keys = np.unique(keys_all)

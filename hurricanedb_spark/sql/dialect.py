@@ -1668,31 +1668,26 @@ def _register_inidset_probe(col: str, literal: str) -> str:
     from pyspark.sql import SparkSession, functions as F
 
     from hurricanedb_spark.operators.idset_wire import (
-        TYPE_ROARING64,
         decode_idset,
+        needs_exact_channel,
     )
 
-    # exact LONG sets holding ids past 2^53 take the decimal-string
-    # channel (round-14): a null-bearing LONG probe column degrades to
-    # float64 in the Arrow batch, rounding the PROBE values — adjacent
-    # huge ids would collide. CAST is JVM-side and exact; probe_series
-    # parses back to exact int64. Sets without huge ids stay numeric
-    # (float64 images of both sides are then collision-free), so the
-    # hot scan path pays the cast only when exactness demands it.
+    # exact LONG sets holding ids past 2^53 (round-14) and LONG-funnel
+    # blooms (round-15 — a rounded probe value hashes different funnel
+    # bytes, turning a genuine member into a bloom FALSE NEGATIVE,
+    # which the reference's BloomFilterIdSet.contains never produces)
+    # take the decimal-string channel: a null-bearing LONG probe column
+    # degrades to float64 in the Arrow batch, rounding the PROBE values
+    # before the UDF runs. Round-15 ships the TWO-column form — the
+    # numeric column keeps null-free batches on the exact fast path,
+    # and the CAST column (JVM-side, exact) carries the values for
+    # degraded batches; probe_series_pair dispatches on the batch
+    # dtype. Sets the channel cannot affect stay single-column.
     try:
         ids = decode_idset(_b64.b64decode(literal))
-
-        def _huge(u: int) -> bool:  # |signed image| past float64-exact
-            sv = u - (1 << 64) if u >= (1 << 63) else u
-            return abs(sv) >= (1 << 53)
-
-        needs_exact_strings = ids.type_id == TYPE_ROARING64 and any(
-            _huge(int(v)) for v in ids.values()
-        )
+        needs_exact_strings = needs_exact_channel(ids)
     except Exception:  # noqa: BLE001 — legacy/opaque literal
         needs_exact_strings = False
-    if needs_exact_strings:
-        col = f"CAST(({col}) AS STRING)"
 
     spark = SparkSession.getActiveSession()
     if spark is None:
@@ -1710,8 +1705,27 @@ def _register_inidset_probe(col: str, literal: str) -> str:
                 "first so _register_inidset_probe can ship it as a "
                 "closure-captured UDF instead."
             )
+        if needs_exact_strings:
+            return (
+                f"inidsetblobx(({col}), CAST(({col}) AS STRING), "
+                f"'{literal}')"
+            )
         return f"inidsetblob(({col}), '{literal}')"
     name = f"__inidset_{hashlib.sha1(literal.encode()).hexdigest()[:16]}"
+
+    if needs_exact_strings:
+
+        def _fn2(s, t, lit=literal):
+            from hurricanedb_spark.operators.idset_wire import (
+                probe_series_pair,
+            )
+
+            return probe_series_pair(s, t, lit)
+
+        spark.udf.register(
+            name, F.pandas_udf(_fn2, "boolean", F.PandasUDFType.SCALAR)
+        )
+        return f"{name}(({col}), CAST(({col}) AS STRING))"
 
     def _fn(s, lit=literal):
         from hurricanedb_spark.operators.idset_wire import probe_series

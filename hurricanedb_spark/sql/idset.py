@@ -152,6 +152,24 @@ def in_id_set(col: Column, idset_literal: str) -> Column:
 
     blob_b64 = idset_literal
 
+    from hurricanedb_spark.operators.idset_wire import needs_exact_channel
+
+    if needs_exact_channel(idset):
+        # exact ROARING64 past 2^53 or a LONG-funnel bloom (round-15):
+        # a null-bearing LONG probe column degrades to float64 in the
+        # Arrow batch, so ship the JVM-exact string image alongside —
+        # null-free batches stay on the numeric fast path, degraded
+        # batches parse the strings (probe_series_pair)
+        def _probe_fn2(s, t):
+            from hurricanedb_spark.operators.idset_wire import (
+                probe_series_pair,
+            )
+
+            return probe_series_pair(s, t, blob_b64)
+
+        _probe2 = F.pandas_udf(_probe_fn2, "boolean", F.PandasUDFType.SCALAR)
+        return _probe2(col, col.cast("string"))
+
     def _probe_fn(s):
         from hurricanedb_spark.operators.idset_wire import probe_series
 

@@ -529,3 +529,180 @@ def test_roaring64_vectorized_paths_differential():
     from hurricanedb_spark.operators.idset_wire import merge_idset_blobs_many
 
     assert merge_idset_blobs_many(parts, 1 << 31) == blob
+
+
+def test_inidset_bloom_long_false_negative_channel(spark):
+    """Round-15: the LONG-bloom probe residual (r14 COVERAGE.md /
+    verdict missing #1). A null-bearing LONG probe column degrades to
+    float64 in the Arrow batch; a rounded id past 2^53 then hashes
+    DIFFERENT funnel bytes, so a genuine member probed FALSE — a bloom
+    contract allows false positives, never false negatives
+    (BloomFilterIdSet.java contains). LONG-funnel blooms now emit the
+    two-column probe: every inserted id must probe TRUE even when the
+    batch carries nulls."""
+    from hurricanedb_spark.functions.registry import register_all
+    from hurricanedb_spark.sql.dialect import rewrite_functions
+
+    register_all(spark)
+    members = [2**61 + 256, 2**60 + 1024, -(2**61) - 7, 5]
+    lit = base64.b64encode(
+        encode_idset(
+            members, "LONG", size_threshold_in_bytes=0,
+            expected_insertions=1000,
+        )
+    ).decode()
+    assert decode_idset(base64.b64decode(lit)).type_id == TYPE_BLOOM
+    sql = rewrite_functions(f"inidset(v, '{lit}')")
+    assert "CAST((v) AS STRING)" in sql
+    rows = [(m,) for m in members] + [(None,)]
+    spark.createDataFrame(rows, "v bigint").createOrReplaceTempView(
+        "idw_bloom_fn"
+    )
+    got = {
+        r["v"]: r["m"]
+        for r in spark.sql(
+            f"SELECT v, {sql} AS m FROM idw_bloom_fn"
+        ).collect()
+    }
+    for m in members:
+        assert got[m] is True, m  # the false-negative assertion
+    assert got[None] is False
+
+
+def test_inidset_bloom_double_column_keeps_raw_bits_route(spark):
+    """A genuine DOUBLE column against a DOUBLE-built bloom (shares
+    FUNNEL_LONG on the wire) must keep the reference's raw-bits DOUBLE
+    dispatch through the round-15 string channel: Spark renders doubles
+    with shortest round-trip repr, so float() recovers the exact value
+    and the '.'-bearing string routes to the DOUBLE funnel bytes."""
+    from hurricanedb_spark.functions.registry import register_all
+    from hurricanedb_spark.sql.dialect import rewrite_functions
+
+    register_all(spark)
+    members = [1.5, -0.25, 1e300, 3.0]
+    lit = base64.b64encode(
+        encode_idset(
+            members, "DOUBLE", size_threshold_in_bytes=0,
+            expected_insertions=1000,
+        )
+    ).decode()
+    sql = rewrite_functions(f"inidset(v, '{lit}')")
+    assert "CAST((v) AS STRING)" in sql
+    rows = [(m,) for m in members] + [(None,), (2.5,)]
+    spark.createDataFrame(rows, "v double").createOrReplaceTempView(
+        "idw_bloom_dbl"
+    )
+    got = {
+        r["v"]: r["m"]
+        for r in spark.sql(
+            f"SELECT v, {sql} AS m FROM idw_bloom_dbl"
+        ).collect()
+    }
+    for m in members:
+        assert got[m] is True, m
+    assert got[None] is False
+
+
+def test_probe_series_pair_dispatch_and_funnel_parity():
+    """probe_series_pair unit semantics: integer batches never touch
+    the string column (numeric fast path); degraded float batches parse
+    the string image and must agree with the golden-pinned
+    contains(id, 'LONG') funnel path per id; object batches (a genuine
+    STRING column — the CAST was an identity) keep the single-series
+    STRING-funnel semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from hurricanedb_spark.operators.idset_wire import (
+        needs_exact_channel,
+        probe_series,
+        probe_series_pair,
+    )
+
+    members = [2**61 + 256, 2**53 + 1, -(2**62) + 9, 42]
+    blob = encode_idset(
+        members, "LONG", size_threshold_in_bytes=0, expected_insertions=500
+    )
+    lit = base64.b64encode(blob).decode()
+    ids = decode_idset(blob)
+    assert needs_exact_channel(ids)
+    probes = members + [2**61 + 257, 7]
+    # integer batch: string column deliberately poisoned — must not be read
+    s_num = pd.Series(np.asarray(probes, dtype=np.int64))
+    s_bad = pd.Series(["poison"] * len(probes))
+    got_int = probe_series_pair(s_num, s_bad, lit)
+    want = [ids.contains(v, "LONG") for v in probes]
+    assert list(got_int) == want
+    assert all(want[: len(members)])  # members never false-negative
+    # degraded float batch: values rounded, strings carry the truth
+    s_f = pd.Series(np.asarray(probes, dtype=np.int64)).astype("float64")
+    s_f[2] = None
+    s_str = pd.Series([str(v) for v in probes])
+    s_str[2] = None
+    got_f = list(probe_series_pair(s_f, s_str, lit))
+    assert got_f[2] is False or got_f[2] == False  # noqa: E712 — null row
+    for i, v in enumerate(probes):
+        if i != 2:
+            assert got_f[i] == ids.contains(v, "LONG"), v
+    # object batch (genuine STRING column): single-series semantics
+    s_obj = pd.Series([str(v) for v in probes])
+    assert list(probe_series_pair(s_obj, s_obj, lit)) == list(
+        probe_series(s_obj, lit)
+    )
+    # exact-channel gate vectorization: huge-free exact sets decline
+    small = decode_idset(encode_idset(list(range(100)), "LONG"))
+    assert not needs_exact_channel(small)
+    # INT-funnel blooms decline (id space is float64-exact)
+    int_bloom = decode_idset(
+        encode_idset([1, 2], "INT", size_threshold_in_bytes=0,
+                     expected_insertions=100)
+    )
+    assert not needs_exact_channel(int_bloom)
+
+
+def test_in_id_set_dataframe_api_exact_channel(spark):
+    """The DataFrame-API in_id_set had the same degraded-probe hazard
+    for LARGE exact sets (>1000 ids -> probe UDF) and blooms as the SQL
+    surface: a null-bearing LONG column arrived float64-rounded.
+    Round-15 routes both through the two-column probe."""
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.sql.idset import in_id_set
+
+    big = 2**61 + 256
+    members = [big] + list(range(2000))
+    lit = base64.b64encode(encode_idset(members, "LONG")).decode()
+    df = spark.createDataFrame(
+        [(big,), (big + 1,), (5,), (None,)], "v bigint"
+    )
+    got = {
+        r["v"]: r["m"]
+        for r in df.select("v", in_id_set(F.col("v"), lit).alias("m")).collect()
+    }
+    assert got[big] is True and got[5] is True
+    assert got[big + 1] is False  # the rounded-collision false positive
+    assert got[None] is False
+
+
+def test_inidset_no_session_fallback_exact_channel():
+    """No-session fallback parity (round-15): a small LONG-funnel bloom
+    literal emits the two-column inidsetblobx form so even the fallback
+    never false-negatives on degraded batches."""
+    from unittest import mock
+
+    from pyspark.sql import SparkSession
+
+    from hurricanedb_spark.sql.dialect import _register_inidset_probe
+
+    lit = base64.b64encode(
+        encode_idset(
+            [2**61 + 256], "LONG", size_threshold_in_bytes=0,
+            expected_insertions=50,
+        )
+    ).decode()
+    assert len(lit) <= 1024
+    with mock.patch.object(
+        SparkSession, "getActiveSession", staticmethod(lambda: None)
+    ):
+        out = _register_inidset_probe("c", lit)
+    assert out.startswith("inidsetblobx((c), CAST((c) AS STRING)")

@@ -1228,3 +1228,19 @@ def test_in_list_on_mv_column_any_element(tmp_path):
     ps.write_segment_pandas(pdf, seg)
     got = ps.read_segment_pandas(seg, where=("mv", "in", ["b", "e"]))
     assert [list(x) for x in got["mv"]] == [["a", "b"], ["b", "d"], ["e"]] * 10
+
+
+def test_roaring_serialize_dtype_guard():
+    """Round-15 ADVICE: the ndarray fast path is restricted to integer
+    dtypes — a float ndarray previously truncated toward zero in
+    astype(uint32) (UB for negatives) instead of the two's-complement
+    masking the scalar path applies; negative ids in plain lists also
+    crashed numpy 2's unsigned asarray."""
+    import numpy as np
+
+    from hurricanedb_spark.sources.pinot_segment import roaring_serialize
+
+    want = roaring_serialize([1, 2, -1])
+    assert roaring_serialize(np.array([1.0, 2.0, -1.0])) == want
+    assert roaring_serialize(np.array([1, 2, -1], dtype=np.int64)) == want
+    assert roaring_serialize([-1, 1, 2]) == want
