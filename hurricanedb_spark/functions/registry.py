@@ -20,6 +20,7 @@ from __future__ import annotations
 import ipaddress
 import math
 
+import pyarrow as pa  # Arrow-native UDAF batches (round-15)
 from pyspark.sql import SparkSession, functions as F, types as T
 
 # SQL-macro shims: name -> (args, body). Registered as Spark SQL temp
@@ -417,6 +418,49 @@ def _geo_to_grid(lat, lon, res: int):
     return (int(res) << 40) | (min(y, cells - 1) << 20) | min(x, cells - 1)
 
 
+# Arrow-native grouped-agg inputs (round-15): pyarrow batch type ->
+# Spark simpleString. With `arrow_udf` the batch type IS the declared
+# column type — a null-bearing BIGINT column arrives as pa.int64 with a
+# validity bitmap instead of pandas float64 (which silently rounded ids
+# past 2^53), so the raw-digest builders need neither the typeof() pin
+# nor the CAST-AS-STRING exact channel the pandas forms carried in
+# rounds 13-14. drop_null() then yields exact int64 numpy directly.
+_PA_TO_SPARK_TYPE = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "halffloat": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "string_view": "string",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def _pa_values(v, fn: str, allow_binary: bool = False):
+    """arrow UDAF column -> (null-free values, spark type simpleString).
+
+    Numeric columns come back as exact numpy arrays (int64 stays int64
+    — Arrow carries nulls in the validity bitmap, never by dtype
+    degrade); strings/binary as an object array (cold path)."""
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    stype = _PA_TO_SPARK_TYPE.get(str(v.type))
+    if stype is None or (stype == "binary" and not allow_binary):
+        sketchable = "int/long/float/double/string" + (
+            "/bytes" if allow_binary else ""
+        )
+        raise ValueError(
+            f"{fn}: unsupported input type {v.type} "
+            f"(sketchable: {sketchable})"
+        )
+    return v.drop_null().to_numpy(zero_copy_only=False), stype
+
+
 def register_all(spark: SparkSession) -> None:
     """Register the true-UDF surface (geo/net). Everything in _SQL_ALIASES is
     applied by the SQL dialect rewriter instead (JVM-side, no UDF cost)."""
@@ -440,13 +484,14 @@ def register_all(spark: SparkSession) -> None:
     # DataSketches compact sketch (clients persist and re-merge these);
     # grouped-agg over the group's values via operators/theta_ds — the
     # byte layout is the public org.apache.datasketches compact format.
-    # Third arg is `typeof(col)` emitted by the dialect: hashing must
-    # follow the SPARK column type, not the pandas dtype — a BIGINT
-    # column whose Arrow batch contains NULLs arrives as float64, and
-    # hashing those values as doubles would put them in a different
-    # hash space than the same column's NULL-free batches (update(long)
-    # vs update(double) hash differently in DataSketches by design),
-    # silently breaking set ops and cross-sketch merges.
+    # Arrow-native UDAF (round-15): the batch type IS the Spark column
+    # type, so hashing dispatches on it directly — a null-bearing
+    # BIGINT group arrives as pa.int64 with a validity bitmap, never
+    # the pandas float64 degrade that rounded ids past 2^53 and forced
+    # rounds 13-14's typeof() pin + CAST-AS-STRING exact channel
+    # (update(long) vs update(double) hash differently in DataSketches
+    # by design, so the type pin is still what keeps $0 and the CASE
+    # WHEN filter sketches in one hash space).
     from hurricanedb_spark.operators.theta_ds import (
         DEFAULT_SEED as _theta_seed,
         _SPARK_TO_HASH_DTYPE as _hash_dtypes,
@@ -456,38 +501,23 @@ def register_all(spark: SparkSession) -> None:
         serialize as _theta_serialize,
     )
 
-    def _raw_theta(v, vstr, k, t):
-        nominal = int(k.iloc[0])
+    def _raw_theta(v: pa.Array, k: pa.Array) -> bytes:
+        nominal = int(k[0].as_py()) if len(k) else 4096
         lg = max(4, (nominal - 1).bit_length())
-        if len(v) == 0:
-            sk = _theta_from_hashes(
-                (), nominal, _theta_seed_hash(_theta_seed)
-            )
-            return _theta_serialize(sk, lg)
-        dtype = _hash_dtypes.get(str(t.iloc[0]).lower())
+        vals, stype = _pa_values(v, "rawthetasketch")
+        dtype = _hash_dtypes[stype] if stype in _hash_dtypes else None
         if dtype is None:
             raise ValueError(
-                f"rawthetasketch: unsupported input type {t.iloc[0]!r} "
+                f"rawthetasketch: unsupported input type {stype!r} "
                 "(sketchable: int/long/float/double/string)"
             )
-        # round-14: BIGINT batches that degraded to float64 (nulls —
-        # which the filtered CASE WHEN forms ALWAYS inject) hash the
-        # EXACT longs via the decimal-string channel; the hash kernel
-        # parses object strings exactly. Null-free batches stay numeric.
-        if dtype == "long" and not str(v.dtype).startswith("int") and str(
-            t.iloc[0]
-        ).lower() in ("bigint", "long"):
-            v = vstr
-        hs = _theta_hash_col(v, dtype)
+        hs = _theta_hash_col(vals, dtype)
         sk = _theta_from_hashes(
             (int(h) for h in hs if h), nominal, _theta_seed_hash(_theta_seed)
         )
         return _theta_serialize(sk, lg)
 
-    spark.udf.register(
-        "rawthetasketch",
-        _F.pandas_udf(_raw_theta, "binary", _F.PandasUDFType.GROUPED_AGG),
-    )
+    spark.udf.register("rawthetasketch", _F.arrow_udf(_raw_theta, "binary"))
     # thetaSetOpSketch('<set expr>', array(<sketch bytes>...), nominal):
     # scalar post-aggregation evaluator for the FILTERED raw theta form —
     # deserializes the per-filter sketches and folds the set expression
@@ -519,18 +549,15 @@ def register_all(spark: SparkSession) -> None:
         build_qdigest as _qd_build,
     )
 
-    def _raw_qdigest(v, vstr):
-        # round-14: QuantileDigest keys the EXACT long — a null-bearing
-        # batch degrades to float64 (rounding past 2^53); the decimal
-        # strings parse back exactly. Null-free batches stay numeric.
-        if not str(v.dtype).startswith("int"):
-            return _qd_build(vstr.dropna().astype("int64").tolist())
-        return _qd_build(v.dropna().astype("int64").tolist())
+    def _raw_qdigest(v: pa.Array) -> bytes:
+        # QuantileDigest keys the EXACT long: the Arrow-native batch
+        # carries int64 + validity bitmap (round-15), so a null-bearing
+        # group never degrades to float64 (which rounded keys past 2^53
+        # and forced round-14's decimal-string channel)
+        vals, _ = _pa_values(v, "rawqdigest")
+        return _qd_build(vals.astype("int64", copy=False).tolist())
 
-    spark.udf.register(
-        "rawqdigest",
-        _F.pandas_udf(_raw_qdigest, "binary", _F.PandasUDFType.GROUPED_AGG),
-    )
+    spark.udf.register("rawqdigest", _F.arrow_udf(_raw_qdigest, "binary"))
     # rawTDigest(doubleCol): t-digest MergingDigest wire bytes per group
     # (operators/tdigest.py — public tdunning layout, compression 100 =
     # the reference's DEFAULT_TDIGEST_COMPRESSION); percentileRawTDigest
@@ -593,18 +620,16 @@ def register_all(spark: SparkSession) -> None:
         _F.pandas_udf(_in_idset_blobx, "boolean"),
     )
 
-    # idsetwireagg(col, CAST(col AS STRING), typeof(col), 'params'):
-    # per-group reference-wire IdSet bytes (operators/idset_wire.py —
-    # IdSetAggregationFunction's result is the base64 of exactly these
-    # bytes; the SQL surface wraps base64()). typeof pins the DECLARED
-    # type: NULL-bearing int Arrow batches degrade to float64, and the
-    # reference dispatches on the column type, not the batch dtype.
-    # The string column (round-13 ADVICE) is the LOSSLESS channel for
-    # INT/LONG when the batch degraded: float64 silently rounds ids
-    # past 2^53 BEFORE the UDF runs, so exact longs must cross the
-    # Arrow boundary as decimal strings whenever the int column
-    # carries a null; a null-free batch keeps the int64 fast path.
-    def _idset_agg(v, vstr, t, params):
+    # idsetwireagg(col, 'params'): per-group reference-wire IdSet bytes
+    # (operators/idset_wire.py — IdSetAggregationFunction's result is
+    # the base64 of exactly these bytes; the SQL surface wraps
+    # base64()). Arrow-native UDAF (round-15): the batch type IS the
+    # declared column type, so the dispatch needs no typeof() pin, and
+    # a null-bearing INT/LONG group arrives exact (validity bitmap, no
+    # float64 degrade) — the rounds-13/14 CAST-AS-STRING lossless
+    # channel and its per-row JVM cast + doubled Arrow transfer are
+    # gone from this path.
+    def _idset_agg(v: pa.Array, params: pa.Array) -> bytes:
         from hurricanedb_spark.operators.idset_wire import (
             DEFAULT_EXPECTED_INSERTIONS,
             DEFAULT_FPP,
@@ -613,13 +638,15 @@ def register_all(spark: SparkSession) -> None:
             spark_type_to_pinot,
         )
 
-        dtype = spark_type_to_pinot(t.iloc[0])
+        vals, stype = _pa_values(v, "idSet", allow_binary=True)
+        dtype = spark_type_to_pinot(stype)
         th, ins, fpp = (
             DEFAULT_SIZE_THRESHOLD,
             DEFAULT_EXPECTED_INSERTIONS,
             DEFAULT_FPP,
         )
-        for kv in (params.iloc[0] or "").split(";"):
+        p0 = params[0].as_py() if len(params) else ""
+        for kv in (p0 or "").split(";"):
             k, sep, val = kv.partition("=")
             if not sep:
                 continue
@@ -630,15 +657,12 @@ def register_all(spark: SparkSession) -> None:
                 ins = int(val)
             elif k == "fpp":
                 fpp = float(val)
-        if dtype in ("INT", "LONG"):
-            if str(v.dtype).startswith("int"):
-                vals = v.dropna()  # null-free batch: exact already
-            else:
-                # degraded (null-bearing) batch: parse the exact
-                # decimal strings instead of the rounded float64s
-                vals = vstr.dropna().astype("int64")
-        else:
-            vals = v.dropna()
+        if dtype in ("FLOAT", "DOUBLE"):
+            # match the pandas path's dropna semantics: NaN values are
+            # skipped (arrow's drop_null keeps them — NaN is a value)
+            import numpy as np
+
+            vals = vals[~np.isnan(vals)]
         # streaming accumulator (round-13 verdict #6): chunked folds
         # with the incremental threshold->bloom conversion keep even a
         # single-phase high-cardinality group under a fixed state
@@ -649,47 +673,36 @@ def register_all(spark: SparkSession) -> None:
             expected_insertions=ins,
             fpp=fpp,
         )
-        arr = vals.to_numpy()
         step = 1 << 20
-        for i in range(0, len(arr), step):
-            acc.add(arr[i : i + step])
+        for i in range(0, len(vals), step):
+            acc.add(vals[i : i + step])
         return acc.emit()
 
-    spark.udf.register(
-        "idsetwireagg",
-        _F.pandas_udf(_idset_agg, "binary", _F.PandasUDFType.GROUPED_AGG),
-    )
+    spark.udf.register("idsetwireagg", _F.arrow_udf(_idset_agg, "binary"))
     # distinctCountRawHLL builder: the reference serializes the
     # CLEARSPRING HyperLogLog (CustomSerDeUtils.HYPER_LOG_LOG_SER_DE ->
-    # HyperLogLog.getBytes), hashing each value's Java toString bytes
-    # through MurmurHash2-64A — operators/clearspring_hll reproduces the
-    # wire format so reference clients can persist/deserialize/re-merge
-    # these strings. typeof() pins the value->string mapping to the
-    # SPARK column type (NULL-bearing int batches arrive as float64).
+    # HyperLogLog.getBytes), hashing each value through the real
+    # stream-2.9.8 MurmurHash type dispatch — operators/clearspring_hll
+    # reproduces the wire format so reference clients can persist /
+    # deserialize / re-merge these strings. Arrow-native UDAF
+    # (round-15): the batch type IS the Spark column type (no typeof()
+    # arg), and a null-bearing BIGINT group arrives as exact int64 —
+    # the reference hashes the EXACT long, which the pandas float64
+    # degrade silently rounded past 2^53 until round-14's
+    # decimal-string channel; both channel and cast are now gone.
     from hurricanedb_spark.operators.clearspring_hll import (
         ClearspringHLL as _CsHLL,
         build_hll as _cs_build,
         merge_hlls as _cs_merge,
     )
 
-    def _raw_cs_hll(v, vstr, k, t):
-        log2m = int(k.iloc[0]) if len(k) else 8
-        if len(v) == 0:
-            return _CsHLL(log2m).serialize()
-        spark_type = str(t.iloc[0])
-        # round-14: the reference hashes the EXACT long; a null-bearing
-        # BIGINT batch degrades to float64, rounding ids past 2^53
-        # before this code runs — the decimal-string channel restores
-        # them (offer_long int-parses); null-free batches stay numeric
-        if spark_type.lower() in ("bigint", "long") and not str(
-            v.dtype
-        ).startswith("int"):
-            return _cs_build(vstr, spark_type, log2m)
-        return _cs_build(v, spark_type, log2m)
+    def _raw_cs_hll(v: pa.Array, k: pa.Array) -> bytes:
+        log2m = int(k[0].as_py()) if len(k) else 8
+        vals, stype = _pa_values(v, "distinctCountRawHLL")
+        return _cs_build(vals, stype, log2m)
 
     spark.udf.register(
-        "rawclearspringhll",
-        _F.pandas_udf(_raw_cs_hll, "binary", _F.PandasUDFType.GROUPED_AGG),
+        "rawclearspringhll", _F.arrow_udf(_raw_cs_hll, "binary")
     )
 
     # scalar estimate over a serialized clearspring HLL (BINARY or the

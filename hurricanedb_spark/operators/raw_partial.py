@@ -14,10 +14,14 @@ round 9.
 
 This module is the Spark-native partial/combine formulation:
 
-  phase 1  mapInPandas over the source partitions — one bounded digest
+  phase 1  mapInArrow over the source partitions — one bounded digest
            per (Arrow batch x group), built where the data sits; no
            repartition, no raw-value shuffle. State per task is
-           O(groups-in-batch x digest-size).
+           O(groups-in-batch x digest-size). Arrow batches carry the
+           TRUE column types (int64 + validity bitmap), so null-bearing
+           BIGINT values and group keys stay exact past 2^53 — the
+           mapInPandas float64 degrade (and the rounds-13/14
+           CAST-AS-STRING channel that worked around it) is gone.
   phase 2  groupBy(keys).applyInPandas — merges the serialized partials
            (O(batches-containing-key) blobs per key, each digest-sized).
 
@@ -247,7 +251,10 @@ def _make_acc_factory(spec: DigestSpec, spark_type: str):
                 self.hll = ClearspringHLL(log2m)
 
             def update(self, v):
-                offer_series(self.hll, v, spark_type)
+                # dropna: nullable Int64 batches (mapInArrow) iterate
+                # pd.NA for nulls, which offer_series's None/NaN checks
+                # don't cover; semantics unchanged (nulls never offered)
+                offer_series(self.hll, v.dropna(), spark_type)
 
             def emit(self) -> bytes:
                 return self.hll.serialize()
@@ -285,11 +292,10 @@ def _make_acc_factory(spec: DigestSpec, spark_type: str):
                 )
 
             def update(self, v):
-                # INT/LONG arrive as decimal STRINGS (digests_by_group
-                # projects a CAST — round-13 ADVICE: a null-bearing
-                # int Arrow batch degrades to float64, silently
-                # rounding ids past 2^53 before this code runs; the
-                # string channel is lossless and astype parses exactly)
+                # LONG arrives as nullable Int64 (mapInArrow keeps the
+                # exact int64 + NA mask — no float64 degrade); INT may
+                # still degrade to float64 under nulls, which is exact
+                # for 32-bit values — astype normalizes both to int64
                 vv = v.dropna()
                 if dtype in ("INT", "LONG"):
                     vv = vv.astype("int64")
@@ -405,27 +411,10 @@ def digests_by_group(
         if dtypes[c] in ("float", "double")
     }
     key_cols = [*group_cols, *markers.values()]
-    def _value_col(s: DigestSpec):
-        # BIGINT inputs of exact-valued digests ship as decimal
-        # strings: a null-bearing int Arrow batch otherwise degrades to
-        # float64 in pandas, silently rounding ids past 2^53 BEFORE the
-        # accumulator runs (round-13 ADVICE) — wrong idset membership,
-        # and reference-divergent hashes for theta/HLL/qdigest, whose
-        # wire contracts hash/count the EXACT long. The cast is
-        # JVM-side and exact; every accumulator parses back exactly
-        # (pandas astype / int() on decimal strings). int32-family
-        # types are always float64-exact, and tdigest converts to
-        # double by contract, so neither pays the cast.
-        if s.kind in ("idset", "hll", "theta", "qdigest") and (
-            dtypes[s.value_col] == "bigint"
-        ):
-            return F.col(s.value_col).cast("string").alias(s.alias)
-        return F.col(s.value_col).alias(s.alias)
-
     src = df.select(
         *group_cols,
         *(F.isnan(F.col(c)).alias(m) for c, m in markers.items()),
-        *(_value_col(s) for s in specs),
+        *(F.col(s.value_col).alias(s.alias) for s in specs),
     )
     fields = ", ".join(
         f"`{c}` {src.schema[c].dataType.simpleString()}" for c in key_cols
@@ -433,15 +422,43 @@ def digests_by_group(
     out_schema = fields + "".join(f", `{s.alias}` binary" for s in specs)
     aliases = [s.alias for s in specs]
 
-    def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        # accumulate across the partition's whole batch stream: one
-        # bounded accumulator per (group x spec), ONE serialized digest
-        # per partition x group at the end — the shuffle carries
-        # O(partitions x groups) blobs regardless of row count
+    def partials(batches):
+        # mapInArrow (round-15): the batch is a pa.RecordBatch whose
+        # column types ARE the Spark types — converting int64 columns
+        # to pandas NULLABLE Int64 keeps null-bearing BIGINT values
+        # (AND group keys) exact, where mapInPandas degraded them to
+        # float64 and silently rounded past 2^53. This replaces the
+        # rounds-13/14 CAST-AS-STRING lossless channel: no per-row JVM
+        # cast, no doubled Arrow transfer, no per-value string parse.
+        # Accumulation is across the partition's whole batch stream:
+        # one bounded accumulator per (group x spec), ONE serialized
+        # digest per partition x group at the end — the shuffle carries
+        # O(partitions x groups) blobs regardless of row count.
+        import pyarrow as pa
+
+        out_fields = None
         accs: dict[tuple, list] = {}
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if out_fields is None:
+                out_fields = pa.schema(
+                    [batch.schema.field(c) for c in key_cols]
+                    + [pa.field(a, pa.binary()) for a in aliases]
+                )
+            if batch.num_rows == 0:
                 continue
+            # nullable Int64 only when the batch actually carries nulls
+            # — a null-free batch (the common case) converts straight
+            # to plain int64 numpy, the cheapest path for the
+            # accumulators' astype/groupby work
+            mapper = (
+                {pa.int64(): pd.Int64Dtype()}.get
+                if any(
+                    batch.column(i).null_count
+                    for i in range(batch.num_columns)
+                )
+                else None
+            )
+            pdf = batch.to_pandas(types_mapper=mapper)
             for key, grp in pdf.groupby(key_cols, dropna=False, sort=False):
                 key = key if isinstance(key, tuple) else (key,)
                 # NaN keys must hash identically across batches (the
@@ -453,9 +470,20 @@ def digests_by_group(
                 for acc, a in zip(row, aliases):
                     acc.update(grp[a])
         if accs:
-            yield pd.DataFrame(
-                [(*k, *(acc.emit() for acc in row)) for k, row in accs.items()],
-                columns=[*key_cols, *aliases],
+            # build the batch from pa.array with EXPLICIT field types —
+            # a pandas constructor would re-infer a [int, None] key
+            # column as float64, re-introducing the exact rounding this
+            # conversion exists to kill
+            rows = [
+                (*k, *(acc.emit() for acc in row))
+                for k, row in accs.items()
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[i] for r in rows], type=f.type)
+                    for i, f in enumerate(out_fields)
+                ],
+                schema=out_fields,
             )
 
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -465,7 +493,7 @@ def digests_by_group(
         return pdf.iloc[:1].assign(**merged)[[*key_cols, *aliases]]
 
     out = (
-        src.mapInPandas(partials, schema=out_schema)
+        src.mapInArrow(partials, schema=out_schema)
         .groupBy(*key_cols)
         .applyInPandas(merge, schema=out_schema)
     )

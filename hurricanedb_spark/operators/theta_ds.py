@@ -45,7 +45,7 @@ Scale design: hashing numeric columns is a vectorized numpy kernel (an
 8-byte murmur3 input needs no block loop, so the whole hash is ~15
 uint64 array ops); strings take a per-row loop inside the Arrow batch —
 documented cold path, the hot engine-internal form is operators/theta.py.
-Partial sketches are built per partition via mapInPandas (map-side
+Partial sketches are built per partition via mapInArrow (map-side
 combine), so the one shuffle carries O(groups x k) longs, never O(rows).
 """
 
@@ -501,10 +501,14 @@ def theta_ds_sketch_by_group(
     """GroupBy + DataSketches-compatible theta sketch: one row per group
     with a `sketch` binary column holding compact ordered sketch bytes.
 
-    Two-phase: mapInPandas emits one partial sketch per (partition,
+    Two-phase: mapInArrow emits one partial sketch per (partition,
     group) — map-side combine, shuffle is O(groups x k) — then
-    applyInPandas unions partials per group."""
+    applyInPandas unions partials per group. Arrow batches keep
+    null-bearing BIGINT values and group keys exact (int64 + validity
+    bitmap; the mapInPandas float64 degrade rounded ids past 2^53
+    before hashing)."""
     import pandas as pd
+    import pyarrow as pa
 
     from pyspark.sql import functions as F
 
@@ -526,19 +530,46 @@ def theta_ds_sketch_by_group(
     )
     out_schema = f"{fields}, sketch binary"
 
-    def partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            if pdf.empty:
+    def partials(batches):
+        out_fields = None
+        for batch in batches:
+            if out_fields is None:
+                out_fields = pa.schema(
+                    [batch.schema.field(c) for c in group_cols]
+                    + [pa.field("sketch", pa.binary())]
+                )
+            if batch.num_rows == 0:
                 continue
+            # nullable Int64 only when the batch actually carries nulls
+            # (null-free batches convert straight to plain int64 numpy)
+            mapper = (
+                {pa.int64(): pd.Int64Dtype()}.get
+                if any(
+                    batch.column(i).null_count
+                    for i in range(batch.num_columns)
+                )
+                else None
+            )
+            pdf = batch.to_pandas(types_mapper=mapper)
             pdf = pdf.assign(__h=hash_column_np(pdf["__v"], hash_dtype, seed))
             rows = []
             for key, grp in pdf.groupby(group_cols, dropna=False, sort=False):
                 hs = [int(h) for h in grp["__h"].to_numpy() if h]
                 key = key if isinstance(key, tuple) else (key,)
+                key = tuple(None if pd.isna(x) else x for x in key)
                 rows.append(
                     (*key, serialize(from_hashes(hs, k, seed_hash), lg))
                 )
-            yield pd.DataFrame(rows, columns=[*group_cols, "sketch"])
+            # pa.array with explicit field types — a pandas constructor
+            # would re-infer an [int, None] key column as float64,
+            # re-introducing the exact rounding mapInArrow kills
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[i] for r in rows], type=f.type)
+                    for i, f in enumerate(out_fields)
+                ],
+                schema=out_fields,
+            )
 
     def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
         sketches = [deserialize(b, seed_hash) for b in pdf["sketch"]]
@@ -546,7 +577,7 @@ def theta_ds_sketch_by_group(
         return pdf.iloc[:1].assign(sketch=[merged])[[*group_cols, "sketch"]]
 
     return (
-        src.mapInPandas(partials, schema=out_schema)
+        src.mapInArrow(partials, schema=out_schema)
         .groupBy(*group_cols)
         .applyInPandas(merge, schema=out_schema)
     )

@@ -64,7 +64,7 @@ _AGG_REWRITES: dict[str, str] = {
     # -> HyperLogLog.getBytes, operators/clearspring_hll) so reference
     # clients can persist/deserialize/re-merge them; default log2m = 8
     # (CommonConstants.Helix.DEFAULT_HYPERLOGLOG_LOG2M)
-    "distinctcountrawhll": "lower(hex(rawclearspringhll($1, CAST($1 AS STRING), 8, typeof($1))))",
+    "distinctcountrawhll": "lower(hex(rawclearspringhll($1, 8)))",
     # SmartHLL is exact below its threshold (default 100k) and HLL above
     # — a single-node memory bound; Spark's distributed count(DISTINCT)
     # is exact at every size, dominating both regimes
@@ -106,12 +106,11 @@ _AGG_REWRITES: dict[str, str] = {
     # idSet(col) returns the reference's base64 IdSet WIRE string
     # (IdSetAggregationFunction -> IdSet.toBase64String; round-13:
     # operators/idset_wire.py is byte-identical to the real jars), so
-    # the result feeds inIdSet()/IN_ID_SET on EITHER engine. typeof
-    # pins the declared column type for the IdSets.create dispatch.
-    # the CAST-AS-STRING arg is the lossless channel for null-bearing
-    # INT/LONG batches (Arrow degrades them to float64, rounding ids
-    # past 2^53 before the UDF runs — round-13 ADVICE)
-    "idset": "base64(idsetwireagg($1, CAST($1 AS STRING), typeof($1), ''))",
+    # the result feeds inIdSet()/IN_ID_SET on EITHER engine. The
+    # Arrow-native UDAF dispatches IdSets.create on the true batch
+    # type, and null-bearing INT/LONG groups arrive exact (validity
+    # bitmap — no float64 degrade rounding ids past 2^53)
+    "idset": "base64(idsetwireagg($1, ''))",
     # documented superset: the reference REFUSES a standalone fourthMoment
     # (FourthMomentAggregationFunction.java:167 — the moment state exists
     # only as the carrier for skewness/kurtosis) so any defined answer is
@@ -1265,14 +1264,10 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
             # the DataSketches-wire-compatible bytes via the registered
             # grouped-agg (operators/theta_ds.py byte layout), base64 —
             # the reference's raw-sketch results are base64 STRINGs
-            # (ColumnDataType.STRING). typeof() ships the SPARK column
-            # type so int values hash as longs even when NULL-bearing
-            # Arrow batches arrive as float64
-            return (
-                f"base64(rawthetasketch({args[0]}, "
-                f"CAST({args[0]} AS STRING), {nominal}, "
-                f"typeof({args[0]})))"
-            )
+            # (ColumnDataType.STRING). Arrow-native UDAF: the batch
+            # type IS the column type, so int values hash as longs
+            # even in NULL-bearing groups (validity bitmap, no degrade)
+            return f"base64(rawthetasketch({args[0]}, {nominal}))"
         return f"approx_count_distinct({args[0]})"
     if len(args) == 3:
         raise ValueError(
@@ -1294,23 +1289,22 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
         # reference (DistinctCountRawThetaSketchAggregationFunction
         # .java:50-56). This emission is the single-phase FALLBACK:
         # restructurable single-table shapes never reach it — they route
-        # through _raw_digest_two_phase (mapInPandas partials, no
+        # through _raw_digest_two_phase (mapInArrow partials, no
         # raw-value shuffle) with byte-identical output
         ids = sorted(_theta_tree_ids(tree))
         pos = {a: i for i, a in enumerate(ids)}
         rendered = _theta_render_tree(tree, pos)
-        # typeof(col) pins the hash space to the Spark column type: the
-        # CASE branches produce NULLs, whose Arrow batches degrade int64
-        # to float64 — without the type pin, $0 (NULL-free, hashed as
-        # longs) and $i (hashed as doubles) would never intersect
+        # the Arrow-native UDAF sees the true column type in every
+        # sketch (the CASE branches inject NULLs, which ride the
+        # validity bitmap instead of degrading int64 to float64), so
+        # $0 and the filter sketches share one hash space by
+        # construction
         sk_exprs = [
-            f"rawthetasketch(({col}), CAST(({col}) AS STRING), "
-            f"{nominal}, typeof({col}))"
+            f"rawthetasketch(({col}), {nominal})"
             if a == 0
             else (
                 f"rawthetasketch(CASE WHEN ({filters[a - 1]}) "
-                f"THEN ({col}) END, CAST(CASE WHEN ({filters[a - 1]}) "
-                f"THEN ({col}) END AS STRING), {nominal}, typeof({col}))"
+                f"THEN ({col}) END, {nominal})"
             )
             for a in ids
         ]
@@ -1338,13 +1332,11 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
         pos = {a: i for i, a in enumerate(ids)}
         rendered = _theta_render_tree(tree, pos)
         sk_exprs = [
-            f"rawthetasketch(({col}), CAST(({col}) AS STRING), "
-            f"{nominal}, typeof({col}))"
+            f"rawthetasketch(({col}), {nominal})"
             if a == 0
             else (
                 f"rawthetasketch(CASE WHEN ({filters[a - 1]}) "
-                f"THEN ({col}) END, CAST(CASE WHEN ({filters[a - 1]}) "
-                f"THEN ({col}) END AS STRING), {nominal}, typeof({col}))"
+                f"THEN ({col}) END, {nominal})"
             )
             for a in ids
         ]
@@ -1421,10 +1413,7 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
         log2m = int(args[1].strip().strip("'"))
         if not 4 <= log2m <= 30:
             raise ValueError(f"distinctCountRawHLL log2m out of range: {log2m}")
-        return (
-            f"lower(hex(rawclearspringhll({args[0]}, "
-            f"CAST({args[0]} AS STRING), {log2m}, typeof({args[0]}))))"
-        )
+        return f"lower(hex(rawclearspringhll({args[0]}, {log2m})))"
     if name in ("firstwithtime", "lastwithtime") and len(args) == 3:
         # 3-arg reference form: (dataCol, timeCol, 'dataType')
         dt = _unquote_literal(args[2], f"{name} dataType").upper()
@@ -1553,10 +1542,7 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
             raise ValueError(
                 f"percentileRawEst: percentile out of range: {pct}"
             )
-        return (
-            f"lower(hex(rawqdigest(CAST(({args[0]}) AS BIGINT), "
-            f"CAST(CAST(({args[0]}) AS BIGINT) AS STRING))))"
-        )
+        return f"lower(hex(rawqdigest(CAST(({args[0]}) AS BIGINT))))"
     if name in ("percentilerawtdigestmv", "percentilerawestmv"):
         # reachable only when rewrite_mv_percentile_bounded could NOT
         # restructure the query: the raw MV forms return HEX-serialized
@@ -1597,10 +1583,7 @@ def _agg_optional_args(name: str, args: list[str]) -> str | None:
                 "fpp",
             ):
                 raise ValueError(f"malformed idSet parameter: {kv!r}")
-        return (
-            f"base64(idsetwireagg({args[0]}, CAST({args[0]} AS STRING), "
-            f"typeof({args[0]}), '{params}'))"
-        )
+        return f"base64(idsetwireagg({args[0]}, '{params}'))"
     if name == "inidset" and len(args) == 2:
         lit = args[1].strip()
         if lit.startswith("'") and lit.endswith("'"):
@@ -2114,18 +2097,34 @@ _OPERAND_TAIL = re.compile(
 )
 
 
-def _select_alias_map(sel: str) -> dict[str, str]:
+def _select_alias_map(
+    sel: str, out_names: list[str] | None = None
+) -> dict[str, str]:
     """lower(alias) -> aliased expression text for select-list aliases,
     both explicit `AS` and implicit (`expr ident` with no AS — round-13
     ADVICE: the rebind guard missed the implicit spelling, so `SELECT
     d.fam g ... ORDER BY t.g` silently re-sorted by the alias once the
     qualifier was stripped). Matches on the literal-masked copy (an `as`
     inside a string can never create an alias), slices the original by
-    span. Implicit detection may over-match an operand in rare spellings
-    (`INTERVAL 5 day`); that only makes the callers' guards MORE
-    conservative (they decline the strip), never less."""
+    span.
+
+    Implicit detection is a regex heuristic that may over-match an
+    operand in rare spellings (`INTERVAL 5 day`): with `out_names` —
+    the analyzer's POSITIONAL output names for this select list
+    (round-15, r14 verdict #6) — a regex-detected implicit alias is
+    kept only when the analyzer agrees the item's output name IS that
+    identifier, so the over-match class no longer forces the callers'
+    conservative declines. Without `out_names` (or on item-count
+    misalignment) the heuristic stands alone and over-matching only
+    makes the guards MORE conservative, never less."""
     out: dict[str, str] = {}
-    for item in _split_top(sel):
+    items = _split_top(sel)
+    names = (
+        out_names
+        if out_names is not None and len(out_names) == len(items)
+        else None
+    )
+    for i, item in enumerate(items):
         item = item.strip()
         masked = _mask_literals(item)
         m = _ALIAS_AS.match(masked)
@@ -2137,6 +2136,7 @@ def _select_alias_map(sel: str) -> dict[str, str]:
             m
             and m.group(2).lower() not in _NON_ALIAS_TAILS
             and not _OPERAND_TAIL.match(m.group(1))
+            and (names is None or names[i].lower() == m.group(2).lower())
         ):
             out[m.group(2).lower()] = item[m.start(1) : m.end(1)].strip()
     return out
@@ -2217,8 +2217,50 @@ def _strip_tail_qualifiers(
 _DOTTED_CHAIN = re.compile(r"\b[A-Za-z_]\w*(?:\s*\.\s*(?:[A-Za-z_]\w*|\*))+")
 
 
+# an auto-generated output name is pinned back via a backquoted alias
+# ONLY when it cannot confuse the dialect's string parsers — those
+# treat backquoted identifiers as transparent text (_mask_literals
+# masks '...' only), so a name carrying quote characters, a clause
+# keyword, an unbalanced paren, or a top-level comma must decline the
+# restructure instead (conservative; Spark's auto names are expression
+# pretty-prints, so the common forms — sum(x), (v + 1), avg(v) —
+# all pass)
+_UNSAFE_AUTO_NAME = re.compile(
+    r"(?i)[`'\";\x00]|\\|\bfrom\b|\bwhere\b|\bgroup\b|\bhaving\b|"
+    r"\border\b|\blimit\b|\bjoin\b|\bunion\b|\bintersect\b|\bexcept\b|"
+    r"\bselect\b|\bwith\b"
+)
+
+
+def _balanced_commasafe(name: str) -> bool:
+    depth = 0
+    for ch in name:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+        elif ch == "," and depth == 0:
+            return False
+    return depth == 0
+
+
+def _once(fn):
+    """Memoize a zero-arg thunk (the dry-run-analysis name thunks are
+    consulted by multiple guards per query; one analysis is enough)."""
+    box: list = []
+
+    def wrapper():
+        if not box:
+            box.append(fn())
+        return box[0]
+
+    return wrapper
+
+
 def _alias_project_refs(
-    parts: dict[str, str | None], tag: str
+    parts: dict[str, str | None], tag: str, auto_names=None
 ) -> list[str] | None:
     """Round-13 (r12 verdict #2): the decline cases of the qualifier
     strip — ambiguous bare names (same column on both join sides),
@@ -2237,14 +2279,21 @@ def _alias_project_refs(
     alias; a select item that IS a bare dotted ref keeps its output
     name (`__q0_<tag> AS <lastpart>`). Returns the projection items
     (`ref AS alias`), or None when a chain is out of scope: a
-    qualified star (`t.*`) or a qualified function call (`q.fn(...)`),
-    or — round-13 ADVICE — a COMPOSITE select item containing a dotted
-    chain but carrying no explicit alias: rewriting the refs inside it
-    would change Spark's auto-generated output column name
-    (`sum(t.x)` -> `sum(__q0_ab12cd34)`), an observable result-schema
-    change for the same query text, so those shapes keep the
-    single-phase form. Callers dry-run-analyze the rebuilt query, so
-    at worst this declines."""
+    qualified star (`t.*`) or a qualified function call (`q.fn(...)`).
+
+    A COMPOSITE select item containing a dotted chain but carrying no
+    explicit alias is closable (round-15, r14 verdict #2) when
+    `auto_names` — a zero-arg callable returning the POSITIONAL output
+    names of the original query's non-restructured form — resolves:
+    rewriting the refs inside the item would change Spark's
+    auto-generated output column name (`sum(t.x)` ->
+    `sum(__q0_ab12cd34)`), so the rewritten item is pinned back to the
+    original name with an explicit backquoted alias. Without
+    `auto_names` (or when the name list misaligns with the select
+    items) those shapes still decline — round-13 ADVICE: an observable
+    result-schema change for the same query text is never acceptable.
+    Callers dry-run-analyze the rebuilt query, so at worst this
+    declines."""
     mapping: dict[str, str] = {}
     items: list[str] = []
 
@@ -2275,8 +2324,21 @@ def _alias_project_refs(
         return "".join(out)
 
     sel = parts.get("sel") or ""
+    split_items = _split_top(sel)
+    names_memo: list = []
+
+    def _orig_name(idx: int) -> str | None:
+        # positional single-phase output name of select item `idx`
+        # (analyzer dry-run of the ORIGINAL query); None = unavailable
+        if not names_memo:
+            names_memo.append(auto_names() if auto_names else None)
+        flds = names_memo[0]
+        if not flds or len(flds) != len(split_items):
+            return None
+        return flds[idx]
+
     sel_items: list[str] = []
-    for item in _split_top(sel):
+    for idx, item in enumerate(split_items):
         it = item.strip()
         if "*" not in it and re.fullmatch(
             _DOTTED_CHAIN.pattern, _mask_literals(it)
@@ -2291,8 +2353,20 @@ def _alias_project_refs(
             return None
         if r != it and not _ALIAS_AS.match(_mask_literals(it)):
             # composite item with dotted refs but no explicit alias:
-            # projecting would change the auto-generated output name
-            return None
+            # projecting changes the auto-generated output name — pin
+            # the original name back explicitly (round-15), or decline
+            # when the analyzer can't supply it (or the name would
+            # confuse the downstream string parsers, which treat
+            # backquoted identifiers as transparent text)
+            nm = _orig_name(idx)
+            if (
+                nm is None
+                or _UNSAFE_AUTO_NAME.search(nm)
+                or not _balanced_commasafe(nm)
+            ):
+                return None
+            sel_items.append(f"{r} AS `{nm}`")
+            continue
         sel_items.append(r)
     new_sel = ", ".join(sel_items)
     new_parts: dict[str, str | None] = {"sel": new_sel}
@@ -2373,6 +2447,7 @@ def _strip_clause_qualifiers(
     parts: dict[str, str | None],
     schema_info: tuple[list[str], list[str]] | None,
     clauses: tuple[str, ...] = ("sel", "gby", "having", "oby"),
+    out_names=None,
 ) -> bool:
     """Apply _strip_tail_qualifiers in place to the outer-tail clauses
     that contain dotted refs. `schema_info` is (column_names,
@@ -2401,7 +2476,10 @@ def _strip_clause_qualifiers(
             return False
         new_text, names = result
         if name in ("oby", "having") and names:
-            aliases = _select_alias_map(parts.get("sel") or "")
+            aliases = _select_alias_map(
+                parts.get("sel") or "",
+                out_names() if out_names is not None else None,
+            )
             for col in names:
                 expr = aliases.get(col)
                 if expr is not None and _ref_base(expr) != col:
@@ -2469,14 +2547,28 @@ def rewrite_mv_percentile_bounded(sql: str, analyze=None) -> str:
             (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
         )
     src_proj = ""
-    if not _strip_clause_qualifiers(parts, view_cols):
+
+    def _orig_out_names():
+        # positional output names of the original (macro-form) query —
+        # confirms implicit aliases for the rebind guard and pins
+        # composite unaliased items in the projection (round-15)
+        r = analyze(src) if analyze is not None else None
+        return list(r[0]) if r else None
+
+    _orig_out_names = _once(_orig_out_names)
+    if not _strip_clause_qualifiers(
+        parts, view_cols, out_names=_orig_out_names
+    ):
         # round-13: the strip's decline cases restructure via alias
         # PROJECTION into the source CTE (see _alias_project_refs) —
         # the strip may have partially mutated parts; reset from spans
         for n in ("sel", "gby", "having", "oby"):
             s_, e_ = spans[n] if n in spans else (-1, -1)
             parts[n] = src[s_:e_].strip() if s_ != -1 else None
-        proj = _alias_project_refs(parts, uuid.uuid4().hex[:8])
+
+        proj = _alias_project_refs(
+            parts, uuid.uuid4().hex[:8], auto_names=_orig_out_names
+        )
         if not proj:
             return sql
         src_proj = ", " + ", ".join(proj)
@@ -2563,17 +2655,11 @@ def rewrite_mv_percentile_bounded(sql: str, analyze=None) -> str:
                 # MV element; MurmurHash.hash64 hashes its Java
                 # toString bytes — operators/clearspring_hll); default
                 # log2m = 8 like the SV raw form
-                agg_sql = (
-                    "rawclearspringhll(_mv, CAST(_mv AS STRING), "
-                    "8, typeof(_mv))"
-                )
+                agg_sql = "rawclearspringhll(_mv, 8)"
             elif k[1] == "#rawtd":
                 agg_sql = "rawtdigest(CAST(_mv AS DOUBLE))"
             elif k[1] == "#rawqd":
-                agg_sql = (
-                    "rawqdigest(CAST(_mv AS BIGINT), "
-                    "CAST(CAST(_mv AS BIGINT) AS STRING))"
-                )
+                agg_sql = "rawqdigest(CAST(_mv AS BIGINT))"
             elif k[1] == "#dc":
                 # exact, shuffle-bound (Expand-based distinct agg)
                 agg_sql = "count(DISTINCT _mv)"
@@ -2745,13 +2831,27 @@ def rewrite_mode_avg_bounded(sql: str, analyze=None) -> str:
             (f"WITH {withp} " if withp else "") + f"SELECT * FROM {fromw}"
         )
     src_proj = ""
-    if not _strip_clause_qualifiers(parts, view_cols):
+
+    def _orig_out_names():
+        # positional output names of the original (macro-form) query —
+        # confirms implicit aliases for the rebind guard and pins
+        # composite unaliased items in the projection (round-15)
+        r = analyze(src) if analyze is not None else None
+        return list(r[0]) if r else None
+
+    _orig_out_names = _once(_orig_out_names)
+    if not _strip_clause_qualifiers(
+        parts, view_cols, out_names=_orig_out_names
+    ):
         # round-13: alias-projection fallback, same as the MV rewrite —
         # reset parts from spans first (the strip mutates on the way out)
         for n in ("sel", "gby", "having", "oby"):
             s_, e_ = spans[n] if n in spans else (-1, -1)
             parts[n] = src[s_:e_].strip() if s_ != -1 else None
-        proj = _alias_project_refs(parts, uuid.uuid4().hex[:8])
+
+        proj = _alias_project_refs(
+            parts, uuid.uuid4().hex[:8], auto_names=_orig_out_names
+        )
         if not proj:
             return sql
         src_proj = ", " + ", ".join(proj)
@@ -3500,7 +3600,7 @@ class HurricaneSQL:
         including its WHERE — is NAMED as a temp view (a lazy logical
         plan, nothing materializes) and the outer aggregate re-enters
         _raw_digest_two_phase as a single-table query over it, so the
-        mapInPandas partials stream over the JOIN OUTPUT where it is
+        mapInArrow partials stream over the JOIN OUTPUT where it is
         produced. This is the reference's shape: V2 leaf stages compile
         join subtrees back to the V1 engine
         (pinot-query-runtime/.../plan/ServerRequestPlanVisitor.java:79-133)
@@ -3591,12 +3691,30 @@ class HurricaneSQL:
             "having": seg("having"),
             "oby": seg("oby"),
         }
+        def _orig_out_names(src=src):
+            # positional output names of the ORIGINAL query's
+            # single-phase form (round-15): confirms implicit aliases
+            # for the rebind guard, and lets the alias projection pin
+            # composite unaliased items back to the name the user
+            # would have seen without the restructure
+            try:
+                return [
+                    f.name
+                    for f in self.spark.sql(
+                        rewrite_functions(rewrite_json_match(src))
+                    ).schema.fields
+                ]
+            except Exception:  # noqa: BLE001 — decline instead
+                return None
+
+        _orig_out_names = _once(_orig_out_names)
         if not _strip_clause_qualifiers(
             parts,
             (
                 [f.name for f in vdf.schema.fields],
                 _dot_accessible_cols(vdf.schema.fields),
             ),
+            out_names=_orig_out_names,
         ):
             # round-13 (r12 verdict #2): the strip's decline cases —
             # ambiguous bare names, struct/map field access, 3-part
@@ -3613,7 +3731,10 @@ class HurricaneSQL:
                 "having": seg("having"),
                 "oby": seg("oby"),
             }
-            proj = _alias_project_refs(parts, uuid.uuid4().hex[:8])
+
+            proj = _alias_project_refs(
+                parts, uuid.uuid4().hex[:8], auto_names=_orig_out_names
+            )
             if not proj:
                 drop()
                 return noop
@@ -3678,7 +3799,7 @@ class HurricaneSQL:
         streams partials (AggregationFunction.java:42-130 partial ->
         combine -> final). For the restructurable single-table shape this
         rewrites the query so digests are built by
-        operators/raw_partial.digests_by_group: mapInPandas partials
+        operators/raw_partial.digests_by_group: mapInArrow partials
         where the data sits (no raw-value shuffle) + a grouped merge of
         serialized partials, exposed to the query as a temp view.
 
@@ -3889,6 +4010,59 @@ class HurricaneSQL:
 
             return specs, render
 
+        # round-15: name parity for UNALIASED digest-bearing select
+        # items. The restructured emission (coalesce over the merged
+        # view column) auto-names differently than the single-phase
+        # rewrite's expression text, so an item whose text _subst will
+        # change and that carries no alias gets the single-phase form's
+        # positional output name pinned back via a backquoted alias —
+        # the restructure stays observably invisible. Items the
+        # projection already pinned (trailing backquote) are kept;
+        # if the name is unavailable or would confuse the string
+        # parsers, fall back to single-phase (names right by
+        # construction there).
+        _sp_names_memo: list = []
+
+        def _single_phase_names():
+            if not _sp_names_memo:
+                try:
+                    _sp_names_memo.append(
+                        [
+                            f.name
+                            for f in self.spark.sql(
+                                rewrite_functions(rewrite_json_match(query))
+                            ).schema.fields
+                        ]
+                    )
+                except Exception:  # noqa: BLE001 — fall back
+                    _sp_names_memo.append(None)
+            return _sp_names_memo[0]
+
+        pinned_items: list[str] = []
+        for _idx, _it in enumerate(sel_items):
+            _its = _it.strip()
+            has_call = any(
+                _call_parts(nm, ar) is not None
+                for _cs, _ce, nm, ar in _find_calls(_its, names)
+            )
+            aliased = bool(
+                re.search(r"\s+[Aa][Ss]\s+[A-Za-z_]\w*\s*$", _its)
+            ) or _its.endswith("`")
+            if not has_call or aliased:
+                pinned_items.append(_its)
+                continue
+            flds = _single_phase_names()
+            if (
+                flds is None
+                or len(flds) != len(sel_items)
+                or _UNSAFE_AUTO_NAME.search(flds[_idx])
+                or not _balanced_commasafe(flds[_idx])
+            ):
+                return noop
+            pinned_items.append(f"{_its} AS `{flds[_idx]}`")
+        sel_items = pinned_items
+        sel_text = ", ".join(sel_items)
+
         assign: dict[tuple[str, str, int], str] = {}  # key -> view column
 
         def _scan(text: str) -> None:
@@ -3901,7 +4075,8 @@ class HurricaneSQL:
                     if nk not in assign:
                         assign[nk] = f"_rd_{len(assign)}"
 
-        for clause in ("sel", "having", "oby"):
+        _scan(sel_text)
+        for clause in ("having", "oby"):
             if grp(clause):
                 _scan(grp(clause))
         if not assign:
@@ -3978,18 +4153,26 @@ class HurricaneSQL:
             out.append(text[pos:])
             return "".join(out)
 
+        _BQ_ALIAS = re.compile(r"(?s)^(.*)\s+[Aa][Ss]\s+(`(?:[^`]|``)+`)\s*$")
+
+        def _split_alias(it: str):
+            """(body, alias_suffix) — plain-identifier or backquoted
+            (round-15 pinned-name) trailing alias."""
+            m_alias = re.search(
+                r"\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it
+            )
+            if m_alias:
+                return it[: m_alias.start()], it[m_alias.start():]
+            m_bq = _BQ_ALIAS.match(it)
+            if m_bq:
+                return m_bq.group(1), it[m_bq.end(1):]
+            return it, ""
+
         # PURE path: every select item (alias stripped) is a group key or
         # contains only rewritten calls over group keys -> no join needed;
         # group keys rename to their _gk_i view columns
         def _pure_item(it: str) -> str | None:
-            m_alias = re.search(
-                r"\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it
-            )
-            body, alias_sfx = (
-                (it[: m_alias.start()], it[m_alias.start():])
-                if m_alias
-                else (it, "")
-            )
+            body, alias_sfx = _split_alias(it)
             norm_body = _norm(body)
             for i, g in enumerate(gby):
                 if _norm(g) == norm_body:
@@ -4048,14 +4231,7 @@ class HurricaneSQL:
                 # (450k rows x a 188KB IdSet blob = tens of GB through
                 # the aggregate's input batches)
                 def _pure_global(it: str) -> str | None:
-                    m_alias = re.search(
-                        r"\s+[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it
-                    )
-                    body, alias_sfx = (
-                        (it[: m_alias.start()], it[m_alias.start():])
-                        if m_alias
-                        else (it, "")
-                    )
+                    body, alias_sfx = _split_alias(it)
                     calls = _find_calls(body, names)
                     if len(calls) == 1:
                         cs, ce, cname, cargs = calls[0]
@@ -4094,7 +4270,7 @@ class HurricaneSQL:
             joined = f"{tbl} LEFT JOIN {uniq} ON {cond}"
         else:
             joined = f"{tbl} CROSS JOIN {uniq}"
-        out = f"SELECT {_subst(grp('sel'), True)} FROM {joined}"
+        out = f"SELECT {_subst(sel_text, True)} FROM {joined}"
         if where:
             out += f" WHERE {where}"
         if gby:

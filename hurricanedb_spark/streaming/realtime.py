@@ -25,6 +25,7 @@ import json
 import os
 import shutil
 
+import pyarrow as pa  # Arrow-native rollup UDAF batches (round-15)
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hurricanedb_spark.operators.upsert import upsert_view
@@ -434,11 +435,13 @@ _THETA_ROLLUP_K = 4096
 
 def _theta_rollup_build(col_name: str):
     """Raw values -> one serialized compact theta sketch per group.
-    Hashing follows the SPARK column type (shipped via typeof()): a
-    nullable BIGINT metric whose batch contains NULLs arrives as
-    float64, and double-hashing those batches would split the column
-    across two hash spaces — sketches from NULL-bearing and NULL-free
-    micro-batches of the same column would never merge correctly."""
+    Arrow-native UDAF (round-15): the batch type IS the Spark column
+    type, so hashing dispatches on it directly — a nullable BIGINT
+    metric arrives as pa.int64 with a validity bitmap, keeping every
+    micro-batch of a column in ONE hash space (the pandas form needed a
+    typeof() pin because NULL-bearing batches degraded to float64, and
+    that degrade ALSO rounded ids past 2^53 before hashing)."""
+    from hurricanedb_spark.functions.registry import _PA_TO_SPARK_TYPE
     from hurricanedb_spark.operators.theta_ds import (
         DEFAULT_SEED,
         _SPARK_TO_HASH_DTYPE,
@@ -448,16 +451,19 @@ def _theta_rollup_build(col_name: str):
         serialize,
     )
 
-    def build(v, t):
-        if len(v) == 0:
-            sk = from_hashes((), _THETA_ROLLUP_K, compute_seed_hash(DEFAULT_SEED))
-            return serialize(sk)
-        dtype = _SPARK_TO_HASH_DTYPE.get(str(t.iloc[0]).lower())
+    def build(v: pa.Array) -> bytes:
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        dtype = _SPARK_TO_HASH_DTYPE.get(
+            _PA_TO_SPARK_TYPE.get(str(v.type), "")
+        )
         if dtype is None:
             raise ValueError(
-                f"theta rollup: unsupported metric type {t.iloc[0]!r}"
+                f"theta rollup: unsupported metric type {v.type!r}"
             )
-        hs = hash_column_np(v, dtype)
+        hs = hash_column_np(
+            v.drop_null().to_numpy(zero_copy_only=False), dtype
+        )
         sk = from_hashes(
             (int(h) for h in hs if h),
             _THETA_ROLLUP_K,
@@ -465,9 +471,7 @@ def _theta_rollup_build(col_name: str):
         )
         return serialize(sk)
 
-    return F.pandas_udf(build, "binary", F.PandasUDFType.GROUPED_AGG)(
-        F.col(col_name), F.expr(f"typeof({col_name})")
-    )
+    return F.arrow_udf(build, "binary")(F.col(col_name))
 
 
 def _theta_rollup_merge(col):

@@ -183,7 +183,7 @@ def hdb(spark):
 
 def test_sql_raw_hll_two_phase_and_estimate(hdb, spark):
     """SQL surface: hex envelope, clearspring bytes, two-phase build
-    (MapInPandas partials — no whole-group raw-value pandas agg), and
+    (MapInArrow partials — no whole-group raw-value pandas agg), and
     the estimate tracks the exact distinct count."""
     df = hdb.sql(
         "SELECT g, distinctCountRawHLL(v, 12) AS sk FROM cs_t GROUP BY g",
@@ -192,7 +192,7 @@ def test_sql_raw_hll_two_phase_and_estimate(hdb, spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     exact = {
         r["g"]: r["dc"]
         for r in spark.sql(

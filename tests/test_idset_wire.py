@@ -222,7 +222,7 @@ def test_idset_sql_aggregate_emits_wire_string(spark):
 
 def test_idset_two_phase_bytes_match_single_phase(spark):
     """idSet() restructures through the partial->merge framework
-    (MapInPandas partials over the data, merged blobs in the exchange —
+    (MapInArrow partials over the data, merged blobs in the exchange —
     the reference's IdSetAggregationFunction + IdSets.merge contract);
     the wire bytes are identical to the single-phase grouped agg, and
     the params form rides through (forced-bloom partials bit-OR)."""
@@ -248,7 +248,7 @@ def test_idset_two_phase_bytes_match_single_phase(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     rows = {r["g"]: r["s"] for r in df.collect()}
     # ground truth: the single-phase grouped-agg macro, expanded direct
     from hurricanedb_spark.functions.registry import register_all
@@ -277,7 +277,7 @@ def test_idset_two_phase_bytes_match_single_phase(spark):
     plan2 = df2._sc._jvm.PythonSQLUtils.explainString(
         df2._jdf.queryExecution(), "formatted"
     )
-    assert "MapInPandas" in plan2
+    assert "MapInArrow" in plan2
     rows2 = {r["g"]: r["s"] for r in df2.collect()}
     single2 = {
         r["g"]: r["s"] for r in spark.sql(rewrite_functions(q2)).collect()

@@ -67,10 +67,10 @@ def qf(spark):  # noqa: F811
 
 AGGS = [
     # (call over qf_t columns, needs_plan_marker)
-    ("percentileRawEst({q}v, 50)", "MapInPandas"),
-    ("percentileRawTDigest({q}d, 90)", "MapInPandas"),
-    ("distinctCountRawThetaSketch({q}v, 'nominalEntries=256')", "MapInPandas"),
-    ("distinctCountRawHLL({q}v)", "MapInPandas"),
+    ("percentileRawEst({q}v, 50)", "MapInArrow"),
+    ("percentileRawTDigest({q}d, 90)", "MapInArrow"),
+    ("distinctCountRawThetaSketch({q}v, 'nominalEntries=256')", "MapInArrow"),
+    ("distinctCountRawHLL({q}v)", "MapInArrow"),
     ("mode({q}v, 'AVG')", None),  # marker: collect_list must be ABSENT
     ("percentileTDigestMV({q}arr, 95)", None),
 ]
@@ -124,11 +124,11 @@ def test_qualified_vs_unqualified_spellings_agree(qf):
         du = qf.sql(unqualified, default_limit=None)
         assert _rows(dq) == _rows(du), (i, qualified)
         pq, pu = _plan(dq), _plan(du)
-        if marker == "MapInPandas":
+        if marker == "MapInArrow":
             # the unqualified form restructures; the qualified one must
             # not fall back to the raw-value grouped agg
-            assert "MapInPandas" in pu and "ArrowAggregatePython" not in pu
-            assert "MapInPandas" in pq and "ArrowAggregatePython" not in pq
+            assert "MapInArrow" in pu and "ArrowAggregatePython" not in pu
+            assert "MapInArrow" in pq and "ArrowAggregatePython" not in pq
             checked_markers += 1
         else:
             assert "collect_list" not in pu.lower()
@@ -165,10 +165,10 @@ def test_ambiguous_join_columns_restructure_via_projection(qf, spark):
         dq = qf.sql(ambiguous, default_limit=None)
         du = qf.sql(baseline, default_limit=None)
         pq, pu = _plan(dq), _plan(du)
-        if marker == "MapInPandas":
-            assert "MapInPandas" in pu and "ArrowAggregatePython" not in pu
+        if marker == "MapInArrow":
+            assert "MapInArrow" in pu and "ArrowAggregatePython" not in pu
             assert (
-                "MapInPandas" in pq and "ArrowAggregatePython" not in pq
+                "MapInArrow" in pq and "ArrowAggregatePython" not in pq
             ), agg
         else:
             # mode-AVG / bounded MV: the projection keeps the bounded
@@ -186,7 +186,7 @@ def test_qualified_star_expands_and_restructures(qf):
     restructurable digest query expands against the analyzed subtree
     schema (each of d's columns under its own name) and then rides the
     normal strip / alias-projection path — the digest forms must show
-    MapInPandas (no single-phase fallback just because the user wrote a
+    MapInArrow (no single-phase fallback just because the user wrote a
     qualified star), with rows identical to the explicit spelling."""
     checked = 0
     for agg, marker in AGGS:
@@ -206,11 +206,73 @@ def test_qualified_star_expands_and_restructures(qf):
         assert ds.columns == de.columns == ["gk", "fam", "a0"], agg
         assert _rows(ds) == _rows(de), agg
         ps = _plan(ds)
-        if marker == "MapInPandas":
+        if marker == "MapInArrow":
             assert (
-                "MapInPandas" in ps and "ArrowAggregatePython" not in ps
+                "MapInArrow" in ps and "ArrowAggregatePython" not in ps
             ), agg
         else:
             assert "collect_list" not in ps.lower(), agg
         checked += 1
     assert checked == 6
+
+
+def test_unaliased_composite_restructures_with_pinned_name(qf, spark):
+    """Round-15 (r14 verdict #2): a composite select item with dotted
+    refs and NO explicit alias — the round-13 decline case of the alias
+    projection — restructures with the item pinned back to the
+    single-phase form's auto-generated output name (backquoted), so the
+    result schema is byte-for-byte what the user would have seen
+    without the restructure, and the plan shows MapInArrow partials."""
+    from hurricanedb_spark.sql.dialect import (
+        rewrite_functions,
+        rewrite_json_match,
+    )
+
+    qf.register(
+        "qf_amb2",
+        spark.sql("SELECT gk, fam, 42 AS v FROM qf_dim"),  # decoy v
+    )
+    checked = 0
+    for agg, marker in AGGS:
+        if marker != "MapInArrow":
+            continue
+        call = agg.format(q="t.")
+        q = (
+            f"SELECT t.g, {call} FROM qf_t t "
+            "JOIN qf_amb2 d ON t.g = d.gk GROUP BY t.g ORDER BY t.g"
+        )
+        dq = qf.sql(q, default_limit=None)
+        expected_cols = spark.sql(
+            rewrite_functions(rewrite_json_match(q))
+        ).columns
+        assert dq.columns == expected_cols, (agg, dq.columns, expected_cols)
+        plan = _plan(dq)
+        assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan, (
+            agg
+        )
+        q_alias = (
+            f"SELECT t.g, {call} AS a0 FROM qf_t t "
+            "JOIN qf_amb2 d ON t.g = d.gk GROUP BY t.g ORDER BY t.g"
+        )
+        assert _rows(dq) == _rows(qf.sql(q_alias, default_limit=None)), agg
+        checked += 1
+    assert checked == 4
+
+
+def test_select_alias_map_analyzer_confirmation():
+    """Round-15 (r14 verdict #6): with the analyzer's positional output
+    names, a regex-over-matched implicit alias (`INTERVAL 5 day` ->
+    'day') is rejected, while genuine implicit and explicit aliases are
+    kept; without names the heuristic stands alone (decline-only-safe)."""
+    from hurricanedb_spark.sql.dialect import _select_alias_map
+
+    sel = "t.g, INTERVAL 5 day, t.v AS x, d.fam fam2"
+    heur = _select_alias_map(sel)
+    assert "day" in heur  # the documented over-match, names absent
+    m = _select_alias_map(
+        sel, ["g", "INTERVAL '5' DAY", "x", "fam2"]
+    )
+    assert "day" not in m
+    assert m["x"] == "t.v" and m["fam2"] == "d.fam"
+    # misaligned name list: falls back to the heuristic, never crashes
+    assert "day" in _select_alias_map(sel, ["only_one"])

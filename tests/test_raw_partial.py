@@ -5,7 +5,7 @@ The reference's aggregation contract is partial/combine/final
 concentrate on one node. These tests pin the SQL-path restructure
 (HurricaneSQL._raw_digest_two_phase + operators/raw_partial):
 
-  - executed plans build digests via MapInPandas partials + a grouped
+  - executed plans build digests via MapInArrow partials + a grouped
     merge of serialized blobs — the single-phase ArrowAggregatePython
     (whole-group raw-value shuttle) must be ABSENT from restructured
     plans, including a 10M-row single-key hot group;
@@ -66,7 +66,7 @@ def test_qdigest_two_phase_bytes_match_direct_build(hdb, spark):  # noqa: F811
         default_limit=None,
     )
     plan = _plan(df)
-    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+    assert "MapInArrow" in plan and "FlatMapGroupsInPandas" in plan
     assert "ArrowAggregatePython" not in plan
     got = {r["g"]: r["qd"] for r in df.collect()}
     rows = spark.table("rp_t").select("g", "v").collect()
@@ -92,7 +92,7 @@ def test_theta_two_phase_bytes_match_direct_build(hdb, spark):  # noqa: F811
         default_limit=None,
     )
     plan = _plan(df)
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     got = {r["g"]: base64.b64decode(r["sk"]) for r in df.collect()}
     rows = spark.table("rp_t").select("g", "v").collect()
     seed_hash = compute_seed_hash(DEFAULT_SEED)
@@ -117,7 +117,7 @@ def test_tdigest_two_phase_quantile_accuracy(hdb, spark):  # noqa: F811
     )
     # count(*) forces the JOIN-BACK form; still no raw-value pandas agg
     plan = _plan(df)
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     exact = {
         r["g"]: (r["p"], r["n"])
         for r in spark.sql(
@@ -203,7 +203,7 @@ def test_theta_trim_regime_sql_bytes_match_direct_build(hdb, spark):  # noqa: F8
         default_limit=None,
     )
     plan = _plan(df)
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     got = {r["g"]: base64.b64decode(r["sk"]) for r in df.collect()}
     rows = spark.table("rp_t").select("g", "v").collect()
     seed_hash = compute_seed_hash(DEFAULT_SEED)
@@ -240,8 +240,8 @@ def test_mixed_kinds_single_view_and_oby(hdb):
     )
     plan = _plan(df)
     # formatted plans print each node twice (tree + detail section);
-    # "MapInPandas (" matches the tree entry once per physical node
-    assert plan.count("MapInPandas (") == 1  # one shared partial pass
+    # "MapInArrow (" matches the tree entry once per physical node
+    assert plan.count("MapInArrow (") == 1  # one shared partial pass
     assert "ArrowAggregatePython" not in plan
     keys = [r["g"] for r in df.collect()]
     assert keys == sorted(keys)
@@ -249,7 +249,7 @@ def test_mixed_kinds_single_view_and_oby(hdb):
 
 def test_join_shape_restructures_two_phase(hdb, spark):  # noqa: F811
     """Round-11 (r10 verdict #5): a JOIN-shaped raw-digest query routes
-    through the named-subtree wrap — the executed plan shows MapInPandas
+    through the named-subtree wrap — the executed plan shows MapInArrow
     partials over the join output and NO ArrowAggregatePython
     (whole-group raw-value shuttle), and the digest bytes equal a direct
     single-pass build (the reference streams partials for every shape,
@@ -263,7 +263,7 @@ def test_join_shape_restructures_two_phase(hdb, spark):  # noqa: F811
         default_limit=None,
     )
     plan = _plan(df)
-    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+    assert "MapInArrow" in plan and "FlatMapGroupsInPandas" in plan
     assert "ArrowAggregatePython" not in plan
     rows = spark.table("rp_t").join(
         spark.table("rp_dim"), "g"
@@ -296,7 +296,7 @@ def test_cte_shape_restructures_two_phase(hdb, spark):  # noqa: F811
         default_limit=None,
     )
     plan = _plan(df)
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     got = {r["g"]: base64.b64decode(r["sk"]) for r in df.collect()}
     rows = spark.table("rp_t").filter("v >= 50000").select("g", "v").collect()
     seed_hash = compute_seed_hash(DEFAULT_SEED)
@@ -316,7 +316,7 @@ def test_cte_shape_restructures_two_phase(hdb, spark):  # noqa: F811
 def test_qualified_refs_restructure_two_phase(hdb, spark):  # noqa: F811
     """Round-12 (r11 verdict #1): the MOST COMMON join spelling —
     qualified `t.col` refs in the outer SELECT/GROUP BY — streams
-    MapInPandas partials too. The subtree wrap strips the qualifiers
+    MapInArrow partials too. The subtree wrap strips the qualifiers
     against the collapsed view's schema instead of bailing to the
     single-phase grouped agg, and the digest bytes stay equal to a
     direct build (the reference's leaf stages stream partials for every
@@ -330,7 +330,7 @@ def test_qualified_refs_restructure_two_phase(hdb, spark):  # noqa: F811
         default_limit=None,
     )
     plan = _plan(df)
-    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+    assert "MapInArrow" in plan and "FlatMapGroupsInPandas" in plan
     assert "ArrowAggregatePython" not in plan
     rows = spark.table("rp_t").join(
         spark.table("rp_dim2"), "g"
@@ -363,7 +363,7 @@ def test_qualified_ref_strip_safety_fallbacks(hdb, spark):  # noqa: F811
         default_limit=None,
     )
     plan = _plan(df)
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     rows = spark.table("rp_t").select("g", "v").collect()
     got = {r["g"]: r["qd"] for r in df.collect()}
     for key in ("a", "b", "c"):
@@ -386,7 +386,7 @@ def test_qualified_ref_strip_safety_fallbacks(hdb, spark):  # noqa: F811
         default_limit=None,
     )
     plan2 = _plan(df2)
-    assert "MapInPandas" in plan2 and "ArrowAggregatePython" not in plan2
+    assert "MapInArrow" in plan2 and "ArrowAggregatePython" not in plan2
     got2 = {r["band"]: r["qd"] for r in df2.collect()}
     rows2 = spark.table("rp_struct").select("s.band", "v").collect()
     for band in ("lo", "hi"):
@@ -403,7 +403,7 @@ def test_qualified_ref_strip_safety_fallbacks(hdb, spark):  # noqa: F811
         "ORDER BY rp_amb.g",
         default_limit=None,
     )
-    assert "MapInPandas" in _plan(df3)  # chains restructure with ORDER BY too
+    assert "MapInArrow" in _plan(df3)  # chains restructure with ORDER BY too
     got3 = [r["qd"] for r in df3.collect()]
     assert got3 == [got["a"], got["b"], got["c"]]
 
@@ -432,7 +432,7 @@ def test_map_dot_access_qualifier_declines(hdb, spark):  # noqa: F811
     )
     # projected -> two-phase, with the MAP binding preserved
     plan = _plan(df)
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     got = {r["band"]: r["qd"] for r in df.collect()}
     # the map value (0/1), NOT the constant top-level score (9)
     assert set(got) == {0, 1}
@@ -468,7 +468,7 @@ def test_order_by_alias_rebind_declines(hdb, spark):  # noqa: F811
         default_limit=None,
     )
     plan = _plan(df)
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     # row order follows t.g (a,b,c) -> fam sequence z,m,a; the rebind
     # would have produced fam order a,m,z
     assert [r["g"] for r in df.collect()] == ["z", "m", "a"]
@@ -481,7 +481,7 @@ def test_order_by_alias_rebind_declines(hdb, spark):  # noqa: F811
         default_limit=None,
     )
     plan2 = _plan(df2)
-    assert "MapInPandas" in plan2 and "ArrowAggregatePython" not in plan2
+    assert "MapInArrow" in plan2 and "ArrowAggregatePython" not in plan2
     assert [r["g"] for r in df2.collect()] == ["a", "b", "c"]
 
 
@@ -530,7 +530,7 @@ def test_float_group_key_two_phase_keeps_nan_null_distinct(spark):  # noqa: F811
         default_limit=None,
     )
     plan = _plan(df)
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     got = {}
     for r in df.collect():
         key = (
@@ -551,7 +551,7 @@ def test_float_group_key_two_phase_keeps_nan_null_distinct(spark):  # noqa: F811
         default_limit=None,
     )
     plan2 = _plan(df2)
-    assert "MapInPandas" in plan2 and "ArrowAggregatePython" not in plan2
+    assert "MapInArrow" in plan2 and "ArrowAggregatePython" not in plan2
     got2 = {}
     for r in df2.collect():
         key = (
@@ -573,7 +573,7 @@ def test_float_group_key_two_phase_keeps_nan_null_distinct(spark):  # noqa: F811
 def test_hot_group_partial_aggregation_bounded(spark):  # noqa: F811
     """The round-9 verdict's done-criterion: >=10M rows concentrated in
     ONE key, digest built through partial aggregation — the executed
-    plan must show MapInPandas partials (no whole-group raw-value
+    plan must show MapInArrow partials (no whole-group raw-value
     shuttle to a single pandas worker), and the result must equal the
     exact order statistic (qdigest is exact-regime)."""
     n = 10_000_000
@@ -590,7 +590,7 @@ def test_hot_group_partial_aggregation_bounded(spark):  # noqa: F811
         default_limit=None,
     )
     plan = _plan(df)
-    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+    assert "MapInArrow" in plan and "FlatMapGroupsInPandas" in plan
     assert "ArrowAggregatePython" not in plan
     [row] = df.collect()
     qd = deserialize_qdigest(bytes.fromhex(row["qd"]))
@@ -613,7 +613,7 @@ def test_filtered_theta_two_phase_matches_single_phase(hdb, spark):  # noqa: F81
     )
     two = hdb.sql(body.format(src="rp_t"), default_limit=None)
     plan = _plan(two)
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     # a set operation in the FROM subtree still defeats the wrap (r12:
     # qualified refs no longer do — they restructure), forcing the
     # single-phase grouped agg for the byte comparison; UNION ALL keeps
@@ -646,7 +646,7 @@ def test_filtered_theta_two_phase_diff_with_default_sketch(hdb, spark):  # noqa:
         default_limit=None,
     )
     plan = _plan(df)
-    assert "MapInPandas" in plan and "ArrowAggregatePython" not in plan
+    assert "MapInArrow" in plan and "ArrowAggregatePython" not in plan
     exact = {
         r["g"]: r["n"]
         for r in spark.sql(
@@ -796,3 +796,37 @@ def test_single_phase_raw_theta_exact_longs(spark):  # noqa: F811
         )
     ).collect()[0]["n"]
     assert est == 50, est
+
+
+def test_two_phase_exact_group_keys_past_2_53(spark):  # noqa: F811
+    """Round-15 (mapInArrow): BIGINT GROUP KEYS survive the partial
+    phase exactly even when the key column carries nulls. Under
+    mapInPandas a null-bearing int64 key batch degraded to float64,
+    so two adjacent huge keys (2^60 and 2^60+1) rounded to the SAME
+    float and their digests silently merged into one group."""
+    import pandas as pd
+
+    from hurricanedb_spark.operators.percentile_digest import (
+        build_qdigest,
+        deserialize_qdigest,
+    )
+    from hurricanedb_spark.operators.raw_partial import (
+        DigestSpec,
+        digests_by_group,
+    )
+
+    k1, k2 = 1 << 60, (1 << 60) + 1  # same float64 image
+    rows = [(k1, 10), (k1, 11), (k2, 20), (None, 30)]
+    df = spark.createDataFrame(rows, "g bigint, v bigint").repartition(2)
+    out = digests_by_group(df, ["g"], [DigestSpec("qd", "v", "qdigest")])
+    got = {r["g"]: bytes(r["qd"]) for r in out.collect()}
+    assert set(got) == {k1, k2, None}, sorted(got, key=str)
+    assert deserialize_qdigest(got[k1]) == deserialize_qdigest(
+        build_qdigest([10, 11])
+    )
+    assert deserialize_qdigest(got[k2]) == deserialize_qdigest(
+        build_qdigest([20])
+    )
+    assert deserialize_qdigest(got[None]) == deserialize_qdigest(
+        build_qdigest([30])
+    )

@@ -3,12 +3,12 @@
 Times percentileRawEst over an N-row SINGLE-KEY hot group (the shape
 that breaks single-phase builders) two ways:
 
-  single-phase  the grouped-agg pandas UDF the dialect used through
+  single-phase  the grouped-agg (Arrow) UDF the dialect used through
                 round 9 (and still uses for non-restructurable shapes):
                 Spark ships the group's entire raw value set through one
                 Arrow stream to ONE Python worker before the bounded
                 digest is built — O(rows/group) intermediate;
-  two-phase     the round-10 restructure (mapInPandas partials + merged
+  two-phase     the round-10 restructure (mapInArrow partials + merged
                 blobs): every partition builds bounded digests where the
                 data sits; the only shuffle carries digest blobs.
 
@@ -45,8 +45,7 @@ def main() -> int:
         ),
     )
     single_sql = (
-        "SELECT g, lower(hex(rawqdigest(CAST(v AS BIGINT), "
-        "CAST(CAST(v AS BIGINT) AS STRING)))) AS qd "
+        "SELECT g, lower(hex(rawqdigest(CAST(v AS BIGINT)))) AS qd "
         "FROM rb_hot GROUP BY g"
     )
     two_sql = "SELECT g, percentileRawEst(v, 50) AS qd FROM rb_hot GROUP BY g"
