@@ -51,6 +51,13 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
+    try:
+        # host load (1/5/15-min averages) recorded in the artifact so
+        # the documented ±15-40% inter-session drift is attributable
+        # from the JSON itself (round-15, r14 verdict #7)
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover — platform without getloadavg
+        loadavg = None
     print(
         json.dumps(
             {
@@ -59,6 +66,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg": loadavg,
             }
         )
     )

@@ -92,9 +92,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # datapipe: text analysis
     "q_text_stats",
     "q_quality_score",
-    # datapipe: dedup
+    # datapipe: dedup (q_dedup_components promoted r15, r14 verdict #4:
+    # pointer-jumping connected components — the most algorithmically
+    # complex datapipe operator — gains driver-hard signal under its
+    # exact recursive-CTE oracle)
     "q_fingerprint_dedup",
     "q_minhash_lsh_dedup",
+    "q_dedup_components",
     # datapipe: similarity + contamination (q_embedding_neardup_lsh
     # promoted r11 — round 10's headline scale fix gains driver-hard
     # signal: deterministic LSH over a corpus with constructed near-dup
@@ -145,14 +149,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the compose row; still green in the full local gate)
     # (q_startree_range_redirect rotated out r10 for the >6-sketch
     # fallback row; q_startree_sql_redirect rotated out r11 for the
-    # qdigest wire-format row — both still green in the full local
-    # gate; the star-tree family keeps two driver rows: binary_agg and
-    # theta_redirect)
+    # qdigest wire-format row; q_startree_theta_redirect rotated out
+    # r15 for the connected-components row — it shares its redirect
+    # plan machinery with q_startree_binary_agg, which stays, and
+    # remains green in the full local gate)
     "q_segment_fst_regexp",
     "q_segment_textmatch_accel",
     "q_segment_compose_and",
     "q_startree_binary_agg",
-    "q_startree_theta_redirect",
     # BYTES-sketch-over-join (promoted r12): the round-11 silent-failure
     # class — a joined BYTES column counting distinct BLOBS instead of
     # unioning stored sketches — gains driver-hard signal with an exact
