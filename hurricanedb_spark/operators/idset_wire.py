@@ -872,6 +872,43 @@ def probe_series_pair(s_num, s_str, literal_b64: str):
     return out
 
 
+def probe_arrow(a, literal_b64: str):
+    """Arrow-native membership probe (round-15): the pyarrow batch
+    carries the TRUE column type — a null-bearing LONG probe column
+    arrives as int64 + validity bitmap instead of the pandas float64
+    degrade that rounded probe values past 2^53 and forced the
+    rounds-14/15 CAST-AS-STRING channel (probe_series_pair). Integer
+    columns take a fully-vectorized exact path (np.isin against the
+    cached signed array, or the per-value bloom probe over exact
+    int64); every other column type reuses the probe_series kernel on
+    the batch's numpy image, so FLOAT/DOUBLE raw-bits and STRING
+    funnel routes stay byte-identical to the pandas path
+    (BloomFilterIdSet.java contains dispatch). NULL probes return
+    FALSE, as before."""
+    import pandas as pd
+    import pyarrow as pa
+
+    ids, signed = _cached_literal(literal_b64)
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if pa.types.is_integer(a.type):
+        valid = np.asarray(a.is_valid())
+        vals = (
+            a.fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
+        if signed is not None:
+            return pa.array(np.isin(vals, signed) & valid)
+        out = np.zeros(len(vals), dtype=bool)
+        for i in np.nonzero(valid)[0]:
+            out[i] = ids.contains(int(vals[i]))
+        return pa.array(out)
+    ser = pd.Series(a.to_numpy(zero_copy_only=False))
+    res = probe_series(ser, literal_b64)
+    return pa.array(res.fillna(False).astype(bool).to_numpy())
+
+
 import functools as _functools  # noqa: E402
 
 

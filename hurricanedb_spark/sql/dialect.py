@@ -21,6 +21,7 @@ import math
 import re
 import uuid
 
+import pyarrow as pa  # Arrow scalar-UDF batches (round-15)
 from pyspark.sql import DataFrame, SparkSession
 
 from hurricanedb_spark.catalog.tables import register_views
@@ -1655,23 +1656,6 @@ def _register_inidset_probe(col: str, literal: str) -> str:
         needs_exact_channel,
     )
 
-    # exact LONG sets holding ids past 2^53 (round-14) and LONG-funnel
-    # blooms (round-15 — a rounded probe value hashes different funnel
-    # bytes, turning a genuine member into a bloom FALSE NEGATIVE,
-    # which the reference's BloomFilterIdSet.contains never produces)
-    # take the decimal-string channel: a null-bearing LONG probe column
-    # degrades to float64 in the Arrow batch, rounding the PROBE values
-    # before the UDF runs. Round-15 ships the TWO-column form — the
-    # numeric column keeps null-free batches on the exact fast path,
-    # and the CAST column (JVM-side, exact) carries the values for
-    # degraded batches; probe_series_pair dispatches on the batch
-    # dtype. Sets the channel cannot affect stay single-column.
-    try:
-        ids = decode_idset(_b64.b64decode(literal))
-        needs_exact_strings = needs_exact_channel(ids)
-    except Exception:  # noqa: BLE001 — legacy/opaque literal
-        needs_exact_strings = False
-
     spark = SparkSession.getActiveSession()
     if spark is None:
         # no session (bare rewrite_functions): the literal-argument
@@ -1679,7 +1663,14 @@ def _register_inidset_probe(col: str, literal: str) -> str:
         # a UDF literal argument on EVERY ROW of every batch, so a
         # large blob here is the measured-410s sf1 pathology — refuse
         # loudly past 1KB instead of leaving the known-slow form live
-        # (round-13 verdict #3)
+        # (round-13 verdict #3). The pandas-transport fallback still
+        # needs the decimal-string channel for sets where a float64
+        # image of the probe column could change the answer: exact
+        # LONG sets past 2^53 (round-14 — a rounded probe collides
+        # with a set neighbor) and LONG-funnel blooms (round-15 — a
+        # rounded probe hashes different funnel bytes, turning a
+        # genuine member into a bloom FALSE NEGATIVE, which the
+        # reference's BloomFilterIdSet.contains never produces).
         if len(literal) > 1024:
             raise ValueError(
                 f"inIdSet literal is {len(literal)} base64 chars with no "
@@ -1688,36 +1679,30 @@ def _register_inidset_probe(col: str, literal: str) -> str:
                 "first so _register_inidset_probe can ship it as a "
                 "closure-captured UDF instead."
             )
+        try:
+            ids = decode_idset(_b64.b64decode(literal))
+            needs_exact_strings = needs_exact_channel(ids)
+        except Exception:  # noqa: BLE001 — legacy/opaque literal
+            needs_exact_strings = False
         if needs_exact_strings:
             return (
                 f"inidsetblobx(({col}), CAST(({col}) AS STRING), "
                 f"'{literal}')"
             )
         return f"inidsetblob(({col}), '{literal}')"
+    # session path (round-15): an ARROW scalar UDF — the batch carries
+    # the true column type (int64 + validity bitmap), so exact LONG
+    # probes never degrade to float64 and the CAST-AS-STRING channel,
+    # its per-row JVM cast, the doubled Arrow transfer, AND the
+    # decode-the-literal-at-rewrite-time gate are all unnecessary here
     name = f"__inidset_{hashlib.sha1(literal.encode()).hexdigest()[:16]}"
 
-    if needs_exact_strings:
+    def _fn(s: pa.Array) -> pa.Array:
+        from hurricanedb_spark.operators.idset_wire import probe_arrow
 
-        def _fn2(s, t, lit=literal):
-            from hurricanedb_spark.operators.idset_wire import (
-                probe_series_pair,
-            )
+        return probe_arrow(s, literal)
 
-            return probe_series_pair(s, t, lit)
-
-        spark.udf.register(
-            name, F.pandas_udf(_fn2, "boolean", F.PandasUDFType.SCALAR)
-        )
-        return f"{name}(({col}), CAST(({col}) AS STRING))"
-
-    def _fn(s, lit=literal):
-        from hurricanedb_spark.operators.idset_wire import probe_series
-
-        return probe_series(s, lit)
-
-    spark.udf.register(
-        name, F.pandas_udf(_fn, "boolean", F.PandasUDFType.SCALAR)
-    )
+    spark.udf.register(name, F.arrow_udf(_fn, "boolean"))
     return f"{name}(({col}))"
 
 

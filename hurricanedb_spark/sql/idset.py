@@ -24,7 +24,7 @@ shipping a computed set to a different query, session, or service:
                            ROARING_64) decode to an in-plan IN list, so
                            the filter stays JVM-side and pushes into the
                            scan; BLOOM_FILTER literals probe through an
-                           Arrow-batched pandas UDF (approximate, like
+                           Arrow-native scalar UDF (approximate, like
                            the reference's BloomFilterIdSet.contains).
                            The pre-round-13 base64-JSON literals still
                            decode (legacy sniff: a JSON array's first
@@ -39,6 +39,7 @@ from __future__ import annotations
 import base64
 import json
 
+import pyarrow as pa  # Arrow scalar-UDF batches (round-15)
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -121,8 +122,8 @@ def in_id_set(col: Column, idset_literal: str) -> Column:
     """IN_ID_SET(col, '<base64>'): membership in a serialized IdSet.
     Exact forms decode at plan build into a JVM-side IN-list constant
     (Catalyst folds and pushes it toward the scan); bloom forms probe
-    through a pandas UDF (the reference's approximate semantics for
-    FLOAT/DOUBLE/STRING/BYTES sets, BloomFilterIdSet.java)."""
+    through an Arrow scalar UDF (the reference's approximate semantics
+    for FLOAT/DOUBLE/STRING/BYTES sets, BloomFilterIdSet.java)."""
     kind, payload = _decode_literal(idset_literal)
     if kind == "json":
         return col.isin(payload)
@@ -152,30 +153,14 @@ def in_id_set(col: Column, idset_literal: str) -> Column:
 
     blob_b64 = idset_literal
 
-    from hurricanedb_spark.operators.idset_wire import needs_exact_channel
+    # ARROW scalar UDF (round-15): the batch carries the true column
+    # type (int64 + validity bitmap), so exact LONG probes never
+    # degrade to float64 — sets past 2^53 and LONG-funnel blooms need
+    # no CAST-AS-STRING channel on this path (probe_arrow keeps the
+    # FLOAT/DOUBLE raw-bits and STRING funnel routes of probe_series)
+    def _probe_fn(s: pa.Array) -> pa.Array:
+        from hurricanedb_spark.operators.idset_wire import probe_arrow
 
-    if needs_exact_channel(idset):
-        # exact ROARING64 past 2^53 or a LONG-funnel bloom (round-15):
-        # a null-bearing LONG probe column degrades to float64 in the
-        # Arrow batch, so ship the JVM-exact string image alongside —
-        # null-free batches stay on the numeric fast path, degraded
-        # batches parse the strings (probe_series_pair)
-        def _probe_fn2(s, t):
-            from hurricanedb_spark.operators.idset_wire import (
-                probe_series_pair,
-            )
+        return probe_arrow(s, blob_b64)
 
-            return probe_series_pair(s, t, blob_b64)
-
-        _probe2 = F.pandas_udf(_probe_fn2, "boolean", F.PandasUDFType.SCALAR)
-        return _probe2(col, col.cast("string"))
-
-    def _probe_fn(s):
-        from hurricanedb_spark.operators.idset_wire import probe_series
-
-        return probe_series(s, blob_b64)
-
-    # explicit SCALAR type: `from __future__ import annotations`
-    # stringifies hints, which pyspark's inference cannot read
-    _probe = F.pandas_udf(_probe_fn, "boolean", F.PandasUDFType.SCALAR)
-    return _probe(col)
+    return F.arrow_udf(_probe_fn, "boolean")(col)

@@ -443,11 +443,10 @@ def test_bloom_funnel_handles_negative_ids():
 def test_inidset_probe_exact_past_2_53_with_null_probe_column(spark):
     """Round-14: the PROBE side of the float64-degrade hazard — a
     null-bearing LONG probe column arrives rounded, so adjacent huge
-    ids collide and a numeric isin returns false positives. Exact LONG
-    sets holding ids past 2^53 now route the probe through the
-    decimal-string channel (CAST emitted at rewrite time), keeping
-    membership exact; sets without huge ids stay on the numeric fast
-    path (no cast in the emitted SQL)."""
+    ids collide and a numeric isin returns false positives. Round-15:
+    the session path probes through an ARROW scalar UDF whose batch
+    carries exact int64 + validity bitmap, so membership stays exact
+    for EVERY set with no CAST channel in the emitted SQL."""
     from hurricanedb_spark.functions.registry import register_all
     from hurricanedb_spark.operators.idset_wire import encode_idset
     from hurricanedb_spark.sql.dialect import rewrite_functions
@@ -457,7 +456,7 @@ def test_inidset_probe_exact_past_2_53_with_null_probe_column(spark):
     members = [big] + list(range(2000))  # >1000 ids -> probe UDF path
     lit = base64.b64encode(encode_idset(members, "LONG")).decode()
     sql = rewrite_functions(f"inidset(v, '{lit}')")
-    assert "CAST((v) AS STRING)" in sql and " IN (" not in sql
+    assert "__inidset_" in sql and " IN (" not in sql
     # big+1 and big+255 round to big's float64 image but are NOT members
     rows = [(big, True), (big + 1, False), (big + 255, False),
             (5, True), (2001, False), (None, False)]
@@ -553,7 +552,7 @@ def test_inidset_bloom_long_false_negative_channel(spark):
     ).decode()
     assert decode_idset(base64.b64decode(lit)).type_id == TYPE_BLOOM
     sql = rewrite_functions(f"inidset(v, '{lit}')")
-    assert "CAST((v) AS STRING)" in sql
+    assert "__inidset_" in sql
     rows = [(m,) for m in members] + [(None,)]
     spark.createDataFrame(rows, "v bigint").createOrReplaceTempView(
         "idw_bloom_fn"
@@ -572,9 +571,9 @@ def test_inidset_bloom_long_false_negative_channel(spark):
 def test_inidset_bloom_double_column_keeps_raw_bits_route(spark):
     """A genuine DOUBLE column against a DOUBLE-built bloom (shares
     FUNNEL_LONG on the wire) must keep the reference's raw-bits DOUBLE
-    dispatch through the round-15 string channel: Spark renders doubles
-    with shortest round-trip repr, so float() recovers the exact value
-    and the '.'-bearing string routes to the DOUBLE funnel bytes."""
+    dispatch through the round-15 ARROW probe: the batch arrives as
+    float64 and probe_arrow routes it through probe_series's bloom
+    branch, hashing the DOUBLE funnel bytes directly."""
     from hurricanedb_spark.functions.registry import register_all
     from hurricanedb_spark.sql.dialect import rewrite_functions
 
@@ -587,7 +586,7 @@ def test_inidset_bloom_double_column_keeps_raw_bits_route(spark):
         )
     ).decode()
     sql = rewrite_functions(f"inidset(v, '{lit}')")
-    assert "CAST((v) AS STRING)" in sql
+    assert "__inidset_" in sql
     rows = [(m,) for m in members] + [(None,), (2.5,)]
     spark.createDataFrame(rows, "v double").createOrReplaceTempView(
         "idw_bloom_dbl"
