@@ -103,6 +103,10 @@ def main() -> int:
         out["single_run"] = single_run
     if skipped:
         out["skipped"] = skipped
+    try:
+        out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        out["loadavg"] = None
     print(json.dumps(out))
     return 0
 

@@ -478,10 +478,20 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg": _loadavg(),
             }
         )
     )
     return 0
+
+
+def _loadavg():
+    import os
+
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        return None
 
 
 if __name__ == "__main__":
