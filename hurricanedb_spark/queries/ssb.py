@@ -38,6 +38,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _ship_year_range(lo: int, hi: int):
+    """`EXTRACT(year FROM l_shipdate) BETWEEN lo AND hi` as a raw range
+    predicate on the stored column (round-15, guide §6): a filter on the
+    derived `year(...)` column never reaches the parquet scan
+    (PushedFilters held only IsNotNull), while the equivalent
+    [lo-01-01, (hi+1)-01-01) range pushes down and prunes row groups /
+    segments from their min-max stats — the difference between scanning
+    a year and scanning the decade at 100 TB. Exact for every input:
+    the half-open calendar range contains precisely the timestamps whose
+    extracted year lies in [lo, hi], and NULL fails both forms."""
+    return (F.col("l_shipdate") >= F.lit(f"{lo}-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit(f"{hi + 1}-01-01").cast("timestamp")
+    )
+
+
+def _ship_month_range(year: int, month: int):
+    """`year(l_shipdate) = year AND month(l_shipdate) = month` as a
+    pushdown-able half-open calendar-month range (same rationale and
+    exactness argument as `_ship_year_range`)."""
+    ny, nm = (year + 1, 1) if month == 12 else (year, month + 1)
+    return (
+        F.col("l_shipdate") >= F.lit(f"{year}-{month:02d}-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit(f"{ny}-{nm:02d}-01").cast("timestamp"))
+
+
 def _revenue():
     # (1 - disc) cast back to decimal(9,4): the int literal promotes to
     # decimal(10,0) and would inflate product precision past Spark's 38 cap.
@@ -76,7 +101,7 @@ def _rsum(col: F.Column, alias: str) -> F.Column:
 def ssb_q1_1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.year("l_shipdate") == 1995)
+        _ship_year_range(1995, 1995)
         & F.col("l_discount").between(0.04, 0.06)
         & (F.col("l_quantity") < 25)
     ).agg(_rsum(_revenue(), "revenue"))
@@ -97,8 +122,7 @@ def ssb_q1_1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ssb_q1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.year("l_shipdate") == 1995)
-        & (F.month("l_shipdate") == 1)
+        _ship_month_range(1995, 1)
         & F.col("l_discount").between(0.02, 0.04)
         & F.col("l_quantity").between(26, 35)
     ).agg(_rsum(_revenue(), "revenue"))
@@ -118,9 +142,11 @@ def ssb_q1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ssb_q1_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # the ISO-week predicate stays as an expression (residual filter);
+    # the year predicate becomes the pushdown-able calendar range
     return li.filter(
         (F.weekofyear("l_shipdate") == 6)
-        & (F.year("l_shipdate") == 1995)
+        & _ship_year_range(1995, 1995)
         & F.col("l_discount").between(0.05, 0.07)
         & F.col("l_quantity").between(26, 35)
     ).agg(_rsum(_revenue(), "revenue"))
@@ -290,7 +316,7 @@ def ssb_q3_1(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(
             (F.col("cr_name") == "ASIA")
             & (F.col("sr_name") == "ASIA")
-            & F.year("l_shipdate").between(1994, 1997)
+            & _ship_year_range(1994, 1997)
         )
         .groupBy("c_nation", "s_nation", F.year("l_shipdate").alias("d_year"))
         .agg(_rsum(_revenue(), "revenue"))
@@ -344,7 +370,7 @@ def ssb_q3_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("c_nation").isin("CHINA", "JAPAN")
             & F.col("s_nation").isin("CHINA", "JAPAN")
-            & F.year("l_shipdate").between(1994, 1997)
+            & _ship_year_range(1994, 1997)
         )
         .groupBy("c_nation", "s_nation", F.year("l_shipdate").alias("d_year"))
         .agg(_rsum(_revenue(), "revenue"))
@@ -372,8 +398,7 @@ def ssb_q3_4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("c_nation").isin("CHINA", "JAPAN")
             & F.col("s_nation").isin("CHINA", "JAPAN")
-            & (F.year("l_shipdate") == 1995)
-            & (F.month("l_shipdate") == 7)
+            & _ship_month_range(1995, 7)
         )
         .groupBy("c_nation", "s_nation", F.year("l_shipdate").alias("d_year"))
         .agg(_rsum(_revenue(), "revenue"))
@@ -478,7 +503,7 @@ def ssb_q4_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(
             (F.col("cr_name") == "AMERICA")
             & (F.col("sr_name") == "AMERICA")
-            & F.year("l_shipdate").isin(1997, 1998)
+            & _ship_year_range(1997, 1998)
             & (F.col("p_brand").like("Brand#1%") | F.col("p_brand").like("Brand#2%"))
         )
         .groupBy(
@@ -510,7 +535,7 @@ def ssb_q4_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(
             (F.col("cr_name") == "AMERICA")
             & (F.col("s_nation") == "UNITED STATES")
-            & F.year("l_shipdate").isin(1997, 1998)
+            & _ship_year_range(1997, 1998)
             & F.col("p_type").like("ECONOMY%")
         )
         .groupBy(

@@ -4,6 +4,8 @@ FieldSpec.java:49-66) — mirrors the reference's schema unit tests."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import types as T
 
 from hurricanedb_spark.catalog.schema import default_null_values, pinot_schema_to_struct
@@ -144,3 +146,31 @@ def test_driver_window_invariant():
     assert names[:50] == list(DRIVER_WINDOW)
     missing_oracle = [n for n in DRIVER_WINDOW if qs[n].oracle is None]
     assert not missing_oracle, missing_oracle
+
+
+def test_load_table_plan_cache_and_mtime_invalidation(spark, sf_dir, tmp_path):
+    """Round-15: load_table caches the resolved plan handle per
+    (session, sf_dir, name, mtime signature) — identical object on a warm
+    call, fresh plan (new schema/rows) after the dataset is rewritten."""
+    import shutil
+    import time as _time
+
+    a = load_table(spark, sf_dir, "lineitem")
+    b = load_table(spark, sf_dir, "lineitem")
+    assert a is b  # warm call serves the cached plan handle
+
+    d = str(tmp_path)
+    shutil.copy(os.path.join(sf_dir, "nation.parquet"), os.path.join(d, "nation.parquet"))
+    first = load_table(spark, d, "nation")
+    n_first = first.count()
+    assert n_first == 25
+    _time.sleep(0.01)  # ensure a distinct mtime_ns on coarse filesystems
+    # rewrite with fewer rows through a real parquet writer
+    spark.read.parquet(os.path.join(d, "nation.parquet")).limit(3).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "nation2.parquet"))
+    os.remove(os.path.join(d, "nation.parquet"))
+    shutil.move(os.path.join(d, "nation2.parquet"), os.path.join(d, "nation.parquet"))
+    second = load_table(spark, d, "nation")
+    assert second is not first  # mtime signature invalidated the entry
+    assert second.count() == 3
