@@ -26,13 +26,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from hurricanedb_spark.operators.dedup import word_shingles
+from hurricanedb_spark.operators.dedup import norm_tokens, shingles_from_tokens, word_shingles
 
 
 def ngram_set(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams with empty grams dropped (documents shorter
     than n words contribute their single partial gram)."""
     return F.filter(word_shingles(text, n), lambda g: g != "")
+
+
+def ngram_set_from_tokens(toks: Column, n: int = 3) -> Column:
+    """`ngram_set` over a MATERIALIZED token-array column — the hot-path
+    form (see dedup.shingles_from_tokens for the lambda-capture cost)."""
+    return F.filter(shingles_from_tokens(toks, n), lambda g: g != "")
 
 
 def ngram_overlap_report(
@@ -51,14 +57,24 @@ def ngram_overlap_report(
     for every pair whose overlap = |corpus∩bench grams| / |bench grams|
     reaches min_overlap — the containment of the benchmark item in the
     document, the direction decontamination cares about."""
-    corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode(ngram_set(F.col(text_col), n)).alias("gram"),
+    # two-step tokenization (round-15): materialize the token array, then
+    # shingle from the bound ref — the inline form re-ran the tokenizer
+    # per gram inside the transform lambda (dedup.shingles_from_tokens)
+    corpus_grams = (
+        corpus.withColumn("__toks", norm_tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(ngram_set_from_tokens(F.col("__toks"), n)).alias("gram"),
+        )
     )
-    bench_grams = bench.select(
-        F.col(bench_id_col),
-        F.explode(ngram_set(F.col(text_col), n)).alias("gram"),
-    ).distinct()
+    bench_grams = (
+        bench.withColumn("__toks", norm_tokens(F.col(text_col)))
+        .select(
+            F.col(bench_id_col),
+            F.explode(ngram_set_from_tokens(F.col("__toks"), n)).alias("gram"),
+        )
+        .distinct()
+    )
     bench_sizes = bench_grams.groupBy(bench_id_col).agg(
         F.count(F.lit(1)).alias("bench_grams")
     )

@@ -53,15 +53,37 @@ def oracle_hash32_sql(expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def word_shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
+def norm_tokens(text: Column) -> Column:
+    """Normalized word tokens: lowercase, whitespace-collapsed, empties
+    dropped — the shared tokenization of the shingle/simhash family."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    return F.filter(F.split(norm, " "), lambda t: t != "")
+
+
+def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles over a token-array column.
+
+    PASS A MATERIALIZED COLUMN REF (`.withColumn("__toks", norm_tokens(
+    text))` first, then `F.col("__toks")`), never the inline
+    `norm_tokens(...)` expression: the lambda below captures `toks`, and
+    Catalyst re-evaluates a captured non-attribute expression FOR EVERY
+    ARRAY ELEMENT — the full regexp/split/filter pipeline ran once per
+    shingle, which round-15 measured as 3.8s vs 0.5s for the 256k-shingle
+    documents scan at sf0.1 (7.5x). A bound attribute ref is free."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     return F.array_distinct(grams)
+
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of the normalized text.
+
+    Convenience composition for small inputs/tests; hot paths should use
+    the two-step `norm_tokens` + `shingles_from_tokens` idiom (see the
+    capture-cost note there)."""
+    return shingles_from_tokens(norm_tokens(text), n)
 
 
 def hashed_shingles(shingles: Column, portable: bool = True) -> Column:
@@ -267,13 +289,22 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash32(text: Column, portable: bool = True) -> Column:
-    """32-bit SimHash over word tokens: bit b of the signature is the sign
-    of sum over tokens of (+1 if bit b of hash(token) else -1)."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+def hashed_tokens(text: Column, portable: bool = True) -> Column:
+    """Int-hashed normalized word tokens (the SimHash input array)."""
     base = portable_hash32 if portable else lambda c: F.abs(F.xxhash64(c)) % (2**32)
-    hashed = F.transform(toks, base)
+    return F.transform(norm_tokens(text), base)
+
+
+def simhash_from_hashed(hashed: Column) -> Column:
+    """32-bit SimHash over a hashed-token array column: bit b of the
+    signature is the sign of sum over tokens of (+1 if bit b else -1).
+
+    Prefer a materialized column ref for `hashed`: the 32 per-bit folds
+    each take it as input. In practice codegen's subexpression
+    elimination already dedupes the repeated inline expression across the
+    folds (round-15 measured only 0.96s -> 0.84s from materializing), so
+    this is hygiene, unlike the per-element capture in
+    `shingles_from_tokens`, which CSE cannot fix."""
     sig = F.lit(0).cast("long")
     for b in range(32):
         bit_sum = F.aggregate(
@@ -284,6 +315,12 @@ def simhash32(text: Column, portable: bool = True) -> Column:
         )
         sig = sig + F.when(bit_sum > 0, F.lit(2**b).cast("long")).otherwise(0)
     return sig
+
+
+def simhash32(text: Column, portable: bool = True) -> Column:
+    """32-bit SimHash over word tokens (convenience composition — hot
+    paths materialize `hashed_tokens` first; see simhash_from_hashed)."""
+    return simhash_from_hashed(hashed_tokens(text, portable))
 
 
 def connected_components(
@@ -323,8 +360,13 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nl").alias("nbr_label"))
         )
+        # carry the round's starting label through as __old so the
+        # early-stop check below is a filter over the checkpointed rows —
+        # the previous labels-vs-new-labels join added a full extra
+        # shuffle join per round (round-15, guide §2.4)
         hop = labels.join(nbr, "a", "left").select(
             "a",
+            F.col("label").alias("__old"),
             F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
         )
         # pointer jump: label <- label(label); halves label-chain depth
@@ -336,16 +378,15 @@ def connected_components(
                 "label",
                 "left",
             )
-            .select("a", F.least("label", F.coalesce("ll", "label")).alias("label"))
+            .select(
+                "a",
+                "__old",
+                F.least("label", F.coalesce("ll", "label")).alias("label"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "a")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        labels = new_labels.select("a", "label")
         if changed == 0:
             break
     und.unpersist()

@@ -227,3 +227,44 @@ def test_connected_components_long_chain_log_rounds(spark):
     )
     comps = {r.component for r in got.collect()}
     assert comps == {0}, comps
+
+
+def test_two_step_tokenization_matches_inline_forms(spark):
+    """Round-15: the materialized-token fast path (norm_tokens +
+    shingles_from_tokens / ngram_set_from_tokens / simhash_from_hashed)
+    must be value-identical to the inline compositions it replaced on the
+    hot paths — including whitespace runs, short docs, and empties."""
+    from pyspark.sql import functions as F
+
+    from hurricanedb_spark.operators import dedup as dd
+    from hurricanedb_spark.operators.contamination import ngram_set, ngram_set_from_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "  spaced\t\tout   text \n with   runs  "),
+            (3, "single"),
+            (4, ""),
+            (5, "a b"),
+            (6, "Repeated repeated REPEATED tokens tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    stepped = docs.withColumn("__toks", dd.norm_tokens(F.col("text")))
+    for n in (2, 3):
+        inline = docs.select("doc_id", dd.word_shingles(F.col("text"), n).alias("v"))
+        fast = stepped.select(
+            "doc_id", dd.shingles_from_tokens(F.col("__toks"), n).alias("v")
+        )
+        assert inline.exceptAll(fast).count() == 0
+        assert fast.exceptAll(inline).count() == 0
+        gi = docs.select("doc_id", ngram_set(F.col("text"), n).alias("v"))
+        gf = stepped.select(
+            "doc_id", ngram_set_from_tokens(F.col("__toks"), n).alias("v")
+        )
+        assert gi.exceptAll(gf).count() == 0 and gf.exceptAll(gi).count() == 0
+    si = docs.select("doc_id", dd.simhash32(F.col("text")).alias("s"))
+    sf = docs.withColumn("__h", dd.hashed_tokens(F.col("text"))).select(
+        "doc_id", dd.simhash_from_hashed(F.col("__h")).alias("s")
+    )
+    assert si.collect() == sf.collect()
