@@ -62,6 +62,42 @@ def cosine_fast(a: Column, b: Column) -> Column:
     return dot_fast(a, b) / (F.sqrt(dot_fast(a, a)) * F.sqrt(dot_fast(b, b)))
 
 
+# --- per-vector precomputation for pair re-ranks (round-15) ------------------
+#
+# cosine over a candidate PAIR needs three folds (dot(a,b), |a|, |b|) plus —
+# on the exact path — per-element quantization of BOTH sides. The norms and
+# the quantized arrays are per-VECTOR quantities: computing them once in the
+# per-side projection and carrying them through the join turns the per-pair
+# work into a single long/double fold. Bit-identity: `quantized_vec` applies
+# the same `_quant` per element, `dot_quantized` runs the same left fold over
+# the same values, and the cosine expressions below keep the exact operator
+# tree of cosine_exact / cosine_fast (sqrt of the double-cast self-dot,
+# a-then-b multiplication order), so every emitted double is unchanged.
+
+
+def quantized_vec(a: Column) -> Column:
+    """The 1e-6-quantized image of a vector as array<long>, precomputed
+    once per vector instead of per pair inside the dot fold."""
+    return F.transform(a, _quant)
+
+
+def dot_quantized(qa: Column, qb: Column) -> Column:
+    """dot_exact over already-quantized arrays (same fold, long inputs)."""
+    prods = F.zip_with(qa, qb, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, p: acc + p)
+
+
+def norm_quantized(qa: Column) -> Column:
+    """norm_exact over an already-quantized array."""
+    return F.sqrt(dot_quantized(qa, qa).cast("double"))
+
+
+def norm_fast(a: Column) -> Column:
+    """The double-path vector norm (the denominator factor of
+    cosine_fast), precomputable once per vector."""
+    return F.sqrt(dot_fast(a, a))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -77,21 +113,42 @@ def brute_force_topk(
     """
     from pyspark.sql import Window as W
 
-    cos = cosine_exact if exact else cosine_fast
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    )
+    # norms (and on the exact path, quantized arrays) are per-vector —
+    # precomputed in the side projections so each of the O(|corpus| *
+    # |queries|) scored pairs runs ONE dot fold, not three (round-15;
+    # bit-identical, see the precomputation helpers' note)
+    if exact:
+        q = queries.withColumn("__q", quantized_vec(F.col(vec_col))).select(
+            F.col(id_col).alias("query_id"),
+            F.col("__q").alias("__qvec"),
+            norm_quantized(F.col("__q")).alias("__qn"),
+        )
+        c = corpus.withColumn("__q", quantized_vec(F.col(vec_col))).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__q").alias("__cvec"),
+            norm_quantized(F.col("__q")).alias("__cn"),
+        )
+        pair_cos = dot_quantized(F.col("__qvec"), F.col("__cvec")).cast("double") / (
+            F.col("__qn") * F.col("__cn")
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            norm_fast(F.col(vec_col)).alias("__qn"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+            norm_fast(F.col(vec_col)).alias("__cn"),
+        )
+        pair_cos = dot_fast(F.col("__qvec"), F.col("__cvec")) / (
+            F.col("__qn") * F.col("__cn")
+        )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cos(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", pair_cos.alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -442,11 +499,18 @@ def ann_topk(
         probe_flips=probe_flips,
         kernel=kernel,
     )
+    # per-vector norms precomputed in the join-back projections: each
+    # surviving candidate pair then pays one dot fold instead of three
+    # (round-15; bit-identical to cosine_fast — same operator tree)
     cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm_fast(F.col(vec_col)).alias("__cn"),
     )
     qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm_fast(F.col(vec_col)).alias("__qn"),
     )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
@@ -454,7 +518,10 @@ def ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_fast(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+            (
+                dot_fast(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -567,14 +634,18 @@ def ivf_topk(
     else:
         corpus_cell = ivf_cells(F.col(vec_col), centroids, 1)[0]
         query_cells = ivf_cells(F.col(vec_col), centroids, n_probe)
+    # per-vector norms precomputed in the side projections (round-15;
+    # bit-identical to cosine_fast — same operator tree)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm_fast(F.col(vec_col)).alias("__cn"),
         corpus_cell.alias("__cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        norm_fast(F.col(vec_col)).alias("__qn"),
         F.explode(query_cells).alias("__cell"),
     )
     scored = (
@@ -583,7 +654,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_fast(F.col("__qvec"), F.col("__cvec")).alias("cosine"),
+            (
+                dot_fast(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -622,14 +696,27 @@ def exact_neardup_pairs(
             "lsh_neardup_pairs (bucketed candidates + exact re-rank) as "
             "the scale path, or raise max_vectors deliberately."
         )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # quantized arrays + norms precomputed per vector, not per pair
+    # (round-15; bit-identical to cosine_exact — same operator tree)
+    a = df.withColumn("__q", quantized_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("id_a"),
+        F.col("__q").alias("__va"),
+        norm_quantized(F.col("__q")).alias("__na"),
+    )
+    b = df.withColumn("__q", quantized_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("id_b"),
+        F.col("__q").alias("__vb"),
+        norm_quantized(F.col("__q")).alias("__nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            cosine_exact(F.col("__va"), F.col("__vb")).alias("cosine"),
+            (
+                dot_quantized(F.col("__va"), F.col("__vb")).cast("double")
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -734,15 +821,29 @@ def lsh_neardup_pairs(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # quantized arrays + norms precomputed once per vector in the
+    # join-back projections; each candidate pair then runs a single long
+    # fold (round-15; bit-identical to cosine_exact — same operator tree)
+    va = df.withColumn("__q", quantized_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("id_a"),
+        F.col("__q").alias("__va"),
+        norm_quantized(F.col("__q")).alias("__na"),
+    )
+    vb = df.withColumn("__q", quantized_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("id_b"),
+        F.col("__q").alias("__vb"),
+        norm_quantized(F.col("__q")).alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            cosine_exact(F.col("__va"), F.col("__vb")).alias("cosine"),
+            (
+                dot_quantized(F.col("__va"), F.col("__vb")).cast("double")
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -329,3 +329,38 @@ def test_lsh_neardup_plan_never_quadratic(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_precomputed_pair_cosine_bit_identical(spark):
+    """Round-15 restructure: the per-vector precompute forms (quantized
+    arrays + norms carried through the join) must emit the SAME double,
+    bit for bit, as the per-pair cosine_exact / cosine_fast folds they
+    replaced — the driver hash-compares results, so ULP drift fails."""
+    import random
+
+    rng = random.Random(1157)
+    rows = [
+        (
+            [rng.uniform(-1, 1) for _ in range(64)],
+            [rng.uniform(-1, 1) for _ in range(64)],
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "x array<float>, y array<float>")
+
+    qx, qy = sim.quantized_vec(F.col("x")), sim.quantized_vec(F.col("y"))
+    exact_pre = sim.dot_quantized(qx, qy).cast("double") / (
+        sim.norm_quantized(qx) * sim.norm_quantized(qy)
+    )
+    fast_pre = sim.dot_fast(F.col("x"), F.col("y")) / (
+        sim.norm_fast(F.col("x")) * sim.norm_fast(F.col("y"))
+    )
+    got = df.select(
+        sim.cosine_exact(F.col("x"), F.col("y")).alias("e0"),
+        exact_pre.alias("e1"),
+        sim.cosine_fast(F.col("x"), F.col("y")).alias("f0"),
+        fast_pre.alias("f1"),
+    ).collect()
+    for r in got:
+        assert r.e0 == r.e1, (r.e0, r.e1)  # exact float equality
+        assert r.f0 == r.f1, (r.f0, r.f1)
