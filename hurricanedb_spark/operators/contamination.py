@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hurricanedb_spark.operators.dedup import norm_tokens, shingles_from_tokens, word_shingles
+from hurricanedb_spark.operators.skew import fan_out
 
 
 def ngram_set(text: Column, n: int = 3) -> Column:
@@ -59,9 +60,12 @@ def ngram_overlap_report(
     document, the direction decontamination cares about."""
     # two-step tokenization (round-15): materialize the token array, then
     # shingle from the bound ref — the inline form re-ran the tokenizer
-    # per gram inside the transform lambda (dedup.shingles_from_tokens)
+    # per gram inside the transform lambda (dedup.shingles_from_tokens).
+    # fan_out: the tokenize+shingle+explode pass otherwise runs on the
+    # corpus scan's task count (one, for a single-row-group file); the
+    # bench side stays narrow — it is small by construction.
     corpus_grams = (
-        corpus.withColumn("__toks", norm_tokens(F.col(text_col)))
+        fan_out(corpus).withColumn("__toks", norm_tokens(F.col(text_col)))
         .select(
             F.col(id_col),
             F.explode(ngram_set_from_tokens(F.col("__toks"), n)).alias("gram"),

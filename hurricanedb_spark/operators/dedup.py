@@ -212,10 +212,20 @@ def lsh_dropped_buckets(
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two distinct-element arrays, in double."""
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
-    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    """Exact Jaccard over two distinct-element arrays, in double.
+
+    One hash-set pass per pair: |A∪B| is derived as |A| + |B| − |A∩B|
+    (exact for distinct-element arrays — the stated input contract),
+    so the per-pair cost is a single array_intersect instead of
+    intersect + union, each of which builds its own hash set over both
+    arrays. The division operands are the same integers either way, so
+    the emitted double is bit-identical (pinned by
+    test_jaccard_sizes_equals_union_form)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
 
 
 class QuadraticBlockError(ValueError):
@@ -240,7 +250,14 @@ def ngram_jaccard_pairs(
     (`lsh_candidate_pairs`, O(docs*K + candidates)) is the scale path.
     The pre-check is one cheap count-per-block aggregation; only offending
     blocks ever reach the driver."""
-    sh = df.select(
+    from hurricanedb_spark.operators.skew import fan_out
+
+    # fan_out BEFORE the shingle projection: a single-row-group input
+    # scans as one task, and the pair loop of the broadcast join fuses
+    # onto that scan stage — the whole quadratic stage ran on one core
+    # (round-15, guide §2.5/§2.6). At scale the input has >= cores
+    # splits and fan_out is the identity.
+    sh = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__blk"),
         shingles.alias("__sh"),
@@ -275,18 +292,23 @@ def ngram_jaccard_pairs(
     # size prefilter: jaccard(A,B) >= t forces t*|A| <= |B| and
     # t*|B| <= |A|; the cheap integer bound prunes inside the join before
     # any array intersect runs. Superset pruning — results unchanged.
-    return (
-        left.join(
-            right,
-            (F.col("src_a") == F.col("src_b"))
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.size("sh_a").cast("double") * threshold <= F.size("sh_b"))
-            & (F.size("sh_b").cast("double") * threshold <= F.size("sh_a")),
-        )
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    #
+    # The jaccard threshold is part of the authored join condition, LAST
+    # in the conjunction: left as a post-join .filter(), Catalyst pushes
+    # it into the join condition PREPENDED, and And() evaluates left to
+    # right — the intersect ran for every src-matched pair before the
+    # cheap id/size conjuncts could prune it (round-15, observed in the
+    # before plan). Authoring the whole condition pins the cheap-first
+    # order; the select recomputes jaccard only for surviving pairs.
+    pair_jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return left.join(
+        right,
+        (F.col("src_a") == F.col("src_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.size("sh_a").cast("double") * threshold <= F.size("sh_b"))
+        & (F.size("sh_b").cast("double") * threshold <= F.size("sh_a"))
+        & (pair_jac >= threshold),
+    ).select("id_a", "id_b", pair_jac.alias("jaccard"))
 
 
 def hashed_tokens(text: Column, portable: bool = True) -> Column:

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from hurricanedb_spark.operators.skew import fan_out
+
 QSCALE = 1_000_000  # quantization: 1e-6 resolution, products fit int64
 
 
@@ -113,6 +115,13 @@ def brute_force_topk(
     """
     from pyspark.sql import Window as W
 
+    # a narrow corpus scan would run the whole O(|corpus| * |queries|)
+    # scoring loop (JVM fold expressions — genuinely slow per pair) on
+    # its one-task scan stage. min_rows: below ~10k corpus rows the
+    # exchange costs more than the serial folds (round-15 interleaved
+    # A/B: 1.19x worse at 2k rows, 0.41x — 2.4x faster — at 20k);
+    # identity when the scan already has >= cores splits.
+    corpus = fan_out(corpus, min_rows=10_000)
     # norms (and on the exact path, quantized arrays) are per-vector —
     # precomputed in the side projections so each of the O(|corpus| *
     # |queries|) scored pairs runs ONE dot fold, not three (round-15;
@@ -405,6 +414,11 @@ def ann_candidate_pairs(
             max_bucket_size,
             f"bits_range={bits_range}, target_bucket={target_bucket}",
         )
+    # NO fan_out here (round-15, measured): the sketch kernel is one
+    # vectorized numpy call per batch — cheap even serially (1.35-1.46x
+    # WORSE with the exchange at sf0.1 AND sf1, interleaved A/B); the
+    # expensive per-pair work downstream already rides the bucket
+    # join's own exchange.
     corpus_sketches = (
         _table_sketches_kernel(dim, n_tables, bits)
         if kernel
@@ -635,7 +649,9 @@ def ivf_topk(
         corpus_cell = ivf_cells(F.col(vec_col), centroids, 1)[0]
         query_cells = ivf_cells(F.col(vec_col), centroids, n_probe)
     # per-vector norms precomputed in the side projections (round-15;
-    # bit-identical to cosine_fast — same operator tree)
+    # bit-identical to cosine_fast — same operator tree). NO fan_out:
+    # the cell kernel is one numpy distance matrix per batch, cheap
+    # serially (fan_out measured flat-to-1.07x worse at sf0.1/sf1).
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
@@ -697,7 +713,10 @@ def exact_neardup_pairs(
             "the scale path, or raise max_vectors deliberately."
         )
     # quantized arrays + norms precomputed per vector, not per pair
-    # (round-15; bit-identical to cosine_exact — same operator tree)
+    # (round-15; bit-identical to cosine_exact — same operator tree);
+    # fan out a narrow scan so the quadratic pair loop fused onto it
+    # runs at cluster width (identity at scale)
+    df = fan_out(df)
     a = df.withColumn("__q", quantized_vec(F.col(vec_col))).select(
         F.col(id_col).alias("id_a"),
         F.col("__q").alias("__va"),
@@ -787,6 +806,11 @@ def lsh_neardup_pairs(
         )
     if n_tables is None:
         n_tables = _auto_tables(bits, threshold, recall_target, max_tables)
+    # NO fan_out (round-15, measured 1.28-1.78x WORSE at sf0.1/sf1):
+    # the sketch kernel is vectorized numpy, and df feeds THREE
+    # derivations (banded + both join-backs) — the added exchange is
+    # paid per derivation while the serial kernel it parallelizes is
+    # already cheap.
     sk = (
         _table_sketches_kernel(dim, n_tables, bits)
         if kernel

@@ -66,3 +66,48 @@ def broadcast_topk_split(
     joined_hot = large_hot.join(F.broadcast(small_hot), key, how)
     joined_tail = large_tail.join(small_tail, key, how)
     return joined_hot.unionByName(joined_tail)
+
+
+def fan_out(df: DataFrame, min_rows: int = 0) -> DataFrame:
+    """Straggler remedy for narrow inputs: spread a low-parallelism scan
+    across the cluster before heavy per-row work.
+
+    A parquet row group is unsplittable, so a table written as few row
+    groups scans as that many tasks no matter how many cores exist — and
+    every expensive projection or broadcast-join probe that codegen fuses
+    onto the scan stage then runs at that width (the input-skew case of
+    the straggler family: one task owns the whole stage). When the
+    input's planned partition count is below the scheduler's default
+    parallelism, one round-robin exchange of the raw rows buys full-width
+    execution of everything downstream; when the input already has at
+    least that many splits — any real table at scale — this returns the
+    input unchanged, adding no exchange. Row order is not preserved
+    (round-robin), so apply only where downstream results are
+    order-independent (joins, aggregations, per-row projections).
+
+    `min_rows`: skip the exchange when the (cheaply counted) input is
+    smaller than this — for tiny side tables the exchange costs more
+    than the serial work it parallelizes.
+
+    The decision (a `.rdd.getNumPartitions()` planning roundtrip) is
+    memoized on the input DataFrame object: `load_table` hands out one
+    plan handle per (session, table), so repeated queries over the same
+    table pay the check once per session, not once per call.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    memo = getattr(df, "_hurricane_fanned", None)
+    if memo is None:
+        memo = {}
+        df._hurricane_fanned = memo
+    key = (target, min_rows)
+    if key in memo:
+        return memo[key]
+    if df.rdd.getNumPartitions() >= target:
+        out = df
+    elif min_rows and df.count() < min_rows:
+        out = df
+    else:
+        out = df.repartition(target)
+    memo[key] = out
+    return out

@@ -13,6 +13,7 @@ from hurricanedb_spark.operators import dedup as dd
 from hurricanedb_spark.operators import similarity as sim
 from hurricanedb_spark.operators import text_analysis as ta
 from hurricanedb_spark.operators.multimodal import extract_features, synth_media_from_documents
+from hurricanedb_spark.operators.skew import fan_out
 from hurricanedb_spark.catalog.tables import load_table, table_footprint_bytes
 from hurricanedb_spark.queries import register
 
@@ -230,7 +231,12 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokens materialize first (round-15): the inline shingle expression
     # re-ran the tokenizer per gram inside the transform lambda
     # (dedup.shingles_from_tokens capture-cost note; 3.8s -> 0.5s here).
-    with_sh = doc.withColumn("__toks", dd.norm_tokens(F.col("text"))).select(
+    # fan_out (round-15): the tokenize+shingle+md5+minhash projection
+    # fuses onto the documents scan — one task for a single-row-group
+    # file, serializing the whole signature pass (identity at scale)
+    with_sh = fan_out(doc).withColumn(
+        "__toks", dd.norm_tokens(F.col("text"))
+    ).select(
         "doc_id",
         dd.hashed_shingles(
             dd.shingles_from_tokens(F.col("__toks"), 2), portable=True
@@ -392,6 +398,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the hashed-token array once; the 32 per-bit folds then
     # read a bound ref instead of re-tokenizing per bit (dedup.
     # simhash_from_hashed capture-cost note)
+    # NO fan_out (round-15, measured 1.10-1.13x worse at sf0.1 and sf1,
+    # interleaved A/B): the 32 per-bit folds over the bound token-hash
+    # ref are light enough that the round-robin exchange plus the wider
+    # final sort costs more than the serial projection it spreads.
     return (
         doc.withColumn("__h", dd.hashed_tokens(F.col("text")))
         .select("doc_id", dd.simhash_from_hashed(F.col("__h")).alias("simhash"))
@@ -677,7 +687,12 @@ def q_ann_lsh_topk_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")
-    media = synth_media_from_documents(doc)
+    # fan_out: the Arrow mapInPandas decode pipeline fuses onto the
+    # narrow documents scan. min_rows: below ~10k docs the exchange
+    # costs more than the serial decode (round-15 interleaved A/B:
+    # 1.33x worse at 5k rows, 0.35x — 2.9x faster — at 50k); identity
+    # at scale.
+    media = synth_media_from_documents(fan_out(doc, min_rows=10_000))
     feats = extract_features(media)
     # the driver canonicalizes even rows-only outputs through pandas, so
     # the array<double> feature vector is joined into one string column

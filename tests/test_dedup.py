@@ -268,3 +268,42 @@ def test_two_step_tokenization_matches_inline_forms(spark):
         "doc_id", dd.simhash_from_hashed(F.col("__h")).alias("s")
     )
     assert si.collect() == sf.collect()
+
+
+def test_jaccard_sizes_equals_union_form(spark):
+    """Round-15: jaccard derives |A∪B| as |A|+|B|-|A∩B| (one hash-set
+    pass per pair instead of intersect + union). Bit-identical to the
+    explicit array_union form for distinct-element arrays — the stated
+    input contract — including both-empty (1.0) and disjoint (0.0)."""
+    rows = [
+        (1, [1, 2, 3], [2, 3, 4]),
+        (2, [], []),
+        (3, [1], []),
+        (4, [5, 6], [7, 8]),
+        (5, [9, 10, 11, 12], [9, 10, 11, 12]),
+        (6, [-3, 0, 2**62], [0, 2**62]),
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<long>, b array<long>")
+    inter = F.size(F.array_intersect(F.col("a"), F.col("b"))).cast("double")
+    union = F.size(F.array_union(F.col("a"), F.col("b"))).cast("double")
+    old = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    got = df.select("id", dd.jaccard(F.col("a"), F.col("b")).alias("j"), old.alias("o")).collect()
+    for r in got:
+        assert r["j"] == r["o"], (r["id"], r["j"], r["o"])
+
+
+def test_fan_out_identity_when_wide_and_spread_when_narrow(spark):
+    """Round-15: fan_out adds one round-robin exchange only when the
+    input's planned partitions are below defaultParallelism; a wide
+    input passes through unchanged (the at-scale identity), and results
+    are row-identical either way."""
+    from hurricanedb_spark.operators.skew import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    spread = fan_out(narrow)
+    assert spread.rdd.getNumPartitions() == par
+    assert spread is fan_out(narrow)  # memoized per input handle
+    assert sorted(r.id for r in spread.collect()) == list(range(1000))
+    wide = spark.range(0, 1000, numPartitions=par + 4)
+    assert fan_out(wide) is wide
