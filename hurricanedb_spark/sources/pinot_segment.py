@@ -817,6 +817,89 @@ def _iter_var_byte_entries_v4(buf: bytes):
             yield chunk[offsets[j] : hi]
 
 
+def _var_byte_chunk_bounds(buf: bytes, num_docs: int):
+    """Vectorized counterpart of _iter_var_byte_entries: yield
+    (decompressed chunk, int32 slice offsets with a len(chunk) sentinel)
+    per chunk — value j of the chunk lives in chunk[off[j]:off[j+1]].
+    Byte-for-byte the same slices the iterator yields (differential-
+    tested); the padding offsets of a partial final chunk are dropped
+    before the sentinel is appended."""
+    import numpy as np
+
+    _, docs_per_chunk, _, total_docs, comp, bounds = _parse_chunk_container(buf)
+    remaining = total_docs or num_docs
+    for start, end in bounds:
+        docs_here = min(docs_per_chunk, remaining)
+        chunk = _decompress_chunk(buf[start:end], comp, None)
+        offs = np.empty(docs_here + 1, dtype="<i4")
+        offs[:docs_here] = np.frombuffer(
+            chunk, dtype=">i4", count=docs_per_chunk
+        )[:docs_here]
+        offs[docs_here] = len(chunk)
+        yield chunk, offs
+        remaining -= docs_here
+
+
+def _var_byte_chunk_bounds_v4(buf: bytes):
+    """Vectorized counterpart of _iter_var_byte_entries_v4: yield
+    (decompressed chunk, int32 slice offsets with sentinel); a huge
+    chunk (metadata MSB set) is one value spanning the whole chunk."""
+    import numpy as np
+
+    version, _target, comp_id, chunks_start = struct.unpack_from(">iiii", buf, 0)
+    if version < 4:
+        raise ValueError(f"not a V4 container (version {version})")
+    comp = _COMPRESSION.get(comp_id)
+    if comp is None:
+        raise UnsupportedSegmentError(f"unknown compression id {comp_id}")
+    n_chunks = (chunks_start - 16) // 8
+    metas = [
+        struct.unpack_from("<iI", buf, 16 + 8 * i) for i in range(n_chunks)
+    ]
+    for i, (doc_id_word, chunk_off) in enumerate(metas):
+        huge = bool(doc_id_word & -0x80000000)
+        start = chunks_start + chunk_off
+        end = (
+            chunks_start + metas[i + 1][1] if i + 1 < n_chunks else len(buf)
+        )
+        chunk = _decompress_chunk(buf[start:end], comp, None)
+        if huge:
+            yield chunk, np.array([0, len(chunk)], dtype="<i4")
+            continue
+        (n_docs,) = struct.unpack_from("<i", chunk, 0)
+        offs = np.empty(n_docs + 1, dtype="<i4")
+        offs[:n_docs] = np.frombuffer(chunk, dtype="<i4", count=n_docs, offset=4)
+        offs[n_docs] = len(chunk)
+        yield chunk, offs
+
+
+def _decode_var_byte_column(bounds, data_type: str):
+    """(chunk, offsets) stream -> object ndarray of str / bytes. The
+    per-row bytes-slice-and-decode loop is replaced by Arrow
+    from_buffers over the chunk itself: Arrow permits a non-zero first
+    offset, so the chunk's own offset-header region is simply never
+    referenced. STRING arrays get a full validation pass, keeping the
+    strict-UTF-8 failure behavior of bytes.decode on the iterator
+    path (invalid bytes raise instead of decoding silently)."""
+    import numpy as np
+    import pyarrow as pa
+
+    typ = pa.utf8() if data_type == "STRING" else pa.binary()
+    arrs = []
+    for chunk, offs in bounds:
+        arr = pa.Array.from_buffers(
+            typ,
+            len(offs) - 1,
+            [None, pa.py_buffer(offs), pa.py_buffer(chunk)],
+        )
+        if data_type == "STRING":
+            arr.validate(full=True)
+        arrs.append(arr)
+    if not arrs:
+        return np.empty(0, dtype=object)
+    return pa.chunked_array(arrs, type=typ).to_pandas().to_numpy()
+
+
 def _decode_raw_sv(buf: bytes, cm: ColumnMeta, num_docs: int):
     """Raw SV forward index -> numpy array / list[str]."""
     import numpy as np
@@ -824,10 +907,10 @@ def _decode_raw_sv(buf: bytes, cm: ColumnMeta, num_docs: int):
     (container_version,) = struct.unpack_from(">i", buf, 0)
     if container_version >= 4:
         # V4 stores var-byte types only (STRING/BYTES/BIG_DECIMAL)
-        if cm.data_type == "STRING":
-            return [e.decode("utf-8") for e in _iter_var_byte_entries_v4(buf)]
-        if cm.data_type == "BYTES":
-            return list(_iter_var_byte_entries_v4(buf))
+        if cm.data_type in ("STRING", "BYTES"):
+            return _decode_var_byte_column(
+                _var_byte_chunk_bounds_v4(buf), cm.data_type
+            )
         raise UnsupportedSegmentError(
             f"V4 chunk container with fixed-width type {cm.data_type} "
             f"for column {cm.name}"
@@ -847,10 +930,10 @@ def _decode_raw_sv(buf: bytes, cm: ColumnMeta, num_docs: int):
             remaining -= docs_here
         arr = np.concatenate(parts)[:n]
         return arr.astype(arr.dtype.newbyteorder("="))
-    if cm.data_type == "STRING":
-        return [e.decode("utf-8") for e in _iter_var_byte_entries(buf, n)]
-    if cm.data_type == "BYTES":
-        return list(_iter_var_byte_entries(buf, n))
+    if cm.data_type in ("STRING", "BYTES"):
+        return _decode_var_byte_column(
+            _var_byte_chunk_bounds(buf, n), cm.data_type
+        )
     raise UnsupportedSegmentError(
         f"raw data type {cm.data_type} for column {cm.name}"
     )
@@ -957,9 +1040,9 @@ def _decode_raw_mv(buf: bytes, cm: ColumnMeta, num_docs: int):
     row-offset chunk layout — and VarByteChunkMVForwardIndexReader).
 
     Numeric entries are gathered vectorized per chunk (one byte-index
-    fanout + one frombuffer + np.split) instead of per-row struct
-    unpacks — the entries sit consecutively, so only the count headers
-    need skipping."""
+    fanout + one frombuffer + an Arrow list fan-out) instead of per-row
+    struct unpacks — the entries sit consecutively, so only the count
+    headers need skipping."""
     (container_version,) = struct.unpack_from(">i", buf, 0)
     if cm.data_type in _FIXED_WIDTH and container_version < 4:
         return _decode_raw_mv_numeric_vec(buf, cm, num_docs)
@@ -973,6 +1056,7 @@ def _decode_raw_mv(buf: bytes, cm: ColumnMeta, num_docs: int):
 
 def _decode_raw_mv_numeric_vec(buf: bytes, cm: ColumnMeta, num_docs: int):
     import numpy as np
+    import pyarrow as pa
 
     width = _FIXED_WIDTH[cm.data_type]
     _, docs_per_chunk, _, total_docs, comp, bounds = _parse_chunk_container(buf)
@@ -1004,9 +1088,20 @@ def _decode_raw_mv_numeric_vec(buf: bytes, cm: ColumnMeta, num_docs: int):
             b[seg_starts + within].tobytes(), dtype=_NP_BE[cm.data_type]
         )
         values = values.astype(values.dtype.newbyteorder("="))
-        out.extend(np.split(values, np.cumsum(counts)[:-1]))
+        # per-doc fan-out through an Arrow list array: np.split built
+        # 10k+ Python-level views per chunk (the dominant decode cost);
+        # ListArray.from_arrays does the same slicing once in C and
+        # to_pandas yields the identical per-doc numpy arrays
+        la_offs = np.empty(docs_here + 1, dtype="<i4")
+        la_offs[0] = 0
+        la_offs[1:] = np.cumsum(counts)
+        out.append(pa.ListArray.from_arrays(la_offs, pa.array(values)))
         remaining -= docs_here
-    return out
+    return (
+        pa.chunked_array(out).to_pandas().to_numpy()
+        if out
+        else np.empty(0, dtype=object)
+    )
 
 
 def _encode_raw_mv(doc_values, data_type: str, compression: str) -> bytes:

@@ -213,3 +213,98 @@ def test_raw_mv_v4_writer_version_rejected(tmp_path):
             raw_columns={"mv": "LZ4"},
             raw_writer_versions={"mv": 4},
         )
+
+
+# --- round-15: vectorized var-byte decode (Arrow from_buffers) --------------
+#
+# _decode_raw_sv and _decode_raw_mv_numeric_vec now slice chunks in C via
+# Arrow instead of per-row Python loops; the iterator implementations stay
+# as the reference. These differentials pin byte-identity across the shapes
+# that exercise every branch: multi-chunk containers, the partial final
+# chunk (whose padding offsets must be dropped), empty values, multibyte
+# UTF-8, BYTES columns, and V4 huge chunks.
+
+
+def _sv_meta(data_type: str) -> ps.ColumnMeta:
+    return ps.ColumnMeta(
+        name="c", data_type=data_type, cardinality=0, total_docs=0,
+        bits_per_element=0, dictionary_element_size=0,
+        is_sorted=False, has_dictionary=False, is_single_value=True,
+    )
+
+
+@pytest.mark.parametrize(
+    "compression",
+    ["PASS_THROUGH", "SNAPPY", "ZSTANDARD", "LZ4", "LZ4_LENGTH_PREFIXED"],
+)
+def test_vectorized_sv_string_v3_matches_iterator(compression):
+    # sizes force multiple chunks + a partial final chunk; include empty
+    # strings and multibyte UTF-8
+    vals = []
+    for i in range(4003):
+        if i % 29 == 0:
+            vals.append("")
+        elif i % 7 == 0:
+            vals.append("émoji-é中文-" + "y" * (i % 311))
+        else:
+            vals.append(f"row-{i}-" + "x" * (i % 257))
+    buf = ps._encode_raw_sv(vals, "STRING", compression)
+    got = ps._decode_raw_sv(buf, _sv_meta("STRING"), len(vals))
+    ref = [e.decode("utf-8") for e in ps._iter_var_byte_entries(buf, len(vals))]
+    assert list(got) == ref == vals
+
+
+def test_vectorized_sv_bytes_v3_matches_iterator():
+    rng = np.random.default_rng(11)
+    vals = [bytes(rng.integers(0, 256, i % 97, dtype=np.uint8)) for i in range(3001)]
+    buf = ps._encode_raw_sv(vals, "BYTES", "ZSTANDARD")
+    got = ps._decode_raw_sv(buf, _sv_meta("BYTES"), len(vals))
+    ref = list(ps._iter_var_byte_entries(buf, len(vals)))
+    assert list(got) == ref == vals
+    assert all(isinstance(v, bytes) for v in got)
+
+
+@pytest.mark.parametrize(
+    "compression", ["PASS_THROUGH", "SNAPPY", "ZSTANDARD", "LZ4_LENGTH_PREFIXED"]
+)
+def test_vectorized_sv_string_v4_matches_iterator(compression):
+    # small target chunk size forces many chunks AND huge chunks
+    vals = [f"v{i}-" + "z" * (i % 59) for i in range(2500)]
+    vals[100] = "HUGE-" + "h" * 5000  # > target -> its own MSB-flagged chunk
+    vals[2400] = "HUGE2-" + "g" * 4096
+    buf = ps._encode_raw_sv_v4(vals, compression, target_chunk_size=2048)
+    got = ps._decode_raw_sv(buf, _sv_meta("STRING"), len(vals))
+    ref = [e.decode("utf-8") for e in ps._iter_var_byte_entries_v4(buf)]
+    assert list(got) == ref == vals
+
+
+def test_vectorized_mv_numeric_matches_entry_parser():
+    rng = np.random.default_rng(23)
+    cells = [
+        rng.integers(-(10**14), 10**14, int(rng.integers(0, 11))).astype(np.int64)
+        for _ in range(4003)
+    ]
+    entries = [ps._mv_entry_bytes(c, "LONG") for c in cells]
+    buf = ps._encode_var_byte_entries(entries, "LZ4")
+    cm = ps.ColumnMeta(
+        name="mv", data_type="LONG", cardinality=0, total_docs=0,
+        bits_per_element=0, dictionary_element_size=0,
+        is_sorted=False, has_dictionary=False, is_single_value=False,
+    )
+    got = ps._decode_raw_mv(buf, cm, len(cells))
+    ref = [
+        ps._parse_mv_entry(e, "LONG")
+        for e in ps._iter_var_byte_entries(buf, len(cells))
+    ]
+    assert len(got) == len(ref) == len(cells)
+    for g, r, want in zip(got, ref, cells):
+        assert g.dtype == r.dtype == np.dtype(np.int64)
+        assert np.array_equal(g, r) and np.array_equal(g, want)
+
+
+def test_vectorized_sv_string_invalid_utf8_raises():
+    # strictness parity with the iterator path's bytes.decode: a corrupt
+    # store with non-UTF-8 STRING bytes must fail loudly, not decode
+    buf = ps._encode_raw_sv([b"ok", b"\xff\xfe broken", b"ok2"], "STRING", "PASS_THROUGH")
+    with pytest.raises(Exception, match="(?i)utf"):
+        ps._decode_raw_sv(buf, _sv_meta("STRING"), 3)
