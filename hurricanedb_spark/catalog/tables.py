@@ -97,17 +97,25 @@ def _path_sig(path: str) -> tuple:
     """Cheap freshness signature for a parquet file or directory.
 
     A rewrite through any parquet writer creates/unlinks entries, which
-    bumps the file's (or the directory's / its entries') mtime_ns, so a
-    changed dataset can never be served from a stale cached plan. Cost:
-    one stat for a file, one scandir for a directory — microseconds,
-    versus ~30-60ms for the footer read + py4j roundtrips it guards."""
+    bumps mtime_ns somewhere under the dataset root — but for a NESTED
+    partition layout (a=1/b=2/part.parquet) only the innermost directory
+    is bumped, so the walk is recursive: every regular file's
+    (relpath, mtime_ns, size) plus every directory's mtime_ns
+    participates, and a rewrite at any depth changes the signature. Cost:
+    one stat for a file, one os.walk otherwise — microseconds per entry,
+    versus ~30-60ms for the footer read + py4j roundtrips it guards
+    (a directory table large enough for the walk itself to hurt is also
+    one whose relisting through spark.read would hurt far more)."""
     st = os.stat(path)
     if os.path.isfile(path):
         return (st.st_mtime_ns, st.st_size)
     entries = []
-    with os.scandir(path) as it:
-        for e in it:
-            entries.append((e.name, e.stat().st_mtime_ns))
+    for root, _dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        entries.append((rel, os.stat(root).st_mtime_ns, -1))
+        for f in files:
+            fst = os.stat(os.path.join(root, f))
+            entries.append((os.path.join(rel, f), fst.st_mtime_ns, fst.st_size))
     return (st.st_mtime_ns, tuple(sorted(entries)))
 
 
@@ -152,12 +160,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cache is None:
         cache = {}
         spark._hurricane_df_cache = cache
+    # keyed by (sf_dir, name) with the signature stored in the VALUE, so
+    # a rewrite REPLACES the entry instead of accreting one per
+    # signature — bounded at one plan handle per table per session, no
+    # stale-handle growth in long-lived rewrite-heavy sessions
+    key = (sf_dir, name)
     try:
-        key = (sf_dir, name, _path_sig(path))
+        sig = _path_sig(path)
     except OSError:
-        key = None  # missing path: fall through to the reader's own error
-    if key is not None and key in cache:
-        return cache[key]
+        sig = None  # missing path: fall through to the reader's own error
+    if sig is not None:
+        hit = cache.get(key)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events":
@@ -173,8 +188,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # collect() then yields the same naive datetimes the
                 # oracle produces regardless of the session timezone.
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if key is not None:
-        cache[key] = df
+    if sig is not None:
+        cache[key] = (sig, df)
     return df
 
 

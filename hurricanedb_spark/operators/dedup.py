@@ -362,9 +362,10 @@ def connected_components(
     neighbors' labels (edge hop), and ITS LABEL'S label (pointer jump —
     label chains halve, so a diameter-d path converges in O(log d) rounds
     rather than O(d); same idea as large-star). Each round is two shuffle
-    joins + an aggregation; lineage is truncated per round
-    (localCheckpoint) so plans stay flat at 100 TB, and the early-stop
-    count is one cheap action per round.
+    joins + an aggregation, driven by EXACTLY ONE action: the early-stop
+    count materializes the round's lazy localCheckpoint as a side effect
+    (lineage truncated, plans stay flat at 100 TB) instead of running a
+    separate eager-checkpoint job first.
 
     Returns (node_col, component) where component = min node id reachable.
     """
@@ -391,7 +392,12 @@ def connected_components(
             F.col("label").alias("__old"),
             F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
         )
-        # pointer jump: label <- label(label); halves label-chain depth
+        # pointer jump: label <- label(label); halves label-chain depth.
+        # localCheckpoint(eager=False): the checkpoint materializes
+        # inside the early-stop count's job below — one action per round
+        # does BOTH the lineage truncation and the changed-count
+        # (round-16, r15 verdict #3: the eager checkpoint was a separate
+        # full job per round, so every round paid two passes)
         new_labels = (
             hop.join(
                 hop.select(
@@ -405,7 +411,7 @@ def connected_components(
                 "__old",
                 F.least("label", F.coalesce("ll", "label")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") != F.col("__old")).count()
         labels = new_labels.select("a", "label")

@@ -831,7 +831,7 @@ def _var_byte_chunk_bounds(buf: bytes, num_docs: int):
     for start, end in bounds:
         docs_here = min(docs_per_chunk, remaining)
         chunk = _decompress_chunk(buf[start:end], comp, None)
-        offs = np.empty(docs_here + 1, dtype="<i4")
+        offs = np.empty(docs_here + 1, dtype="=i4")
         offs[:docs_here] = np.frombuffer(
             chunk, dtype=">i4", count=docs_per_chunk
         )[:docs_here]
@@ -864,10 +864,10 @@ def _var_byte_chunk_bounds_v4(buf: bytes):
         )
         chunk = _decompress_chunk(buf[start:end], comp, None)
         if huge:
-            yield chunk, np.array([0, len(chunk)], dtype="<i4")
+            yield chunk, np.array([0, len(chunk)], dtype="=i4")
             continue
         (n_docs,) = struct.unpack_from("<i", chunk, 0)
-        offs = np.empty(n_docs + 1, dtype="<i4")
+        offs = np.empty(n_docs + 1, dtype="=i4")
         offs[:n_docs] = np.frombuffer(chunk, dtype="<i4", count=n_docs, offset=4)
         offs[n_docs] = len(chunk)
         yield chunk, offs
@@ -887,6 +887,16 @@ def _decode_var_byte_column(bounds, data_type: str):
     typ = pa.utf8() if data_type == "STRING" else pa.binary()
     arrs = []
     for chunk, offs in bounds:
+        if len(chunk) > 2**31 - 1:
+            # the container format's own per-value offsets are int32, so
+            # a >2 GiB decompressed chunk is unaddressable by design —
+            # the int32 sentinel would wrap and mis-slice silently. Fail
+            # loudly (ADVICE r15): corrupt/huge containers are an error,
+            # not a decode path.
+            raise UnsupportedSegmentError(
+                f"var-byte chunk decompressed to {len(chunk)} bytes — "
+                f"beyond the container's int32 offset range"
+            )
         arr = pa.Array.from_buffers(
             typ,
             len(offs) - 1,
@@ -1092,7 +1102,7 @@ def _decode_raw_mv_numeric_vec(buf: bytes, cm: ColumnMeta, num_docs: int):
         # 10k+ Python-level views per chunk (the dominant decode cost);
         # ListArray.from_arrays does the same slicing once in C and
         # to_pandas yields the identical per-doc numpy arrays
-        la_offs = np.empty(docs_here + 1, dtype="<i4")
+        la_offs = np.empty(docs_here + 1, dtype="=i4")
         la_offs[0] = 0
         la_offs[1:] = np.cumsum(counts)
         out.append(pa.ListArray.from_arrays(la_offs, pa.array(values)))

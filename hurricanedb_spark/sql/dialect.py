@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import re
+import threading
 import uuid
 
 import pyarrow as pa  # Arrow scalar-UDF batches (round-15)
@@ -1328,7 +1329,7 @@ def _theta_sketch_sql(name: str, args: list[str]) -> str:
     # O(ndv)-per-group bound and the NDV-precondition guards: a 100x
     # user who hits >6 filters on a high-NDV column chooses between
     # exact-with-guard and bounded-estimate explicitly.
-    if _ACTIVE_QUERY_OPTIONS.get("thetaEstimate", "").lower() == "true":
+    if _active_query_options().get("thetaEstimate", "").lower() == "true":
         ids = sorted(_theta_tree_ids(tree))
         pos = {a: i for i, a in enumerate(ids)}
         rendered = _theta_render_tree(tree, pos)
@@ -3054,12 +3055,19 @@ _SET_RE = re.compile(
 _OPTION_RE = re.compile(r"\boption\s*\(([^()]*)\)\s*;?\s*$", re.IGNORECASE)
 
 # Options of the query currently inside HurricaneSQL.sql's rewrite
-# pipeline (set with try/finally around the pipeline; sql() is
-# synchronous and never re-enters itself, so a module global is safe).
-# Pure-string rewrites like _theta_sketch_sql consult it for behavior
-# opt-ins — currently thetaEstimate=true (round-13: bounded sketch
-# estimate for the >6-sketch filtered theta form).
-_ACTIVE_QUERY_OPTIONS: dict[str, str] = {}
+# pipeline (set with try/finally around the pipeline). THREAD-LOCAL
+# (round-16): sql() never re-enters itself on one thread, but the
+# threaded query server (and the suite's concurrent differential
+# runners) issue sql() from several threads at once — a module global
+# raced between them. Pure-string rewrites like _theta_sketch_sql
+# consult it for behavior opt-ins — currently thetaEstimate=true
+# (round-13: bounded sketch estimate for the >6-sketch filtered theta
+# form).
+_ACTIVE_QUERY_OPTIONS = threading.local()
+
+
+def _active_query_options() -> dict[str, str]:
+    return getattr(_ACTIVE_QUERY_OPTIONS, "opts", {})
 
 
 def extract_query_options(sql: str) -> tuple[str, dict[str, str]]:
@@ -3201,6 +3209,8 @@ class HurricaneSQL:
         # segment-backed views: name -> (segment_dirs, columns); lets
         # sql() route JSON_MATCH filters through each segment's .json.idx
         self._segment_tables: dict[str, tuple[list[str], list[str] | None]] = {}
+        # (table, decoded columns) of the last per-query pruning rebind
+        self.last_column_prune: tuple[str, list[str]] | None = None
         register_all(spark)
         if sf_dir:
             tables = register_views(spark, sf_dir)
@@ -4449,6 +4459,91 @@ class HurricaneSQL:
             return rewritten, cleanup
         return noop
 
+    _SQL_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+    _SQL_LINE_COMMENT_RE = re.compile(r"--[^\n]*")
+    _SQL_COUNT_STAR_RE = re.compile(r"\bCOUNT\s*\(\s*\*\s*\)", re.IGNORECASE)
+
+    def _column_prune_rewrite(self, query: str):
+        """Per-query column pruning for segment-backed tables (round-16,
+        r15 verdict #5). A segment scan is mapInPandas — opaque to
+        Catalyst, so projection pruning can never reach the decode: a
+        two-column aggregate over a table with a raw text column was
+        decoding AND Arrow-shipping the text for nothing. The dialect
+        knows the query text, so it threads the referenced-identifier
+        set into `read_segments(columns=...)` through a uuid temp view
+        (same rebind pattern as the index accelerations).
+
+        Conservative in the SAFE direction: after stripping string
+        literals and line comments, ANY token equal to a table column
+        counts as referenced — over-inclusion merely decodes an extra
+        column; a missed reference would fail analysis loudly, never
+        return wrong rows. A remaining `*` (SELECT * / t.* — COUNT(*)
+        is stripped first) or a non-single table reference keeps the
+        full decode. Runs AFTER the index rewrites, so it only fires
+        when no acceleration already rebound the table."""
+        noop = (query, lambda: None)
+        if not self._segment_tables:
+            return noop
+        self.last_column_prune = None
+        scrubbed = self._SQL_LITERAL_RE.sub(" ", query)
+        scrubbed = self._SQL_LINE_COMMENT_RE.sub(" ", scrubbed)
+        scrubbed = self._SQL_COUNT_STAR_RE.sub(" ", scrubbed)
+        if "*" in scrubbed:
+            return noop  # SELECT * / t.*: the full row is referenced
+        idents = {t.lower() for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", scrubbed)}
+        for name, (segs, columns) in self._segment_tables.items():
+            from_ref = re.compile(rf"(\bFROM\s+){re.escape(name)}\b", re.IGNORECASE)
+            if len(from_ref.findall(query)) != 1:
+                continue
+            # the sole mention must BE the FROM ref: a second mention
+            # (JOIN name, name.col qualified refs, a self-subquery)
+            # would dangle after the rebind — keep the full decode
+            if len(re.findall(rf"\b{re.escape(name)}\b", scrubbed, re.IGNORECASE)) != 1:
+                continue
+            visible = self.spark.table(name).columns
+            used = [c for c in visible if c.lower() in idents]
+            if len(used) == len(visible):
+                continue  # nothing to prune
+            if not used:
+                # pure COUNT(*): decode exactly one column — the
+                # narrowest fixed-width one (the row count is identical
+                # through any column; the text blob is the worst pick)
+                used = [self._narrowest_column(segs[0], visible)]
+            from hurricanedb_spark.sources import pinot_segment as ps
+
+            uniq = f"__prune_accel_{uuid.uuid4().hex}"
+            ps.read_segments(self.spark, segs, used).createOrReplaceTempView(uniq)
+            rewritten = from_ref.sub(rf"\g<1>{uniq}", query)
+            self.last_column_prune = (name, used)
+
+            def cleanup(uniq=uniq):
+                self.spark.catalog.dropTempView(uniq)
+
+            return rewritten, cleanup
+        return noop
+
+    @staticmethod
+    def _narrowest_column(segment_dir: str, visible: list[str]) -> str:
+        """Cheapest column to decode for a row-count-only query: prefer
+        fixed-width types (8 bytes/row), tiebreak on name for
+        determinism; fall back to the first visible column."""
+        from hurricanedb_spark.sources import pinot_segment as ps
+
+        try:
+            meta = ps.read_segment_metadata(segment_dir)
+            fixed = sorted(
+                c
+                for c in visible
+                if (cm := meta.columns.get(c)) is not None
+                and cm.data_type in ps._FIXED_WIDTH
+                and cm.is_single_value
+            )
+            if fixed:
+                return fixed[0]
+        except Exception:  # noqa: BLE001 — unreadable metadata
+            pass
+        return visible[0]
+
     # -- transparent star-tree redirect -----------------------------------
     # Restricted-shape parser: the redirect fires ONLY on queries it can
     # prove equivalent; everything else scans. Mirrors the reference's
@@ -4930,11 +5025,11 @@ class HurricaneSQL:
             return out
 
         # expose the query's options to the pure-string rewrites
-        # (thetaEstimate opt-in); restored in the finally below — sql()
-        # is synchronous and never re-enters itself
-        global _ACTIVE_QUERY_OPTIONS
-        prev_opts = _ACTIVE_QUERY_OPTIONS
-        _ACTIVE_QUERY_OPTIONS = opts
+        # (thetaEstimate opt-in); restored in the finally below. Stored
+        # per-thread so concurrent sql() calls never see each other's
+        # options.
+        prev_opts = _active_query_options()
+        _ACTIVE_QUERY_OPTIONS.opts = opts
         try:
             q = _guarded(rewrite_mv_percentile_bounded, query)
             q = _guarded(rewrite_mode_avg_bounded, q)
@@ -4954,6 +5049,8 @@ class HurricaneSQL:
             self.last_star_tree_redirect = st_info
             q, drop_rd_view = self._raw_digest_two_phase(q)
             cleanups.append(drop_rd_view)
+            q, drop_prune_view = self._column_prune_rewrite(q)
+            cleanups.append(drop_prune_view)
             q = rewrite_json_match(q)
             q = rewrite_functions(q)
             if default_limit is not None and not explain and not explain_impl:
@@ -4963,7 +5060,7 @@ class HurricaneSQL:
             # after cannot affect this query's execution
             df = self.spark.sql(q)
         finally:
-            _ACTIVE_QUERY_OPTIONS = prev_opts
+            _ACTIVE_QUERY_OPTIONS.opts = prev_opts
             for drop in cleanups:
                 drop()
         if explain_impl:

@@ -174,3 +174,57 @@ def test_load_table_plan_cache_and_mtime_invalidation(spark, sf_dir, tmp_path):
     second = load_table(spark, d, "nation")
     assert second is not first  # mtime signature invalidated the entry
     assert second.count() == 3
+
+
+def test_load_table_nested_partition_rewrite_invalidates(spark, tmp_path):
+    """ADVICE r15: a rewrite DEEP inside a nested partition layout
+    (a=…/b=…/part.parquet) bumps only the innermost directory's mtime —
+    the recursive _path_sig must still invalidate the cached handle."""
+    import time as _time
+
+    d = os.path.join(str(tmp_path), "events.parquet")
+    base = spark.range(4).selectExpr("id", "id % 2 AS a", "id % 2 AS b")
+    base.write.partitionBy("a", "b").parquet(d)
+    first = load_table(spark, str(tmp_path), "events")
+    n_first = first.count()
+    _time.sleep(0.01)
+    # surgically replace one leaf file inside a=1/b=1 — the top-level
+    # directory entries (a=0/, a=1/) keep their names and mtimes
+    leaf = None
+    for root, _dirs, files in os.walk(os.path.join(d, "a=1")):
+        for f in files:
+            if f.endswith(".parquet"):
+                leaf = root
+    extra = spark.range(100, 103).selectExpr("id")
+    extra.coalesce(1).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "__leaf"))
+    import glob
+    import shutil
+
+    src = glob.glob(os.path.join(str(tmp_path), "__leaf", "*.parquet"))[0]
+    shutil.copy(src, os.path.join(leaf, "part-extra.parquet"))
+    second = load_table(spark, str(tmp_path), "events")
+    assert second is not first
+    assert second.count() == n_first + 3
+
+
+def test_load_table_cache_evicts_superseded_entry(spark, sf_dir, tmp_path):
+    """ADVICE r15: the plan cache is keyed (sf_dir, name) with the
+    signature in the value — a rewrite REPLACES the entry (one handle
+    per table per session), never accretes stale ones."""
+    import shutil
+    import time as _time
+
+    d = str(tmp_path)
+    shutil.copy(os.path.join(sf_dir, "nation.parquet"), os.path.join(d, "nation.parquet"))
+    load_table(spark, d, "nation")
+    n_entries = sum(1 for k in spark._hurricane_df_cache if k == (d, "nation"))
+    assert n_entries == 1
+    _time.sleep(0.01)
+    spark.read.parquet(os.path.join(d, "nation.parquet")).limit(3).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "nation2.parquet"))
+    os.remove(os.path.join(d, "nation.parquet"))
+    shutil.move(os.path.join(d, "nation2.parquet"), os.path.join(d, "nation.parquet"))
+    load_table(spark, d, "nation")
+    n_entries = sum(1 for k in spark._hurricane_df_cache if k == (d, "nation"))
+    assert n_entries == 1  # replaced, not accreted

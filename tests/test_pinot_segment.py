@@ -1244,3 +1244,60 @@ def test_roaring_serialize_dtype_guard():
     assert roaring_serialize(np.array([1.0, 2.0, -1.0])) == want
     assert roaring_serialize(np.array([1, 2, -1], dtype=np.int64)) == want
     assert roaring_serialize([-1, 1, 2]) == want
+
+
+def test_sql_column_pruned_segment_decode(spark, sf_dir, tmp_path):
+    """Round-16 (r15 verdict #5): a dialect query over a segment table
+    decodes ONLY the referenced columns — mapInPandas is opaque to
+    Catalyst, so the dialect threads the identifier set itself. A
+    two-column aggregate over a store with a raw text column must not
+    decode (or Arrow-ship) the text."""
+    from hurricanedb_spark.catalog.tables import load_table
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    store = str(tmp_path / "docs_store")
+    ps.export_segments(docs.repartition(2), store, raw_columns={"text": "LZ4"})
+    hq = HurricaneSQL(spark)
+    hq.register_segment_table("docs_pruned", store)
+
+    out = hq.sql(
+        "SELECT lang, count(*) AS n, sum(n_chars) AS s "
+        "FROM docs_pruned GROUP BY lang ORDER BY lang",
+        default_limit=None,
+    ).collect()
+    assert hq.last_column_prune == ("docs_pruned", ["lang", "n_chars"])
+    exp = {
+        (r["lang"], r["n"], r["s"])
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    assert {(r["lang"], r["n"], r["s"]) for r in out} == exp
+
+    # pure COUNT(*): exactly one narrow fixed-width column is decoded
+    n = hq.sql(
+        "SELECT count(*) AS n FROM docs_pruned", default_limit=None
+    ).collect()[0]["n"]
+    assert n == docs.count()
+    tbl, used = hq.last_column_prune
+    assert tbl == "docs_pruned" and len(used) == 1 and used[0] != "text"
+
+    # SELECT * keeps the full decode (no pruning fired)
+    star = hq.sql("SELECT * FROM docs_pruned", default_limit=None)
+    assert hq.last_column_prune is None
+    assert set(star.columns) == {"doc_id", "lang", "text", "n_chars"}
+
+    # WHERE on a non-projected column is still decoded (loud-fail guard:
+    # every referenced identifier is included)
+    got = hq.sql(
+        "SELECT sum(n_chars) AS s FROM docs_pruned WHERE lang = 'en'",
+        default_limit=None,
+    ).collect()[0]["s"]
+    exp_s = docs.filter("lang = 'en'").agg(F.sum("n_chars")).collect()[0][0]
+    assert got == exp_s
+    assert hq.last_column_prune == ("docs_pruned", ["lang", "n_chars"])

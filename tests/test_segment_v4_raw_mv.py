@@ -308,3 +308,19 @@ def test_vectorized_sv_string_invalid_utf8_raises():
     buf = ps._encode_raw_sv([b"ok", b"\xff\xfe broken", b"ok2"], "STRING", "PASS_THROUGH")
     with pytest.raises(Exception, match="(?i)utf"):
         ps._decode_raw_sv(buf, _sv_meta("STRING"), 3)
+
+
+def test_var_byte_decode_rejects_chunk_past_int32_range():
+    """ADVICE r15: a decompressed chunk past the container's int32
+    offset range cannot be addressed by the format's own offsets — the
+    decoder must fail loudly, never wrap the sentinel and mis-slice."""
+    import numpy as np
+    import pytest
+
+    class _FakeHugeChunk:
+        def __len__(self):
+            return 2**31
+
+    gen = iter([(_FakeHugeChunk(), np.array([0, 4], dtype="=i4"))])
+    with pytest.raises(ps.UnsupportedSegmentError, match="int32 offset"):
+        ps._decode_var_byte_column(gen, "STRING")
