@@ -84,11 +84,14 @@ def run_corpus_file(spark: SparkSession, path: str) -> list[CaseResult]:
         cases = json.load(f)
     results: list[CaseResult] = []
     con = duckdb.connect()
+    # file-scoped view prefix: lets run_corpus_dir execute files
+    # concurrently (same case names exist across *_full.json variants)
+    stem = re.sub(r"\W", "_", os.path.splitext(os.path.basename(path))[0])
     for case_name, case in cases.items():
         view_map: dict[str, str] = {}
         setup_err: str | None = None
         for tbl, spec in case.get("tables", {}).items():
-            view = f"corpus_{case_name}_{tbl}".replace("-", "_")
+            view = f"corpus_{stem}_{case_name}_{tbl}".replace("-", "_")
             view_map[tbl] = view
             fields = [
                 T.StructField(c["name"], _TYPE_MAP[c["type"].upper()][0], True)
@@ -197,8 +200,23 @@ def run_corpus_file(spark: SparkSession, path: str) -> list[CaseResult]:
 
 
 def run_corpus_dir(spark: SparkSession, corpus_dir: str) -> list[CaseResult]:
+    """Run every corpus file; files execute CONCURRENTLY (guide §2.6 —
+    actions are only sequential because the driver calls them
+    sequentially, and each ~0.3s collect leaves the cluster idle
+    otherwise). Safe because each file is self-contained: its own DuckDB
+    connection, file-scoped Spark view names, independent results.
+    Ordering of the returned list is deterministic (by file name)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [n for n in sorted(os.listdir(corpus_dir)) if n.endswith(".json")]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        chunks = list(
+            pool.map(
+                lambda n: run_corpus_file(spark, os.path.join(corpus_dir, n)),
+                names,
+            )
+        )
     out: list[CaseResult] = []
-    for name in sorted(os.listdir(corpus_dir)):
-        if name.endswith(".json"):
-            out.extend(run_corpus_file(spark, os.path.join(corpus_dir, name)))
+    for chunk in chunks:
+        out.extend(chunk)
     return out

@@ -1104,7 +1104,16 @@ def run_fuzz(
     n: int = 300,
     cases: list[FuzzCase] | None = None,
 ) -> list[FuzzResult]:
-    """Run `n` generated cases: Pinot dialect on Spark vs DuckDB oracle."""
+    """Run `n` generated cases: Pinot dialect on Spark vs DuckDB oracle.
+
+    Cases run CONCURRENTLY (guide §2.6 — independent sub-second actions
+    issued sequentially left the scheduler idle; round-16). Safe:
+    HurricaneSQL.sql() is thread-safe (uuid-named rebind views,
+    thread-local query options), and each worker uses its own DuckDB
+    cursor over the shared view catalog. Result order stays the
+    deterministic case order (pool.map)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from hurricanedb_spark.sql.dialect import HurricaneSQL
 
     hdb = HurricaneSQL(spark, sf_dir)
@@ -1113,27 +1122,30 @@ def run_fuzz(
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    out: list[FuzzResult] = []
-    for case in cases if cases is not None else gen_cases(seed, n):
+
+    def run_one(case: FuzzCase) -> FuzzResult:
         try:
-            srows = [tuple(r) for r in hdb.sql(case.pinot_sql, default_limit=None).collect()]
-            orows = con.execute(case.duck_sql).fetchall()
+            srows = [
+                tuple(r)
+                for r in hdb.sql(case.pinot_sql, default_limit=None).collect()
+            ]
+            orows = con.cursor().execute(case.duck_sql).fetchall()
         except Exception as e:  # noqa: BLE001
-            out.append(FuzzResult(case, False, f"error: {e}"))
-            continue
+            return FuzzResult(case, False, f"error: {e}")
         if len(srows) != len(orows):
-            out.append(
-                FuzzResult(
-                    case, False, f"rowcount spark={len(srows)} duckdb={len(orows)}"
-                )
+            return FuzzResult(
+                case, False, f"rowcount spark={len(srows)} duckdb={len(orows)}"
             )
-        elif _rowset(srows) != _rowset(orows):
+        if _rowset(srows) != _rowset(orows):
             diff = [
                 (a, b)
                 for a, b in zip(_rowset(srows), _rowset(orows))
                 if a != b
             ][:2]
-            out.append(FuzzResult(case, False, f"values: {diff}"))
-        else:
-            out.append(FuzzResult(case, True))
-    return out
+            return FuzzResult(case, False, f"values: {diff}")
+        return FuzzResult(case, True)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return list(
+            pool.map(run_one, cases if cases is not None else gen_cases(seed, n))
+        )

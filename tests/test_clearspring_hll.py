@@ -199,7 +199,8 @@ def test_sql_raw_hll_two_phase_and_estimate(hdb, spark):
             "SELECT g, count(DISTINCT v) AS dc FROM cs_t GROUP BY g"
         ).collect()
     }
-    for r in df.collect():
+    rows = df.collect()  # one action; the two-phase agg is the expensive bit
+    for r in rows:
         assert r["sk"] == r["sk"].lower()
         blob = bytes.fromhex(r["sk"])
         assert is_clearspring_hll(blob)
@@ -207,7 +208,7 @@ def test_sql_raw_hll_two_phase_and_estimate(hdb, spark):
         want = exact[r["g"]]
         assert abs(est - want) <= max(2, want * 0.05)
     # scalar loop-closure like thetaSketchEstimate
-    one = df.collect()[0]["sk"]
+    one = rows[0]["sk"]
     est2 = spark.sql(
         f"SELECT clearspringhllcard('{one}') AS e"
     ).collect()[0]["e"]

@@ -29,9 +29,20 @@ def test_portable_hash32_range(spark):
 
 
 def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
-    doc = load_table(spark, sf_dir, "documents")
-    sh = doc.select("doc_id", dd.word_shingles(F.col("text"), 2).alias("sh"))
-    sig = sh.withColumn("sig", dd.minhash_signature(F.col("sh"), k=8))
+    # hot-path idiom (two-step tokenization + fan_out), value-identical
+    # to the inline compositions (pinned by
+    # test_two_step_tokenization_matches_inline_forms) — the inline form
+    # re-tokenized per array element and ran the O(n²) brute-force
+    # verify below on the single-row-group scan's ONE task
+    from hurricanedb_spark.operators.skew import fan_out
+
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = doc.withColumn("__toks", dd.norm_tokens(F.col("text"))).select(
+        "doc_id", dd.shingles_from_tokens(F.col("__toks"), 2).alias("sh")
+    )
+    sig = sh.withColumn("__hsh", dd.hashed_shingles(F.col("sh"))).withColumn(
+        "sig", dd.minhash_from_hashed(F.col("__hsh"), k=8)
+    ).select("doc_id", "sh", "sig")
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", "sig", bands=4, rows_per_band=2)
     verified = (
         pairs.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -56,8 +67,13 @@ def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
 
 
 def test_simhash_neardups_close_in_hamming(spark, sf_dir):
-    doc = load_table(spark, sf_dir, "documents")
-    sh = doc.select("doc_id", dd.word_shingles(F.col("text"), 2).alias("sh"))
+    # two-step idiom + fan_out, same rationale as the minhash test above
+    from hurricanedb_spark.operators.skew import fan_out
+
+    doc = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = doc.withColumn("__toks", dd.norm_tokens(F.col("text"))).select(
+        "doc_id", dd.shingles_from_tokens(F.col("__toks"), 2).alias("sh")
+    )
     # ground-truth near-dup pairs
     near = (
         sh.alias("l")
@@ -66,7 +82,9 @@ def test_simhash_neardups_close_in_hamming(spark, sf_dir):
         .filter(F.col("j") >= 0.8)
         .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
     )
-    sims = doc.select("doc_id", dd.simhash32(F.col("text")).alias("sim"))
+    sims = doc.withColumn("__h", dd.hashed_tokens(F.col("text"))).select(
+        "doc_id", dd.simhash_from_hashed(F.col("__h")).alias("sim")
+    )
     a = sims.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"))
     b = sims.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"))
     joined = near.join(a, "id_a").join(b, "id_b").withColumn(

@@ -1008,17 +1008,31 @@ def test_slop_fuzz_vs_duckdb(spark, sf_dir):
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
     )
     docs = load_table(spark, sf_dir, "documents").cache()
-    n_nonzero = 0
+    # seeded case list first (deterministic), then both engines count
+    # concurrently (guide §2.6 — 15 independent sub-second actions)
+    from concurrent.futures import ThreadPoolExecutor
+
+    cases = []
     for _ in range(15):
         k = rng.choice([2, 2, 3, 3, 4])
         words = [rng.choice(vocab) for _ in range(k)]  # duplicates allowed
         slop = rng.randint(0, 4)
+        cases.append((words, slop))
+
+    def counts(case):
+        words, slop = case
         q = '"' + " ".join(words) + f'"~{slop}'
         cond = translate_text_match("text", q)
         n_spark = docs.filter(F.expr(cond)).count()
-        n_duck = con.execute(
+        n_duck = con.cursor().execute(
             f"SELECT count(*) FROM documents WHERE {_duck_slop_pred(words, slop)}"
         ).fetchone()[0]
+        return q, n_spark, n_duck
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(counts, cases))
+    n_nonzero = 0
+    for q, n_spark, n_duck in results:
         assert n_spark == n_duck, (q, n_spark, n_duck)
         n_nonzero += n_spark > 0
     docs.unpersist()

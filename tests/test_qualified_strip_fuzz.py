@@ -116,14 +116,28 @@ def _rows(df):
 
 
 def test_qualified_vs_unqualified_spellings_agree(qf):
+    # cases generated sequentially (deterministic seed), evaluated
+    # CONCURRENTLY (guide §2.6; HurricaneSQL.sql is thread-safe —
+    # round-16): the 24 independent collect-pairs ran back to back and
+    # left the scheduler idle
+    from concurrent.futures import ThreadPoolExecutor
+
     rng = random.Random(1207)
-    checked_markers = 0
-    for i in range(24):
-        qualified, unqualified, marker = _case(rng)
+    cases = [_case(rng) for _ in range(24)]
+
+    def eval_one(case):
+        qualified, unqualified, marker = case
         dq = qf.sql(qualified, default_limit=None)
         du = qf.sql(unqualified, default_limit=None)
-        assert _rows(dq) == _rows(du), (i, qualified)
-        pq, pu = _plan(dq), _plan(du)
+        return _rows(dq), _rows(du), _plan(dq), _plan(du)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        evaluated = list(pool.map(eval_one, cases))
+    checked_markers = 0
+    for i, ((qualified, _unq, marker), (rq, ru, pq, pu)) in enumerate(
+        zip(cases, evaluated)
+    ):
+        assert rq == ru, (i, qualified)
         if marker == "MapInArrow":
             # the unqualified form restructures; the qualified one must
             # not fall back to the raw-value grouped agg

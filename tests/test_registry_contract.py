@@ -43,6 +43,15 @@ def registry():
 
 
 @pytest.fixture(scope="module")
+def built(spark, registry):
+    """Every registered query CONSTRUCTED once per module (round-16):
+    fn() is not free — segment-backed and iterative queries run real
+    jobs at construction — and two contract tests were each rebuilding
+    all ~148 of them."""
+    return {name: qd.fn(spark, SF_DIR) for name, qd in registry.items()}
+
+
+@pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -60,11 +69,11 @@ def test_driver_window_is_50_registered(registry):
         assert name in registry
 
 
-def test_no_complex_output_columns(spark, registry):
+def test_no_complex_output_columns(spark, registry, built):
     """The driver's pandas canonicalizer cannot handle array/map/struct."""
     offenders: dict[str, list[str]] = {}
     for name, qd in registry.items():
-        df = qd.fn(spark, SF_DIR)
+        df = built[name]
         bad = [
             f.name
             for f in df.schema.fields
@@ -78,7 +87,7 @@ def test_no_complex_output_columns(spark, registry):
     )
 
 
-def test_oracle_types_match_driver_pandas_view(spark, registry, duck):
+def test_oracle_types_match_driver_pandas_view(spark, registry, duck, built):
     """Statically DESCRIBE every oracle: no HUGEINT (DuckDB SUM(int) —
     becomes float64 in .df() and hash-mismatches Spark's int64), no
     LIST/STRUCT/MAP, and column names equal to the Spark side's."""
@@ -86,7 +95,7 @@ def test_oracle_types_match_driver_pandas_view(spark, registry, duck):
     for name, qd in registry.items():
         if qd.oracle is None:
             continue
-        df = qd.fn(spark, SF_DIR)
+        df = built[name]
         desc = duck.execute(f"DESCRIBE {qd.oracle}").fetchall()
         ocols = [r[0] for r in desc]
         otypes = {r[0]: r[1] for r in desc}
