@@ -168,35 +168,51 @@ def run_corpus_file(spark: SparkSession, path: str) -> list[CaseResult]:
             # (reference query options — sql/dialect.py treats them the
             # same way); strip for both engines
             bound = re.sub(r"^\s*(SET\s+\w+\s*=\s*\w+\s*;\s*)+", "", bound, flags=re.I)
-            if os.environ.get("CORPUS_VERBOSE"):
-                print(f"RUN [{case_name}] {sql}", flush=True)
-            try:
-                sdf = spark.sql(bound)
-                scols = sdf.columns
-                srows = [tuple(r) for r in sdf.collect()]
-                ores = con.execute(bound)
-                ocols = [d[0] for d in ores.description]
-                orows = ores.fetchall()
-            except Exception as e:  # noqa: BLE001
-                results.append(CaseResult(case_name, sql, False, f"error: {e}"))
-                continue
-            if len(srows) != len(orows):
-                results.append(
-                    CaseResult(
-                        case_name, sql, False,
-                        f"rowcount spark={len(srows)} duckdb={len(orows)}",
-                    )
-                )
-            elif _rowset(scols, srows) != _rowset(ocols, orows):
-                diff = [
-                    (a, b)
-                    for a, b in zip(_rowset(scols, srows), _rowset(ocols, orows))
-                    if a != b
-                ][:2]
-                results.append(CaseResult(case_name, sql, False, f"values: {diff}"))
-            else:
-                results.append(CaseResult(case_name, sql, True))
-    return results
+            results.append(_QUEUED(case_name, sql, bound))
+
+    def run_one(item: CaseResult) -> CaseResult:
+        case_name, sql, bound = item.case, item.sql, item.detail
+        if os.environ.get("CORPUS_VERBOSE"):
+            print(f"RUN [{case_name}] {sql}", flush=True)
+        try:
+            sdf = spark.sql(bound)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            ores = con.cursor().execute(bound)
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:  # noqa: BLE001
+            return CaseResult(case_name, sql, False, f"error: {e}")
+        if len(srows) != len(orows):
+            return CaseResult(
+                case_name, sql, False,
+                f"rowcount spark={len(srows)} duckdb={len(orows)}",
+            )
+        if _rowset(scols, srows) != _rowset(ocols, orows):
+            diff = [
+                (a, b)
+                for a, b in zip(_rowset(scols, srows), _rowset(ocols, orows))
+                if a != b
+            ][:2]
+            return CaseResult(case_name, sql, False, f"values: {diff}")
+        return CaseResult(case_name, sql, True)
+
+    # queries of all this file's cases run concurrently (guide §2.6):
+    # views are all registered above, each worker uses its own DuckDB
+    # cursor, and result order stays the declaration order (pool.map)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        return list(
+            pool.map(lambda r: run_one(r) if isinstance(r, _QUEUED) else r, results)
+        )
+
+
+class _QUEUED(CaseResult):
+    """A query bound to its views but not yet executed (detail=bound SQL)."""
+
+    def __init__(self, case: str, sql: str, bound: str):
+        super().__init__(case, sql, False, bound)
 
 
 def run_corpus_dir(spark: SparkSession, corpus_dir: str) -> list[CaseResult]:

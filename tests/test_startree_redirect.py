@@ -387,6 +387,12 @@ def test_randomized_predicates_redirect_equals_scan(spark, hq):
         picks = rng.sample(vals, rng.randint(1, len(vals) - 1))
         return f"{col} IN ({', '.join(repr(v) for v in picks)})"
 
+    # build sequentially (rng determinism + last_star_tree_redirect is
+    # per-instance state), collect the 50 independent actions in a pool
+    # (guide §2.6; round-16)
+    from concurrent.futures import ThreadPoolExecutor
+
+    cases = []
     for _ in range(25):
         conjuncts = []
         for col, vals in (("city", cities), ("status", statuses)):
@@ -403,10 +409,20 @@ def test_randomized_predicates_redirect_equals_scan(spark, hq):
             + (f"WHERE {where} " if where else "")
             + "GROUP BY city LIMIT 100"
         )
-        fast = sorted(tuple(r) for r in hq.sql(q).collect())
+        fast_df = hq.sql(q)
         assert hq.last_star_tree_redirect is not None, q
-        slow = sorted(tuple(r) for r in spark.sql(q).collect())
-        assert fast == slow, q
+        cases.append((q, fast_df, spark.sql(q)))
+
+    def collect_pair(case):
+        _q, fast_df, slow_df = case
+        return (
+            sorted(tuple(r) for r in fast_df.collect()),
+            sorted(tuple(r) for r in slow_df.collect()),
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for (q, _f, _s), (fast, slow) in zip(cases, pool.map(collect_pair, cases)):
+            assert fast == slow, q
 
 
 def test_theta_pair_redirect(spark, tmp_path):
