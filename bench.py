@@ -31,6 +31,17 @@ from hurricanedb_spark.session import get_spark
 RUNS = 3
 
 
+def _read_cpu_jiffies():
+    """(total, steal) jiffies from /proc/stat — None where unsupported."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:  # pragma: no cover — non-Linux
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -40,6 +51,7 @@ def main() -> None:
     spark = get_spark("hurricanedb-bench", extra_conf=extra)
 
     reg = {n: q for n, q in all_queries().items() if q.bench}
+    jiffies0 = _read_cpu_jiffies()
     timings: dict[str, float] = {}
     for name, qd in sorted(reg.items()):
         qd.fn(spark, sf_dir).count()  # warm-up: JIT, page cache, plan cache
@@ -58,6 +70,17 @@ def main() -> None:
         loadavg = [round(x, 2) for x in os.getloadavg()]
     except OSError:  # pragma: no cover — platform without getloadavg
         loadavg = None
+    # hypervisor steal across the timed window (round-16, additive like
+    # loadavg was in r15): loadavg only sees THIS guest's runnable
+    # processes — r16 measured 30-60s bursts of 3-6 stolen CPU-sec/sec
+    # from co-tenants on an idle-loadavg host, which is exactly the
+    # contamination mode that poisoned the r15 headline record.
+    steal_pct = None
+    jiffies1 = _read_cpu_jiffies()
+    if jiffies0 and jiffies1 and jiffies1[0] > jiffies0[0]:
+        steal_pct = round(
+            100.0 * (jiffies1[1] - jiffies0[1]) / (jiffies1[0] - jiffies0[0]), 2
+        )
     print(
         json.dumps(
             {
@@ -67,6 +90,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg": loadavg,
+                "cpu_steal_pct": steal_pct,
             }
         )
     )

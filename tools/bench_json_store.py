@@ -146,7 +146,30 @@ def bench_raw_mv_v4(spark, sf_dir: str, base: str) -> dict:
         f"raw-V4+MV decode: {row['n']} rows / {size_mb:.0f} MB on disk in "
         f"{dt:.2f}s = {row['n']/dt/1e6:.2f}M rows/s"
     )
-    return {"rawv4_decode": round(dt, 4)}
+    # ADDITIVE row (round-16, r15 verdict #5): the same aggregate asked
+    # through the SQL surface, where the dialect's per-query column
+    # pruning reaches the decode — the raw V4 text column (the bulk of
+    # the store) is never decoded or Arrow-shipped. rawv4_decode above
+    # keeps its meaning as the designed full-decode throughput row.
+    from hurricanedb_spark.sql.dialect import HurricaneSQL
+
+    hq = HurricaneSQL(spark)
+    hq.register_segment_table("rawv4_bench", store)
+    q = "SELECT COUNT(*) AS n, SUM(n_chars) AS chars FROM rawv4_bench"
+    prow = hq.sql(q, default_limit=None).collect()[0]  # warm
+    assert prow["n"] == row["n"] and prow["chars"] == row["chars"]
+    assert hq.last_column_prune == ("rawv4_bench", ["n_chars"])
+    t0 = time.perf_counter()
+    hq.sql(q, default_limit=None).collect()
+    dt_pruned = time.perf_counter() - t0
+    print(
+        f"raw-V4+MV pruned SQL agg (n_chars only decoded): {dt_pruned:.2f}s "
+        f"({dt/dt_pruned:.1f}x vs full decode)"
+    )
+    return {
+        "rawv4_decode": round(dt, 4),
+        "rawv4_pruned_sql_agg": round(dt_pruned, 4),
+    }
 
 
 def bench_text_match(spark, sf_dir: str, base: str) -> dict:
