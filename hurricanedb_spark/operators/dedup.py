@@ -352,6 +352,7 @@ def connected_components(
     nodes: DataFrame,
     node_col: str,
     max_iter: int = 25,
+    include_singletons: bool = True,
 ) -> DataFrame:
     """Connected components over a similarity-pair graph — the standard
     post-LSH clustering step (all transitively-linked near-dups collapse
@@ -367,13 +368,29 @@ def connected_components(
     (lineage truncated, plans stay flat at 100 TB) instead of running a
     separate eager-checkpoint job first.
 
+    The iterated label table holds ONLY nodes that touch an edge: an
+    isolated node has no neighbor and its pointer jump resolves to
+    itself, so its label can never change — carrying it through every
+    round shuffled the whole corpus per round when only the near-dup
+    subgraph (typically a few % of nodes) can move. Singletons are
+    unioned back (component = own id) after convergence, one anti-join
+    instead of rounds x full-table joins. Edge endpoints absent from
+    `nodes` stay excluded from propagation and output, exactly as
+    before (the semi join below mirrors the old init-from-`nodes`).
+
+    `include_singletons=False` returns only the edge-subgraph rows —
+    for consumers that only need the NON-trivial assignments (e.g. the
+    dedup loser set, which is a subset of edge nodes by construction)
+    and would otherwise force the singleton anti-join just to filter
+    its rows straight back out.
+
     Returns (node_col, component) where component = min node id reachable.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
-    labels = nodes.select(
-        F.col(node_col).alias("a"), F.col(node_col).alias("label")
-    ).localCheckpoint()
+    node_ids = nodes.select(F.col(node_col).alias("a"))
+    active = und.select("a").distinct().join(node_ids, "a", "semi")
+    labels = active.select("a", F.col("a").alias("label")).localCheckpoint()
     for _ in range(max_iter):
         nbr = (
             und.join(
@@ -418,7 +435,15 @@ def connected_components(
         if changed == 0:
             break
     und.unpersist()
-    return labels.select(F.col("a").alias(node_col), F.col("label").alias("component"))
+    comp = labels.select(
+        F.col("a").alias(node_col), F.col("label").alias("component")
+    )
+    if not include_singletons:
+        return comp
+    singles = node_ids.join(labels.select("a"), "a", "left_anti").select(
+        F.col("a").alias(node_col), F.col("a").alias("component")
+    )
+    return comp.unionByName(singles)
 
 
 def exact_dedup(df: DataFrame, id_col: str, fingerprint_col: Column) -> DataFrame:

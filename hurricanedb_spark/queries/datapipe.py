@@ -340,18 +340,28 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")
+    # Components over the edge SUBGRAPH only (include_singletons=False):
+    # a doc is dropped iff component != doc_id, and such docs are edge
+    # nodes by construction — singleton rows would be filtered straight
+    # back out here. kept = docs MINUS losers, so the anti join below is
+    # row-identical to the previous survivors semi join, while the joined
+    # id set shrinks from ~every doc to the duplicate subset (round-16;
+    # at 100 TB the losers are the few % of the corpus that near-dup).
     comp = dd.connected_components(
-        q_minhash_lsh_dedup(spark, sf_dir), "id_a", "id_b", doc, "doc_id"
+        q_minhash_lsh_dedup(spark, sf_dir),
+        "id_a",
+        "id_b",
+        doc,
+        "doc_id",
+        include_singletons=False,
     )
-    # survivors = one LONG id per kept doc (doc_id is unique in comp, so
-    # the semi join is row-identical to the previous inner join). When
-    # the id set provably fits the session's broadcast budget (upper
-    # bound: total docs from the parquet footer x ~32B/entry of hashed-
-    # relation footprint), broadcast it so the full documents table is
-    # never shuffled for this join (round-16, r15 verdict #6: one fewer
-    # Exchange). Past the budget — the 100 TB case — the planner keeps
-    # the shuffle join; nothing here can force an executor-OOM broadcast.
-    survivors = comp.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    # Broadcast when provably within the session budget (upper bound:
+    # total docs from the parquet footer x ~32B/entry of hashed-relation
+    # footprint — sound for the loser subset). Past the budget the
+    # planner keeps the shuffle join (AQE can still flip it to broadcast
+    # from the RUNTIME size of the loser set, which is far below this
+    # static bound); nothing here can force an executor-OOM broadcast.
     from hurricanedb_spark.catalog.tables import _parse_size_bytes
     from hurricanedb_spark.operators.skew import _footer_row_bound
 
@@ -363,9 +373,9 @@ def q_dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         thresh = 10 << 20
     n_docs = _footer_row_bound(doc)
     if n_docs is not None and 0 < thresh and n_docs * 32 <= thresh:
-        survivors = F.broadcast(survivors)
+        losers = F.broadcast(losers)
     return (
-        doc.join(survivors, "doc_id", "semi")
+        doc.join(losers, "doc_id", "anti")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("kept_docs"),

@@ -247,6 +247,41 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert comps == {0}, comps
 
 
+def test_connected_components_edge_subgraph_iteration(spark):
+    """Round-16: the label loop iterates ONLY edge-involved nodes;
+    singletons union back unchanged, include_singletons=False returns
+    exactly the edge-subgraph rows, and edge endpoints absent from
+    `nodes` stay excluded from propagation AND output (the old
+    init-from-nodes semantics: a dangling edge cannot bridge)."""
+    from hurricanedb_spark.operators import dedup as dd
+
+    edges = spark.createDataFrame(
+        # pair {1,2}; chain 10-11-12; edges through 99 which is NOT a
+        # node — 20 and 21 must stay separate components
+        [(1, 2), (10, 11), (11, 12), (20, 99), (99, 21)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 10, 11, 12, 20, 21, 30, 31]], "doc_id long"
+    )
+    full = {
+        r.doc_id: r.component
+        for r in dd.connected_components(
+            edges, "id_a", "id_b", nodes, "doc_id"
+        ).collect()
+    }
+    assert full == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 21, 30: 30, 31: 31}
+    sub = {
+        r.doc_id: r.component
+        for r in dd.connected_components(
+            edges, "id_a", "id_b", nodes, "doc_id", include_singletons=False
+        ).collect()
+    }
+    # exactly the edge-involved nodes that are real nodes; 99 never leaks
+    assert sub == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
+
+
 def test_two_step_tokenization_matches_inline_forms(spark):
     """Round-15: the materialized-token fast path (norm_tokens +
     shingles_from_tokens / ngram_set_from_tokens / simhash_from_hashed)
