@@ -37,6 +37,17 @@ from hurricanedb_spark.session import get_spark
 RUNS = 3
 
 
+def _read_cpu_jiffies():
+    """(total, steal) jiffies from /proc/stat — None where unsupported."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:  # pragma: no cover — non-Linux
+        return None
+
+
 def main() -> int:
     sf_dir = (
         sys.argv[1]
@@ -60,6 +71,7 @@ def main() -> int:
         s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
     }
     reg = {n: q for n, q in all_queries().items() if "datapipe" in q.tags}
+    jiffies0 = _read_cpu_jiffies()
     timings: dict[str, float] = {}
     guarded: dict[str, str] = {}
     single_run: dict[str, str] = {}
@@ -107,6 +119,14 @@ def main() -> int:
         out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     except OSError:  # pragma: no cover
         out["loadavg"] = None
+    # hypervisor steal across the timed window (round-16, additive —
+    # same attribution field bench.py gained; loadavg cannot see steal)
+    out["cpu_steal_pct"] = None
+    jiffies1 = _read_cpu_jiffies()
+    if jiffies0 and jiffies1 and jiffies1[0] > jiffies0[0]:
+        out["cpu_steal_pct"] = round(
+            100.0 * (jiffies1[1] - jiffies0[1]) / (jiffies1[0] - jiffies0[0]), 2
+        )
     print(json.dumps(out))
     return 0
 

@@ -485,6 +485,7 @@ def main() -> int:
         os.path.normpath(sf_dir)
     )
     spark = get_spark("bench-json-store")
+    jiffies0 = _read_cpu_jiffies()
     timings = {}
     timings.update(bench_json_index(spark, sf_dir, base))
     timings.update(bench_raw_mv_v4(spark, sf_dir, base))
@@ -502,6 +503,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg": _loadavg(),
+                "cpu_steal_pct": _steal_pct(jiffies0),
             }
         )
     )
@@ -515,6 +517,28 @@ def _loadavg():
         return [round(x, 2) for x in os.getloadavg()]
     except OSError:  # pragma: no cover
         return None
+
+
+def _read_cpu_jiffies():
+    """(total, steal) jiffies from /proc/stat — None where unsupported."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:  # pragma: no cover — non-Linux
+        return None
+
+
+def _steal_pct(jiffies0):
+    # hypervisor steal across the timed window (round-16, additive —
+    # same attribution field bench.py gained; loadavg cannot see steal)
+    jiffies1 = _read_cpu_jiffies()
+    if jiffies0 and jiffies1 and jiffies1[0] > jiffies0[0]:
+        return round(
+            100.0 * (jiffies1[1] - jiffies0[1]) / (jiffies1[0] - jiffies0[0]), 2
+        )
+    return None
 
 
 if __name__ == "__main__":
